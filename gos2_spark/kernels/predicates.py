@@ -213,6 +213,41 @@ def edge_or_vertex_crossing(a, b, c, d) -> bool:
     return vertex_crossing(a, b, c, d)
 
 
+WEDGE_EQUALS = 0
+WEDGE_PROPERLY_CONTAINS = 1
+WEDGE_IS_PROPERLY_CONTAINED = 2
+WEDGE_PROPERLY_OVERLAPS = 3
+WEDGE_IS_DISJOINT = 4
+
+
+def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
+    """edgeutil.go:18-25."""
+    return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
+
+
+def wedge_contains(a0, ab1, a2, b0, b2) -> bool:
+    """edgeutil.go:27-32."""
+    return ordered_ccw(a2, b2, b0, ab1) and ordered_ccw(b0, a0, a2, ab1)
+
+
+def get_wedge_relation(a0, ab1, a2, b0, b2) -> int:
+    """5-way loop-relation enum at a shared vertex (edgeutil.go:34-75)."""
+    a0, a2, b0, b2 = (tuple(map(float, p)) for p in (a0, a2, b0, b2))
+    if a0 == b0 and a2 == b2:
+        return WEDGE_EQUALS
+    if ordered_ccw(a0, a2, b2, ab1):
+        if ordered_ccw(b2, b0, a0, ab1):
+            return WEDGE_PROPERLY_CONTAINS
+        if a2 == b2:
+            return WEDGE_IS_PROPERLY_CONTAINED
+        return WEDGE_PROPERLY_OVERLAPS
+    if ordered_ccw(a0, b0, b2, ab1):
+        return WEDGE_IS_PROPERLY_CONTAINED
+    if ordered_ccw(a0, b0, a2, ab1):
+        return WEDGE_IS_DISJOINT
+    return WEDGE_PROPERLY_OVERLAPS
+
+
 # --------------------------------------------------------------------------
 # vectorized batch predicates
 # --------------------------------------------------------------------------
