@@ -1,0 +1,217 @@
+"""Public UDF/function surface: vectorized S2 kernels as Spark columns.
+
+Every function here is either a native Column expression ([SQL] — stays in
+whole-stage codegen) or an Arrow-batched pandas UDF wrapping the numpy
+kernels ([K] — one vectorized pass per batch, never per-row Python).
+SURVEY §2.8 lists the planned surface; kernels cite the reference lines.
+
+CellID convention in DataFrames: **biased signed int64** (raw uint64 XOR
+2^63) so that native LongType ordering == unsigned Hilbert ordering. Use
+``s2_token`` / ``s2_from_token`` at the edges for display/interop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType,
+)
+
+from ..kernels import hilbert as H
+from ..kernels import projection as PJ
+
+_BIAS = np.uint64(1 << 63)
+
+
+def _to_u64(biased: pd.Series) -> np.ndarray:
+    return biased.to_numpy(dtype=np.int64).view(np.uint64) ^ _BIAS
+
+
+def _to_biased(u: np.ndarray) -> pd.Series:
+    return pd.Series((u ^ _BIAS).view(np.int64))
+
+
+# --- point -> cell ----------------------------------------------------------
+
+@pandas_udf(LongType())
+def s2_cellid(lat_deg: pd.Series, lng_deg: pd.Series) -> pd.Series:
+    """Leaf CellID (biased int64) from lat/lng degrees (cellid.go:57-59)."""
+    ids = PJ.cellid_from_latlng(lat_deg.to_numpy(np.float64), lng_deg.to_numpy(np.float64))
+    return _to_biased(ids)
+
+
+@pandas_udf(LongType())
+def s2_cellid_at(lat_deg: pd.Series, lng_deg: pd.Series, level: pd.Series) -> pd.Series:
+    """Cell at a given level containing the point (leaf + Parent)."""
+    ids = PJ.cellid_from_latlng(lat_deg.to_numpy(np.float64), lng_deg.to_numpy(np.float64))
+    return _to_biased(H.parent(ids, level.to_numpy(np.int64)))
+
+
+# --- hierarchy (pure bit arithmetic — also [SQL]-expressible) ---------------
+
+@pandas_udf(LongType())
+def s2_parent(cell: pd.Series, level: pd.Series) -> pd.Series:
+    return _to_biased(H.parent(_to_u64(cell), level.to_numpy(np.int64)))
+
+
+@pandas_udf(IntegerType())
+def s2_level(cell: pd.Series) -> pd.Series:
+    return pd.Series(H.level(_to_u64(cell)))
+
+
+@pandas_udf(LongType())
+def s2_range_min(cell: pd.Series) -> pd.Series:
+    return _to_biased(H.range_min(_to_u64(cell)))
+
+
+@pandas_udf(LongType())
+def s2_range_max(cell: pd.Series) -> pd.Series:
+    return _to_biased(H.range_max(_to_u64(cell)))
+
+
+@pandas_udf(ArrayType(LongType()))
+def s2_children(cell: pd.Series) -> pd.Series:
+    ch = H.children(_to_u64(cell))
+    biased = (ch ^ _BIAS).view(np.int64)
+    return pd.Series(list(biased))
+
+
+@pandas_udf(ArrayType(LongType()))
+def s2_edge_neighbors(cell: pd.Series) -> pd.Series:
+    nbrs = PJ.edge_neighbors(_to_u64(cell))
+    biased = (nbrs ^ _BIAS).view(np.int64)
+    return pd.Series(list(biased))
+
+
+# --- codecs -----------------------------------------------------------------
+
+@pandas_udf(StringType())
+def s2_token(cell: pd.Series) -> pd.Series:
+    return pd.Series(H.to_token(_to_u64(cell)))
+
+
+@pandas_udf(LongType())
+def s2_from_token(token: pd.Series) -> pd.Series:
+    return _to_biased(H.from_token(token.to_numpy(object)))
+
+
+# --- geometry ---------------------------------------------------------------
+
+@pandas_udf(DoubleType())
+def s2_cell_lat(cell: pd.Series) -> pd.Series:
+    lat, _ = PJ.cellid_to_latlng(_to_u64(cell))
+    return pd.Series(lat)
+
+
+@pandas_udf(DoubleType())
+def s2_cell_lng(cell: pd.Series) -> pd.Series:
+    _, lng = PJ.cellid_to_latlng(_to_u64(cell))
+    return pd.Series(lng)
+
+
+@pandas_udf(DoubleType())
+def s2_distance_rad(
+    lat1: pd.Series, lng1: pd.Series, lat2: pd.Series, lng2: pd.Series
+) -> pd.Series:
+    """Great-circle angle via Vector.Angle semantics (point.go:328-330) —
+    the distance the reference uses for point work (kNN parity)."""
+    x1, y1, z1 = PJ.latlng_to_xyz(
+        np.radians(lat1.to_numpy(np.float64)), np.radians(lng1.to_numpy(np.float64))
+    )
+    x2, y2, z2 = PJ.latlng_to_xyz(
+        np.radians(lat2.to_numpy(np.float64)), np.radians(lng2.to_numpy(np.float64))
+    )
+    return pd.Series(PJ.point_angle(x1, y1, z1, x2, y2, z2))
+
+
+def haversine_rad(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """[SQL] haversine (latlng.go:32-40 op order) — native Catalyst
+    expression, stays in whole-stage codegen AND is DuckDB-oracle friendly.
+    Inputs in degrees, output radians."""
+    rlat1, rlng1 = F.radians(lat1), F.radians(lng1)
+    rlat2, rlng2 = F.radians(lat2), F.radians(lng2)
+    dlat = F.sin((rlat2 - rlat1) * 0.5)
+    dlng = F.sin((rlng2 - rlng1) * 0.5)
+    x = dlat * dlat + dlng * dlng * F.cos(rlat1) * F.cos(rlat2)
+    return 2.0 * F.atan2(F.sqrt(x), F.sqrt(F.greatest(F.lit(0.0), 1.0 - x)))
+
+
+def cap_contains(
+    center_lat: float, center_lng: float, radius_deg: float, lat: Column, lng: Column
+) -> Column:
+    """[SQL] Cap.ContainsPoint (cap.go:253-255): squared chord distance vs
+    2*height, as a native expression over lat/lng-degree columns."""
+    import math
+
+    from ..geometry import _vec as V
+    from ..geometry.cap import radius_to_height
+
+    cx, cy, cz = V.from_degrees(center_lat, center_lng)
+    height = radius_to_height(math.radians(radius_deg))
+    rlat, rlng = F.radians(lat), F.radians(lng)
+    px = F.cos(rlng) * F.cos(rlat)
+    py = F.sin(rlng) * F.cos(rlat)
+    pz = F.sin(rlat)
+    dist2 = (px - cx) ** 2 + (py - cy) ** 2 + (pz - cz) ** 2
+    return dist2 <= 2.0 * height
+
+
+def rect_contains(
+    lat_lo: float, lng_lo: float, lat_hi: float, lng_hi: float, lat: Column, lng: Column
+) -> Column:
+    """[SQL] Rect.Contains (rect.go:161-163) over degree columns, wrap-aware:
+    if lng_lo > lng_hi the interval wraps through the date line."""
+    lat_ok = (lat >= lat_lo) & (lat <= lat_hi)
+    if lng_lo <= lng_hi:
+        lng_ok = (lng >= lng_lo) & (lng <= lng_hi)
+    else:
+        lng_ok = (lng >= lng_lo) | (lng <= lng_hi)
+    return lat_ok & lng_ok
+
+
+# --- geoparse ---------------------------------------------------------------
+
+_GEO_RE = r"(-?\d{1,2}\.\d{3,}),\s*(-?\d{1,3}\.\d{3,})"
+
+
+def geoparse(text: Column) -> Column:
+    """[SQL] deterministic lat/lng extraction from page text.
+
+    The reference has no text parsing (SURVEY §2.8) — this is engine-defined:
+    the FIRST "lat, lng" decimal-pair mention, validated to the lat/lng
+    domain. Native regexp (codegen) — no UDF.
+    """
+    lat_s = F.regexp_extract(text, _GEO_RE, 1)
+    lng_s = F.regexp_extract(text, _GEO_RE, 2)
+    lat = F.when(lat_s != "", lat_s.cast("double"))
+    lng = F.when(lng_s != "", lng_s.cast("double"))
+    valid = (
+        lat.isNotNull() & lng.isNotNull()
+        & (lat >= -90.0) & (lat <= 90.0)
+        & (lng >= -180.0) & (lng <= 180.0)
+    )
+    return F.struct(
+        F.when(valid, lat).alias("lat"),
+        F.when(valid, lng).alias("lng"),
+    )
+
+
+def register_all(spark) -> None:
+    """Register the surface for SQL use: SELECT s2_cellid(lat, lng) ..."""
+    spark.udf.register("s2_cellid", s2_cellid)
+    spark.udf.register("s2_cellid_at", s2_cellid_at)
+    spark.udf.register("s2_parent", s2_parent)
+    spark.udf.register("s2_level", s2_level)
+    spark.udf.register("s2_range_min", s2_range_min)
+    spark.udf.register("s2_range_max", s2_range_max)
+    spark.udf.register("s2_children", s2_children)
+    spark.udf.register("s2_edge_neighbors", s2_edge_neighbors)
+    spark.udf.register("s2_token", s2_token)
+    spark.udf.register("s2_from_token", s2_from_token)
+    spark.udf.register("s2_cell_lat", s2_cell_lat)
+    spark.udf.register("s2_cell_lng", s2_cell_lng)
+    spark.udf.register("s2_distance_rad", s2_distance_rad)
