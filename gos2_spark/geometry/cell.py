@@ -28,6 +28,15 @@ M_PI_4 = math.pi / 4
 _U_AXIS_Z = (0.0, 0.0, 0.0, -1.0, -1.0, 0.0)
 _V_AXIS_Z = (1.0, 1.0, 0.0, 0.0, 0.0, 0.0)
 
+MAX_SIZE_F = float(1 << 30)
+
+
+def _st_to_uv(s: float) -> float:
+    """Scalar stToUV (stuv.go:28-33)."""
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
 
 def _u_norm(face: int, u: float):
     """stuv.go:133-148."""
@@ -58,16 +67,18 @@ class Cell:
 
     def __init__(self, cell_id: int):
         self.id = int(cell_id)
-        arr = np.array([self.id], dtype=np.uint64)
-        f, i, j, o = H.face_ij_orientation(arr)
-        self.face = int(f[0])
-        self.orientation = int(o[0])
-        self.level = int(H.level(arr)[0])
-        u_lo, u_hi, v_lo, v_hi = PJ.ij_level_to_bound_uv(
-            int(i[0]), int(j[0]), self.level
-        )
-        self.u_lo, self.u_hi = float(u_lo), float(u_hi)
-        self.v_lo, self.v_hi = float(v_lo), float(v_hi)
+        f, i, j, o = H.face_ij_orientation_scalar(self.id)
+        self.face = f
+        self.orientation = o
+        self.level = H.level_scalar(self.id)
+        # ijLevelToBoundUV (cellid.go:515-530), scalar
+        cell_size = 1 << (30 - self.level)
+        x_lo = i & -cell_size
+        y_lo = j & -cell_size
+        self.u_lo = _st_to_uv(x_lo / MAX_SIZE_F)
+        self.u_hi = _st_to_uv((x_lo + cell_size) / MAX_SIZE_F)
+        self.v_lo = _st_to_uv(y_lo / MAX_SIZE_F)
+        self.v_hi = _st_to_uv((y_lo + cell_size) / MAX_SIZE_F)
 
     @staticmethod
     def from_latlng_deg(lat: float, lng: float) -> "Cell":
@@ -80,10 +91,10 @@ class Cell:
     def is_leaf(self) -> bool:
         return self.level == 30
 
-    def children(self) -> list["Cell"]:
+    def children(self) -> list[int]:
         if self.is_leaf():
             return []
-        return [int(c) for c in H.children(np.array([self.id], dtype=np.uint64))[0]]
+        return H.children_scalar(self.id)
 
     def child_cells(self) -> list["Cell"]:
         return [Cell(c) for c in self.children()]
@@ -113,8 +124,16 @@ class Cell:
         return V.neg(_u_norm(self.face, self.u_lo))
 
     def center_raw(self):
-        x, y, z = PJ.cellid_to_xyz_raw(np.array([self.id], dtype=np.uint64))
-        return (float(x[0]), float(y[0]), float(z[0]))
+        # faceSiTi center delta (cellid.go:373-384), scalar
+        f, i, j, _ = H.face_ij_orientation_scalar(self.id)
+        if self.id & 1:
+            delta = 1
+        else:
+            delta = 2 if ((i ^ (self.id >> 2)) & 1) else 0
+        si, ti = 2 * i + delta, 2 * j + delta
+        u = _st_to_uv((0.5 / (1 << 30)) * si)
+        v = _st_to_uv((0.5 / (1 << 30)) * ti)
+        return _face_uv_to_xyz(self.face, u, v)
 
     def center(self):
         return V.normalize(self.center_raw())
@@ -155,12 +174,14 @@ class Cell:
         return self.u_lo <= u <= self.u_hi and self.v_lo <= v <= self.v_hi
 
     def contains_cell(self, other: "Cell") -> bool:
-        a = np.array([self.id], dtype=np.uint64)
-        return bool(H.contains(a, np.array([other.id], dtype=np.uint64))[0])
+        lsb = self.id & (-self.id)
+        return self.id - (lsb - 1) <= other.id <= self.id + (lsb - 1)
 
     def may_intersect_cell(self, other: "Cell") -> bool:
-        a = np.array([self.id], dtype=np.uint64)
-        return bool(H.intersects(a, np.array([other.id], dtype=np.uint64))[0])
+        lsb_a = self.id & (-self.id)
+        lsb_b = other.id & (-other.id)
+        return (other.id - (lsb_b - 1) <= self.id + (lsb_a - 1)
+                and other.id + (lsb_b - 1) >= self.id - (lsb_a - 1))
 
     def _latitude(self, i: int, j: int) -> float:
         u = self.u_lo if i == 0 else self.u_hi

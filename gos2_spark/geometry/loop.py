@@ -156,13 +156,13 @@ class Loop:
         """
         if not self.bound.contains_latlng_rad(V.latitude(p), V.longitude(p)):
             return False
-        inside = self.origin_inside
-        origin = tuple(PR.ORIGIN)
-        n = len(self.vertices)
-        for i in range(n):
-            if PR.edge_or_vertex_crossing(origin, tuple(p), self.vertex(i), self.vertex(i + 1)):
-                inside = not inside
-        return inside
+        return bool(
+            PR.contains_points_in_loop(
+                np.array([p], dtype=np.float64),
+                self.vertices_array(),
+                self.origin_inside,
+            )[0]
+        )
 
     def contains_batch(self, points: np.ndarray) -> np.ndarray:
         """Vectorized containment (no bound prefilter — caller's job)."""
@@ -306,25 +306,24 @@ class Loop:
     # --- loop-pair relations ----------------------------------------------
 
     def _are_boundaries_crossing(self, b: "Loop", process_wedge):
-        """Brute-force AreBoundariesCrossing (loop.go:650-680): checks all
-        edge pairs (the reference prunes with its edge index; candidates are
-        a superset so results are identical). ``process_wedge`` returns True
-        to short-circuit with False.
+        """AreBoundariesCrossing (loop.go:650-680), vectorized: all edge
+        pairs evaluated in one batched pass (the reference prunes with its
+        edge index; candidates are a superset so results are identical), then
+        only shared-vertex pairs fall back to scalar wedge processing.
+        ``process_wedge`` returns True to short-circuit with False.
         """
         a = self
-        for j in range(len(b.vertices)):
-            bj, bj1 = b.vertex(j), b.vertex(j + 1)
-            for ai in range(len(a.vertices)):
-                crossing = PR.robust_crossing(bj, bj1, a.vertex(ai), a.vertex(ai + 1))
-                if crossing < 0:
-                    continue
-                if crossing > 0:
-                    return True
-                if a.vertex(ai + 1) == bj1 and process_wedge(
-                    a.vertex(ai), a.vertex(ai + 1), a.vertex(ai + 2),
-                    b.vertex(j), b.vertex(j + 2),
-                ):
-                    return False
+        has_crossing, shared = PR.loop_crossing_batch(
+            a.vertices_array(), b.vertices_array()
+        )
+        if has_crossing:
+            return True
+        for ai, j in shared:
+            if a.vertex(ai + 1) == b.vertex(j + 1) and process_wedge(
+                a.vertex(ai), a.vertex(ai + 1), a.vertex(ai + 2),
+                b.vertex(j), b.vertex(j + 2),
+            ):
+                return False
         return False
 
     def contains_loop(self, b: "Loop") -> bool:

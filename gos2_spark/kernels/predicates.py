@@ -357,6 +357,75 @@ def contains_points_in_loop(
     return np.asarray(origin_inside, dtype=bool) ^ parity.astype(bool)
 
 
+def loop_crossing_batch(a_verts: np.ndarray, b_verts: np.ndarray):
+    """All-pairs edge-crossing between two vertex chains, vectorized.
+
+    Evaluates RobustCrossing (edgeutil.go:154-242) for every (A-edge, B-edge)
+    pair via two sign matrices (same shifted-column trick as the containment
+    kernel). Returns ``(has_crossing, shared_pairs)`` where shared_pairs are
+    the (ai, j) pairs with crossing == 0 (shared vertex / degenerate) that
+    AreBoundariesCrossing (loop.go:650-680) sends to wedge processing.
+    Outcome equivalence: the caller's wedge processors are existence-based,
+    so processing order does not change results.
+    """
+    A = np.asarray(a_verts, dtype=np.float64)
+    B = np.asarray(b_verts, dtype=np.float64)
+    n, m = len(A), len(B)
+    B_next = np.roll(B, -1, axis=0)
+    A_next = np.roll(A, -1, axis=0)
+
+    # S[j, i] = robust sign((B_j × B_j1) · A_i)
+    AB = np.cross(B, B_next)  # (m, 3)
+    D = AB @ A.T  # (m, n)
+    S = triage_sign_batch(D)
+    if (S == 0).any():
+        flat = S.ravel()
+        for idx in np.flatnonzero(flat == 0):
+            j, i = divmod(int(idx), n)
+            flat[idx] = expensive_ccw(tuple(B[j]), tuple(B_next[j]), tuple(A[i]))
+        S = flat.reshape(D.shape)
+
+    S_c = S                        # sign at A_ai  (acb = -S_c)
+    S_d = np.roll(S, -1, axis=1)   # sign at A_ai1 (bda =  S_d)
+    same_nonzero = (S_d == S_c) & (S_d != 0)
+    either_zero = (S_d == 0) | (S_c == 0)
+    slow = ~same_nonzero & ~either_zero
+    crossing = np.where(same_nonzero, -1, 0)
+
+    if slow.any():
+        CD = np.cross(A, A_next)  # (n, 3) — the A-loop edge normals
+        T1 = -(CD @ B_next.T).T   # cbd_det[j, ai]
+        T2 = (CD @ B.T).T         # dac_det[j, ai]
+        cbd = triage_sign_batch(T1)
+        dac = triage_sign_batch(T2)
+        need = slow & (cbd == 0)
+        if need.any():
+            flat = cbd.ravel()
+            for idx in np.flatnonzero(need.ravel()):
+                j, ai = divmod(int(idx), n)
+                flat[idx] = -expensive_ccw(
+                    tuple(A[ai]), tuple(A_next[ai]), tuple(B_next[j])
+                )
+            cbd = flat.reshape(T1.shape)
+        need = slow & (dac == 0)
+        if need.any():
+            flat = dac.ravel()
+            for idx in np.flatnonzero(need.ravel()):
+                j, ai = divmod(int(idx), n)
+                flat[idx] = expensive_ccw(
+                    tuple(A[ai]), tuple(A_next[ai]), tuple(B[j])
+                )
+            dac = flat.reshape(T2.shape)
+        acb = -S_c
+        slow_result = np.where(cbd != acb, -1, np.where(dac == acb, 1, -1))
+        crossing = np.where(slow, slow_result, crossing)
+
+    if (crossing > 0).any():
+        return True, []
+    zero_j, zero_ai = np.nonzero(~same_nonzero & either_zero)
+    return False, [(int(ai), int(j)) for j, ai in zip(zero_j, zero_ai)]
+
+
 def distance_to_edges(points: np.ndarray, a, b) -> np.ndarray:
     """Vectorized DistanceToEdge: batch of points vs one geodesic segment
     (edgeutil.go:77-106; PointCross per point.go:57-69). Radians out."""

@@ -1,0 +1,398 @@
+"""Spatial joins: point-in-polygon, cap/rect range queries, kNN.
+
+The engine's plan shape is the classic filter-refine the reference encodes
+implicitly (SURVEY §4): a cheap *covering join* on cell ids (native hash
+join against a broadcast covering — never leaves the JVM) classifies rows
+into interior cells (verdict known) and boundary cells (exact vectorized
+crossing-parity kernel over Arrow batches). Parity anchors:
+
+- covering membership == CellUnion.ContainsCellID binary search
+  (cellunion.go:118-133), here an ancestor-explode hash equi-join or a
+  range predicate on bias-encoded ids;
+- refinement == Loop.Contains crossing parity (loop.go:532-558) seeded with
+  the broadcast origin_inside;
+- kNN == cap-doubling coverings (cap.go:294-299) + exact angle distances
+  (point.go:328-330) + deterministic (dist, cell_id, url) tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..cover import CellUnion, RegionCoverer
+from ..geometry import Cap, Loop, Polygon, Rect
+from ..kernels import hilbert as H
+from ..kernels import predicates as PR
+from ..kernels import projection as PJ
+from .pages import s2_parent_sql
+
+_BIAS = np.uint64(1 << 63)
+
+
+def _biased(u: np.ndarray | list) -> list[int]:
+    arr = np.asarray(u, dtype=np.uint64)
+    return [int(x) for x in (arr ^ _BIAS).view(np.int64)]
+
+
+class _MemoRegion:
+    """Region adapter memoizing per-cell verdicts by cell id.
+
+    The exterior and interior coverer passes visit overlapping candidate
+    sets; loop-relation tests per cell are the expensive part, so caching
+    them roughly halves TileSet build time with identical results.
+    """
+
+    def __init__(self, region):
+        self._region = region
+        self._may: dict[int, bool] = {}
+        self._contains: dict[int, bool] = {}
+
+    def cap_bound(self):
+        return self._region.cap_bound()
+
+    def may_intersect_cell(self, cell) -> bool:
+        v = self._may.get(cell.id)
+        if v is None:
+            v = self._region.may_intersect_cell(cell)
+            self._may[cell.id] = v
+        return v
+
+    def contains_cell(self, cell) -> bool:
+        v = self._contains.get(cell.id)
+        if v is None:
+            v = self._region.contains_cell(cell)
+            self._contains[cell.id] = v
+        return v
+
+
+class TileSet:
+    """Broadcast build side of the spatial join: per-tile coverings + loops.
+
+    Built once on the driver from small polygon sets (the reference's
+    in-memory Loop/Polygon world); ships to executors as plain numpy arrays
+    inside a Spark broadcast.
+    """
+
+    def __init__(
+        self,
+        tiles: dict[object, Loop | Polygon],
+        max_cells: int = 64,
+        min_level: int = 0,
+        max_level: int = 30,
+    ):
+        self.tiles = {}
+        for tile_id, region in tiles.items():
+            poly = Polygon.from_loop(region) if isinstance(region, Loop) else region
+            memo = _MemoRegion(poly)
+            coverer = RegionCoverer(min_level, max_level, 1, max_cells)
+            covering = coverer.cell_union_covering(memo)
+            # classify covering cells directly: fully-contained cells skip
+            # refinement (same ContainsCell test the coverer's terminal
+            # logic uses, regioncoverer.go:70-96)
+            from ..geometry.cell import Cell as _Cell
+
+            interior_ids = [
+                cid for cid in covering.ids if memo.contains_cell(_Cell(cid))
+            ]
+            self.tiles[tile_id] = {
+                "covering": covering,
+                "interior": CellUnion(interior_ids),
+                "loops": [
+                    (loop.vertices_array(), loop.origin_inside) for loop in poly.loops
+                ],
+                "bound": (
+                    poly.rect_bound().lat.lo, poly.rect_bound().lat.hi,
+                    poly.rect_bound().lng.lo, poly.rect_bound().lng.hi,
+                ),
+            }
+
+    def covering_df(self, spark: SparkSession) -> DataFrame:
+        """(tile_id, cov_cell, cov_rmin, cov_rmax, is_interior) rows, biased ids.
+
+        A covering cell is marked interior when the tile's interior covering
+        fully contains it — rows landing there skip refinement.
+        """
+        out = []
+        for tile_id, t in self.tiles.items():
+            interior = set(t["interior"].ids)
+            for cid in t["covering"].ids:
+                lsb = cid & (-cid)
+                out.append((
+                    tile_id,
+                    _biased([cid])[0],
+                    _biased([cid - (lsb - 1)])[0],
+                    _biased([cid + (lsb - 1)])[0],
+                    cid in interior,
+                ))
+        return spark.createDataFrame(
+            out, "tile_id string, cov_cell long, cov_rmin long, cov_rmax long, is_interior boolean"
+        )
+
+    def covering_levels(self) -> list[int]:
+        levels = set()
+        for t in self.tiles.values():
+            arr = np.array(t["covering"].ids, dtype=np.uint64)
+            if len(arr):
+                levels.update(int(l) for l in H.level(arr))
+        return sorted(levels)
+
+    def payload(self) -> dict:
+        """Executor-side payload (broadcast): loops + bounds per tile."""
+        return {
+            tile_id: {"loops": t["loops"], "bound": t["bound"]}
+            for tile_id, t in self.tiles.items()
+        }
+
+
+def _make_refine_udf(bc):
+    """Pandas UDF: exact containment for (tile_id, lat, lng) batches.
+
+    Groups each Arrow batch by tile, then one vectorized crossing-parity
+    pass per tile (kernels.predicates.contains_points_in_loop) — XORed
+    across the polygon's loops, with the reference's bound prefilter.
+    """
+
+    @pandas_udf(BooleanType())
+    def s2_refine(tile_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        tiles = bc.value
+        out = np.zeros(len(tile_id), dtype=bool)
+        lat_np = lat.to_numpy(np.float64)
+        lng_np = lng.to_numpy(np.float64)
+        lat_rad = np.radians(lat_np)
+        lng_rad = np.radians(lng_np)
+        x, y, z = PJ.latlng_to_xyz(lat_rad, lng_rad)
+        pts = np.stack([x, y, z], axis=1)
+        for tid, idx in pd.Series(range(len(tile_id))).groupby(tile_id.values):
+            t = tiles.get(tid)
+            if t is None:
+                continue
+            sel = idx.to_numpy()
+            lat_lo, lat_hi, lng_lo, lng_hi = t["bound"]
+            in_bound = (lat_rad[sel] >= lat_lo) & (lat_rad[sel] <= lat_hi)
+            if lng_lo <= lng_hi:
+                in_bound &= (lng_rad[sel] >= lng_lo) & (lng_rad[sel] <= lng_hi)
+            else:  # wrapping interval
+                in_bound &= (lng_rad[sel] >= lng_lo) | (lng_rad[sel] <= lng_hi)
+            inside = np.zeros(len(sel), dtype=bool)
+            live = sel[in_bound]
+            if len(live):
+                acc = np.zeros(len(live), dtype=bool)
+                for verts, origin_inside in t["loops"]:
+                    acc ^= PR.contains_points_in_loop(pts[live], verts, origin_inside)
+                inside[in_bound] = acc
+            out[sel] = inside
+        return pd.Series(out)
+
+    return s2_refine
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    tileset: TileSet,
+    how: str = "inner",
+    point_key: str = "url",
+    cell_col: str = "cell_id",
+    strategy: str = "ancestor",
+) -> DataFrame:
+    """Join points (with a leaf ``cell_col``) against polygon tiles.
+
+    Plan: broadcast-hash covering join (ancestor-explode on the distinct
+    covering levels — pure bitwise SQL keys) -> split interior / boundary ->
+    vectorized refine on boundary rows only -> union.
+
+    how: 'inner' (rows + tile_id), 'semi' (distinct matching points),
+    'anti' (points matching no tile).
+    """
+    spark = points.sparkSession
+    cov = tileset.covering_df(spark)
+    bc = spark.sparkContext.broadcast(tileset.payload())
+    refine = _make_refine_udf(bc)
+
+    if strategy == "ancestor":
+        levels = tileset.covering_levels()
+        anc = F.explode(
+            F.array(*[s2_parent_sql(F.col(cell_col), l) for l in levels])
+        ).alias("_anc")
+        pts = points.select("*", anc)
+        joined = pts.join(F.broadcast(cov), pts["_anc"] == cov["cov_cell"], "inner").drop("_anc")
+    elif strategy == "range":
+        joined = points.join(
+            F.broadcast(cov),
+            (F.col(cell_col) >= F.col("cov_rmin")) & (F.col(cell_col) <= F.col("cov_rmax")),
+            "inner",
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    matched = joined.withColumn(
+        "inside",
+        F.when(F.col("is_interior"), F.lit(True)).otherwise(
+            refine(F.col("tile_id"), F.col("lat"), F.col("lng"))
+        ),
+    ).where(F.col("inside"))
+
+    result_cols = [c for c in points.columns] + ["tile_id"]
+    inner = matched.select(*result_cols)
+
+    if how == "inner":
+        return inner
+    if how == "semi":
+        return inner.select(*points.columns).dropDuplicates([point_key])
+    if how == "anti":
+        keys = inner.select(point_key).distinct()
+        return points.join(keys, on=point_key, how="left_anti")
+    raise ValueError(f"unknown how {how!r}")
+
+
+# --- cap / rect range queries ----------------------------------------------
+
+def _covering_prefilter(region, cell_col: Column, max_cells: int = 8) -> Column:
+    """Disjunction of biased-id range predicates from a covering — pushdown-
+    friendly (min/max row-group pruning on cell-sorted data)."""
+    cov = RegionCoverer(max_cells=max_cells).cell_union_covering(region)
+    rmin, rmax = cov.ranges()
+    pred = F.lit(False)
+    for lo, hi in zip(_biased(rmin), _biased(rmax)):
+        pred = pred | ((cell_col >= lo) & (cell_col <= hi))
+    return pred
+
+
+def cap_query(
+    points: DataFrame, center_lat: float, center_lng: float, radius_deg: float,
+    cell_col: str = "cell_id", use_prefilter: bool = True,
+) -> DataFrame:
+    """All points within a spherical cap: covering prune + exact
+    Cap.ContainsPoint (cap.go:253-255) — both native SQL."""
+    import math
+
+    from .functions import cap_contains
+
+    out = points
+    if use_prefilter:
+        cap = Cap.from_latlng_deg(center_lat, center_lng, radius_deg)
+        out = out.where(_covering_prefilter(cap, F.col(cell_col)))
+    return out.where(
+        cap_contains(center_lat, center_lng, radius_deg, F.col("lat"), F.col("lng"))
+    )
+
+
+def rect_query(
+    points: DataFrame, lat_lo: float, lng_lo: float, lat_hi: float, lng_hi: float,
+    cell_col: str = "cell_id", use_prefilter: bool = True,
+) -> DataFrame:
+    """All points in a lat-lng rect (wrap-aware) — exact in pure SQL."""
+    import math
+
+    from .functions import rect_contains
+
+    out = points
+    if use_prefilter:
+        rect = Rect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+        out = out.where(_covering_prefilter(rect, F.col(cell_col)))
+    return out.where(
+        rect_contains(lat_lo, lng_lo, lat_hi, lng_hi, F.col("lat"), F.col("lng"))
+    )
+
+
+# --- kNN --------------------------------------------------------------------
+
+def distance_rad_sql(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """[SQL] great-circle angle atan2(|a×b|, a·b) (r3/vector.go:96-98) —
+    identical op order to the reference, fully codegen."""
+    rl1, rg1, rl2, rg2 = F.radians(lat1), F.radians(lng1), F.radians(lat2), F.radians(lng2)
+    ax = F.cos(rg1) * F.cos(rl1)
+    ay = F.sin(rg1) * F.cos(rl1)
+    az = F.sin(rl1)
+    bx = F.cos(rg2) * F.cos(rl2)
+    by = F.sin(rg2) * F.cos(rl2)
+    bz = F.sin(rl2)
+    cx = ay * bz - az * by
+    cy = az * bx - ax * bz
+    cz = ax * by - ay * bx
+    return F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), ax * bx + ay * by + az * bz)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[tuple[object, float, float]],
+    k: int,
+    initial_radius_deg: float = 0.5,
+    max_doublings: int = 5,
+    cell_col: str = "cell_id",
+    point_key: str = "url",
+) -> DataFrame:
+    """k nearest points per query: iterative cap-doubling covering join
+    (Cap.Expanded, cap.go:294-299) + window top-k with deterministic
+    (dist, cell_id, key) tie-break.
+
+    Each round runs ONE Spark job over all still-unresolved queries (their
+    cap coverings unioned into a single broadcast), so the number of passes
+    is bounded by max_doublings regardless of query count.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    spark = points.sparkSession
+    pending = {qid: (lat, lng) for qid, lat, lng in queries}
+    results: DataFrame | None = None
+    radius = initial_radius_deg
+
+    for round_idx in range(max_doublings + 1):
+        if not pending:
+            break
+        rows = []
+        for qid, (qlat, qlng) in pending.items():
+            cap = Cap.from_latlng_deg(qlat, qlng, radius)
+            cov = RegionCoverer(max_cells=8).cell_union_covering(cap)
+            rmin, rmax = cov.ranges()
+            for lo, hi in zip(_biased(rmin), _biased(rmax)):
+                rows.append((str(qid), float(qlat), float(qlng), lo, hi))
+        cov_df = spark.createDataFrame(
+            rows, "qid string, qlat double, qlng double, cov_rmin long, cov_rmax long"
+        )
+        cand = points.join(
+            F.broadcast(cov_df),
+            (F.col(cell_col) >= F.col("cov_rmin")) & (F.col(cell_col) <= F.col("cov_rmax")),
+            "inner",
+        ).withColumn(
+            "dist_rad",
+            distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
+        ).where(F.col("dist_rad") <= math.radians(radius))
+
+        # deterministic tie-break on (dist, key); key is unique so this is
+        # total order and (unlike cell_id) oracle-SQL-expressible
+        w = Window.partitionBy("qid").orderBy(F.col("dist_rad"), F.col(point_key))
+        topk = (
+            cand.dropDuplicates(["qid", point_key])
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+        )
+        counts = {r["qid"]: r["n"] for r in topk.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+        done = [q for q in pending if counts.get(str(q), 0) >= k]
+        done_df = topk.where(F.col("qid").isin([str(q) for q in done]))
+        results = done_df if results is None else results.unionByName(done_df)
+        for q in done:
+            del pending[q]
+        radius *= 2.0
+        if radius > 180.0 and pending:
+            # final full pass for under-populated queries: no covering filter
+            rows = [(str(qid), float(qlat), float(qlng)) for qid, (qlat, qlng) in pending.items()]
+            q_df = spark.createDataFrame(rows, "qid string, qlat double, qlng double")
+            cand = points.crossJoin(F.broadcast(q_df)).withColumn(
+                "dist_rad",
+                distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
+            )
+            topk = (
+                cand.dropDuplicates(["qid", point_key])
+                .withColumn("knn_rank", F.row_number().over(w))
+                .where(F.col("knn_rank") <= k)
+            )
+            results = topk if results is None else results.unionByName(topk)
+            pending = {}
+    return results if results is not None else points.limit(0)

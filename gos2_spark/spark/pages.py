@@ -46,7 +46,6 @@ def synth_pages(spark: SparkSession, num_docs: int, num_partitions: int | None =
 
     u_geo = _hash_unit(F.col("doc_id"), 1)
     u_cluster = _hash_unit(F.col("doc_id"), 2)
-    u_city = _hash_unit(F.col("doc_id"), 3)
     u_lat = _hash_unit(F.col("doc_id"), 4)
     u_lng = _hash_unit(F.col("doc_id"), 5)
 
@@ -54,15 +53,14 @@ def synth_pages(spark: SparkSession, num_docs: int, num_partitions: int | None =
     bg_lat = F.degrees(F.asin(2.0 * u_lat - 1.0))
     bg_lng = 360.0 * u_lng - 180.0
 
-    # city mixture: pick a city by cumulative weight, spread +-0.25 deg
-    city_lat = F.lit(None).cast("double")
-    city_lng = F.lit(None).cast("double")
-    acc = 0
-    for _, clat, clng, w in CITIES:
-        acc += w
-        cond = u_city < acc / _TOTAL_W
-        city_lat = F.when(cond & city_lat.isNull(), clat + (u_lat - 0.5) * 0.15).otherwise(city_lat)
-        city_lng = F.when(cond & city_lng.isNull(), clng + (u_lng - 0.5) * 0.15).otherwise(city_lng)
+    # city mixture via weighted array lookup (flat expression — a nested
+    # when-chain here would be duplicated into every consumer of lat/lng and
+    # blow whole-stage codegen past janino's limits)
+    w_lat = [c[1] for c in CITIES for _ in range(c[3])]
+    w_lng = [c[2] for c in CITIES for _ in range(c[3])]
+    city_idx = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(3)), F.lit(_TOTAL_W)) + 1).cast("int")
+    city_lat = F.element_at(F.array(*[F.lit(v) for v in w_lat]), city_idx) + (u_lat - 0.5) * 0.15
+    city_lng = F.element_at(F.array(*[F.lit(v) for v in w_lng]), city_idx) + (u_lng - 0.5) * 0.15
 
     clustered = u_cluster < CLUSTERED_PCT / 100.0
     has_geo = u_geo < GEO_PCT / 100.0

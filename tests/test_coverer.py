@@ -145,8 +145,12 @@ def test_covering_rect_and_loop_regions():
     assert 1 <= len(cov) <= 8
     check_covering(coverer, loop, cov, False)
 
-    interior = RegionCoverer(max_cells=8).interior_covering(loop)
-    check_covering(RegionCoverer(max_cells=8), loop, interior, True)
+    # interior coverings need a bounded max_level: near the cell budget the
+    # frontier of boundary cells would otherwise be refined toward level 30
+    # (same behavior as the reference algorithm)
+    icov = RegionCoverer(max_cells=8, max_level=12)
+    interior = icov.interior_covering(loop)
+    check_covering(icov, loop, interior, True)
 
 
 def test_covering_denormalize_min_level():

@@ -1,0 +1,156 @@
+"""Spark integration tests: flagship spatial joins vs pure-Python oracles.
+
+The oracle is the driver-side geometry layer (itself verified against the
+reference's fixtures), evaluated row-by-row on collected data — join output
+rows must match it exactly (the north-star parity requirement).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gos2_spark.geometry import Cap, Loop, Polygon
+from gos2_spark.geometry import _vec as V
+from gos2_spark.spark.joins import (
+    TileSet, cap_query, knn_join, point_in_polygon_join, rect_query,
+)
+from gos2_spark.spark.pages import geoparsed_pages, synth_pages
+
+N_DOCS = 4000
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    df = geoparsed_pages(synth_pages(spark, N_DOCS)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def tileset():
+    return TileSet(
+        {
+            "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
+            "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
+            "tokyo_ring": Polygon([
+                Loop.regular(35.6762, 139.6503, 3.0, 16),
+                Loop.regular(35.6762, 139.6503, 1.0, 12),  # hole
+            ]),
+        },
+        max_cells=32,
+    )
+
+
+def _oracle_tiles(tileset, rows):
+    """Pure-Python verdicts for every (row, tile)."""
+    out = set()
+    for r in rows:
+        p = V.from_degrees(r.lat, r.lng)
+        for tile_id, t in tileset.tiles.items():
+            inside = False
+            for verts, origin_inside in t["loops"]:
+                loop = object.__new__(Loop)
+                loop.vertices = [tuple(v) for v in verts]
+                loop.origin_inside = origin_inside
+                lat_lo, lat_hi, lng_lo, lng_hi = t["bound"]
+                lat, lng = math.radians(r.lat), math.radians(r.lng)
+                in_bound = lat_lo <= lat <= lat_hi and (
+                    (lng_lo <= lng <= lng_hi) if lng_lo <= lng_hi
+                    else (lng >= lng_lo or lng <= lng_hi)
+                )
+                if in_bound:
+                    from gos2_spark.kernels import predicates as PR
+
+                    ins = origin_inside
+                    n = len(loop.vertices)
+                    for i in range(n):
+                        if PR.edge_or_vertex_crossing(
+                            tuple(PR.ORIGIN), p, loop.vertices[i], loop.vertices[(i + 1) % n]
+                        ):
+                            ins = not ins
+                    inside ^= ins
+            if inside:
+                out.add((r.url, tile_id))
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["ancestor", "range"])
+def test_point_in_polygon_join_matches_oracle(spark, points, tileset, strategy):
+    got = {
+        (r.url, r.tile_id)
+        for r in point_in_polygon_join(points, tileset, strategy=strategy).collect()
+    }
+    # oracle over candidate rows only (others provably outside all coverings)
+    sample = points.select("url", "lat", "lng").collect()
+    want = _oracle_tiles(tileset, sample)
+    assert got == want
+    assert len(got) > 0, "test tiles caught no pages — fixture broken"
+
+
+def test_semi_and_anti_join(spark, points, tileset):
+    inner = point_in_polygon_join(points, tileset, how="inner")
+    semi = point_in_polygon_join(points, tileset, how="semi")
+    anti = point_in_polygon_join(points, tileset, how="anti")
+    inner_urls = {r.url for r in inner.select("url").distinct().collect()}
+    semi_urls = {r.url for r in semi.select("url").collect()}
+    anti_urls = {r.url for r in anti.select("url").collect()}
+    all_urls = {r.url for r in points.select("url").collect()}
+    assert semi_urls == inner_urls
+    assert anti_urls == all_urls - inner_urls
+
+
+def test_cap_query_matches_oracle(spark, points):
+    got = {r.url for r in cap_query(points, 40.7128, -74.0060, 2.0).collect()}
+    cap = Cap.from_latlng_deg(40.7128, -74.0060, 2.0)
+    want = {
+        r.url for r in points.select("url", "lat", "lng").collect()
+        if cap.contains_point(V.from_degrees(r.lat, r.lng))
+    }
+    assert got == want
+    # prefilter must not change results
+    got_nofilter = {
+        r.url for r in cap_query(points, 40.7128, -74.0060, 2.0, use_prefilter=False).collect()
+    }
+    assert got == got_nofilter
+
+
+def test_rect_query_matches_oracle_with_wrap(spark, points):
+    # rect wrapping the date line
+    got = {r.url for r in rect_query(points, -30.0, 160.0, 10.0, -160.0).collect()}
+    want = {
+        r.url for r in points.select("url", "lat", "lng").collect()
+        if -30.0 <= r.lat <= 10.0 and (r.lng >= 160.0 or r.lng <= -160.0)
+    }
+    assert got == want
+
+
+def test_knn_matches_bruteforce(spark, points):
+    queries = [("q_nyc", 40.7128, -74.0060), ("q_remote", -48.87, 123.39)]
+    k = 5
+    got = knn_join(points, queries, k=k, initial_radius_deg=0.5).collect()
+    rows = points.select("url", "cell_id", "lat", "lng").collect()
+    for qid, qlat, qlng in queries:
+        from gos2_spark.kernels import projection as PJ
+
+        qx = np.array([qlat]); qy = np.array([qlng])
+        lat = np.array([r.lat for r in rows]); lng = np.array([r.lng for r in rows])
+        x1, y1, z1 = PJ.latlng_to_xyz(np.radians(qlat), np.radians(qlng))
+        x2, y2, z2 = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+        d = PJ.point_angle(x1, y1, z1, x2, y2, z2)
+        order = sorted(range(len(rows)), key=lambda i: (d[i], rows[i].cell_id, rows[i].url))
+        want = [rows[i].url for i in order[:k]]
+        got_q = sorted(
+            [r for r in got if r.qid == qid], key=lambda r: r.knn_rank
+        )
+        assert [r.url for r in got_q] == want, f"kNN mismatch for {qid}"
+
+
+def test_join_plan_is_broadcast_no_shuffle(spark, points, tileset):
+    """The covering join must be a broadcast hash join on codegen'd bitwise
+    keys — no shuffle exchange of the points side before the join."""
+    df = point_in_polygon_join(points, tileset, strategy="ancestor")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, "covering join degraded to SMJ"
