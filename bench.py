@@ -51,7 +51,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     qs = entry_mod.queries()
 
-    # flagship: pages pipeline throughput
+    # flagship: pages pipeline throughput. Pages are materialized to parquet
+    # once (setup, excluded from timing) — the measured job is the real
+    # shape: scan -> geoparse -> s2_cellid -> covering join -> refine -> agg.
     from gos2_spark.geometry import Loop
     from gos2_spark.spark.joins import TileSet, point_in_polygon_join
     from gos2_spark.spark.pages import geoparsed_pages, synth_pages
@@ -66,7 +68,12 @@ def main() -> None:
         },
         max_cells=32,
     )
-    pages = synth_pages(spark, PAGES_ROWS)
+    pages_dir = os.environ.get(
+        "BENCH_PAGES_DIR", f"/tmp/gos2_bench_pages_{PAGES_ROWS}"
+    )
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        synth_pages(spark, PAGES_ROWS).write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
     t0 = time.time()
     joined = point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner")
     counts = joined.groupBy("tile_id").agg(F.count("*").alias("n")).collect()

@@ -42,7 +42,11 @@ tiles = TileSet({{
     "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
     "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
 }}, max_cells=32)
-pages = synth_pages(spark, rows, num_partitions=max(cpus * 4, 16))
+import os
+pages_dir = f"/tmp/gos2_scaling_pages_{{rows}}"
+if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+    synth_pages(spark, rows, num_partitions=128).write.mode("overwrite").parquet(pages_dir)
+pages = spark.read.parquet(pages_dir)
 # warm-up (JIT, Arrow init) excluded from timing
 point_in_polygon_join(geoparsed_pages(pages.limit(50_000)), tiles).count()
 times = []

@@ -94,19 +94,33 @@ def synth_pages(spark: SparkSession, num_docs: int, num_partitions: int | None =
     )
 
 
-def geoparsed_pages(pages: DataFrame, level: int | None = None) -> DataFrame:
-    """pages -> + (lat, lng, cell_id) columns; rows without a location drop.
+def geoparsed_pages(
+    pages: DataFrame,
+    level: int | None = None,
+    keep: tuple[str, ...] = ("url", "warc_ts", "lang"),
+) -> DataFrame:
+    """pages -> (keep..., lat, lng, cell_id); rows without a location drop.
 
-    geoparse is a native regexp (codegen); s2_cellid is the fused Arrow
-    kernel. ``level`` optionally adds a parent-cell shuffle/join key column
-    ``cell_l{level}`` via pure bitwise SQL (no UDF).
+    Plan shape matters here: the expensive regexp runs ONCE into a narrow
+    ``_m`` match column (+once in the pushed-down filter); lat/lng derive
+    from ``_m`` with cheap splits, so the s2_cellid Arrow stage consumes
+    plain doubles and the wide ``text``/``html`` columns never cross the
+    Python channel. ``level`` adds a parent-cell join key via pure bitwise
+    SQL (no UDF).
     """
-    parsed = pages.withColumn("_geo", geoparse(F.col("text")))
+    from .functions import _GEO_RE
+
+    m = F.regexp_extract(F.col("text"), _GEO_RE, 0)
+    df = pages.select(*keep, m.alias("_m")).where(F.col("_m") != "")
+    parts = F.split(F.col("_m"), ",")
+    lat = F.trim(parts.getItem(0)).cast("double")
+    lng = F.trim(parts.getItem(1)).cast("double")
     out = (
-        parsed.where(F.col("_geo.lat").isNotNull())
-        .withColumn("lat", F.col("_geo.lat"))
-        .withColumn("lng", F.col("_geo.lng"))
-        .drop("_geo")
+        df.select(*keep, lat.alias("lat"), lng.alias("lng"))
+        .where(
+            (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0)
+            & (F.col("lng") >= -180.0) & (F.col("lng") <= 180.0)
+        )
         .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
     )
     if level is not None:
