@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); rows = int(sys.argv[2]); runs = int(sys.argv[3])
 spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=64)  # identical plan at both levels
 spark.sparkContext.setLogLevel("ERROR")
 tiles = TileSet({{
     "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),

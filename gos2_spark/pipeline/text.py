@@ -1,0 +1,135 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is NATIVE column expressions (codegen; no Python in the hot
+path) — string ops, regexes, array algebra — so the full 100-TB corpus pass
+is scan-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword profiles for the n-gram/stopword language heuristic.
+# Deterministic and tiny by design (a real run would load larger profiles).
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "de", "que", "los", "las", "por", "con", "una", "para"],
+    "pt": ["o", "a", "de", "que", "os", "das", "por", "com", "uma", "para"],
+    "ja": ["no", "wa", "ni", "wo", "ga", "desu", "shite", "kara", "made", "koto"],
+}
+
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.when(F.trim(text_col) == "", F.lit(0)).otherwise(F.size(tokens(text_col)))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + punctuation
+    (a cheap deterministic stand-in for a BPE tokenizer's length)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(_BPE_ISH_RE), 0))
+
+
+def language_id(text_col: Column) -> Column:
+    """Stopword-profile language guess: lowercased token set is intersected
+    with each profile; highest hit-count wins ('und' = undetermined on tie-0).
+    Pure array algebra — one pass, no UDF."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"[^a-z]+"))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # first language (alphabetical) achieving the max — deterministic
+    for lang, s in reversed(scores):
+        guess = F.when(s == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: lengths, ratios, stopword fraction.
+
+    Columns: n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio, quality_score (0..1 heuristic).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    toks_lower = F.split(F.lower(F.trim(t)), r"\s+")
+    n_stop = F.size(F.filter(toks_lower, lambda x: F.array_contains(en_stop, x)))
+
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    upper_ratio = n_upper / safe_chars
+    stop_ratio = n_stop / safe_toks
+    mean_tok = safe_chars / safe_toks
+
+    # heuristic quality: long enough, not punctuation/digit soup, some
+    # stopwords, plausible mean token length
+    score = (
+        F.least(n_tokens.cast("double") / 20.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 3.0, F.lit(1.0)) * 0.2
+        + F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 0.1).otherwise(0.0)
+    )
+    return docs.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok, 6).alias("q_mean_token_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(digit_ratio, 6).alias("q_digit_ratio"),
+        F.round(upper_ratio, 6).alias("q_upper_ratio"),
+        F.round(stop_ratio, 6).alias("q_stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
+    """Winnowing document fingerprint: k-gram rolling hashes -> sliding-window
+    minima -> distinct sorted array<long>.
+
+    transform over an index sequence + array_min slices — native end to end.
+    Robust to small edits (the standard winnowing selection property).
+    """
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_grams - 1, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    n_windows = F.greatest(n_grams - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.when(
+        n_windows > 0, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.when(n_grams > 0, F.array_sort(F.array_distinct(grams))).otherwise(F.array().cast("array<bigint>")))
+
+
+def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: language guess + quality + counts + fingerprint."""
+    out = quality_features(docs, text_col)
+    return out.withColumn("lang_guess", language_id(F.col(text_col))).withColumn(
+        "bpe_ish_tokens", bpe_ish_token_count(F.col(text_col))
+    ).withColumn("fingerprint", fingerprint(F.col(text_col)))

@@ -148,6 +148,27 @@ class TileSet:
             for tile_id, t in self.tiles.items()
         }
 
+    def merged_ranges(self) -> list[tuple[int, int]]:
+        """Disjoint (rmin, rmax) biased-id ranges covering ALL tiles.
+
+        Drives the pushdown-friendly prefilter: an OR-chain of BETWEENs in
+        whole-stage codegen that rejects the vast majority of rows before
+        the ancestor explode (and prunes parquet row groups on cell-sorted
+        data). Overlapping per-tile ranges are merged driver-side.
+        """
+        spans: list[tuple[int, int]] = []
+        for t in self.tiles.values():
+            rmin, rmax = t["covering"].ranges()
+            spans.extend(zip(_biased(rmin), _biased(rmax)))
+        spans.sort()
+        merged: list[list[int]] = []
+        for lo, hi in spans:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        return [(lo, hi) for lo, hi in merged]
+
 
 def _make_refine_udf(bc):
     """Pandas UDF: exact containment for (tile_id, lat, lng) batches.
@@ -213,6 +234,15 @@ def point_in_polygon_join(
     bc = spark.sparkContext.broadcast(tileset.payload())
     refine = _make_refine_udf(bc)
 
+    # cheap codegen prefilter: disjoint covering ranges reject rows far from
+    # every tile BEFORE the ancestor explode (explode multiplies rows by the
+    # number of covering levels — only survivors pay it)
+    pre = F.lit(False)
+    for lo, hi in tileset.merged_ranges():
+        pre = pre | ((F.col(cell_col) >= lo) & (F.col(cell_col) <= hi))
+    all_points = points  # anti-join must see unfiltered rows
+    points = points.where(pre)
+
     if strategy == "ancestor":
         levels = tileset.covering_levels()
         anc = F.explode(
@@ -245,7 +275,7 @@ def point_in_polygon_join(
         return inner.select(*points.columns).dropDuplicates([point_key])
     if how == "anti":
         keys = inner.select(point_key).distinct()
-        return points.join(keys, on=point_key, how="left_anti")
+        return all_points.join(keys, on=point_key, how="left_anti")
     raise ValueError(f"unknown how {how!r}")
 
 

@@ -1,0 +1,179 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gos2_spark.pipeline import dedup as D
+from gos2_spark.pipeline import multimodal as MM
+from gos2_spark.pipeline import similarity as S
+from gos2_spark.pipeline import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+        (3, "completely different content about spark query engines and distributed joins"),
+        (4, "der schnelle braune fuchs springt ueber den faulen hund und das ist gut"),
+        (5, "le renard brun rapide saute par dessus le chien paresseux dans les bois"),
+        (6, "el zorro marron rapido salta sobre el perro perezoso en el bosque"),
+        (7, "numbers 123 456 789 !!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (8, ""),
+        (9, "the quick brown fox jumps over the lazy dog near the river bank today extra"),  # near dup
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).collect()
+    groups = {r.keep_id: r.dup_count for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert sum(groups.values()) == 10
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cand = D.minhash_lsh_candidates(docs, num_perm=64, bands=32, shingle_n=3)
+    pairs = {(r.key_a, r.key_b): r.est_jaccard for r in cand.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup: all sigs equal
+    near = [p for p in pairs if p in {(0, 2), (0, 9), (1, 2), (1, 9), (2, 9)}]
+    assert near, f"no near-dup pairs found: {sorted(pairs)}"
+    # unrelated docs must not collide with high estimate
+    for (a, b), est in pairs.items():
+        if a in (3, 4, 5, 6) or b in (3, 4, 5, 6):
+            assert est < 0.5
+
+
+def test_minhash_dedup_groups(spark, docs):
+    groups = {
+        r.key: r.group_key
+        for r in D.minhash_dedup_groups(docs, threshold=0.5, bands=32, shingle_n=3).collect()
+    }
+    assert groups[1] == groups[0] == 0  # exact dups share the min label
+    assert groups[3] == 3  # unique doc keeps its own label
+    assert len(groups) == 10
+
+
+def test_ngram_jaccard(spark, docs):
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "key_a long, key_b long"
+    )
+    out = {(r.key_a, r.key_b): r.jaccard for r in
+           D.ngram_jaccard(docs, candidates=cands, shingle_n=3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_simhash_candidates(spark, docs):
+    sh = {r.key: r.simhash for r in D.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    # near dup within small hamming distance
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 16
+    cand = {(r.key_a, r.key_b): r.hamming
+            for r in D.simhash_candidates(docs, max_hamming=16).collect()}
+    assert (0, 1) in cand and cand[(0, 1)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(200, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # make vec 1 a near-copy of vec 0
+    base[1] = base[0] + rng.normal(size=16) * 0.01
+    base[1] /= np.linalg.norm(base[1])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, base
+
+
+def test_brute_force_topk(spark, emb):
+    df, base = emb
+    out = S.brute_force_topk(df, [("q0", list(base[0]))], k=5)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].key == 0 and rows[0].score > 0.9999
+    assert rows[1].key == 1  # the near-copy
+    # numpy oracle
+    scores = base @ base[0]
+    want = list(np.argsort(-scores)[:5])
+    assert [r.key for r in rows] == want
+
+
+def test_lsh_topk_recall(spark, emb):
+    df, base = emb
+    exact = {r.key for r in S.brute_force_topk(df, [("q", list(base[0]))], k=10).collect()}
+    approx = {r.key for r in S.lsh_topk(df, [("q", list(base[0]))], k=10,
+                                        num_planes=16, bands=8).collect()}
+    # banded LSH with 8 bands of 2 bits has high recall on near vectors
+    assert 0 in approx and 1 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_ivf_topk(spark, emb):
+    df, base = emb
+    out = S.ivf_topk(df, [("q", list(base[0]))], k=5, num_centroids=8, nprobe=4)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].key == 0
+    assert rows[1].key == 1
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", T.language_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "fr"
+    assert out[6] == "es"
+    assert out[8] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    out = {r.doc_id: r for r in T.quality_features(docs).collect()}
+    assert out[0].q_n_tokens == 14
+    assert out[8].q_n_tokens == 0
+    assert out[0].quality_score > out[7].quality_score  # prose beats symbol soup
+    assert out[7].q_punct_ratio > 0.2
+    toks = {r.doc_id: r.n for r in docs.select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert toks[0] >= 14
+    assert toks[8] == 0
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = {r.doc_id: tuple(r.fp) for r in docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[0] == fp[1]
+    # winnowing: near-dup shares most selected hashes
+    shared = len(set(fp[0]) & set(fp[2]))
+    assert shared >= max(1, len(fp[0]) - 2)
+    assert fp[8] == ()
+
+
+def test_multimodal_features(spark):
+    media = MM.synth_media(spark, 60)
+    feats = MM.extract_features(media, feature_dim=32).collect()
+    assert len(feats) == 60
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.features) == 32 for r in feats)
+    # video rows get frame sampling; image/audio single frame
+    for r in feats:
+        if r.kind == "video":
+            assert r.n_frames >= 1
+        else:
+            assert r.n_frames == 1
+    # deterministic across runs
+    feats2 = MM.extract_features(media, feature_dim=32).collect()
+    assert {r.media_id: r.features[0] for r in feats2} == {
+        r.media_id: r.features[0] for r in feats
+    }
+    # resize plan
+    plan = {r.media_id: r for r in MM.resize_plan(media, 64).collect()}
+    for r in plan.values():
+        assert max(r.dst_width, r.dst_height) <= 64
+    # the real decoder hook is explicitly stubbed in this container
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"x", "image")
