@@ -347,6 +347,135 @@ def _q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard for adjacent doc pairs — hashes vs the oracle's
+    string sets (equal modulo xxhash64 collisions)."""
+    from gos2_spark.pipeline.dedup import ngram_jaccard
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    cands = docs.select(F.col("doc_id").alias("key_a")).withColumn(
+        "key_b", F.col("key_a") + 1
+    ).where(F.col("key_b") < 200)
+    out = ngram_jaccard(docs, candidates=cands, shingle_n=1)
+    return out.select(
+        "key_a", "key_b", F.round("jaccard", 9).alias("jaccard")
+    ).orderBy("key_a")
+
+
+def _q_trigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gos2_spark.pipeline.dedup import ngram_jaccard
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    cands = docs.select(F.col("doc_id").alias("key_a")).withColumn(
+        "key_b", F.col("key_a") + 1
+    ).where(F.col("key_b") < 200)
+    out = ngram_jaccard(docs, candidates=cands, shingle_n=3)
+    return out.select(
+        "key_a", "key_b", F.round("jaccard", 9).alias("jaccard")
+    ).orderBy("key_a")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gos2_spark.pipeline.text import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features with oracle-safe character classes."""
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    return (
+        docs.select(
+            "lang",
+            n_chars.alias("c"),
+            n_tokens.alias("tk"),
+            n_digit.alias("d"),
+            n_upper.alias("u"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg(F.col("c") / F.col("tk")), 9).alias("avg_chars_per_token"),
+            F.round(F.avg(F.col("d") / F.col("c")), 9).alias("avg_digit_ratio"),
+            F.round(F.avg(F.col("u") / F.col("c")), 9).alias("avg_upper_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for two stored query vectors, via the
+    similarity module's GEMM kernel; oracle mirrors with DuckDB list ops."""
+    from gos2_spark.pipeline.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin([0, 1])).collect()
+    }
+    out = brute_force_topk(
+        emb.where(F.col("vec_id") > 1),
+        [("q0", qvecs[0]), ("q1", qvecs[1])],
+        k=10,
+    )
+    return out.select(
+        "qid", "key", "rank", F.round("score", 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _q_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup groups (rows-only: xxhash64 not oracle-expressible)."""
+    from gos2_spark.pipeline.dedup import minhash_dedup_groups
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return minhash_dedup_groups(docs, threshold=0.8).orderBy("key")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only)."""
+    from gos2_spark.pipeline.dedup import simhash
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+
+    return simhash(docs).orderBy("key")
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sizes (rows-only)."""
+    from gos2_spark.pipeline.text import fingerprint
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", F.size(fingerprint(F.col("text"))).alias("fp_size")
+    ).orderBy("doc_id")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
+    from gos2_spark.pipeline.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 300)
+    feats = extract_features(media, feature_dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -362,7 +491,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "embedding_knn": _q_embedding_knn,
         "top_events_per_user": _q_top_events,
+        "word_jaccard_adjacent": _q_word_jaccard,
+        "trigram_jaccard_adjacent": _q_trigram_jaccard,
+        "lang_id_counts": _q_lang_id,
+        "text_quality_features": _q_text_quality,
+        "embedding_topk_multi": _q_embedding_topk,
+        "minhash_dedup_groups": _q_minhash_groups,
+        "simhash_signatures": _q_simhash,
+        "fingerprint_sizes": _q_fingerprints,
+        "media_features": _q_media_features,
     }
+
+
+def _jaccard_oracle_sql(n: int) -> str:
+    if n == 1:
+        sh = "list_distinct(string_split(trim(text), ' '))"
+    else:
+        sh = (
+            f"CASE WHEN len(string_split(trim(text), ' ')) >= {n} THEN "
+            f"list_distinct(list_transform("
+            f"generate_series(1, len(string_split(trim(text), ' ')) - {n - 1}), "
+            f"i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + {n - 1}), ' ')))"
+            f" ELSE [trim(text)] END"
+        )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {sh} AS s FROM documents WHERE doc_id < 200
+        )
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 9) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY key_a
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    from gos2_spark.pipeline.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hit_cols = ", ".join(
+        "len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '[^a-z]+')), "
+        + "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+        + f")) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH hits AS (SELECT {hit_cols} FROM documents),
+        g AS (SELECT *, {best} AS best FROM hits)
+        SELECT {case} AS lang_guess, count(*) AS n
+        FROM g GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -449,5 +632,45 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rk <= 3
             ORDER BY user_id, rk
         """,
-        # cell_counts_l5 / cell_token_roundtrip: Hilbert ops, rows-only checks.
+        "word_jaccard_adjacent": _jaccard_oracle_sql(1),
+        "trigram_jaccard_adjacent": _jaccard_oracle_sql(3),
+        "lang_id_counts": _lang_id_oracle_sql(),
+        "text_quality_features": """
+            WITH f AS (
+              SELECT lang,
+                     length(text)::DOUBLE AS c,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS tk,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS d,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS u
+              FROM documents
+            )
+            SELECT lang,
+                   round(avg(c / tk), 9) AS avg_chars_per_token,
+                   round(avg(d / c), 9) AS avg_digit_ratio,
+                   round(avg(u / c), 9) AS avg_upper_ratio
+            FROM f GROUP BY lang ORDER BY lang
+        """,
+        "embedding_topk_multi": """
+            WITH q AS (
+              SELECT 'q' || vec_id AS qid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ), scored AS (
+              SELECT q.qid, e.vec_id AS key,
+                     list_sum(list_transform(list_zip(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe),
+                         p -> p[1] * p[2]))
+                     / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, x -> x * x)))) AS raw_score
+              FROM embeddings e, q WHERE e.vec_id > 1
+            )
+            SELECT qid, key,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY raw_score DESC, key ASC) AS INT) AS rank,
+                   round(raw_score, 6) AS score
+            FROM scored QUALIFY rank <= 10
+            ORDER BY qid, rank
+        """,
+        # rows-only (not SQL-expressible: xxhash64 / Hilbert / mapInPandas):
+        # cell_counts_l5, cell_token_roundtrip, minhash_dedup_groups,
+        # simhash_signatures, fingerprint_sizes, media_features.
     }

@@ -153,10 +153,17 @@ def minhash_dedup_groups(
     pairs = minhash_lsh_candidates(
         docs, key_col, text_col, num_perm, bands, shingle_n
     ).where(F.col("est_jaccard") >= threshold)
-    edges = pairs.select("key_a", "key_b").union(
-        pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b"))
+    # materialize edges once: the signature computation must not be re-run
+    # per propagation round, and each round's result is checkpointed so the
+    # plan lineage stays flat (otherwise it doubles every iteration)
+    edges = (
+        pairs.select("key_a", "key_b")
+        .union(pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")))
+        .localCheckpoint(eager=True)
     )
-    labels = docs.select(F.col(key_col).alias("key")).withColumn("label", F.col("key"))
+    labels = docs.select(F.col(key_col).alias("key")).withColumn(
+        "label", F.col("key")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["key_b"] == labels["key"])
@@ -171,6 +178,7 @@ def minhash_dedup_groups(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
