@@ -148,19 +148,31 @@ class TileSet:
             for tile_id, t in self.tiles.items()
         }
 
-    def merged_ranges(self) -> list[tuple[int, int]]:
+    def merged_ranges(self, max_ranges: int = 24) -> list[tuple[int, int]]:
         """Disjoint (rmin, rmax) biased-id ranges covering ALL tiles.
 
         Drives the pushdown-friendly prefilter: an OR-chain of BETWEENs in
         whole-stage codegen that rejects the vast majority of rows before
         the ancestor explode (and prunes parquet row groups on cell-sorted
-        data). Overlapping per-tile ranges are merged driver-side.
+        data). The union covering is coarsened (cells lifted to parents)
+        until at most ``max_ranges`` spans remain — a superset, so the
+        prefilter only ever passes extra rows to the exact join.
         """
-        spans: list[tuple[int, int]] = []
+        all_cells: list[int] = []
         for t in self.tiles.values():
-            rmin, rmax = t["covering"].ranges()
-            spans.extend(zip(_biased(rmin), _biased(rmax)))
-        spans.sort()
+            all_cells.extend(t["covering"].ids)
+        cu = CellUnion(all_cells)
+        while len(cu.ids) > max_ranges:
+            lifted = []
+            for cid in cu.ids:
+                lvl = H.level_scalar(cid)
+                if lvl > 0:
+                    plsb = 1 << (2 * (30 - (lvl - 1)))
+                    cid = (cid & ~(plsb - 1)) | plsb
+                lifted.append(cid)
+            cu = CellUnion(lifted)
+        rmin, rmax = cu.ranges()
+        spans = sorted(zip(_biased(rmin), _biased(rmax)))
         merged: list[list[int]] = []
         for lo, hi in spans:
             if merged and lo <= merged[-1][1] + 1:

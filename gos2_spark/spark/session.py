@@ -42,7 +42,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Keep scan partitions sized for executor memory at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Local mode: the driver JVM runs every executor thread — size the
+        # heap for (cores x partition working set + broadcasts); an 8g heap
+        # GC-thrashes at 32 cores and scaling collapses.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
