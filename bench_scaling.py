@@ -1,14 +1,16 @@
 """Scaling-efficiency evidence: the same flagship job at two parallelism
 levels (local[8] vs local[32] — sandbox stand-in for N vs 4N executors).
 
-Protocol (BASELINE.md): deterministic synthetic pages table (seed folded
-into xxhash64), flagship geoparse -> s2_cellid -> covering join -> refine ->
-per-tile counts, 3 runs each, median wall-clock of the action (JVM startup
-excluded). Prints one JSON line with pages/sec at both levels and
+Protocol (BASELINE.md): deterministic synthetic pages table, flagship
+geoparse -> s2_cellid -> covering join -> refine -> per-tile counts.
+Each timed run executes in a FRESH JVM (exactly like one spark-submit
+job); a warm-up pass inside each JVM excludes codegen/Arrow init, and the
+OS page cache is primed once before timing. Levels are interleaved so
+environment drift hits both equally. 3 runs per level, median wall-clock.
+Prints one JSON line with pages/sec at both levels and
 efficiency = (rate32 / rate8) / 4. north_rule target: >= 0.8.
 
 Run:  python bench_scaling.py [rows]
-Each parallelism level runs in a fresh subprocess (one JVM per level).
 """
 
 from __future__ import annotations
@@ -18,13 +20,12 @@ import os
 import statistics
 import subprocess
 import sys
-import time
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 _WORKER = r"""
-import json, sys, time
+import json, sys, time, os
 sys.path.insert(0, {repo!r})
 from gos2_spark.spark.session import get_spark
 from gos2_spark.geometry import Loop
@@ -32,39 +33,45 @@ from gos2_spark.spark.joins import TileSet, point_in_polygon_join
 from gos2_spark.spark.pages import geoparsed_pages, synth_pages
 from pyspark.sql import functions as F
 
-cpus = int(sys.argv[1]); rows = int(sys.argv[2]); runs = int(sys.argv[3])
+cpus = int(sys.argv[1]); rows = int(sys.argv[2]); mode = sys.argv[3]
 spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=64)  # identical plan at both levels
+                  shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
+pages_dir = f"/tmp/gos2_scaling_pages_{{rows}}"
+if mode == "prepare":
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        synth_pages(spark, rows, num_partitions=128).write.mode(
+            "overwrite").parquet(pages_dir)
+    # prime the OS page cache so timed runs are not IO-cold
+    spark.read.parquet(pages_dir).count()
+    print("RESULT null")
+    spark.stop()
+    sys.exit(0)
+
 tiles = TileSet({{
     "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
     "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
     "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
     "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
 }}, max_cells=32)
-import os
-pages_dir = f"/tmp/gos2_scaling_pages_{{rows}}"
-if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-    synth_pages(spark, rows, num_partitions=128).write.mode("overwrite").parquet(pages_dir)
 pages = spark.read.parquet(pages_dir)
-# warm-up (JIT, Arrow init) excluded from timing
-point_in_polygon_join(geoparsed_pages(pages.limit(50_000)), tiles).count()
-times = []
-for _ in range(runs):
-    t0 = time.time()
-    out = point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner")
-    out.groupBy("tile_id").agg(F.count("*")).collect()
-    times.append(time.time() - t0)
-print("RESULT " + json.dumps(times))
+# full-size in-JVM warm-up: codegen compile, Arrow init, python worker pool
+# spin-up, and JVM heap expansion all happen here, excluded from timing
+point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner").groupBy(
+    "tile_id").agg(F.count("*")).collect()
+t0 = time.time()
+out = point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner")
+out.groupBy("tile_id").agg(F.count("*")).collect()
+print("RESULT " + json.dumps(time.time() - t0))
 spark.stop()
 """
 
 
-def run_level(cpus: int) -> list[float]:
+def run_worker(cpus: int, mode: str):
     repo = os.path.dirname(os.path.abspath(__file__))
     script = _WORKER.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(ROWS), str(RUNS)],
+        [sys.executable, "-c", script, str(cpus), str(ROWS), mode],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -74,8 +81,14 @@ def run_level(cpus: int) -> list[float]:
 
 
 def main() -> None:
-    t8 = statistics.median(run_level(8))
-    t32 = statistics.median(run_level(32))
+    run_worker(32, "prepare")
+    times = {8: [], 32: []}
+    # interleave levels so environment drift hits both equally
+    for _ in range(RUNS):
+        times[8].append(run_worker(8, "run"))
+        times[32].append(run_worker(32, "run"))
+    t8 = statistics.median(times[8])
+    t32 = statistics.median(times[32])
     rate8 = ROWS / t8
     rate32 = ROWS / t32
     efficiency = (rate32 / rate8) / 4.0
@@ -83,6 +96,8 @@ def main() -> None:
         "metric": "pip-join scaling efficiency local[8] -> local[32]",
         "rows": ROWS,
         "runs": RUNS,
+        "times_at_8": [round(t, 2) for t in times[8]],
+        "times_at_32": [round(t, 2) for t in times[32]],
         "sec_at_8": round(t8, 3),
         "sec_at_32": round(t32, 3),
         "pages_per_sec_at_8": round(rate8, 1),

@@ -111,26 +111,36 @@ class TileSet:
                 ),
             }
 
-    def covering_df(self, spark: SparkSession) -> DataFrame:
-        """(tile_id, cov_cell, cov_rmin, cov_rmax, is_interior) rows, biased ids.
+    def tile_ids(self) -> list:
+        """Stable tile ordering; ``tile_idx`` columns index into this."""
+        return sorted(self.tiles.keys(), key=str)
 
-        A covering cell is marked interior when the tile's interior covering
-        fully contains it — rows landing there skip refinement.
+    def covering_df(self, spark: SparkSession) -> DataFrame:
+        """(tile_idx, cov_cell, cov_rmin, cov_rmax, is_interior) rows.
+
+        Tiles are referenced by INTEGER index inside the join: string ids
+        must never cross the Python channel (string->pandas conversion
+        serializes badly at high worker counts); names are mapped back via a
+        literal array at the very end. A covering cell is marked interior
+        when the tile fully contains it — rows landing there skip
+        refinement.
         """
+        ids = self.tile_ids()
         out = []
-        for tile_id, t in self.tiles.items():
+        for idx, tile_id in enumerate(ids):
+            t = self.tiles[tile_id]
             interior = set(t["interior"].ids)
             for cid in t["covering"].ids:
                 lsb = cid & (-cid)
                 out.append((
-                    tile_id,
+                    idx,
                     _biased([cid])[0],
                     _biased([cid - (lsb - 1)])[0],
                     _biased([cid + (lsb - 1)])[0],
                     cid in interior,
                 ))
         return spark.createDataFrame(
-            out, "tile_id string, cov_cell long, cov_rmin long, cov_rmax long, is_interior boolean"
+            out, "tile_idx int, cov_cell long, cov_rmin long, cov_rmax long, is_interior boolean"
         )
 
     def covering_levels(self) -> list[int]:
@@ -142,13 +152,16 @@ class TileSet:
         return sorted(levels)
 
     def payload(self) -> dict:
-        """Executor-side payload (broadcast): loops + bounds per tile."""
+        """Executor-side payload (broadcast), keyed by integer tile index."""
         return {
-            tile_id: {"loops": t["loops"], "bound": t["bound"]}
-            for tile_id, t in self.tiles.items()
+            idx: {
+                "loops": self.tiles[tile_id]["loops"],
+                "bound": self.tiles[tile_id]["bound"],
+            }
+            for idx, tile_id in enumerate(self.tile_ids())
         }
 
-    def merged_ranges(self, max_ranges: int = 24) -> list[tuple[int, int]]:
+    def merged_ranges(self, max_ranges: int = 64) -> list[tuple[int, int]]:
         """Disjoint (rmin, rmax) biased-id ranges covering ALL tiles.
 
         Drives the pushdown-friendly prefilter: an OR-chain of BETWEENs in
@@ -191,16 +204,18 @@ def _make_refine_udf(bc):
     """
 
     @pandas_udf(BooleanType())
-    def s2_refine(tile_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+    def s2_refine(tile_idx: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
         tiles = bc.value
-        out = np.zeros(len(tile_id), dtype=bool)
+        out = np.zeros(len(tile_idx), dtype=bool)
         lat_np = lat.to_numpy(np.float64)
         lng_np = lng.to_numpy(np.float64)
         lat_rad = np.radians(lat_np)
         lng_rad = np.radians(lng_np)
         x, y, z = PJ.latlng_to_xyz(lat_rad, lng_rad)
         pts = np.stack([x, y, z], axis=1)
-        for tid, idx in pd.Series(range(len(tile_id))).groupby(tile_id.values):
+        for tid, idx in pd.Series(range(len(tile_idx))).groupby(
+            tile_idx.to_numpy(np.int32)
+        ):
             t = tiles.get(tid)
             if t is None:
                 continue
@@ -274,10 +289,15 @@ def point_in_polygon_join(
     matched = joined.withColumn(
         "inside",
         F.when(F.col("is_interior"), F.lit(True)).otherwise(
-            refine(F.col("tile_id"), F.col("lat"), F.col("lng"))
+            refine(F.col("tile_idx"), F.col("lat"), F.col("lng"))
         ),
     ).where(F.col("inside"))
 
+    # map the integer index back to the user-facing tile id
+    name_arr = F.array(*[F.lit(str(t)) for t in tileset.tile_ids()])
+    matched = matched.withColumn(
+        "tile_id", F.element_at(name_arr, F.col("tile_idx") + 1)
+    )
     result_cols = [c for c in points.columns] + ["tile_id"]
     inner = matched.select(*result_cols)
 

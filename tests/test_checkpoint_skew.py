@@ -17,7 +17,7 @@ from gos2_spark.spark.skew import (
 
 @pytest.fixture(scope="module")
 def points(spark):
-    df = geoparsed_pages(synth_pages(spark, 3000)).cache()
+    df = geoparsed_pages(synth_pages(spark, 3000), keep=("url", "lang")).cache()
     df.count()
     return df
 
