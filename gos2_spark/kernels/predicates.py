@@ -294,12 +294,27 @@ def contains_points_in_loop(
     origin_inside: precomputed Loop.origin_inside seed (loop.go:327-350).
 
     Returns (N,) bool.
+
+    The working set is O(N*M); for high-vertex loops the batch is processed
+    in slices so intermediate matrices stay ~32 MB (a 64k-row Arrow batch
+    against a 4096-vertex loop would otherwise allocate multiple 2 GB
+    matrices PER WORKER).
     """
     P = np.asarray(points, dtype=np.float64)
     V = np.asarray(vertices, dtype=np.float64)
     n, m = len(P), len(V)
     if n == 0:
         return np.zeros(0, dtype=bool)
+
+    max_cells_per_slice = 4_000_000
+    rows_per_slice = max(1, max_cells_per_slice // max(m, 1))
+    if n > rows_per_slice:
+        out = np.empty(n, dtype=bool)
+        for s in range(0, n, rows_per_slice):
+            out[s:s + rows_per_slice] = contains_points_in_loop(
+                P[s:s + rows_per_slice], V, origin_inside
+            )
+        return out
 
     # A = origin, B = p: a_cross_b per point.
     AxB = np.cross(np.broadcast_to(ORIGIN, P.shape), P)

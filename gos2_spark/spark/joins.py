@@ -286,12 +286,21 @@ def point_in_polygon_join(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    matched = joined.withColumn(
-        "inside",
-        F.when(F.col("is_interior"), F.lit(True)).otherwise(
-            refine(F.col("tile_idx"), F.col("lat"), F.col("lng"))
-        ),
-    ).where(F.col("inside"))
+    # Split interior (verdict known) from boundary (needs the exact kernel)
+    # and REBALANCE the boundary rows before refinement: with cell-clustered
+    # storage all rows matching a tile live in a handful of input partitions,
+    # so without this shuffle the refine stage runs on ~2 tasks regardless of
+    # cluster size (salted round-robin — the skew handling the engine owes).
+    interior = joined.where(F.col("is_interior"))
+    boundary = joined.where(~F.col("is_interior"))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    boundary = (
+        boundary.repartition(n_part)
+        .withColumn("inside", refine(F.col("tile_idx"), F.col("lat"), F.col("lng")))
+        .where(F.col("inside"))
+        .drop("inside")
+    )
+    matched = interior.unionByName(boundary)
 
     # map the integer index back to the user-facing tile id
     name_arr = F.array(*[F.lit(str(t)) for t in tileset.tile_ids()])
