@@ -51,14 +51,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Local mode: the driver JVM runs every executor thread — size the
         # heap for (cores x partition working set + broadcasts); an 8g heap
-        # GC-thrashes at 32 cores and scaling collapses.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # preallocate the heap: growing it lazily under the first full-size
-        # Arrow allocation storm triggers repeated full GCs (observed 270s
-        # first run vs 9s steady state at local[32])
+        # GC-thrashes at 32 cores and scaling collapses, while an oversized
+        # heap costs real time on this box: pages fault in at ~1.4 GB/s, so
+        # every untouched heap GiB is ~0.7s of mid-job stall. 16g is the
+        # measured sweet spot for the sf0.1 + 2M-page workloads.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # preallocate + pretouch the heap at startup (excluded from bench
+        # timings): growing/faulting it lazily under the first full-size
+        # Arrow allocation storm showed 74s-vs-3s run variance at local[32].
+        # ParallelGCThreads also parallelizes the pretouch itself.
         .config("spark.driver.extraJavaOptions",
-                "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "48g")
-                + " -XX:+UseG1GC -XX:+AlwaysPreTouch")
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "16g")
+                + " -XX:+UseG1GC -XX:+AlwaysPreTouch -XX:ParallelGCThreads="
+                + str(os.cpu_count() or 8))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
