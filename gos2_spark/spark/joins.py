@@ -411,8 +411,31 @@ def knn_join(
 
     spark = points.sparkSession
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
-    results: DataFrame | None = None
     radius = initial_radius_deg
+
+    # the doubling loop re-scans ``points`` once per round — cache it for
+    # the loop's duration (unless the caller already persisted it)
+    own_cache = points.storageLevel.useMemory is False and points.storageLevel.useDisk is False
+    if own_cache:
+        points = points.persist()
+
+    # Results are tiny (k rows per query), so each round COLLECTS its top-k
+    # instead of deferring a lazy union: one Spark job per round (the old
+    # shape ran a counts job per round and then re-executed every round's
+    # lineage at the caller's terminal action), and the returned DataFrame
+    # is a small local relation with no recompute tail.
+    w = Window.partitionBy("qid").orderBy(F.col("dist_rad"), F.col(point_key))
+    done_rows: list = []
+    schema = None
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        # no dedup needed: a normalized CellUnion's ranges are disjoint
+        # (cellunion.go:34-92 drops contained cells), so the covering join
+        # emits each (qid, point) pair at most once
+        return (
+            cand.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+        )
 
     for round_idx in range(max_doublings + 1):
         if not pending:
@@ -431,24 +454,21 @@ def knn_join(
             F.broadcast(cov_df),
             (F.col(cell_col) >= F.col("cov_rmin")) & (F.col(cell_col) <= F.col("cov_rmax")),
             "inner",
-        ).withColumn(
+        ).drop("cov_rmin", "cov_rmax").withColumn(
             "dist_rad",
             distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
         ).where(F.col("dist_rad") <= math.radians(radius))
 
-        # deterministic tie-break on (dist, key); key is unique so this is
-        # total order and (unlike cell_id) oracle-SQL-expressible
-        w = Window.partitionBy("qid").orderBy(F.col("dist_rad"), F.col(point_key))
-        topk = (
-            cand.dropDuplicates(["qid", point_key])
-            .withColumn("knn_rank", F.row_number().over(w))
-            .where(F.col("knn_rank") <= k)
-        )
-        counts = {r["qid"]: r["n"] for r in topk.groupBy("qid").agg(F.count("*").alias("n")).collect()}
-        done = [q for q in pending if counts.get(str(q), 0) >= k]
-        done_df = topk.where(F.col("qid").isin([str(q) for q in done]))
-        results = done_df if results is None else results.unionByName(done_df)
+        topk = _topk(cand)
+        if schema is None:
+            schema = topk.schema
+        collected = topk.collect()
+        by_qid: dict[str, list] = {}
+        for r in collected:
+            by_qid.setdefault(r["qid"], []).append(r)
+        done = [q for q in pending if len(by_qid.get(str(q), ())) >= k]
         for q in done:
+            done_rows.extend(by_qid[str(q)])
             del pending[q]
         radius *= 2.0
         if radius > 180.0 and pending:
@@ -459,11 +479,13 @@ def knn_join(
                 "dist_rad",
                 distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
             )
-            topk = (
-                cand.dropDuplicates(["qid", point_key])
-                .withColumn("knn_rank", F.row_number().over(w))
-                .where(F.col("knn_rank") <= k)
-            )
-            results = topk if results is None else results.unionByName(topk)
+            topk = _topk(cand)
+            if schema is None:
+                schema = topk.schema
+            done_rows.extend(topk.collect())
             pending = {}
-    return results if results is not None else points.limit(0)
+    if own_cache:
+        points.unpersist()
+    if schema is None:
+        return points.limit(0)
+    return spark.createDataFrame(done_rows, schema)
