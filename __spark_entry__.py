@@ -460,6 +460,113 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gos2_spark.spark.joins import TileSet, point_in_polygon_join
+
+    pts = _cust_points(spark, sf_dir)
+    tiles = TileSet(_tile_loops(), max_cells=32)
+    return (
+        point_in_polygon_join(pts, tiles, how="semi", point_key="key")
+        .select("key")
+        .orderBy("key")
+    )
+
+
+_EDGE_A = (40.7128, -74.0060)   # NYC
+_EDGE_B = (51.5074, -0.1278)    # London
+
+
+def _q_edge_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized DistanceToEdge kernel (edgeutil.go:77-106) vs a fixed
+    geodesic; value-checked against the same float formula in DuckDB."""
+    from gos2_spark.spark.functions import edge_distance_udf
+
+    udf = edge_distance_udf(*_EDGE_A, *_EDGE_B)
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.select("key", F.round(udf(F.col("lat"), F.col("lng")), 9).alias("edge_dist_rad"))
+        .orderBy("key")
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact brute force, full
+    oracle); the LSH-blocked scale path is embedding_ann_lsh."""
+    from gos2_spark.pipeline.similarity import cosine_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.45, method="brute")
+    return out.select(
+        "key_a", "key_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("key_a", "key_b")
+
+
+def _q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (rows-only: approximate by construction): LSH-banded
+    candidate join + exact rerank; recall vs brute force is pytest-gated."""
+    from gos2_spark.pipeline.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin([0, 1])).collect()
+    }
+    out = lsh_topk(
+        emb.where(F.col("vec_id") > 1),
+        [("q0", qvecs[0]), ("q1", qvecs[1])],
+        k=10, num_planes=16, bands=8,
+    )
+    return out.select(
+        "qid", "key", "rank", F.round("score", 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _q_polygon_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon boolean ops (polygon.go:393-449) as a driver-side [D] parity
+    tier op (rows-only): areas/loop counts of A∩B, A∪B, A−B for two fixed
+    overlapping polygons."""
+    from gos2_spark.geometry import Loop, Polygon
+    from gos2_spark.geometry.boolean_ops import difference, intersection, union
+
+    a = Polygon.from_loop(Loop.regular(10.0, 20.0, 8.0, 24))
+    b = Polygon.from_loop(Loop.regular(14.0, 26.0, 8.0, 24))
+    rows = []
+    for op_name, res in (
+        ("a_intersect_b", intersection(a, b)),
+        ("a_union_b", union(a, b)),
+        ("a_minus_b", difference(a, b)),
+    ):
+        rows.append((
+            op_name,
+            len(res.loops),
+            sum(len(l.vertices) for l in res.loops),
+            round(sum(l.area() for l in res.loops), 9),
+        ))
+    return spark.createDataFrame(
+        rows, "op string, n_loops int, n_vertices int, area_sr double"
+    ).orderBy("op")
+
+
+def _q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeNeighbors op (cellid.go:210-220, rows-only): 4 edge-adjacent
+    level-8 cells per distinct occupied level-8 cell."""
+    from gos2_spark.spark.functions import s2_edge_neighbors, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    cells = pts.select(
+        s2_parent_sql(F.col("cell_id"), 8).alias("cell_l8")
+    ).distinct()
+    return (
+        cells.select(
+            s2_token(F.col("cell_l8")).alias("token"),
+            F.explode(s2_edge_neighbors(F.col("cell_l8"))).alias("nbr"),
+        )
+        .select("token", s2_token(F.col("nbr")).alias("nbr_token"))
+        .orderBy("token", "nbr_token")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -500,6 +607,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "fingerprint_sizes": _q_fingerprints,
         "media_features": _q_media_features,
+        "pip_semi_join": _q_pip_semi,
+        "edge_distance": _q_edge_distance,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_ann_lsh": _q_embedding_ann_lsh,
+        "polygon_boolean_areas": _q_polygon_boolean,
+        "cell_neighbors_l8": _q_cell_neighbors,
     }
 
 
@@ -545,6 +658,43 @@ def _lang_id_oracle_sql() -> str:
         g AS (SELECT *, {best} AS best FROM hits)
         SELECT {case} AS lang_guess, count(*) AS n
         FROM g GROUP BY 1 ORDER BY 1
+    """
+
+
+def _edge_distance_oracle_sql() -> str:
+    """Mirror of kernels.predicates.distance_to_edges for the fixed edge:
+    identical float-op order, with the normalized PointCross embedded as
+    repr literals computed by the same numpy code path."""
+    import numpy as np
+
+    a = np.array(_xyz(*_EDGE_A))
+    b = np.array(_xyz(*_EDGE_B))
+    acb = np.cross(a + b, b - a)
+    acb = acb / np.sqrt(acb @ acb)
+    a1, a2, a3 = (repr(float(v)) for v in a)
+    b1, b2, b3 = (repr(float(v)) for v in b)
+    c1, c2, c3 = (repr(float(v)) for v in acb)
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        xyz AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        )
+        SELECT key, round(CASE WHEN
+            ((y * {c3} - z * {c2}) * {a1} + (z * {c1} - x * {c3}) * {a2}
+             + (x * {c2} - y * {c1}) * {a3}) > 0
+            AND (({c2} * z - {c3} * y) * {b1} + ({c3} * x - {c1} * z) * {b2}
+             + ({c1} * y - {c2} * x) * {b3}) > 0
+          THEN asin(least(1.0, abs(x * {c1} + y * {c2} + z * {c3})
+                          / sqrt({c1} * {c1} + {c2} * {c2} + {c3} * {c3})))
+          ELSE 2 * asin(least(1.0, 0.5 * sqrt(least(
+            (x - {a1}) * (x - {a1}) + (y - {a2}) * (y - {a2}) + (z - {a3}) * (z - {a3}),
+            (x - {b1}) * (x - {b1}) + (y - {b2}) * (y - {b2}) + (z - {b3}) * (z - {b3})))))
+          END, 9) AS edge_dist_rad
+        FROM xyz ORDER BY key
     """
 
 
@@ -670,7 +820,30 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 10
             ORDER BY qid, rank
         """,
-        # rows-only (not SQL-expressible: xxhash64 / Hilbert / mapInPandas):
+        "pip_semi_join": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL})
+            SELECT DISTINCT key FROM ({pip_union}) ORDER BY key
+        """,
+        "edge_distance": _edge_distance_oracle_sql(),
+        "embedding_near_dup": """
+            WITH ne AS (
+              SELECT vec_id AS key,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)
+                         / greatest(sqrt(list_sum(list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-12)) AS ne
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.key AS key_a, b.key AS key_b,
+                     list_sum(list_transform(list_zip(a.ne, b.ne), p -> p[1] * p[2])) AS cosine
+              FROM ne a JOIN ne b ON a.key < b.key
+            )
+            SELECT key_a, key_b, round(cosine, 6) AS cosine
+            FROM pairs WHERE cosine >= 0.45
+            ORDER BY key_a, key_b
+        """,
+        # rows-only (not SQL-expressible: xxhash64 / Hilbert / mapInPandas /
+        # driver-side geometry / approximate-by-construction):
         # cell_counts_l5, cell_token_roundtrip, minhash_dedup_groups,
-        # simhash_signatures, fingerprint_sizes, media_features.
+        # simhash_signatures, fingerprint_sizes, media_features,
+        # embedding_ann_lsh, polygon_boolean_areas, cell_neighbors_l8.
     }

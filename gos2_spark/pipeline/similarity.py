@@ -170,6 +170,78 @@ def lsh_topk(
     )
 
 
+def _norm_emb_sql(emb_col):
+    """[SQL] L2-normalized copy of an array column — native zip-free exprs
+    (aggregate + transform), no UDF, stays in codegen."""
+    nrm = F.sqrt(
+        F.aggregate(
+            emb_col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return F.transform(emb_col, lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-12)))
+
+
+def cosine_near_dup_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "brute",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (key_a < key_b, cosine >= t).
+
+    method='brute': exact all-pairs via a self-join — the dot product is a
+    native aggregate/zip_with expression (no Python), so the only cost is
+    the O(N^2/2) join itself. Use for oracle checks and small slices.
+    method='lsh': candidate pairs = rows sharing any random-hyperplane LSH
+    band (broadcast-free equi-join on band values — at 100 TB this is the
+    shuffle-bounded scale path), then the same exact cosine filter; a
+    subset of brute-force results (missed pairs = bands' recall loss).
+    """
+    norm = emb_df.select(
+        F.col(key_col).alias("key"), _norm_emb_sql(F.col(emb_col)).alias("ne")
+    )
+    if method == "brute":
+        a = norm.select(F.col("key").alias("key_a"), F.col("ne").alias("ne_a"))
+        b = norm.select(F.col("key").alias("key_b"), F.col("ne").alias("ne_b"))
+        pairs = a.join(b, F.col("key_a") < F.col("key_b"), "inner")
+    elif method == "lsh":
+        dim = len(norm.select("ne").first()["ne"])
+        planes = _hyperplanes(dim, num_planes, seed)
+        sig_udf = lsh_signature_udf(planes)
+        bits_per_band = num_planes // bands
+        mask = (1 << bits_per_band) - 1
+        sig = norm.withColumn("sig", sig_udf(F.col("ne")))
+        banded = sig.select(
+            "key", "ne",
+            F.explode(F.array(*[
+                F.shiftright(F.col("sig"), b * bits_per_band)
+                .bitwiseAND(F.lit(mask)) * (bands + 1) + b
+                for b in range(bands)
+            ])).alias("band_key"),
+        )
+        a = banded.select(F.col("key").alias("key_a"), F.col("ne").alias("ne_a"), "band_key")
+        b = banded.select(F.col("key").alias("key_b"), F.col("ne").alias("ne_b"), "band_key")
+        pairs = (
+            a.join(b, ["band_key"], "inner")
+            .where(F.col("key_a") < F.col("key_b"))
+            .dropDuplicates(["key_a", "key_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cos = F.aggregate(
+        F.zip_with(F.col("ne_a"), F.col("ne_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return pairs.select("key_a", "key_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 def ivf_build_centroids(
     emb_df: DataFrame, num_centroids: int = 64, emb_col: str = "embedding",
     sample_rows: int = 20000, iters: int = 10, seed: int = 42,

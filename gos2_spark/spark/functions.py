@@ -140,6 +140,36 @@ def s2_distance_rad(
     return pd.Series(PJ.point_angle(x1, y1, z1, x2, y2, z2))
 
 
+def edge_distance_udf(a_lat: float, a_lng: float, b_lat: float, b_lng: float):
+    """Pandas-UDF factory: distance (radians) from (lat,lng) points to ONE
+    fixed geodesic segment A-B — vectorized DistanceToEdge
+    (edgeutil.go:77-106) with the edge captured in the closure so only two
+    double columns cross the Arrow channel."""
+    import math
+
+    ax = math.cos(math.radians(a_lng)) * math.cos(math.radians(a_lat))
+    ay = math.sin(math.radians(a_lng)) * math.cos(math.radians(a_lat))
+    az = math.sin(math.radians(a_lat))
+    bx = math.cos(math.radians(b_lng)) * math.cos(math.radians(b_lat))
+    by = math.sin(math.radians(b_lng)) * math.cos(math.radians(b_lat))
+    bz = math.sin(math.radians(b_lat))
+    a = (ax, ay, az)
+    b = (bx, by, bz)
+
+    @pandas_udf(DoubleType())
+    def s2_edge_distance(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernels import predicates as PR
+
+        x, y, z = PJ.latlng_to_xyz(
+            np.radians(lat.to_numpy(np.float64)),
+            np.radians(lng.to_numpy(np.float64)),
+        )
+        pts = np.stack([x, y, z], axis=1)
+        return pd.Series(PR.distance_to_edges(pts, a, b))
+
+    return s2_edge_distance
+
+
 def haversine_rad(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
     """[SQL] haversine (latlng.go:32-40 op order) — native Catalyst
     expression, stays in whole-stage codegen AND is DuckDB-oracle friendly.

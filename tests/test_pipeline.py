@@ -177,3 +177,59 @@ def test_multimodal_features(spark):
     # the real decoder hook is explicitly stubbed in this container
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"x", "image")
+
+
+def test_cosine_near_dup_pairs(spark, emb):
+    df, _ = emb
+    brute = {
+        (r.key_a, r.key_b): r.cosine
+        for r in S.cosine_near_dup_pairs(df, threshold=0.5, method="brute").collect()
+    }
+    # ground truth via numpy on the same rows (float32 storage round-trip)
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    M = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    Sm = Mn @ Mn.T
+    want = {
+        (rows[i].vec_id, rows[j].vec_id): Sm[i, j]
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if Sm[i, j] >= 0.5
+    }
+    assert set(brute) == set(want)
+    for k, v in brute.items():
+        assert abs(v - want[k]) < 1e-9
+    # LSH-blocked path returns a subset with the same cosines
+    lsh = {
+        (r.key_a, r.key_b): r.cosine
+        for r in S.cosine_near_dup_pairs(
+            df, threshold=0.5, method="lsh", num_planes=16, bands=8
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert abs(v - brute[k]) < 1e-12
+    # high-band config should catch the planted near-identical pair(s)
+    assert len(lsh) >= 1
+
+
+def test_edge_distance_udf(spark):
+    from gos2_spark.spark.functions import edge_distance_udf
+    from gos2_spark.kernels import predicates as PR
+    from gos2_spark.kernels import projection as PJ
+
+    a_ll, b_ll = (10.0, -20.0), (30.0, 40.0)
+    pts = [(0, 15.0, 5.0), (1, -40.0, 10.0), (2, 10.0, -20.0), (3, 85.0, 170.0)]
+    df = spark.createDataFrame(pts, "key int, lat double, lng double")
+    udf = edge_distance_udf(*a_ll, *b_ll)
+    got = {r.key: r.d for r in df.select("key", udf("lat", "lng").alias("d")).collect()}
+    lat = np.radians(np.array([p[1] for p in pts]))
+    lng = np.radians(np.array([p[2] for p in pts]))
+    x, y, z = PJ.latlng_to_xyz(lat, lng)
+    import math
+    def xyz(la, ln):
+        la, ln = math.radians(la), math.radians(ln)
+        return (math.cos(ln) * math.cos(la), math.sin(ln) * math.cos(la), math.sin(la))
+    want = PR.distance_to_edges(np.stack([x, y, z], axis=1), xyz(*a_ll), xyz(*b_ll))
+    for i, p in enumerate(pts):
+        assert got[p[0]] == want[i]  # bit-identical: same kernel
+    assert got[2] == 0.0  # on-endpoint distance is exactly zero
