@@ -64,6 +64,20 @@ def _tile_loops():
     return {tid: Loop.from_latlngs_deg(vs) for tid, vs in _TILES.items()}
 
 
+_TILESET_CACHE: dict = {}
+
+
+def _tileset(max_cells: int = 32):
+    """Memoized TileSet: the covering build is a deterministic driver-side
+    artifact of the static _TILES fixture — rebuilding it per query call
+    just re-runs the same coverer."""
+    from gos2_spark.spark.joins import TileSet
+
+    if max_cells not in _TILESET_CACHE:
+        _TILESET_CACHE[max_cells] = TileSet(_tile_loops(), max_cells=max_cells)
+    return _TILESET_CACHE[max_cells]
+
+
 def _xyz(lat_deg: float, lng_deg: float):
     lat, lng = math.radians(lat_deg), math.radians(lng_deg)
     return (
@@ -202,7 +216,7 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gos2_spark.spark.joins import TileSet, point_in_polygon_join
 
     pts = _cust_points(spark, sf_dir)
-    tiles = TileSet(_tile_loops(), max_cells=32)
+    tiles = _tileset(32)
     return (
         point_in_polygon_join(pts, tiles, how="inner", point_key="key")
         .select("key", "tile_id")
@@ -214,7 +228,7 @@ def _q_pip_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gos2_spark.spark.joins import TileSet, point_in_polygon_join
 
     pts = _cust_points(spark, sf_dir)
-    tiles = TileSet(_tile_loops(), max_cells=32)
+    tiles = _tileset(32)
     return (
         point_in_polygon_join(pts, tiles, how="inner", point_key="key")
         .groupBy("tile_id")
@@ -227,7 +241,7 @@ def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gos2_spark.spark.joins import TileSet, point_in_polygon_join
 
     pts = _cust_points(spark, sf_dir)
-    tiles = TileSet(_tile_loops(), max_cells=32)
+    tiles = _tileset(32)
     return (
         point_in_polygon_join(pts, tiles, how="anti", point_key="key")
         .select("key")
@@ -464,7 +478,7 @@ def _q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gos2_spark.spark.joins import TileSet, point_in_polygon_join
 
     pts = _cust_points(spark, sf_dir)
-    tiles = TileSet(_tile_loops(), max_cells=32)
+    tiles = _tileset(32)
     return (
         point_in_polygon_join(pts, tiles, how="semi", point_key="key")
         .select("key")

@@ -140,6 +140,126 @@ def s2_distance_rad(
     return pd.Series(PJ.point_angle(x1, y1, z1, x2, y2, z2))
 
 
+def add_cellid_sql(df, lat_col: str, lng_col: str, out_col: str = "cell_id"):
+    """Add a leaf cell id (bias-encoded int64) as PURE native SQL — no
+    Python worker in the loop at all.
+
+    Same pipeline as kernels.projection.cellid_from_latlng
+    (cellid.go:503-509): lat/lng -> xyz -> face/uv -> st -> ij -> 8 unrolled
+    Hilbert rounds gathering from the constant-folded 1024-entry LOOKUP_POS
+    table (cellid.go:551-576). Built as STAGED projections (one per Hilbert
+    round): a single Column would nest the recursive ``bits`` chain into a
+    2^8-node tree (measured 1.7 MB plan, codegen fallback); with column
+    barriers each round references the previous round's *attributes*, the
+    plan stays linear, and whole-stage codegen fuses all the projections
+    back into one pass. All integer arithmetic is shift/bitwise (unchecked
+    under ANSI mode).
+
+    Parity note: trig here is java.lang.Math while the Arrow kernel uses
+    numpy — tests assert empirical bit-equality over large corpora; the
+    pandas-UDF kernel remains the golden-vector reference implementation.
+    """
+    lat_deg, lng_deg = F.col(lat_col), F.col(lng_col)
+    base = [c for c in df.columns]
+    tmp = [c for c in base if not c.startswith("_s2_")]
+
+    rlat = F.radians(lat_deg)
+    rlng = F.radians(lng_deg)
+    cosphi = F.cos(rlat)
+    df = df.select(
+        "*",
+        (F.cos(rlng) * cosphi).alias("_s2_x"),
+        (F.sin(rlng) * cosphi).alias("_s2_y"),
+        F.sin(rlat).alias("_s2_z"),
+    )
+    x, y, z = F.col("_s2_x"), F.col("_s2_y"), F.col("_s2_z")
+
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    m1 = ay > ax
+    m2 = az > F.when(m1, ay).otherwise(ax)
+    fid = F.when(m2, F.lit(2)).otherwise(F.when(m1, F.lit(1)).otherwise(F.lit(0)))
+    value = F.when(m2, z).otherwise(F.when(m1, y).otherwise(x))
+    df = df.select(
+        "*",
+        F.when(value < 0, fid + 3).otherwise(fid).alias("_s2_face"),
+    )
+    face = F.col("_s2_face")
+
+    # (face, xyz) -> (u, v) (stuv.go:68-82)
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+    df = df.select("*", u.alias("_s2_u"), v.alias("_s2_v"))
+
+    def uv_to_st(w: Column) -> Column:
+        return F.when(
+            w >= 0, 0.5 * F.sqrt(1.0 + 3.0 * w)
+        ).otherwise(1.0 - 0.5 * F.sqrt(1.0 - 3.0 * w))
+
+    max_size = H.MAX_SIZE  # 2^30
+
+    def st_to_ij(s: Column) -> Column:
+        return F.greatest(
+            F.lit(0),
+            F.least(F.lit(max_size - 1), F.floor(F.lit(float(max_size)) * s)),
+        ).cast("long")
+
+    df = df.select(
+        "*",
+        st_to_ij(uv_to_st(F.col("_s2_u"))).alias("_s2_i"),
+        st_to_ij(uv_to_st(F.col("_s2_v"))).alias("_s2_j"),
+    )
+    i, j = F.col("_s2_i"), F.col("_s2_j")
+
+    lookup = F.lit([int(v_) for v_ in H.LOOKUP_POS])  # folded array<int>
+    facel = face.cast("long")
+    df = df.select(
+        "*",
+        F.shiftleft(facel, H.POS_BITS - 1).alias("_s2_n"),
+        facel.bitwiseAND(F.lit(1)).alias("_s2_bits"),
+    )
+    for k in range(7, -1, -1):
+        key = (
+            F.col("_s2_bits")
+            + F.shiftleft(F.shiftright(i, k * 4).bitwiseAND(F.lit(15)), 6)
+            + F.shiftleft(F.shiftright(j, k * 4).bitwiseAND(F.lit(15)), 2)
+        )
+        nb = F.element_at(lookup, (key + 1).cast("int")).cast("long")
+        df = df.select(
+            *[c for c in df.columns if c not in ("_s2_n", "_s2_bits")],
+            nb.alias("_s2_nb"),
+            F.col("_s2_n").alias("_s2_n0"),
+        ).select(
+            *tmp, "_s2_x", "_s2_y", "_s2_z", "_s2_face", "_s2_u", "_s2_v",
+            "_s2_i", "_s2_j",
+            F.col("_s2_n0").bitwiseOR(
+                F.shiftleft(F.shiftright(F.col("_s2_nb"), 2), k * 8)
+            ).alias("_s2_n"),
+            F.col("_s2_nb").bitwiseAND(F.lit(3)).alias("_s2_bits"),
+        )
+    leaf = F.shiftleft(F.col("_s2_n"), 1).bitwiseOR(F.lit(1))
+    biased = leaf.bitwiseXOR(F.lit(-(1 << 63)))  # bias ^ 2^63
+    # Generate barrier: without it, PushDownPredicate substitutes consumer
+    # predicates (e.g. the pip join's 64-range prefilter) through every
+    # staged projection above, regrowing the exponential tree the staging
+    # exists to prevent (measured: optimizer hang on the full join plan).
+    # explode(array(x)) makes cell_id a concrete attribute predicates stop at.
+    return df.select(*tmp, F.explode(F.array(biased)).alias(out_col))
+
+
 def edge_distance_udf(a_lat: float, a_lng: float, b_lat: float, b_lng: float):
     """Pandas-UDF factory: distance (radians) from (lat,lng) points to ONE
     fixed geodesic segment A-B — vectorized DistanceToEdge

@@ -201,25 +201,36 @@ def _make_refine_udf(bc):
     Groups each Arrow batch by tile, then one vectorized crossing-parity
     pass per tile (kernels.predicates.contains_points_in_loop) — XORed
     across the polygon's loops, with the reference's bound prefilter.
+
+    ``interior`` is the skip mask: rows whose covering cell is fully
+    contained are already known inside, so they pass through with zero
+    geometry work (just the Arrow transfer). Folding the mask into the
+    kernel keeps the join SINGLE-BRANCH — a split into interior/boundary
+    sub-plans made Catalyst execute the whole scan+geoparse+join upstream
+    once per branch (filters get pushed through any shared exchange, so
+    ReuseExchange never fires).
     """
 
     @pandas_udf(BooleanType())
-    def s2_refine(tile_idx: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+    def s2_refine(
+        tile_idx: pd.Series, lat: pd.Series, lng: pd.Series, interior: pd.Series
+    ) -> pd.Series:
         tiles = bc.value
-        out = np.zeros(len(tile_idx), dtype=bool)
-        lat_np = lat.to_numpy(np.float64)
-        lng_np = lng.to_numpy(np.float64)
-        lat_rad = np.radians(lat_np)
-        lng_rad = np.radians(lng_np)
+        skip = interior.to_numpy(bool)
+        out = skip.copy()  # interior rows are inside by construction
+        todo = np.nonzero(~skip)[0]
+        if len(todo) == 0:
+            return pd.Series(out)
+        lat_rad = np.radians(lat.to_numpy(np.float64)[todo])
+        lng_rad = np.radians(lng.to_numpy(np.float64)[todo])
         x, y, z = PJ.latlng_to_xyz(lat_rad, lng_rad)
         pts = np.stack([x, y, z], axis=1)
-        for tid, idx in pd.Series(range(len(tile_idx))).groupby(
-            tile_idx.to_numpy(np.int32)
-        ):
-            t = tiles.get(tid)
+        tix = tile_idx.to_numpy(np.int32)[todo]
+        for tid in np.unique(tix):
+            t = tiles.get(int(tid))
             if t is None:
                 continue
-            sel = idx.to_numpy()
+            sel = np.nonzero(tix == tid)[0]
             lat_lo, lat_hi, lng_lo, lng_hi = t["bound"]
             in_bound = (lat_rad[sel] >= lat_lo) & (lat_rad[sel] <= lat_hi)
             if lng_lo <= lng_hi:
@@ -233,7 +244,7 @@ def _make_refine_udf(bc):
                 for verts, origin_inside in t["loops"]:
                     acc ^= PR.contains_points_in_loop(pts[live], verts, origin_inside)
                 inside[in_bound] = acc
-            out[sel] = inside
+            out[todo[sel]] = inside
         return pd.Series(out)
 
     return s2_refine
@@ -286,21 +297,23 @@ def point_in_polygon_join(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # Split interior (verdict known) from boundary (needs the exact kernel)
-    # and REBALANCE the boundary rows before refinement: with cell-clustered
-    # storage all rows matching a tile live in a handful of input partitions,
-    # so without this shuffle the refine stage runs on ~2 tasks regardless of
+    # REBALANCE matched rows before refinement: with cell-clustered storage
+    # all rows matching a tile live in a handful of input partitions, so
+    # without this shuffle the refine stage runs on ~2 tasks regardless of
     # cluster size (salted round-robin — the skew handling the engine owes).
-    interior = joined.where(F.col("is_interior"))
-    boundary = joined.where(~F.col("is_interior"))
+    # The join stays SINGLE-BRANCH: the interior/boundary verdict is a skip
+    # mask INSIDE the refine kernel (see _make_refine_udf) — splitting into
+    # two filtered sub-plans re-executed the whole upstream per branch.
     n_part = spark.sparkContext.defaultParallelism * 2
-    boundary = (
-        boundary.repartition(n_part)
-        .withColumn("inside", refine(F.col("tile_idx"), F.col("lat"), F.col("lng")))
+    matched = (
+        joined.repartition(n_part)
+        .withColumn(
+            "inside",
+            refine(F.col("tile_idx"), F.col("lat"), F.col("lng"), F.col("is_interior")),
+        )
         .where(F.col("inside"))
         .drop("inside")
     )
-    matched = interior.unionByName(boundary)
 
     # map the integer index back to the user-facing tile id
     name_arr = F.array(*[F.lit(str(t)) for t in tileset.tile_ids()])

@@ -1,0 +1,132 @@
+"""Production entry point: S2 tiling + point-in-polygon join over a pages
+table, launched via spark-submit with the engine shipped as --py-files.
+
+    python -m zipfile -c /tmp/gos2_spark.zip gos2_spark
+    spark-submit --master <cluster> --py-files /tmp/gos2_spark.zip \
+        jobs/pip_tiling_job.py \
+        --pages /data/pages_parquet --tiles tiles.json \
+        --output /data/pip_out --buckets 64 [--level 12] [--resume]
+
+The job is resumable at bucket granularity (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics"): pages are split into
+``--buckets`` deterministic url-hash buckets — the stand-in for Iceberg
+partition values on a real warehouse — and each bucket runs as its own
+checkpointed Spark job writing ``partition=<b>`` output plus a manifest
+``(partition_id, rows_in, rows_out, t_start, t_end, lineage)``. Re-running
+with the same code version, params, and input skips completed buckets.
+
+tiles.json accepts two shapes per tile id:
+    {"nyc": {"regular": [40.71, -74.01, 1.5, 16]},
+     "box": {"vertices": [[10, -40], [10, -20], [30, -20], [30, -40]]}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_tileset(spec_path: str, max_cells: int):
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet
+
+    with open(spec_path) as f:
+        spec = json.load(f)
+    loops = {}
+    for tile_id, body in spec.items():
+        if "regular" in body:
+            lat, lng, radius, nv = body["regular"]
+            loops[tile_id] = Loop.regular(lat, lng, radius, int(nv))
+        elif "vertices" in body:
+            loops[tile_id] = Loop.from_latlngs_deg(
+                [(float(a), float(b)) for a, b in body["vertices"]]
+            )
+        else:
+            raise ValueError(f"tile {tile_id!r}: need 'regular' or 'vertices'")
+    return TileSet(loops, max_cells=max_cells)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages", required=True, help="input pages parquet dir")
+    p.add_argument("--tiles", required=True, help="tile-spec JSON path")
+    p.add_argument("--output", required=True, help="output dir (data/ + _manifests/)")
+    p.add_argument("--buckets", type=int, default=64,
+                   help="url-hash checkpoint partitions (Iceberg-partition stand-in)")
+    p.add_argument("--level", type=int, default=None,
+                   help="also emit the level-L cell per matched page")
+    p.add_argument("--max-cells", type=int, default=32)
+    p.add_argument("--code-version", default="r2")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from gos2_spark.spark.checkpoint import CheckpointedRunner, lineage_hash
+    from gos2_spark.spark.joins import point_in_polygon_join
+    from gos2_spark.spark.pages import geoparsed_pages, s2_parent_sql
+
+    # under spark-submit the session/master comes from the submit command;
+    # getOrCreate attaches to it instead of hardcoding local[*]
+    spark = SparkSession.builder.appName("gos2_pip_tiling").config(
+        "spark.sql.execution.arrow.pyspark.enabled", "true"
+    ).getOrCreate()
+
+    tiles = build_tileset(args.tiles, args.max_cells)
+    pages = spark.read.parquet(args.pages)
+
+    params = {
+        "tiles": sorted(tiles.tiles.keys(), key=str),
+        "buckets": args.buckets,
+        "level": args.level,
+        "max_cells": args.max_cells,
+    }
+    # input fingerprint: file listing + sizes (snapshot id on real Iceberg)
+    try:
+        listing = sorted(
+            (f, os.path.getsize(os.path.join(args.pages, f)))
+            for f in os.listdir(args.pages) if f.endswith(".parquet")
+        )
+    except OSError:
+        listing = [(args.pages, -1)]
+    lineage = lineage_hash(args.code_version, params, json.dumps(listing))
+    runner = CheckpointedRunner(args.output, lineage)
+
+    bucket_expr = F.pmod(F.xxhash64(F.col("url")), F.lit(args.buckets))
+
+    def load(pid: str):
+        return pages.where(bucket_expr == int(pid))
+
+    def transform(df):
+        out = point_in_polygon_join(geoparsed_pages(df), tiles, how="inner")
+        if args.level is not None:
+            out = out.withColumn(
+                f"cell_l{args.level}", s2_parent_sql(F.col("cell_id"), args.level)
+            )
+        return out
+
+    t0 = time.time()
+    results = runner.run_all([str(b) for b in range(args.buckets)], load, transform)
+    wall = time.time() - t0
+    done = [r for r in results if not r.skipped]
+    print(json.dumps({
+        "job": "pip_tiling",
+        "lineage": lineage,
+        "buckets": args.buckets,
+        "processed": len(done),
+        "resumed_skips": len(results) - len(done),
+        "rows_in": sum(r.rows_in for r in results),
+        "rows_out": sum(r.rows_out for r in results),
+        "wall_sec": round(wall, 3),
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
