@@ -161,6 +161,25 @@ class TileSet:
             for idx, tile_id in enumerate(self.tile_ids())
         }
 
+    def spark_artifacts(self, spark: SparkSession) -> dict:
+        """Per-session join-side artifacts, built once and memoized: the
+        covering DataFrame, the executor payload broadcast, the refine UDF,
+        the prefilter ranges, and the covering levels. Rebuilding these per
+        join call cost ~2s of driver/scheduling time per query."""
+        key = id(spark.sparkContext)
+        cached = getattr(self, "_artifacts", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        art = {
+            "cov": self.covering_df(spark),
+            "bc": spark.sparkContext.broadcast(self.payload()),
+            "ranges": self.merged_ranges(),
+            "levels": self.covering_levels(),
+        }
+        art["refine"] = _make_refine_udf(art["bc"])
+        self._artifacts = (key, art)
+        return art
+
     def merged_ranges(self, max_ranges: int = 64) -> list[tuple[int, int]]:
         """Disjoint (rmin, rmax) biased-id ranges covering ALL tiles.
 
@@ -268,21 +287,21 @@ def point_in_polygon_join(
     'anti' (points matching no tile).
     """
     spark = points.sparkSession
-    cov = tileset.covering_df(spark)
-    bc = spark.sparkContext.broadcast(tileset.payload())
-    refine = _make_refine_udf(bc)
+    art = tileset.spark_artifacts(spark)
+    cov = art["cov"]
+    refine = art["refine"]
 
     # cheap codegen prefilter: disjoint covering ranges reject rows far from
     # every tile BEFORE the ancestor explode (explode multiplies rows by the
     # number of covering levels — only survivors pay it)
     pre = F.lit(False)
-    for lo, hi in tileset.merged_ranges():
+    for lo, hi in art["ranges"]:
         pre = pre | ((F.col(cell_col) >= lo) & (F.col(cell_col) <= hi))
     all_points = points  # anti-join must see unfiltered rows
     points = points.where(pre)
 
     if strategy == "ancestor":
-        levels = tileset.covering_levels()
+        levels = art["levels"]
         anc = F.explode(
             F.array(*[s2_parent_sql(F.col(cell_col), l) for l in levels])
         ).alias("_anc")
@@ -296,6 +315,11 @@ def point_in_polygon_join(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+
+    # shuffle only what refinement needs: the covering columns are dead
+    # after the join and the repartition below would otherwise carry them
+    # (3 longs/row ≈ 25% of the exchange payload)
+    joined = joined.select(*points.columns, "tile_idx", "is_interior")
 
     # REBALANCE matched rows before refinement: with cell-clustered storage
     # all rows matching a tile live in a handful of input partitions, so

@@ -47,8 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Keep scan partitions sized for executor memory at scale.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing: the 128MB default bin-packs small local parquet
+        # files into FEWER TASKS THAN CORES (measured: a 1.2GB/128-file
+        # table became 13 scan tasks at local[32] — the scan stage capped at
+        # 13/32 cores). 32MB keeps ~2-4 waves per core locally; a real
+        # cluster run overrides via SPARK_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_MAX_PARTITION_BYTES", "33554432"))
         # Local mode: the driver JVM runs every executor thread — size the
         # heap for (cores x partition working set + broadcasts); an 8g heap
         # GC-thrashes at 32 cores and scaling collapses, while an oversized
