@@ -159,96 +159,91 @@ def add_cellid_sql(df, lat_col: str, lng_col: str, out_col: str = "cell_id"):
     numpy — tests assert empirical bit-equality over large corpora; the
     pandas-UDF kernel remains the golden-vector reference implementation.
     """
-    lat_deg, lng_deg = F.col(lat_col), F.col(lng_col)
     base = [c for c in df.columns]
     tmp = [c for c in base if not c.startswith("_s2_")]
 
-    rlat = F.radians(lat_deg)
-    rlng = F.radians(lng_deg)
-    cosphi = F.cos(rlat)
-    df = df.select(
+    # Every stage is a selectExpr over SQL STRINGS: semantically identical
+    # to the Column-API form but ~1 py4j roundtrip per stage instead of one
+    # per operator (plan build was 2.4s/call with Column chains, ~0.25s with
+    # strings — a fixed per-job driver cost).
+    lat_q, lng_q = f"`{lat_col}`", f"`{lng_col}`"
+    df = df.selectExpr(
         "*",
-        (F.cos(rlng) * cosphi).alias("_s2_x"),
-        (F.sin(rlng) * cosphi).alias("_s2_y"),
-        F.sin(rlat).alias("_s2_z"),
+        f"cos(radians({lng_q})) * cos(radians({lat_q})) AS _s2_x",
+        f"sin(radians({lng_q})) * cos(radians({lat_q})) AS _s2_y",
+        f"sin(radians({lat_q})) AS _s2_z",
     )
-    x, y, z = F.col("_s2_x"), F.col("_s2_y"), F.col("_s2_z")
 
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    m1 = ay > ax
-    m2 = az > F.when(m1, ay).otherwise(ax)
-    fid = F.when(m2, F.lit(2)).otherwise(F.when(m1, F.lit(1)).otherwise(F.lit(0)))
-    value = F.when(m2, z).otherwise(F.when(m1, y).otherwise(x))
-    df = df.select(
+    # face() (stuv.go:47-63): largest-|component| axis, sign picks the
+    # antipodal face. az > (ay>ax ? ay : ax) == az > greatest(ax, ay).
+    df = df.selectExpr(
         "*",
-        F.when(value < 0, fid + 3).otherwise(fid).alias("_s2_face"),
+        "CASE WHEN abs(_s2_z) > greatest(abs(_s2_x), abs(_s2_y)) THEN 2"
+        " WHEN abs(_s2_y) > abs(_s2_x) THEN 1 ELSE 0 END AS _s2_fid",
+    ).selectExpr(
+        *[f"`{c}`" for c in (*tmp, "_s2_x", "_s2_y", "_s2_z")],
+        "CASE WHEN (CASE WHEN _s2_fid = 2 THEN _s2_z"
+        " WHEN _s2_fid = 1 THEN _s2_y ELSE _s2_x END) < 0"
+        " THEN _s2_fid + 3 ELSE _s2_fid END AS _s2_face",
     )
-    face = F.col("_s2_face")
 
     # (face, xyz) -> (u, v) (stuv.go:68-82)
-    u = (
-        F.when(face == 0, y / x)
-        .when(face == 1, -x / y)
-        .when(face == 2, -x / z)
-        .when(face == 3, z / x)
-        .when(face == 4, z / y)
-        .otherwise(-y / z)
+    u_sql = (
+        "CASE _s2_face WHEN 0 THEN _s2_y / _s2_x WHEN 1 THEN -_s2_x / _s2_y"
+        " WHEN 2 THEN -_s2_x / _s2_z WHEN 3 THEN _s2_z / _s2_x"
+        " WHEN 4 THEN _s2_z / _s2_y ELSE -_s2_y / _s2_z END"
     )
-    v = (
-        F.when(face == 0, z / x)
-        .when(face == 1, z / y)
-        .when(face == 2, -y / z)
-        .when(face == 3, y / x)
-        .when(face == 4, -x / y)
-        .otherwise(-x / z)
+    v_sql = (
+        "CASE _s2_face WHEN 0 THEN _s2_z / _s2_x WHEN 1 THEN _s2_z / _s2_y"
+        " WHEN 2 THEN -_s2_y / _s2_z WHEN 3 THEN _s2_y / _s2_x"
+        " WHEN 4 THEN -_s2_x / _s2_y ELSE -_s2_x / _s2_z END"
     )
-    df = df.select("*", u.alias("_s2_u"), v.alias("_s2_v"))
-
-    def uv_to_st(w: Column) -> Column:
-        return F.when(
-            w >= 0, 0.5 * F.sqrt(1.0 + 3.0 * w)
-        ).otherwise(1.0 - 0.5 * F.sqrt(1.0 - 3.0 * w))
+    df = df.selectExpr("*", f"{u_sql} AS _s2_u", f"{v_sql} AS _s2_v")
 
     max_size = H.MAX_SIZE  # 2^30
 
-    def st_to_ij(s: Column) -> Column:
-        return F.greatest(
-            F.lit(0),
-            F.least(F.lit(max_size - 1), F.floor(F.lit(float(max_size)) * s)),
-        ).cast("long")
+    def ij_sql(w: str) -> str:
+        # stToUV quadratic (stuv.go:38-43) then stToIJ clamp (cellid.go:499-501)
+        st = (
+            f"CASE WHEN {w} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {w})"
+            f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {w}) END"
+        )
+        return (
+            f"CAST(greatest(0, least({max_size - 1},"
+            f" floor({float(max_size)!r} * ({st})))) AS BIGINT)"
+        )
 
-    df = df.select(
-        "*",
-        st_to_ij(uv_to_st(F.col("_s2_u"))).alias("_s2_i"),
-        st_to_ij(uv_to_st(F.col("_s2_v"))).alias("_s2_j"),
+    df = df.selectExpr(
+        "*", f"{ij_sql('_s2_u')} AS _s2_i", f"{ij_sql('_s2_v')} AS _s2_j"
     )
-    i, j = F.col("_s2_i"), F.col("_s2_j")
 
-    lookup = F.lit([int(v_) for v_ in H.LOOKUP_POS])  # folded array<int>
-    facel = face.cast("long")
-    df = df.select(
+    # folded array<int> literal, and the whole 8-round loop, built from SQL
+    # STRINGS: F.lit(list) converts element-by-element over py4j (measured
+    # 0.5-1.4s for these 1024 ints, per plan build) and per-Column operator
+    # chains cost one py4j roundtrip each (~0.7s/plan for the loop's ~240
+    # ops); selectExpr parses each round in ~1ms driver-side.
+    lookup_sql = "array(" + ",".join(str(int(v_)) for v_ in H.LOOKUP_POS) + ")"
+    carried = [f"`{c}`" for c in (*tmp, "_s2_x", "_s2_y", "_s2_z", "_s2_face",
+                                  "_s2_u", "_s2_v", "_s2_i", "_s2_j")]
+    df = df.selectExpr(
         "*",
-        F.shiftleft(facel, H.POS_BITS - 1).alias("_s2_n"),
-        facel.bitwiseAND(F.lit(1)).alias("_s2_bits"),
+        f"shiftleft(CAST(_s2_face AS BIGINT), {H.POS_BITS - 1}) AS _s2_n",
+        "CAST(_s2_face AS BIGINT) & 1 AS _s2_bits",
     )
     for k in range(7, -1, -1):
         key = (
-            F.col("_s2_bits")
-            + F.shiftleft(F.shiftright(i, k * 4).bitwiseAND(F.lit(15)), 6)
-            + F.shiftleft(F.shiftright(j, k * 4).bitwiseAND(F.lit(15)), 2)
+            f"(_s2_bits + shiftleft(shiftright(_s2_i, {k * 4}) & 15, 6)"
+            f" + shiftleft(shiftright(_s2_j, {k * 4}) & 15, 2))"
         )
-        nb = F.element_at(lookup, (key + 1).cast("int")).cast("long")
-        df = df.select(
-            *[c for c in df.columns if c not in ("_s2_n", "_s2_bits")],
-            nb.alias("_s2_nb"),
-            F.col("_s2_n").alias("_s2_n0"),
-        ).select(
-            *tmp, "_s2_x", "_s2_y", "_s2_z", "_s2_face", "_s2_u", "_s2_v",
-            "_s2_i", "_s2_j",
-            F.col("_s2_n0").bitwiseOR(
-                F.shiftleft(F.shiftright(F.col("_s2_nb"), 2), k * 8)
-            ).alias("_s2_n"),
-            F.col("_s2_nb").bitwiseAND(F.lit(3)).alias("_s2_bits"),
+        df = df.selectExpr(
+            *carried,
+            f"CAST(element_at({lookup_sql}, CAST({key} + 1 AS INT)) AS BIGINT)"
+            " AS _s2_nb",
+            "_s2_n AS _s2_n0",
+        ).selectExpr(
+            *carried,
+            f"(_s2_n0 | shiftleft(shiftright(_s2_nb, 2), {k * 8})) AS _s2_n",
+            "(_s2_nb & 3) AS _s2_bits",
         )
     leaf = F.shiftleft(F.col("_s2_n"), 1).bitwiseOR(F.lit(1))
     biased = leaf.bitwiseXOR(F.lit(-(1 << 63)))  # bias ^ 2^63

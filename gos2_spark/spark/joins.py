@@ -294,9 +294,14 @@ def point_in_polygon_join(
     # cheap codegen prefilter: disjoint covering ranges reject rows far from
     # every tile BEFORE the ancestor explode (explode multiplies rows by the
     # number of covering levels — only survivors pay it)
-    pre = F.lit(False)
-    for lo, hi in art["ranges"]:
-        pre = pre | ((F.col(cell_col) >= lo) & (F.col(cell_col) <= hi))
+    # (built as ONE parsed SQL string: a per-range Column chain costs ~2
+    # py4j roundtrips per range per plan build)
+    pre = F.expr(
+        " OR ".join(
+            f"(`{cell_col}` BETWEEN {lo} AND {hi})" for lo, hi in art["ranges"]
+        )
+        or "false"
+    )
     all_points = points  # anti-join must see unfiltered rows
     points = points.where(pre)
 
