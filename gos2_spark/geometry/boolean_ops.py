@@ -269,3 +269,61 @@ def boundary_near(a: Polygon, b: Polygon, max_error: float = 1e-15) -> bool:
         ):
             return False
     return True
+
+
+def internal_clip_polyline(
+    poly: Polygon, invert: bool, polyline, merge_radius: float,
+) -> list:
+    """Clip polyline to the interior (exterior if ``invert``) of ``poly``
+    (polygon.go:451-513): walk the polyline edges, split each at its
+    intersections with the polygon boundary (sorted by distance fraction
+    along the edge), emit the segments on the kept side; adjacent output
+    vertices closer than ``merge_radius`` collapse, and a gap larger than
+    it starts a new polyline."""
+    from .polyline import Polyline
+
+    b_edges = _polygon_edges(poly, False)
+    out: list = []
+    vertices: list = []
+    inside = poly.contains_point(polyline.vertex(0)) != invert
+    n = polyline.num_vertices()
+    for j in range(n - 1):
+        a0 = tuple(polyline.vertex(j))
+        a1 = tuple(polyline.vertex(j + 1))
+        intersections: list = []
+        _clip_edge(a0, a1, b_edges, True, intersections)
+        if inside:
+            intersections.append((0.0, a0))
+        inside = (len(intersections) & 1) != 0
+        if inside:
+            intersections.append((1.0, a1))
+        intersections.sort()
+        for k in range(0, len(intersections), 2):
+            if intersections[k] == intersections[k + 1]:
+                continue
+            v0 = intersections[k][1]
+            v1 = intersections[k + 1][1]
+            if vertices and V.angle(vertices[-1], v0) > merge_radius:
+                out.append(Polyline(vertices))
+                vertices = []
+            if not vertices:
+                vertices.append(v0)
+            if V.angle(vertices[-1], v1) > merge_radius:
+                vertices.append(v1)
+    if vertices:
+        out.append(Polyline(vertices))
+    return out
+
+
+def intersect_with_polyline(
+    poly: Polygon, polyline, merge_radius: float = INTERSECTION_TOLERANCE,
+) -> list:
+    """polygon.go:516-523 (IntersectWithPolyline / ...Sloppy)."""
+    return internal_clip_polyline(poly, False, polyline, merge_radius)
+
+
+def subtract_from_polyline(
+    poly: Polygon, polyline, merge_radius: float = INTERSECTION_TOLERANCE,
+) -> list:
+    """polygon.go:525-529 (SubtractFromPolyline / ...Sloppy)."""
+    return internal_clip_polyline(poly, True, polyline, merge_radius)

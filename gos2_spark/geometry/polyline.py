@@ -66,3 +66,24 @@ class Polyline:
 
     def __repr__(self) -> str:
         return f"Polyline({len(self.vertices)} vertices)"
+
+
+def edge_interpolate_at_distance(ax: float, a, b, ab: float):
+    """Point at angular distance ``ax`` along geodesic a->b whose total
+    angle is ``ab`` (edgeutil.go:346-354) — identical float-op order."""
+    import math
+
+    f = math.sin(ax) / math.sin(ab)
+    e = math.cos(ax) - f * math.cos(ab)
+    return V.normalize(V.add(V.mul(a, e), V.mul(b, f)))
+
+
+def edge_interpolate(t: float, a, b):
+    """Point at parametric fraction ``t`` along geodesic a->b
+    (edgeutil.go:335-344)."""
+    if t == 0:
+        return a
+    if t == 1:
+        return b
+    ab = V.angle(a, b)
+    return edge_interpolate_at_distance(t * ab, a, b, ab)

@@ -511,3 +511,24 @@ def _point_cross(a, b):
 
     n = math.sqrt(n2)
     return (x[0] / n, x[1] / n, x[2] / n)
+
+
+def turn_angle(a, b, c) -> float:
+    """Signed turning angle at b along the chain a->b->c (point.go:343-349):
+    |angle between PointCross(b,a) and PointCross(c,b)|, sign from
+    RobustCCW(a,b,c). Driver-side scalar (used by Loop validation /
+    TurningAngle sums)."""
+    import math as _math
+
+    u = _point_cross(b, a)
+    v = _point_cross(c, b)
+    cr = (
+        u[1] * v[2] - u[2] * v[1],
+        u[2] * v[0] - u[0] * v[2],
+        u[0] * v[1] - u[1] * v[0],
+    )
+    angle = _math.atan2(
+        _math.sqrt(cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2]),
+        u[0] * v[0] + u[1] * v[1] + u[2] * v[2],
+    )
+    return angle if robust_ccw(a, b, c) > 0 else -angle

@@ -168,3 +168,101 @@ def test_split_and_assemble_roundtrip():
     reassembled = B.destructive_union(pieces, vertex_merge_radius=1.49e-8)
     # round-trip boundary within the snap tolerance used for clipping
     assert B.boundary_near(reassembled, poly, max_error=1e-6)
+
+
+# --- Polyline clipping (polygon_test.go:421-523) ---
+
+K_CROSS1 = "-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1;"
+K_CROSS1_SIDE_HOLE = "-1.5:0.5, -1.2:0.5, -1.2:-0.5, -1.5:-0.5;"
+
+
+def _shared_edge_case(p: Polygon, start_vertex: int, direction: int):
+    """polylineIntersectionSharedEdgeTest (polygon_test.go:479-523): a
+    polyline running along a polygon edge is kept whole by the operation
+    matching the edge's direction and dropped entirely by the other."""
+    from gos2_spark.geometry.polyline import Polyline
+
+    loop0 = p.loops[0]
+    pts = [loop0.vertex(start_vertex), loop0.vertex(start_vertex + direction)]
+    polyline = Polyline(pts)
+    if direction < 0:
+        assert B.intersect_with_polyline(p, polyline) == []
+        out = B.subtract_from_polyline(p, polyline)
+    else:
+        out = B.intersect_with_polyline(p, polyline)
+        assert B.subtract_from_polyline(p, polyline) == []
+    assert len(out) == 1
+    assert out[0].num_vertices() == 2
+    assert tuple(out[0].vertex(0)) == tuple(pts[0])
+    assert tuple(out[0].vertex(1)) == tuple(pts[1])
+
+
+def test_polyline_intersection_shared_edges():
+    cross1 = makepolygon(K_CROSS1)
+    cross1_side_hole = makepolygon(K_CROSS1 + K_CROSS1_SIDE_HOLE)
+    for v in range(3):
+        _shared_edge_case(cross1, v, 1)
+        _shared_edge_case(cross1, v + 1, -1)
+        _shared_edge_case(cross1_side_hole, v, 1)
+        _shared_edge_case(cross1_side_hole, v + 1, -1)
+
+
+@pytest.mark.parametrize("idx", range(len(CASES)))
+def test_polyline_intersection_rebuilds_and(idx):
+    """polygon_test.go:429-476: clipping each polygon's boundary (as a
+    polyline) against the other and reassembling the pieces through a
+    DIRECTED_XOR builder reproduces A AND B."""
+    from gos2_spark.geometry.polyline import Polyline
+
+    a_s, b_s, and_s, _, _ = CASES[idx]
+    a, b = makepolygon(a_s), makepolygon(b_s)
+    expected = makepolygon(and_s)
+
+    polylines = []
+    for tmp0, tmp1 in ((b, a), (a, b)):
+        for loop in tmp0.loops:
+            n = len(loop.vertices)
+            if loop.is_hole():
+                pts = [loop.vertex(v) for v in range(n, -1, -1)]
+            else:
+                pts = [loop.vertex(v) for v in range(n + 1)]
+            polylines.extend(B.intersect_with_polyline(tmp1, Polyline(pts)))
+
+    builder = PolygonBuilder(DIRECTED_XOR())
+    for pl in polylines:
+        for j in range(pl.num_vertices() - 1):
+            builder.add_edge(pl.vertex(j), pl.vertex(j + 1))
+    got, unused = builder.assemble_polygon()
+    assert not unused
+    check_equal(got, expected, 1e-4)
+
+
+def test_edge_interpolate():
+    """edgeutil_test.go:287-303 spirit: endpoints exact, midpoint on the
+    geodesic, distances proportional."""
+    import math
+
+    from gos2_spark.geometry.polyline import edge_interpolate
+
+    a = V.from_degrees(0.0, 0.0)
+    b = V.from_degrees(0.0, 10.0)
+    assert edge_interpolate(0.0, a, b) == a
+    assert edge_interpolate(1.0, a, b) == b
+    mid = edge_interpolate(0.5, a, b)
+    assert abs(V.angle(a, mid) - V.angle(mid, b)) < 1e-15
+    q = edge_interpolate(0.25, a, b)
+    assert abs(V.angle(a, q) - 0.25 * V.angle(a, b)) < 1e-15
+
+
+def test_turn_angle_sign_and_magnitude():
+    import math
+
+    from gos2_spark.kernels.predicates import turn_angle
+
+    a = V.from_degrees(0.0, 0.0)
+    b = V.from_degrees(0.0, 10.0)
+    c_left = V.from_degrees(10.0, 10.0)
+    c_straight = V.from_degrees(0.0, 20.0)
+    assert turn_angle(a, b, c_left) > 0  # CCW turn -> positive
+    assert turn_angle(c_left, b, a) < 0
+    assert abs(turn_angle(a, b, c_straight)) < 1e-9
