@@ -47,6 +47,86 @@ _CUST_LATLNG_SQL = """
     FROM customer
 """
 
+
+def _cellid_cte_duckdb(points_sql: str) -> str:
+    """DuckDB CTE chain: (key, lat, lng) -> cells(key, lat, lng, cell_id).
+
+    The FULL leaf-cellid pipeline (latlng -> xyz -> face/uv -> st -> ij ->
+    8 Hilbert lookup rounds, cellid.go:503-509/416-438) in plain SQL,
+    mirroring gos2_spark.spark.functions.add_cellid_sql stage for stage.
+    cell_id is the engine's bias-encoded signed int64: biased(2n+1) ==
+    2*(n - 2^62) + 1 algebraically, avoiding unsigned types. Validated
+    bit-for-bit against the numpy kernel (tools/duckdb_cellid_proto.py).
+    """
+    from gos2_spark.kernels import hilbert as H
+
+    lookup = "[" + ",".join(str(int(v)) for v in H.LOOKUP_POS) + "]"
+    max_size = H.MAX_SIZE
+    ij = []
+    for w, name in (("u", "i"), ("v", "j")):
+        st = (
+            f"CASE WHEN {w} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {w})"
+            f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {w}) END"
+        )
+        ij.append(
+            f"CAST(greatest(0, least({max_size - 1},"
+            f" floor({float(max_size)!r} * ({st})))) AS BIGINT) AS {name}"
+        )
+    rounds = []
+    prev = "r8"
+    for k in range(7, -1, -1):
+        key = f"(bits + ((i >> {k * 4}) & 15) * 64 + ((j >> {k * 4}) & 15) * 4)"
+        rounds.append(
+            f"r{k} AS (SELECT key, lat, lng, i, j,"
+            f" (n | ((CAST(({lookup})[{key} + 1] AS BIGINT) >> 2)"
+            f" * {1 << (k * 8)})) AS n,"
+            f" (CAST(({lookup})[{key} + 1] AS BIGINT) & 3) AS bits"
+            f" FROM {prev})"
+        )
+        prev = f"r{k}"
+    return f"""
+    pts AS ({points_sql}),
+    xyz AS (
+      SELECT key, lat, lng,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    fc AS (
+      SELECT *, CASE WHEN abs(z) > greatest(abs(x), abs(y)) THEN 2
+                     WHEN abs(y) > abs(x) THEN 1 ELSE 0 END AS fid
+      FROM xyz
+    ),
+    fuv0 AS (
+      SELECT key, lat, lng, x, y, z,
+             CASE WHEN (CASE WHEN fid = 2 THEN z WHEN fid = 1 THEN y ELSE x END) < 0
+                  THEN fid + 3 ELSE fid END AS face
+      FROM fc
+    ),
+    fuv AS (
+      SELECT key, lat, lng, face,
+             CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                       WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+             CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                       WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+      FROM fuv0
+    ),
+    ijt AS (SELECT key, lat, lng, face, {ij[0]}, {ij[1]} FROM fuv),
+    r8 AS (
+      SELECT key, lat, lng, i, j,
+             (CAST(face AS BIGINT) * {1 << (H.POS_BITS - 1)}) AS n,
+             (CAST(face AS BIGINT) & 1) AS bits
+      FROM ijt
+    ),
+    {",".join(rounds)},
+    cells AS (
+      SELECT key, lat, lng,
+             (2 * (n - 4611686018427387904) + 1) AS cell_id
+      FROM r0
+    )
+    """
+
 # Convex spherical test tiles (triangle / quad around fixed centers).
 # Containment in a convex CCW loop == all edge-normal dots positive, which
 # is expressible in BOTH the engine (via the real covering-join + refine
@@ -855,9 +935,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE cosine >= 0.45
             ORDER BY key_a, key_b
         """,
-        # rows-only (not SQL-expressible: xxhash64 / Hilbert / mapInPandas /
+        # Full S2 Hilbert encode expressed in DuckDB SQL (validated
+        # bit-for-bit vs the numpy kernel incl. tokens; see
+        # tools/duckdb_cellid_proto.py):
+        "cell_counts_l5": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)}
+            SELECT ((cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
+                   count(*) AS n
+            FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        "cell_token_roundtrip": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)}
+            SELECT key,
+                   rtrim(lower(lpad(to_hex(xor(cell_id,
+                       (-9223372036854775807 - 1))), 16, '0')), '0') AS token
+            FROM cells ORDER BY key
+        """,
+        # rows-only (not SQL-expressible: xxhash64 / mapInPandas /
         # driver-side geometry / approximate-by-construction):
-        # cell_counts_l5, cell_token_roundtrip, minhash_dedup_groups,
-        # simhash_signatures, fingerprint_sizes, media_features,
-        # embedding_ann_lsh, polygon_boolean_areas, cell_neighbors_l8.
+        # minhash_dedup_groups, simhash_signatures, fingerprint_sizes,
+        # media_features, embedding_ann_lsh, polygon_boolean_areas,
+        # cell_neighbors_l8.
     }
