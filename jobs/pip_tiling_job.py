@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     from gos2_spark.spark.checkpoint import CheckpointedRunner, lineage_hash
     from gos2_spark.spark.joins import point_in_polygon_join
     from gos2_spark.spark.pages import geoparsed_pages, s2_parent_sql
+    from gos2_spark.spark.source import input_fingerprint, read_pages
 
     # under spark-submit the session/master comes from the submit command;
     # getOrCreate attaches to it instead of hardcoding local[*]
@@ -78,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     ).getOrCreate()
 
     tiles = build_tileset(args.tiles, args.max_cells)
-    pages = spark.read.parquet(args.pages)
+    # Iceberg table identifier on a real cluster, parquet path here
+    pages = read_pages(spark, args.pages)
 
     params = {
         "tiles": sorted(tiles.tiles.keys(), key=str),
@@ -86,15 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         "level": args.level,
         "max_cells": args.max_cells,
     }
-    # input fingerprint: file listing + sizes (snapshot id on real Iceberg)
+    # snapshot id on real Iceberg, file listing + sizes on parquet
     try:
-        listing = sorted(
-            (f, os.path.getsize(os.path.join(args.pages, f)))
-            for f in os.listdir(args.pages) if f.endswith(".parquet")
-        )
+        fp = input_fingerprint(spark, args.pages)
     except OSError:
-        listing = [(args.pages, -1)]
-    lineage = lineage_hash(args.code_version, params, json.dumps(listing))
+        fp = f"path:{args.pages}"
+    lineage = lineage_hash(args.code_version, params, fp)
     runner = CheckpointedRunner(args.output, lineage)
 
     bucket_expr = F.pmod(F.xxhash64(F.col("url")), F.lit(args.buckets))
