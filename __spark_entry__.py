@@ -77,7 +77,7 @@ def _cellid_cte_duckdb(points_sql: str) -> str:
     for k in range(7, -1, -1):
         key = f"(bits + ((i >> {k * 4}) & 15) * 64 + ((j >> {k * 4}) & 15) * 4)"
         rounds.append(
-            f"r{k} AS (SELECT key, lat, lng, i, j,"
+            f"r{k} AS (SELECT key, lat, lng, face, i, j,"
             f" (n | ((CAST(({lookup})[{key} + 1] AS BIGINT) >> 2)"
             f" * {1 << (k * 8)})) AS n,"
             f" (CAST(({lookup})[{key} + 1] AS BIGINT) & 3) AS bits"
@@ -114,7 +114,7 @@ def _cellid_cte_duckdb(points_sql: str) -> str:
     ),
     ijt AS (SELECT key, lat, lng, face, {ij[0]}, {ij[1]} FROM fuv),
     r8 AS (
-      SELECT key, lat, lng, i, j,
+      SELECT key, lat, lng, face, i, j,
              (CAST(face AS BIGINT) * {1 << (H.POS_BITS - 1)}) AS n,
              (CAST(face AS BIGINT) & 1) AS bits
       FROM ijt
@@ -367,6 +367,25 @@ def _q_cell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.where(F.col("cell_back") == F.col("cell_id"))
         .select("key", "token")
+        .orderBy("key")
+    )
+
+
+def _q_cell_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-center decode (cellid.go:319-391): cell_id -> center lat/lng
+    through the TRUE inverse-Hilbert path (face_ij_orientation LOOKUP_IJ
+    gathers + faceSiTi + stToUV + faceUVToXYZ). The oracle forward-computes
+    the same center from (face,i,j) derived from lat/lng, so an encode or
+    decode defect on either side mismatches."""
+    from gos2_spark.spark.functions import s2_cell_lat, s2_cell_lng
+
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.select(
+            "key",
+            F.round(s2_cell_lat(F.col("cell_id")), 9).alias("center_lat"),
+            F.round(s2_cell_lng(F.col("cell_id")), 9).alias("center_lng"),
+        )
         .orderBy("key")
     )
 
@@ -688,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn,
         "cell_counts_l5": _q_cell_counts,
         "cell_token_roundtrip": _q_cell_roundtrip,
+        "cell_center_latlng": _q_cell_center,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "embedding_knn": _q_embedding_knn,
@@ -950,6 +970,37 @@ def oracle_sql() -> dict[str, str]:
                    rtrim(lower(lpad(to_hex(xor(cell_id,
                        (-9223372036854775807 - 1))), 16, '0')), '0') AS token
             FROM cells ORDER BY key
+        """,
+        "cell_center_latlng": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+            st AS (
+              SELECT key, face,
+                     CAST(2 * i + 1 AS DOUBLE) * {0.5 / (1 << 30)!r} AS si,
+                     CAST(2 * j + 1 AS DOUBLE) * {0.5 / (1 << 30)!r} AS ti
+              FROM r0
+            ),
+            cuv AS (
+              SELECT key, face,
+                     CASE WHEN si >= 0.5 THEN (1.0 / 3.0) * (4.0 * si * si - 1.0)
+                          ELSE (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - si) * (1.0 - si)) END AS u,
+                     CASE WHEN ti >= 0.5 THEN (1.0 / 3.0) * (4.0 * ti * ti - 1.0)
+                          ELSE (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - ti) * (1.0 - ti)) END AS v
+              FROM st
+            ),
+            cxyz AS (
+              SELECT key,
+                CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+                          WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS x,
+                CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+                          WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS y,
+                CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+                          WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS z
+              FROM cuv
+            )
+            SELECT key,
+                   round(degrees(atan2(z, sqrt(x * x + y * y))), 9) AS center_lat,
+                   round(degrees(atan2(y, x)), 9) AS center_lng
+            FROM cxyz ORDER BY key
         """,
         # rows-only (not SQL-expressible: xxhash64 / mapInPandas /
         # driver-side geometry / approximate-by-construction):
