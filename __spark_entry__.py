@@ -813,6 +813,8 @@ def _edge_distance_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
     pip_union = " UNION ALL ".join(
         f"SELECT key, '{tid}' AS tile_id FROM pts WHERE {_tile_pred_sql(tid)}"
         for tid in sorted(_TILES)
@@ -1002,9 +1004,13 @@ def oracle_sql() -> dict[str, str]:
                    round(degrees(atan2(y, x)), 9) AS center_lng
             FROM cxyz ORDER BY key
         """,
-        # rows-only (not SQL-expressible: xxhash64 / mapInPandas /
-        # driver-side geometry / approximate-by-construction):
-        # minhash_dedup_groups, simhash_signatures, fingerprint_sizes,
-        # media_features, embedding_ann_lsh, polygon_boolean_areas,
-        # cell_neighbors_l8.
+        # xxhash64-based pipeline ops: Spark's XXH64 reimplemented as a
+        # DuckDB HUGEINT expression (gos2_spark/pipeline/duckdb_oracles.py,
+        # validated bit-for-bit against Spark):
+        "simhash_signatures": _DO.simhash_oracle_sql(500),
+        "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),
+        "minhash_dedup_groups": _DO.minhash_groups_oracle_sql(500, 0.8),
+        # rows-only (not SQL-expressible: mapInPandas / driver-side
+        # geometry / approximate-by-construction): media_features,
+        # embedding_ann_lsh, polygon_boolean_areas, cell_neighbors_l8.
     }

@@ -1,0 +1,313 @@
+"""DuckDB oracle-SQL builders for the hash-based pipeline operators.
+
+These generate plain-SQL equivalents (for the driver's value-level
+correctness gate) of the engine's xxhash64-based dedup/fingerprint ops:
+Spark's xxhash64 (XXH64, seed 42) is reimplemented as a pure DuckDB
+expression over HUGEINT arithmetic — validated bit-for-bit against Spark
+itself via tools/xxh64_model.py + tools/xxh64_sql.py (this module embeds
+the same generator). ASCII inputs only (byte == codepoint; true for the
+testdata corpus by construction).
+
+This is ORACLE code: the engine never executes it; it exists so that
+minhash/simhash/fingerprint results are value-checkable rather than
+rows-only.
+"""
+
+from __future__ import annotations
+
+M = 1 << 64
+P1 = 11400714785074694791
+P2 = 14029467366897019727
+P3 = 1609587929392839161
+P4 = 9650029242287828579
+P5 = 2870177450012600261
+SEED = 42
+MERSENNE = (1 << 31) - 1
+
+
+def _m(e: str) -> str:
+    return f"(({e}) % {M})"
+
+
+def _mul(a: str, b: int) -> str:
+    """(a * b) % 2^64 without overflowing signed int128: split a into
+    32-bit halves."""
+    return (
+        f"((((({a}) % 4294967296) * {b})"
+        f" + (((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)"
+        f" % {M})"
+    )
+
+
+def _rotl(e: str, r: int) -> str:
+    # the shifted-out high bits and shifted-in low bits are disjoint -> '+'
+    return _m(f"((({e}) * {1 << r}) % {M}) + (({e}) // {1 << (64 - r)})")
+
+
+def _word(b: str, o: str, nbytes: int = 8) -> str:
+    """little-endian word from 1-based byte list ``b``; ``o`` is the
+    0-based offset of the word's first byte."""
+    return "(" + " + ".join(
+        f"({b})[({o}) + {k + 1}] * {1 << (8 * k)}" for k in range(nbytes)
+    ) + ")"
+
+
+def _round(acc: str, w: str) -> str:
+    inner = _m(f"({acc}) + {_mul(w, P2)}")
+    return _mul(_rotl(inner, 31), P1)
+
+
+def xxh64_list_sql(list_expr: str) -> str:
+    """list<varchar> -> list<bigint>: Spark-compatible xxhash64 of every
+    element. The 32-byte stripe loop is a list_reduce; tails unrolled."""
+    s1 = (
+        f"list_transform({list_expr}, g -> struct_pack("
+        f"n := length(g), "
+        f"b := list_transform(generate_series(1, length(g)),"
+        f" p -> CAST(ascii(substr(g, p, 1)) AS HUGEINT))))"
+    )
+    stripe_structs = (
+        "list_transform(generate_series(0, (t.n // 32) - 1), s -> struct_pack("
+        + ", ".join(
+            f"w{q + 1} := {_word('t.b', f'(s * 32 + {q * 8})')}"
+            for q in range(4)
+        )
+        + "))"
+    )
+    init = "struct_pack(" + ", ".join(
+        f"w{q + 1} := CAST('{v}' AS HUGEINT)"
+        for q, v in enumerate([
+            (SEED + P1 + P2) % M, (SEED + P2) % M, SEED % M, (SEED - P1) % M,
+        ])
+    ) + ")"
+    reduced = (
+        f"list_reduce(list_prepend({init}, {stripe_structs}), (a, x) ->"
+        " struct_pack("
+        + ", ".join(f"w{q} := {_round(f'a.w{q}', f'x.w{q}')}" for q in (1, 2, 3, 4))
+        + "))"
+    )
+    s2a = (
+        f"list_transform({s1}, t -> struct_pack(n := t.n, b := t.b,"
+        f" r := {reduced}))"
+    )
+    h_big = _m(
+        " + ".join(_rotl(f"t.r.w{q}", r) for q, r in ((1, 1), (2, 7), (3, 12), (4, 18)))
+    )
+    for q in (1, 2, 3, 4):
+        rq = _round("0", "t.r.w%d" % q)
+        h_big = _m(_mul("xor(%s, %s)" % (h_big, rq), P1) + " + %d" % P4)
+    s2 = (
+        f"list_transform({s2a}, t -> struct_pack(n := t.n, b := t.b,"
+        f" h := (CASE WHEN t.n >= 32 THEN {h_big}"
+        f" ELSE CAST('{(SEED + P5) % M}' AS HUGEINT) END + t.n) % {M}))"
+    )
+
+    def step8(o: str) -> str:
+        x = f"xor(t.h, {_round('0', _word('t.b', o))})"
+        return _m(f"{_mul(_rotl(x, 27), P1)} + {P4}")
+
+    for w in range(3):
+        off = f"(32 * (t.n // 32) + {8 * w})"
+        s2 = (
+            f"list_transform({s2}, t -> struct_pack(n := t.n, b := t.b,"
+            f" h := CASE WHEN (t.n % 32) // 8 >= {w + 1}"
+            f" THEN {step8(off)} ELSE t.h END))"
+        )
+    i1 = "(t.n - (t.n % 8))"
+    u32 = _word("t.b", i1, 4)
+    h4 = _m(f"{_mul(_rotl(f'xor(t.h, {_mul(u32, P1)})', 23), P2)} + {P3}")
+    s4 = (
+        f"list_transform({s2}, t -> struct_pack(n := t.n, b := t.b,"
+        f" h := CASE WHEN (t.n % 8) >= 4 THEN {h4} ELSE t.h END))"
+    )
+    i2 = "(t.n - (t.n % 4))"
+    for w in range(3):
+        hb = f"xor(t.h, {_mul(f't.b[{i2} + {w + 1}]', P5)})"
+        stepb = _mul(_rotl(hb, 11), P1)
+        s4 = (
+            f"list_transform({s4}, t -> struct_pack(n := t.n, b := t.b,"
+            f" h := CASE WHEN (t.n % 4) >= {w + 1} THEN {stepb} ELSE t.h END))"
+        )
+    s5 = (
+        f"list_transform({s4}, t -> struct_pack("
+        f"h := {_mul(f'xor(t.h, t.h // {1 << 33})', P2)}))"
+    )
+    s6 = (
+        f"list_transform({s5}, t -> struct_pack("
+        f"h := {_mul(f'xor(t.h, t.h // {1 << 29})', P3)}))"
+    )
+    final = f"xor(t.h, t.h // {1 << 32})"
+    signed = (
+        f"CASE WHEN ({final}) >= {1 << 63}"
+        f" THEN CAST(({final}) - {M} AS BIGINT)"
+        f" ELSE CAST(({final}) AS BIGINT) END"
+    )
+    return f"list_transform({s6}, t -> {signed})"
+
+
+def _unsigned(h: str) -> str:
+    """signed-int64 expr -> HUGEINT in [0, 2^64)."""
+    return (
+        f"(CASE WHEN ({h}) < 0 THEN CAST(({h}) AS HUGEINT) + {M}"
+        f" ELSE CAST(({h}) AS HUGEINT) END)"
+    )
+
+
+def simhash_oracle_sql(max_doc_id: int = 500) -> str:
+    """Mirror of pipeline.dedup.simhash: tokens -> xxhash64 -> 64 bit votes
+    (+1/-1, bit set iff sum > 0). Output (key, simhash)."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    sig_u = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN"
+        f" ({_unsigned('h')} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN CAST('{1 << b}' AS HUGEINT) ELSE 0 END)"
+        for b in range(64)
+    )
+    signed = (
+        f"CASE WHEN sig_u >= {1 << 63} THEN CAST(sig_u - {M} AS BIGINT)"
+        f" ELSE CAST(sig_u AS BIGINT) END"
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS key, {toks} AS toks
+          FROM documents WHERE doc_id < {max_doc_id}
+        ),
+        h AS (SELECT key, {xxh64_list_sql('toks')} AS hs FROM d),
+        s AS (SELECT key, ({sig_u}) AS sig_u FROM h)
+        SELECT key, {signed} AS simhash FROM s ORDER BY key
+    """
+
+
+def fingerprint_sizes_oracle_sql(max_doc_id: int = 200, k: int = 7, window: int = 4) -> str:
+    """Mirror of pipeline.text.fingerprint: k-gram rolling xxhash64 ->
+    window minima -> distinct count. Output (doc_id, fp_size)."""
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {toks} AS toks FROM documents
+          WHERE doc_id < {max_doc_id}
+        ),
+        g AS (
+          SELECT doc_id, greatest(len(toks) - {k - 1}, 0) AS ng,
+                 list_transform(
+                   generate_series(1, greatest(len(toks) - {k - 1}, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')
+                 ) AS gs
+          FROM d
+        ),
+        h AS (SELECT doc_id, ng, {xxh64_list_sql('gs')} AS grams FROM g),
+        w AS (
+          SELECT doc_id, ng, grams, greatest(ng - {window - 1}, 0) AS nw,
+                 list_transform(
+                   generate_series(1, greatest(ng - {window - 1}, 0)),
+                   i -> list_min(list_slice(grams, i, i + {window - 1}))
+                 ) AS mins
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN nw > 0 THEN len(list_distinct(mins))
+                         WHEN ng > 0 THEN len(list_distinct(grams))
+                         ELSE 0 END AS INT) AS fp_size
+        FROM w ORDER BY doc_id
+    """
+
+
+def minhash_groups_oracle_sql(
+    max_doc_id: int = 500,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    rounds: int = 10,
+) -> str:
+    """Mirror of pipeline.dedup.minhash_dedup_groups: shingle xxhash64 ->
+    64-perm MinHash -> 16-band LSH candidates -> est_jaccard filter ->
+    min-label propagation. ``rounds`` equals the engine's max_iterations
+    (10): the engine stops early only when labels are stable, so running
+    the full fixed count yields identical labels. Output (key, group_key)."""
+    import random
+
+    rnd = random.Random(42)
+    perms = []
+    for _ in range(num_perm):
+        a = rnd.randrange(1, MERSENNE)
+        b = rnd.randrange(0, MERSENNE)
+        perms.append((a, b))
+    rows_per_band = num_perm // bands
+
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    # NOTE: the engine's shingle_hashes fallback hashes the RAW text column
+    # (dedup.py: otherwise(array(xxhash64(text_col)))), not the trimmed one.
+    shingle_strs = (
+        f"CASE WHEN len(toks) >= {shingle_n} THEN list_transform("
+        f"generate_series(1, len(toks) - {shingle_n - 1}),"
+        f" i -> array_to_string(list_slice(toks, i, i + {shingle_n - 1}), ' '))"
+        f" ELSE [rawtext] END"
+    )
+    pm = f"(((s % {MERSENNE}) + {MERSENNE}) % {MERSENNE})"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {pm} + {b}) % {MERSENNE}))"
+        for a, b in perms
+    )
+    band_strs = ", ".join(
+        "concat_ws(':', "
+        + ", ".join(
+            f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    # MATERIALIZED is load-bearing on every multiply-referenced CTE: each
+    # propagation round reads the previous labels twice, so inlined CTEs
+    # re-evaluate the whole upstream hash pipeline 2^rounds times.
+    label_cte = """
+        l0 AS MATERIALIZED (SELECT key, key AS label FROM keys)
+    """
+    prev = "l0"
+    for t in range(rounds):
+        label_cte += f""",
+        l{t + 1} AS MATERIALIZED (
+          SELECT k.key,
+                 least(k.label, coalesce(min(n.label), k.label)) AS label
+          FROM {prev} k
+          LEFT JOIN edges e ON e.key_a = k.key
+          LEFT JOIN {prev} n ON n.key = e.key_b
+          GROUP BY k.key, k.label
+        )
+        """
+        prev = f"l{t + 1}"
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS key, {toks} AS toks, text AS rawtext
+          FROM documents WHERE doc_id < {max_doc_id}
+        ),
+        sh0 AS (SELECT key, {shingle_strs} AS gs FROM d),
+        shh AS MATERIALIZED (SELECT key, {xxh64_list_sql('gs')} AS sh FROM sh0),
+        sig AS MATERIALIZED (SELECT key, [{sig_elems}] AS sig FROM shh),
+        bandstr AS (SELECT key, sig, [{band_strs}] AS bs FROM sig),
+        bandh AS MATERIALIZED (
+          SELECT key, sig, {xxh64_list_sql('bs')} AS bh FROM bandstr
+        ),
+        banded AS MATERIALIZED (
+          SELECT key, sig, u.b AS band, bh[u.b] AS band_hash
+          FROM bandh, generate_series(1, {bands}) AS u(b)
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.key AS key_a, b.key AS key_b, a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.key < b.key
+        ),
+        accepted AS MATERIALIZED (
+          SELECT key_a, key_b FROM pairs
+          WHERE CAST(len(list_filter(list_zip(sig_a, sig_b),
+                       p -> p[1] = p[2])) AS DOUBLE) / {num_perm} >= {threshold}
+        ),
+        edges AS MATERIALIZED (
+          SELECT key_a, key_b FROM accepted
+          UNION ALL SELECT key_b, key_a FROM accepted
+        ),
+        keys AS MATERIALIZED (SELECT key FROM d),
+        {label_cte}
+        SELECT key, label AS group_key FROM {prev} ORDER BY key
+    """
