@@ -121,7 +121,7 @@ def _cellid_cte_duckdb(points_sql: str) -> str:
     ),
     {",".join(rounds)},
     cells AS (
-      SELECT key, lat, lng,
+      SELECT key, lat, lng, face, i, j,
              (2 * (n - 4611686018427387904) + 1) AS cell_id
       FROM r0
     )
@@ -1010,7 +1010,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _DO.simhash_oracle_sql(500),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),
         "minhash_dedup_groups": _DO.minhash_groups_oracle_sql(500, 0.8),
+        # EdgeNeighbors incl. the cross-face wrap float path:
+        "cell_neighbors_l8": _DO.edge_neighbors_l8_oracle_sql(
+            _cellid_cte_duckdb(_CUST_LATLNG_SQL)
+        ),
         # rows-only (not SQL-expressible: mapInPandas / driver-side
         # geometry / approximate-by-construction): media_features,
-        # embedding_ann_lsh, polygon_boolean_areas, cell_neighbors_l8.
+        # embedding_ann_lsh, polygon_boolean_areas.
     }

@@ -311,3 +311,169 @@ def minhash_groups_oracle_sql(
         {label_cte}
         SELECT key, label AS group_key FROM {prev} ORDER BY key
     """
+
+
+def _hilbert_rounds(src: str, carry: list[str], prefix: str,
+                    face: str = "face", i: str = "i", j: str = "j") -> tuple[str, str]:
+    """CTE chain fragment encoding leaf (face, i, j) -> n (61-bit Hilbert
+    position) via the 8 lookup rounds (cellid.go:416-438). Returns
+    (cte_text_without_leading_comma, final_cte_name); the final CTE carries
+    ``carry`` + i/j + n. biased leaf id = 2*(n - 2^62) + 1."""
+    from ..kernels import hilbert as H
+
+    lookup = "[" + ",".join(str(int(v)) for v in H.LOOKUP_POS) + "]"
+    carry_sql = ", ".join(carry)
+    text = (
+        f"{prefix}8 AS (SELECT {carry_sql}, {i} AS hi, {j} AS hj,"
+        f" (CAST({face} AS BIGINT) * {1 << (H.POS_BITS - 1)}) AS n,"
+        f" (CAST({face} AS BIGINT) & 1) AS bits FROM {src})"
+    )
+    prev = f"{prefix}8"
+    for k in range(7, -1, -1):
+        key = (
+            f"(bits + ((hi >> {k * 4}) & 15) * 64 + ((hj >> {k * 4}) & 15) * 4)"
+        )
+        text += (
+            f", {prefix}{k} AS (SELECT {carry_sql}, hi, hj,"
+            f" (n | ((CAST(({lookup})[{key} + 1] AS BIGINT) >> 2)"
+            f" * {1 << (k * 8)})) AS n,"
+            f" (CAST(({lookup})[{key} + 1] AS BIGINT) & 3) AS bits"
+            f" FROM {prev})"
+        )
+        prev = f"{prefix}{k}"
+    return text, prev
+
+
+def _biased_leaf(n: str = "n") -> str:
+    """biased(2n+1) as signed BIGINT == 2*(n - 2^62) + 1 for valid n."""
+    return f"(2 * (({n}) - 4611686018427387904) + 1)"
+
+
+def _token(cell: str) -> str:
+    """biased signed id -> gos2 hex token (cellid.go:100-108)."""
+    return (
+        f"rtrim(lower(lpad(to_hex(xor({cell},"
+        f" (-9223372036854775807 - 1))), 16, '0')), '0')"
+    )
+
+
+def edge_neighbors_l8_oracle_sql(points_cte: str, level: int = 8) -> str:
+    """Oracle for the EdgeNeighbors op (cellid.go:210-220) at ``level``:
+    4 edge-adjacent same-level cells per distinct occupied cell.
+
+    Works from each point's own leaf (face,i,j) — any leaf inside a cell
+    yields the same level-L neighbors after the final parent-at-L, so no
+    inverse-Hilbert decode is needed. In-range offsets re-encode on the
+    same face; out-of-range offsets go through the exact
+    cellIDFromFaceIJWrap float path (uv projection -> xyz -> new face/uv
+    -> st -> ij, cellid.go:440-469). Output (token, nbr_token)."""
+    size = 1 << (30 - level)
+    lsb = 1 << (2 * (30 - level))
+    parent = lambda c: f"(({c}) & -{lsb}) | {lsb}"  # noqa: E731
+    offs = [("0", f"-{size}"), (f"{size}", "0"), ("0", f"{size}"), (f"-{size}", "0")]
+
+    # distinct occupied level-L cells with one representative leaf:
+    # min(i), min(j) is the corner leaf of the cell's ij square.
+    base = f"""
+        nb_base AS MATERIALIZED (
+          SELECT {parent('cell_id')} AS cell_l, min(face) AS face,
+                 min(i) AS i, min(j) AS j
+          FROM cells GROUP BY 1
+        )
+    """
+    pieces = [base]
+    unions = []
+    for idx, (di, dj) in enumerate(offs):
+        cand = f"""
+        nb_c{idx} AS (
+          SELECT cell_l, face, (i + {di}) AS ni, (j + {dj}) AS nj
+          FROM nb_base
+        ),
+        nb_s{idx} AS (
+          SELECT cell_l, face, ni, nj,
+                 (ni >= 0 AND ni < {1 << 30} AND nj >= 0 AND nj < {1 << 30})
+                   AS same
+          FROM nb_c{idx}
+        )"""
+        # same-face branch
+        same_rounds, same_final = _hilbert_rounds(
+            f"(SELECT * FROM nb_s{idx} WHERE same)", ["cell_l"],
+            f"nb_e{idx}_", face="face", i="ni", j="nj",
+        )
+        # wrap branch: clip, uv, xyz, new face/uv, st, ij, encode
+        wrap = f"""
+        nb_w{idx} AS (
+          SELECT cell_l,
+                 face AS oface,
+                 greatest(-1, least({1 << 30}, ni)) AS ci,
+                 greatest(-1, least({1 << 30}, nj)) AS cj
+          FROM nb_s{idx} WHERE NOT same
+        ),
+        nb_wu{idx} AS (
+          SELECT cell_l, oface,
+            greatest(-{1.0000000000000002!r}, least({1.0000000000000002!r},
+              {1.0 / (1 << 30)!r} * CAST(2 * ci + 1 - {1 << 30} AS DOUBLE))) AS u,
+            greatest(-{1.0000000000000002!r}, least({1.0000000000000002!r},
+              {1.0 / (1 << 30)!r} * CAST(2 * cj + 1 - {1 << 30} AS DOUBLE))) AS v
+          FROM nb_w{idx}
+        ),
+        nb_wx{idx} AS (
+          SELECT cell_l,
+            CASE oface WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+                       WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS x,
+            CASE oface WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+                       WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS y,
+            CASE oface WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+                       WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS z
+          FROM nb_wu{idx}
+        ),
+        nb_wf{idx} AS (
+          SELECT cell_l, x, y, z,
+                 CASE WHEN abs(z) > greatest(abs(x), abs(y)) THEN 2
+                      WHEN abs(y) > abs(x) THEN 1 ELSE 0 END AS fid
+          FROM nb_wx{idx}
+        ),
+        nb_wg{idx} AS (
+          SELECT cell_l, x, y, z,
+                 CASE WHEN (CASE WHEN fid = 2 THEN z WHEN fid = 1 THEN y
+                            ELSE x END) < 0 THEN fid + 3 ELSE fid END AS face
+          FROM nb_wf{idx}
+        ),
+        nb_wv{idx} AS (
+          SELECT cell_l, face,
+            CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                      WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS nu,
+            CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                      WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS nv
+          FROM nb_wg{idx}
+        ),
+        nb_wij{idx} AS (
+          SELECT cell_l, face,
+            CAST(greatest(0, least({(1 << 30) - 1},
+              floor({float(1 << 30)!r} * (0.5 * (nu + 1.0))))) AS BIGINT) AS wi,
+            CAST(greatest(0, least({(1 << 30) - 1},
+              floor({float(1 << 30)!r} * (0.5 * (nv + 1.0))))) AS BIGINT) AS wj
+          FROM nb_wv{idx}
+        )"""
+        wrap_rounds, wrap_final = _hilbert_rounds(
+            f"nb_wij{idx}", ["cell_l"], f"nb_x{idx}_",
+            face="face", i="wi", j="wj",
+        )
+        pieces.append(cand)
+        pieces.append(same_rounds)
+        pieces.append(wrap)
+        pieces.append(wrap_rounds)
+        unions.append(
+            f"SELECT cell_l, {parent(_biased_leaf())} AS nbr FROM {same_final}"
+        )
+        unions.append(
+            f"SELECT cell_l, {parent(_biased_leaf())} AS nbr FROM {wrap_final}"
+        )
+    all_cte = ",\n".join(pieces)
+    return f"""
+        WITH {points_cte},
+        {all_cte},
+        nb_all AS ({" UNION ALL ".join(unions)})
+        SELECT {_token('cell_l')} AS token, {_token('nbr')} AS nbr_token
+        FROM nb_all ORDER BY token, nbr_token
+    """
