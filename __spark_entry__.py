@@ -1014,7 +1014,26 @@ def oracle_sql() -> dict[str, str]:
         "cell_neighbors_l8": _DO.edge_neighbors_l8_oracle_sql(
             _cellid_cte_duckdb(_CUST_LATLNG_SQL)
         ),
-        # rows-only (not SQL-expressible: mapInPandas / driver-side
-        # geometry / approximate-by-construction): media_features,
-        # embedding_ann_lsh, polygon_boolean_areas.
+        # mapInPandas plumbing check: the aggregate output of the media
+        # pipeline depends only on the deterministic synth parameters
+        # (kind = id%3, video frames = max(1, (id%90000)//1000)), so the
+        # oracle regenerates it without the payload bytes:
+        "media_features": """
+            WITH m AS (SELECT range AS id FROM range(300)),
+            k AS (
+              SELECT id,
+                     (['image', 'audio', 'video'])[CAST(id % 3 AS INT) + 1]
+                       AS kind,
+                     CAST(id % 90000 AS INT) AS dur
+              FROM m
+            )
+            SELECT kind, count(*) AS n,
+                   CAST(sum(CASE WHEN kind = 'video'
+                                 THEN greatest(1, dur // 1000)
+                                 ELSE 1 END) AS BIGINT) AS total_frames
+            FROM k GROUP BY kind ORDER BY kind
+        """,
+        # rows-only (not SQL-expressible: approximate-by-construction LSH /
+        # driver-side clip geometry): embedding_ann_lsh,
+        # polygon_boolean_areas.
     }
