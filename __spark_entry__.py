@@ -1033,7 +1033,9 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 1 END) AS BIGINT) AS total_frames
             FROM k GROUP BY kind ORDER BY kind
         """,
-        # rows-only (not SQL-expressible: approximate-by-construction LSH /
-        # driver-side clip geometry): embedding_ann_lsh,
-        # polygon_boolean_areas.
+        # LSH ANN: hyperplanes depend only on (dim=64, planes=16, seed=42)
+        # and are embedded as literals; buckets + any-band join + cosine
+        # rerank are plain SQL:
+        "embedding_ann_lsh": _DO.ann_lsh_oracle_sql(),
+        # rows-only (driver-side clip geometry): polygon_boolean_areas.
     }

@@ -42,10 +42,16 @@ BENCH_QUERIES = [
     "cap_contains",
     "pip_join",
     "pip_histogram",
+    "pip_semi_join",
+    "pip_anti_join",
     "knn_join",
     "cell_counts_l5",
+    "cell_center_latlng",
+    "edge_distance",
     "dedup_exact",
     "text_stats",
+    "simhash_signatures",
+    "fingerprint_sizes",
     "embedding_knn",
     "top_events_per_user",
 ]

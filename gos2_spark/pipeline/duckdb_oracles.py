@@ -477,3 +477,79 @@ def edge_neighbors_l8_oracle_sql(points_cte: str, level: int = 8) -> str:
         SELECT {_token('cell_l')} AS token, {_token('nbr')} AS nbr_token
         FROM nb_all ORDER BY token, nbr_token
     """
+
+
+def ann_lsh_oracle_sql(
+    dim: int = 64, k: int = 10, num_planes: int = 16, bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Oracle for the LSH-banded ANN query (pipeline.similarity.lsh_topk):
+    the hyperplanes depend only on (dim, num_planes, seed), so they are
+    embedded as float64 literals; signatures, band buckets, the any-band
+    candidate join, and the exact cosine rerank are all plain SQL.
+
+    The engine computes dots with a numpy GEMM while SQL sums
+    sequentially — a sign could differ only for |dot| ~ 1e-16 (never
+    observed; validated empirically at sf0.01 and sf0.1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    H = rng.normal(size=(num_planes, dim))
+    H = H / np.linalg.norm(H, axis=1, keepdims=True)
+    bits_per_band = num_planes // bands
+
+    def dot(vec: str, row: int) -> str:
+        lits = "[" + ",".join(repr(float(v)) for v in H[row]) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lits}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    def sig(vec: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(vec, i)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(num_planes)
+        ) + ")"
+
+    band_cols = ", ".join(
+        f"((sig >> {b * bits_per_band}) & {(1 << bits_per_band) - 1}) AS band_{b}"
+        for b in range(bands)
+    )
+    any_band = " OR ".join(f"d.band_{b} = q.band_{b}" for b in range(bands))
+    norm = (
+        "list_transform({v}, x -> CAST(x AS DOUBLE) / greatest(sqrt("
+        "list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)"
+        "))), 1e-12))"
+    )
+    cos = (
+        f"list_sum(list_transform(list_zip({norm.format(v='d.emb')},"
+        f" {norm.format(v='q.emb')}), p -> p[1] * p[2]))"
+    )
+    return f"""
+        WITH ds AS MATERIALIZED (
+          SELECT vec_id AS key, embedding AS emb,
+                 {sig('embedding')} AS sig
+          FROM embeddings WHERE vec_id > 1
+        ),
+        d AS MATERIALIZED (SELECT key, emb, {band_cols} FROM ds),
+        qs AS MATERIALIZED (
+          SELECT CASE vec_id WHEN 0 THEN 'q0' ELSE 'q1' END AS qid,
+                 embedding AS emb, {sig('embedding')} AS sig
+          FROM embeddings WHERE vec_id IN (0, 1)
+        ),
+        q AS MATERIALIZED (SELECT qid, emb, {band_cols} FROM qs),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.qid, d.key, {cos} AS score
+          FROM d JOIN q ON {any_band}
+        ),
+        ranked AS (
+          SELECT qid, key,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, key ASC
+                 ) AS INT) AS rank,
+                 round(score, 6) AS score
+          FROM cand
+        )
+        SELECT qid, key, rank, score FROM ranked
+        WHERE rank <= {k} ORDER BY qid, rank
+    """
