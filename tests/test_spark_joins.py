@@ -154,3 +154,31 @@ def test_join_plan_is_broadcast_no_shuffle(spark, points, tileset):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, "covering join degraded to SMJ"
+
+
+def test_pages_text_byte_identical_per_url(spark):
+    """north_rule per-row invariant: byte-identical extracted text per url.
+
+    The pages generator and the geoparse are pure functions of doc_id, so
+    two independent materializations (different partitionings) must agree
+    byte-for-byte per url, and the geoparsed lat/lng must reproduce the
+    values printed into the text."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.spark.pages import geoparsed_pages, synth_pages
+
+    a = synth_pages(spark, 2000, num_partitions=8)
+    b = synth_pages(spark, 2000, num_partitions=3)
+    ha = a.select(F.md5(F.concat_ws("|", "url", F.col("text"))).alias("h"))
+    hb = b.select(F.md5(F.concat_ws("|", "url", F.col("text"))).alias("h"))
+    assert ha.exceptAll(hb).count() == 0
+    assert hb.exceptAll(ha).count() == 0
+
+    # text -> (lat, lng) round trip: re-parse reproduces the embedded values
+    gp = geoparsed_pages(a, keep=("url", "text"))
+    bad = gp.where(
+        ~F.col("text").contains(
+            F.format_string("%.6f, %.6f", F.col("lat"), F.col("lng"))
+        )
+    ).count()
+    assert bad == 0
