@@ -100,6 +100,7 @@ class TileSet:
                 cid for cid in covering.ids if memo.contains_cell(_Cell(cid))
             ]
             self.tiles[tile_id] = {
+                "poly": poly,  # driver-side only; never broadcast
                 "covering": covering,
                 "interior": CellUnion(interior_ids),
                 "loops": [
@@ -531,3 +532,58 @@ def knn_join(
     if schema is None:
         return points.limit(0)
     return spark.createDataFrame(done_rows, schema)
+
+
+# --- polygon-polygon (tile overlap) join ------------------------------------
+
+def _ranges_intersect(ra: list[tuple[int, int]], rb: list[tuple[int, int]]) -> bool:
+    """Two-pointer overlap test over sorted disjoint (lo, hi) range lists."""
+    i = j = 0
+    while i < len(ra) and j < len(rb):
+        lo_a, hi_a = ra[i]
+        lo_b, hi_b = rb[j]
+        if hi_a < lo_b:
+            i += 1
+        elif hi_b < lo_a:
+            j += 1
+        else:
+            return True
+    return False
+
+
+def polygon_overlap_join(a: TileSet, b: TileSet) -> list[tuple]:
+    """Polygon-polygon join over two tile sets (SURVEY §2.6).
+
+    Candidate pairs come from covering-range intersection (the cell-prefix
+    blocking the reference's sorted CellID lists provide,
+    cellunion.go:118-143); survivors are verified with exact loop
+    relations (loop.go:465-754 via Polygon.contains/intersects). Runs on
+    the driver — tile sets are broadcast-scale by design; the N×M blocking
+    keeps the exact tests to genuinely overlapping pairs.
+
+    Returns sorted (a_id, b_id, relation) with relation in
+    {'contains', 'within', 'overlaps'}.
+    """
+    out = []
+    b_ranges = {
+        tid: list(zip(*map(list, b.tiles[tid]["covering"].ranges())))
+        for tid in b.tile_ids()
+    }
+    for aid in a.tile_ids():
+        a_cov = a.tiles[aid]["covering"]
+        a_ranges = list(zip(*map(list, a_cov.ranges())))
+        pa = a.tiles[aid]["poly"]
+        for bid in b.tile_ids():
+            if not _ranges_intersect(a_ranges, b_ranges[bid]):
+                continue
+            pb = b.tiles[bid]["poly"]
+            if not pa.intersects_polygon(pb):
+                continue
+            if pa.contains_polygon(pb):
+                rel = "contains"
+            elif pb.contains_polygon(pa):
+                rel = "within"
+            else:
+                rel = "overlaps"
+            out.append((aid, bid, rel))
+    return sorted(out, key=lambda t: (str(t[0]), str(t[1])))

@@ -182,3 +182,31 @@ def test_pages_text_byte_identical_per_url(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_polygon_overlap_join():
+    """Polygon-polygon join (SURVEY §2.6): covering-range blocking + exact
+    loop relations, on tiles with known overlap structure."""
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet, polygon_overlap_join
+
+    a = TileSet({
+        "big_nyc": Loop.regular(40.7, -74.0, 3.0, 16),
+        "tokyo": Loop.regular(35.68, 139.65, 2.0, 16),
+        "sydney": Loop.regular(-33.87, 151.21, 1.0, 12),
+    }, max_cells=16)
+    b = TileSet({
+        "small_nyc": Loop.regular(40.7, -74.0, 0.5, 12),
+        "nyc_edge": Loop.regular(42.5, -74.0, 1.5, 12),   # overlaps big_nyc
+        "london": Loop.regular(51.5, -0.13, 2.0, 12),     # disjoint from all
+    }, max_cells=16)
+
+    got = polygon_overlap_join(a, b)
+    assert got == [
+        ("big_nyc", "nyc_edge", "overlaps"),
+        ("big_nyc", "small_nyc", "contains"),
+    ]
+    # symmetric direction flips contains/within
+    rev = polygon_overlap_join(b, a)
+    assert ("small_nyc", "big_nyc", "within") in rev
+    assert ("nyc_edge", "big_nyc", "overlaps") in rev
