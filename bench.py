@@ -109,6 +109,13 @@ def main() -> None:
     pages_dir = os.environ.get("BENCH_PAGES_DIR", default_dir)
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         synth_pages(spark, PAGES_ROWS).write.mode("overwrite").parquet(pages_dir)
+    # prime the OS page cache (excluded from timing): a cold first read of
+    # the staged table costs ~2x and decays over the timed runs otherwise
+    for root, _, files in os.walk(pages_dir):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     pages = spark.read.parquet(pages_dir)
 
     tile_counts: dict[str, int] = {}
