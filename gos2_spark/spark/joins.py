@@ -435,8 +435,8 @@ def knn_join(
     points: DataFrame,
     queries: list[tuple[object, float, float]],
     k: int,
-    initial_radius_deg: float = 0.5,
-    max_doublings: int = 5,
+    initial_radius_deg: float | None = None,
+    max_doublings: int = 8,
     cell_col: str = "cell_id",
     point_key: str = "url",
 ) -> DataFrame:
@@ -447,6 +447,13 @@ def knn_join(
     Each round runs ONE Spark job over all still-unresolved queries (their
     cap coverings unioned into a single broadcast), so the number of passes
     is bounded by max_doublings regardless of query count.
+
+    ``initial_radius_deg=None`` sizes the first cap from global point
+    density (one count over the cached input): a fixed small radius costs
+    a doubling round per factor-of-2 it undershoots, and every round is a
+    full scheduling pass even when the covering rejects most of the data.
+    The schedule only affects performance — the result set is the exact
+    top-k regardless.
     """
     import math
 
@@ -454,13 +461,18 @@ def knn_join(
 
     spark = points.sparkSession
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
-    radius = initial_radius_deg
 
     # the doubling loop re-scans ``points`` once per round — cache it for
     # the loop's duration (unless the caller already persisted it)
     own_cache = points.storageLevel.useMemory is False and points.storageLevel.useDisk is False
     if own_cache:
         points = points.persist()
+
+    if initial_radius_deg is None:
+        n = max(points.count(), 1)  # cheap on the cached input
+        # expected k points within r: k/n ~ cap_area/sphere_area ~ (r/114)^2
+        initial_radius_deg = min(45.0, max(0.05, 114.0 * math.sqrt(k / n)))
+    radius = initial_radius_deg
 
     # Results are tiny (k rows per query), so each round COLLECTS its top-k
     # instead of deferring a lazy union: one Spark job per round (the old
