@@ -68,7 +68,8 @@ pages = spark.read.parquet(pages_dir)
 # timing. Production 100TB jobs run for hours, so STEADY STATE is the
 # representative regime: each JVM reports 3 steady timed runs.
 def job():
-    point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner").groupBy(
+    point_in_polygon_join(geoparsed_pages(pages), tiles, how="inner",
+                          rebalance=False).groupBy(
         "tile_id").agg(F.count("*")).collect()
 for _ in range(2):
     job()

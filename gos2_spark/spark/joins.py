@@ -277,6 +277,7 @@ def point_in_polygon_join(
     point_key: str = "url",
     cell_col: str = "cell_id",
     strategy: str = "ancestor",
+    rebalance: bool = True,
 ) -> DataFrame:
     """Join points (with a leaf ``cell_col``) against polygon tiles.
 
@@ -334,9 +335,14 @@ def point_in_polygon_join(
     # The join stays SINGLE-BRANCH: the interior/boundary verdict is a skip
     # mask INSIDE the refine kernel (see _make_refine_udf) — splitting into
     # two filtered sub-plans re-executed the whole upstream per branch.
-    n_part = spark.sparkContext.defaultParallelism * 2
+    # ``rebalance=False`` skips the exchange for inputs that are NOT
+    # cell-clustered (e.g. crawl-ordered pages): matched rows are already
+    # spread across the scan partitions and the shuffle is pure overhead.
+    if rebalance:
+        n_part = spark.sparkContext.defaultParallelism * 2
+        joined = joined.repartition(n_part)
     matched = (
-        joined.repartition(n_part)
+        joined
         .withColumn(
             "inside",
             refine(F.col("tile_idx"), F.col("lat"), F.col("lng"), F.col("is_interior")),

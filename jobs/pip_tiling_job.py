@@ -102,7 +102,10 @@ def main(argv: list[str] | None = None) -> int:
         return pages.where(bucket_expr == int(pid))
 
     def transform(df):
-        out = point_in_polygon_join(geoparsed_pages(df), tiles, how="inner")
+        # url-hash bucket partitions are row-random w.r.t. cells -> no rebalance
+        out = point_in_polygon_join(
+            geoparsed_pages(df), tiles, how="inner", rebalance=False
+        )
         if args.level is not None:
             out = out.withColumn(
                 f"cell_l{args.level}", s2_parent_sql(F.col("cell_id"), args.level)

@@ -210,3 +210,24 @@ def test_polygon_overlap_join():
     rev = polygon_overlap_join(b, a)
     assert ("small_nyc", "big_nyc", "within") in rev
     assert ("nyc_edge", "big_nyc", "overlaps") in rev
+
+
+def test_pip_join_rebalance_false_same_result(spark):
+    """rebalance only changes the physical plan, never the result."""
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet, point_in_polygon_join
+    from gos2_spark.spark.pages import geoparsed_pages, synth_pages
+
+    pages = synth_pages(spark, 5000)
+    tiles = TileSet({"nyc": Loop.regular(40.7128, -74.0060, 1.5, 16)}, max_cells=16)
+    a = sorted(
+        r["url"] for r in point_in_polygon_join(
+            geoparsed_pages(pages), tiles, how="inner", rebalance=True
+        ).collect()
+    )
+    b = sorted(
+        r["url"] for r in point_in_polygon_join(
+            geoparsed_pages(pages), tiles, how="inner", rebalance=False
+        ).collect()
+    )
+    assert a == b and len(a) > 0
