@@ -680,6 +680,66 @@ def _q_cell_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius distance self-join (pair join): 3x3 cell-neighborhood
+    blocking at the MinWidth-derived level (metric.go:44-54,
+    cellid.go:257-287) + exact angle-distance filter; value-checked against
+    a DuckDB O(n^2) cross join with the identical float formula."""
+    from gos2_spark.spark.joins import distance_join
+
+    pts = _cust_points(spark, sf_dir)
+    out = distance_join(pts, 3.0, point_key="key")
+    return (
+        out.select(
+            "key_a", "key_b", F.round(F.col("dist_rad"), 9).alias("dist_rad")
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: approximate by construction, recall pytest-gated):
+    k-means coarse quantizer, nprobe-list probe, exact rerank."""
+    from gos2_spark.pipeline.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin([0, 1])).collect()
+    }
+    out = ivf_topk(
+        emb.where(F.col("vec_id") > 1),
+        [("q0", qvecs[0]), ("q1", qvecs[1])],
+        k=10, num_centroids=16, nprobe=8,
+    )
+    return out.select(
+        "qid", "key", "rank", F.round("score", 6).alias("score")
+    ).orderBy("qid", "rank")
+
+
+def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon (tile overlap) join (rows-only: driver-side loop
+    relations have no SQL equivalent): covering-range blocking + exact
+    Loop relations (loop.go:465-754) over two fixed tile sets."""
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet, polygon_overlap_join
+
+    a = TileSet({
+        "big_nyc": Loop.regular(40.7, -74.0, 3.0, 16),
+        "tokyo": Loop.regular(35.68, 139.65, 2.0, 16),
+        "sydney": Loop.regular(-33.87, 151.21, 1.0, 12),
+    }, max_cells=16)
+    b = TileSet({
+        "small_nyc": Loop.regular(40.7, -74.0, 0.5, 12),
+        "nyc_edge": Loop.regular(42.5, -74.0, 1.5, 12),
+        "london": Loop.regular(51.5, -0.13, 2.0, 12),
+    }, max_cells=16)
+    rows = polygon_overlap_join(a, b)
+    return spark.createDataFrame(
+        rows, "a_id string, b_id string, relation string"
+    ).orderBy("a_id", "b_id")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -727,6 +787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": _q_embedding_ann_lsh,
         "polygon_boolean_areas": _q_polygon_boolean,
         "cell_neighbors_l8": _q_cell_neighbors,
+        "distance_join_pairs": _q_distance_join,
+        "embedding_ann_ivf": _q_embedding_ann_ivf,
+        "polygon_overlap_relations": _q_polygon_overlap,
     }
 
 
@@ -941,6 +1004,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT key FROM ({pip_union}) ORDER BY key
         """,
         "edge_distance": _edge_distance_oracle_sql(),
+        # Within-radius pair join: O(n^2) cross join with the exact same
+        # float-op order as the engine's distance_rad_sql (ax=cos(lng)*
+        # cos(lat), cross product, atan2(sqrt, dot)); the radius literal is
+        # the Python math.radians repr so both sides compare against the
+        # identical double:
+        "distance_join_pairs": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL}),
+            v AS (
+              SELECT key,
+                     cos(radians(lng)) * cos(radians(lat)) AS x,
+                     sin(radians(lng)) * cos(radians(lat)) AS y,
+                     sin(radians(lat)) AS z
+              FROM pts
+            ),
+            pairs AS (
+              SELECT a.key AS key_a, b.key AS key_b,
+                     atan2(sqrt(
+                         (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                       + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                       + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                       a.x * b.x + a.y * b.y + a.z * b.z) AS d
+              FROM v a JOIN v b ON a.key < b.key
+            )
+            SELECT key_a, key_b, round(d, 9) AS dist_rad
+            FROM pairs WHERE d <= {math.radians(3.0)!r}
+            ORDER BY key_a, key_b
+        """,
         "embedding_near_dup": """
             WITH ne AS (
               SELECT vec_id AS key,

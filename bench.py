@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "pip_semi_join",
     "pip_anti_join",
     "knn_join",
+    "distance_join_pairs",
     "cell_counts_l5",
     "cell_center_latlng",
     "edge_distance",

@@ -296,6 +296,44 @@ def vertex_neighbors(cid: int, lvl: int) -> list[int]:
     return out
 
 
+def neighborhood(ids, nbr_level: int):
+    """(N,) -> (N,9) same-level 3x3 neighborhood at ``nbr_level``:
+    Parent(nbr_level) first, then its 8 surrounding cells.
+
+    This is AppendAllNeighbors (cellid.go:257-287) specialized to
+    nbr_level == the cell's own level and vectorized: with (i, j) aligned
+    to the cell size the reference's k-loop emits exactly the 8 offsets
+    (di, dj) in {-size, 0, size}^2 \\ {(0, 0)}, each with the same-face
+    mask in_range(i+di) AND in_range(j+dj). Cross-face offsets wrap via
+    xyz re-projection (cellIDFromFaceIJWrap, cellid.go:440-469); at cube
+    corners the diagonal entry degenerates to a duplicate of an edge
+    neighbor — consumers dedupe. This is the candidate-cell generator for
+    the within-radius distance join.
+    """
+    u = hilbert.parent(np.asarray(ids, dtype=np.uint64), nbr_level)
+    f, i, j, _ = hilbert.face_ij_orientation(u)
+    f = f.astype(np.int64)
+    i = i.astype(np.int64)
+    j = j.astype(np.int64)
+    size = np.int64(1) << (MAX_LEVEL - nbr_level)
+    i &= -size
+    j &= -size
+    in_range = lambda v: (v >= 0) & (v < MAX_SIZE)  # noqa: E731
+    cols = [u]
+    for di in (-size, np.int64(0), size):
+        for dj in (-size, np.int64(0), size):
+            if di == 0 and dj == 0:
+                continue
+            same = np.ones(len(u), dtype=bool)
+            if di != 0:
+                same &= in_range(i + di)
+            if dj != 0:
+                same &= in_range(j + dj)
+            cols.append(hilbert.parent(
+                _cellid_from_face_ij_same(f, i + di, j + dj, same), nbr_level))
+    return np.stack(cols, axis=-1)
+
+
 def all_neighbors(cid: int, nbr_level: int) -> list[int]:
     """Scalar AppendAllNeighbors (cellid.go:257-287) — driver-side use."""
     u = np.array([cid], dtype=np.uint64)

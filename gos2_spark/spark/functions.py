@@ -99,6 +99,20 @@ def s2_edge_neighbors(cell: pd.Series) -> pd.Series:
     return pd.Series(list(biased))
 
 
+@pandas_udf(ArrayType(LongType()))
+def s2_neighborhood(cell: pd.Series, level: pd.Series) -> pd.Series:
+    """Parent-at-level + its 8 same-level neighbors (3x3 block), deduped —
+    the candidate-cell generator for the within-radius distance join
+    (AppendAllNeighbors, cellid.go:257-287, specialized + vectorized)."""
+    lvl = int(level.iloc[0]) if len(level) else 0
+    if len(cell) == 0:
+        return pd.Series([], dtype=object)
+    nbrs = PJ.neighborhood(_to_u64(cell), lvl)
+    biased = (nbrs ^ _BIAS).view(np.int64)
+    # dedupe per row (cube-corner wrap duplicates an edge neighbor)
+    return pd.Series([np.unique(row) for row in biased])
+
+
 # --- codecs -----------------------------------------------------------------
 
 @pandas_udf(StringType())

@@ -552,6 +552,80 @@ def knn_join(
     return spark.createDataFrame(done_rows, schema)
 
 
+# --- within-radius distance join ---------------------------------------------
+
+def distance_join(
+    points_a: DataFrame,
+    radius_deg: float,
+    points_b: DataFrame | None = None,
+    point_key: str = "url",
+    b_key: str | None = None,
+    cell_col: str = "cell_id",
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """All (a, b) pairs within great-circle distance ``radius_deg``.
+
+    Plan: pick the deepest level L whose MinWidth is >= the radius
+    (metric.go:44-54) — then any pair within the radius lands in the same
+    or an adjacent level-L cell, so the A side explodes to its 3x3 cell
+    neighborhood (AppendAllNeighbors, cellid.go:257-287), the B side keys
+    by its own Parent(L) (pure bitwise SQL), and a hash equi-join on the
+    cell blocks candidates. The exact filter is the reference's angle
+    distance atan2(|a x b|, a . b) (r3/vector.go:96-98) in whole-stage
+    codegen. Each true pair is produced exactly once (B contributes one
+    key; A's neighborhood array is deduped).
+
+    Scale shape: no driver collect, shuffle-partitioned hash join on
+    bounded-fanout (<=9x) exploded keys; hot cells split by AQE skew join.
+    ``points_b=None`` -> self-join, deduped to key_a < key_b.
+    ``broadcast_b`` hints the B side when it is dimension-sized.
+
+    Output: (key_a, key_b, dist_rad).
+    """
+    import math
+
+    from ..geometry.metric import MIN_WIDTH
+    from .functions import s2_neighborhood
+
+    radius_rad = math.radians(radius_deg)
+    level = max(0, min(30, MIN_WIDTH.max_level(radius_rad)))
+
+    self_join = points_b is None
+    if self_join:
+        points_b = points_a
+        b_key = b_key or point_key
+    else:
+        b_key = b_key or point_key
+
+    a = points_a.select(
+        F.col(point_key).alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lng").alias("lng_a"),
+        F.explode(s2_neighborhood(F.col(cell_col), F.lit(level))).alias("_blk"),
+    )
+    b = points_b.select(
+        F.col(b_key).alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lng").alias("lng_b"),
+        s2_parent_sql(F.col(cell_col), level).alias("_blk"),
+    )
+    if broadcast_b:
+        b = F.broadcast(b)
+    pairs = a.join(b, on="_blk", how="inner").drop("_blk")
+    if self_join:
+        pairs = pairs.where(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.withColumn(
+            "dist_rad",
+            distance_rad_sql(
+                F.col("lat_a"), F.col("lng_a"), F.col("lat_b"), F.col("lng_b")
+            ),
+        )
+        .where(F.col("dist_rad") <= F.lit(radius_rad))
+        .select("key_a", "key_b", "dist_rad")
+    )
+
+
 # --- polygon-polygon (tile overlap) join ------------------------------------
 
 def _ranges_intersect(ra: list[tuple[int, int]], rb: list[tuple[int, int]]) -> bool:

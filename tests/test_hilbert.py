@@ -206,3 +206,29 @@ def test_vertex_neighbors():
         )
         expect.append(int(H.parent(cc, 5)[0]))
     assert nbrs == sorted(expect)
+
+
+def test_neighborhood_matches_scalar_all_neighbors():
+    """Vectorized 3x3 neighborhood == scalar AppendAllNeighbors port,
+    including cross-face wrap and cube-corner degeneracy."""
+    rng = np.random.default_rng(7)
+    lat = np.concatenate([
+        rng.uniform(-89.9, 89.9, 500),
+        [89.999, -89.999, 0.0, 45.0, -45.0],
+        rng.uniform(-0.01, 0.01, 20),
+    ])
+    lng = np.concatenate([
+        rng.uniform(-180, 180, 500),
+        [12.0, -171.0, 180.0, 44.99, 135.01],
+        rng.uniform(179.9, 180.0, 20),
+    ])
+    ids = P.cellid_from_latlng(np.radians(lat), np.radians(lng))
+    for lvl in (1, 4, 8, 15, 25):
+        batch = P.neighborhood(ids, lvl)
+        par = H.parent(ids, lvl)
+        for r in range(len(ids)):
+            want = set(P.all_neighbors(int(par[r]), lvl)) | {int(par[r])}
+            got = set(int(x) for x in batch[r])
+            assert want == got, (lvl, lat[r], lng[r])
+        # parent first: consumers rely on column 0 being the own cell
+        assert (batch[:, 0] == par).all()

@@ -231,3 +231,75 @@ def test_pip_join_rebalance_false_same_result(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def _brute_pairs(rows, radius_rad, key="url"):
+    """Numpy brute-force within-radius pairs with distance_rad_sql's exact
+    float-op order (ax=cos(lng)*cos(lat), cross, atan2(sqrt, dot))."""
+    lat = np.radians(np.array([r.lat for r in rows]))
+    lng = np.radians(np.array([r.lng for r in rows]))
+    ax = np.cos(lng) * np.cos(lat)
+    ay = np.sin(lng) * np.cos(lat)
+    az = np.sin(lat)
+    cx = ay[:, None] * az[None, :] - az[:, None] * ay[None, :]
+    cy = az[:, None] * ax[None, :] - ax[:, None] * az[None, :]
+    cz = ax[:, None] * ay[None, :] - ay[:, None] * ax[None, :]
+    dot = (ax[:, None] * ax[None, :] + ay[:, None] * ay[None, :]
+           + az[:, None] * az[None, :])
+    d = np.arctan2(np.sqrt(cx * cx + cy * cy + cz * cz), dot)
+    keys = [getattr(r, key) for r in rows]
+    out = {}
+    ii, jj = np.nonzero(d <= radius_rad)
+    for i, j in zip(ii, jj):
+        if keys[i] < keys[j]:
+            out[(keys[i], keys[j])] = float(d[i, j])
+    return out
+
+
+@pytest.mark.parametrize("radius_deg", [0.5, 3.0, 12.0])
+def test_distance_join_matches_bruteforce(spark, points, radius_deg):
+    """Within-radius self-join == brute-force O(n^2) oracle, exactly."""
+    from gos2_spark.spark.joins import distance_join
+
+    got = {
+        (r.key_a, r.key_b): r.dist_rad
+        for r in distance_join(points, radius_deg).collect()
+    }
+    rows = points.select("url", "lat", "lng").collect()
+    want = _brute_pairs(rows, math.radians(radius_deg))
+    assert set(got) == set(want), (
+        f"r={radius_deg}: missing={list(set(want) - set(got))[:5]} "
+        f"extra={list(set(got) - set(want))[:5]}"
+    )
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=0, abs=1e-15)
+    assert len(got) > 0
+
+
+def test_distance_join_two_sided_broadcast(spark, points):
+    """A-vs-B mode: candidates blocked by cell, exact filter, B broadcast."""
+    from gos2_spark.spark.joins import distance_join
+
+    b = points.where(F.col("lat") > 30.0).withColumnRenamed("url", "bid")
+    got = distance_join(
+        points, 5.0, points_b=b, b_key="bid", broadcast_b=True
+    ).collect()
+    rows_a = points.select("url", "lat", "lng").collect()
+    rows_b = [r for r in rows_a if r.lat > 30.0]
+    lat_b = np.radians(np.array([r.lat for r in rows_b]))
+    lng_b = np.radians(np.array([r.lng for r in rows_b]))
+    bx = np.cos(lng_b) * np.cos(lat_b)
+    by = np.sin(lng_b) * np.cos(lat_b)
+    bz = np.sin(lat_b)
+    want = set()
+    for ra in rows_a:
+        la, ga = math.radians(ra.lat), math.radians(ra.lng)
+        x, y, z = math.cos(ga) * math.cos(la), math.sin(ga) * math.cos(la), math.sin(la)
+        cx = y * bz - z * by
+        cy = z * bx - x * bz
+        cz = x * by - y * bx
+        d = np.arctan2(np.sqrt(cx * cx + cy * cy + cz * cz), x * bx + y * by + z * bz)
+        for k in np.nonzero(d <= math.radians(5.0))[0]:
+            want.add((ra.url, rows_b[k].url))
+    assert {(r.key_a, r.key_b) for r in got} == want
+    assert len(got) > 0
