@@ -740,6 +740,46 @@ def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+_RASTER_LEVEL = 8
+
+
+def _q_rasterize_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed center-mode rasterization (raster<->vector, north_rule):
+    every level-8 cell whose center is inside a tile. The oracle enumerates
+    the same global grid from (face, bi, bj) coordinates — closed-form
+    centers + forward Hilbert encode in SQL — a fully independent path from
+    the engine's codegen id enumeration + inverse-Hilbert decode + exact
+    refine."""
+    from gos2_spark.spark.raster import rasterize_centers
+
+    out = rasterize_centers(spark, _tileset(32), _RASTER_LEVEL)
+    return out.orderBy("tile_id", "cell_id")
+
+
+def _q_raster_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector round-trip (rows-only: driver-side boolean-op
+    geometry): intersect-mode cell counts per tile + the area of the
+    vectorized polygon of a 48-cell interior block."""
+    from gos2_spark.spark.raster import rasterize_intersect, vectorize_cells
+
+    ts = _tileset(32)
+    rows = []
+    cells = rasterize_intersect(ts, 7)
+    for tid in ts.tile_ids():
+        mine = [(cid, i) for t, cid, i in cells if t == tid]
+        interior = sorted(c for c, i in mine if i)[:48]
+        poly = vectorize_cells(interior)
+        rows.append((
+            str(tid), len(mine), sum(1 for _, i in mine if i),
+            len(poly.loops),
+            round(sum(l.area() for l in poly.loops), 9),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "tile_id string, n_cells int, n_interior int, n_loops int, block_area_sr double",
+    ).orderBy("tile_id")
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -790,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join_pairs": _q_distance_join,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "polygon_overlap_relations": _q_polygon_overlap,
+        "rasterize_centers_l8": _q_rasterize_centers,
+        "raster_vector_roundtrip": _q_raster_vector_roundtrip,
     }
 
 
@@ -872,6 +914,66 @@ def _edge_distance_oracle_sql() -> str:
             (x - {b1}) * (x - {b1}) + (y - {b2}) * (y - {b2}) + (z - {b3}) * (z - {b3})))))
           END, 9) AS edge_dist_rad
         FROM xyz ORDER BY key
+    """
+
+
+def _rasterize_oracle_sql(level: int) -> str:
+    """Full-grid oracle for center-mode rasterization: enumerate all
+    6 * 4^level cells as (face, bi, bj), compute the closed-form center
+    st = (2b+1)/2^(level+1) -> quadratic uv -> face xyz, test membership
+    with the convex tiles' edge-normal signs, and produce the cell id by
+    forward Hilbert encode of the corner leaf + parent-at-level — sharing
+    no code path with the engine's inverse-Hilbert decode."""
+    from gos2_spark.pipeline.duckdb_oracles import _hilbert_rounds
+
+    n = 1 << level
+    size = 1 << (30 - level)
+    lsb = 1 << (2 * (30 - level))
+    half = float(1 << (level + 1))
+    unions = []
+    for tid in sorted(_TILES):
+        conds = " AND ".join(
+            f"(({nx!r}) * x + ({ny!r}) * y + ({nz!r}) * z) > 0"
+            for nx, ny, nz in _edge_normals(_TILES[tid])
+        )
+        unions.append(
+            f"SELECT '{tid}' AS tile_id, face, i, j FROM gxyz WHERE {conds}"
+        )
+    rounds, final = _hilbert_rounds("hits", ["tile_id"], "rr")
+    return f"""
+        WITH g AS (
+          SELECT f.range AS face, bi.range AS bi, bj.range AS bj
+          FROM range(6) f, range({n}) bi, range({n}) bj
+        ),
+        gst AS (
+          SELECT face, bi, bj,
+                 (2 * bi + 1) / {half!r} AS si,
+                 (2 * bj + 1) / {half!r} AS ti
+          FROM g
+        ),
+        guv AS (
+          SELECT face, bi, bj,
+                 CASE WHEN si >= 0.5 THEN (1.0 / 3.0) * (4.0 * si * si - 1.0)
+                      ELSE (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - si) * (1.0 - si)) END AS u,
+                 CASE WHEN ti >= 0.5 THEN (1.0 / 3.0) * (4.0 * ti * ti - 1.0)
+                      ELSE (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - ti) * (1.0 - ti)) END AS v
+          FROM gst
+        ),
+        gxyz AS (
+          SELECT face, bi * {size} AS i, bj * {size} AS j,
+            CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+                      WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS x,
+            CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+                      WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS y,
+            CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+                      WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS z
+          FROM guv
+        ),
+        hits AS ({" UNION ALL ".join(unions)}),
+        {rounds}
+        SELECT tile_id,
+               (((2 * (n - 4611686018427387904) + 1) & -{lsb}) | {lsb}) AS cell_id
+        FROM {final} ORDER BY tile_id, cell_id
     """
 
 
@@ -1127,5 +1229,11 @@ def oracle_sql() -> dict[str, str]:
         # and are embedded as literals; buckets + any-band join + cosine
         # rerank are plain SQL:
         "embedding_ann_lsh": _DO.ann_lsh_oracle_sql(),
-        # rows-only (driver-side clip geometry): polygon_boolean_areas.
+        # center-mode rasterization: independent full-grid enumeration +
+        # forward Hilbert encode in SQL (engine: codegen id enumeration +
+        # inverse-Hilbert decode + exact refine):
+        "rasterize_centers_l8": _rasterize_oracle_sql(_RASTER_LEVEL),
+        # rows-only (driver-side clip geometry): polygon_boolean_areas,
+        # raster_vector_roundtrip, polygon_overlap_relations; rows-only
+        # (approximate by construction): embedding_ann_ivf.
     }

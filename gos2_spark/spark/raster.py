@@ -1,0 +1,176 @@
+"""Raster <-> vector over the S2 cell grid (north_rule: "raster<->vector").
+
+Rasterization = polygon tiles -> fixed-level cell grid:
+
+- ``rasterize_centers``: DISTRIBUTED center-mode rasterization (the GDAL
+  default semantics): a level-L cell belongs to a tile iff its center point
+  is inside the tile's polygon. The global level-L grid is enumerated as
+  ``spark.range(6 * 4**L)`` — level-L ids are contiguous in Hilbert order,
+  ``id_k = (2k+1) * lsb`` (ChildBeginAtLevel/Next, cellid.go:325-360) — so
+  generation is pure codegen arithmetic, pruned by a covering-range
+  intersect prefilter before any Python runs. Centers come from the
+  inverse-Hilbert decode kernel and membership from the exact
+  crossing-parity refine (loop.go:532-558).
+
+- ``rasterize_intersect``: driver-side intersect-mode rasterization: all
+  level-L cells that MAY intersect the tile, labeled interior/boundary —
+  the denormalized-covering expansion (Cell.may_intersect / contains
+  callbacks, the coverer's terminal tests, regioncoverer.go:70-96).
+
+Vectorization = cell set -> polygon outline:
+
+- ``vectorize_cells``: union of the cells' boundary loops via the
+  smallest-pair-first n-way union (polygon.go:531-564) over
+  Polygon.from_cell pieces. At engine scale the same op runs as a GROUP BY
+  cell-prefix + per-group driver union (see destructive_union docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geometry import Polygon
+from ..geometry.cell import Cell
+from ..geometry.boolean_ops import destructive_union
+from ..kernels import hilbert as H
+from .joins import TileSet
+
+
+def level_cell_ids_df(spark: SparkSession, level: int) -> DataFrame:
+    """All ``6 * 4**level`` level-``level`` cell ids (biased signed int64)
+    as a distributed DataFrame — pure codegen arithmetic, no Python.
+
+    biased(id_k) = (2k+1)*lsb - 2^63 = (2k + 1 - 2^(2L+3)) * lsb, which
+    stays inside signed-int64 range for every k.
+    """
+    lsb = 1 << (2 * (30 - level))
+    c = 1 << (2 * level + 3)
+    return spark.range(6 * (4 ** level)).selectExpr(
+        f"CAST((2 * id + 1 - {c}) * {lsb} AS BIGINT) AS cell_id"
+    )
+
+
+def rasterize_centers(
+    spark: SparkSession, tileset: TileSet, level: int
+) -> DataFrame:
+    """(tile_id, cell_id) for every level-``level`` cell whose CENTER point
+    lies inside the tile polygon (center-mode rasterization).
+
+    Plan: grid enumeration -> codegen range-INTERSECT prefilter (a level-L
+    cell can only contain an inside center if its leaf range touches the
+    tile covering) -> broadcast range join to covering cells for the tile
+    label -> dedupe -> inverse-Hilbert centers + exact refine. Fully
+    distributed; the only Python is the Arrow-batched decode/refine kernels
+    on prefilter survivors.
+    """
+    from .functions import s2_cell_lat, s2_cell_lng
+
+    art = tileset.spark_artifacts(spark)
+    cov = art["cov"]
+    refine = art["refine"]
+    k = (1 << (2 * (30 - level))) - 1  # lsb - 1: half-range of an L-cell
+
+    cells = level_cell_ids_df(spark, level)
+    pre = F.expr(
+        " OR ".join(
+            f"(cell_id + {k} >= {lo} AND cell_id - {k} <= {hi})"
+            for lo, hi in art["ranges"]
+        )
+        or "false"
+    )
+    cells = cells.where(pre)
+
+    # broadcast range join: L-cell leaf-range intersects covering range.
+    # is_interior holds when the covering cell fully contains the L-cell
+    # (then the center is inside with no geometry work); a cell may touch
+    # several covering cells of one tile -> aggregate before refining.
+    joined = cells.join(
+        F.broadcast(cov),
+        (F.col("cell_id") + k >= F.col("cov_rmin"))
+        & (F.col("cell_id") - k <= F.col("cov_rmax")),
+        "inner",
+    ).select(
+        "cell_id",
+        "tile_idx",
+        (
+            F.col("is_interior")
+            & (F.col("cov_rmin") <= F.col("cell_id") - k)
+            & (F.col("cell_id") + k <= F.col("cov_rmax"))
+        ).alias("covered"),
+    )
+    cand = joined.groupBy("cell_id", "tile_idx").agg(
+        F.max("covered").alias("covered")
+    )
+    cand = cand.withColumn("lat", s2_cell_lat(F.col("cell_id"))).withColumn(
+        "lng", s2_cell_lng(F.col("cell_id"))
+    )
+    matched = (
+        cand.withColumn(
+            "inside",
+            refine(F.col("tile_idx"), F.col("lat"), F.col("lng"), F.col("covered")),
+        )
+        .where(F.col("inside"))
+    )
+    name_arr = F.array(*[F.lit(str(t)) for t in tileset.tile_ids()])
+    return matched.select(
+        F.element_at(name_arr, F.col("tile_idx") + 1).alias("tile_id"),
+        "cell_id",
+    )
+
+
+def rasterize_intersect(
+    tileset: TileSet, level: int
+) -> list[tuple[str, int, bool]]:
+    """Driver-side intersect-mode rasterization: sorted
+    (tile_id, cell_id_unsigned, is_interior) for every level-``level`` cell
+    that may intersect each tile. Covering cells shallower than the target
+    expand child-by-child with the region callbacks; deeper covering cells
+    lift to their level-``level`` parent (boundary label)."""
+    out: list[tuple[str, int, bool]] = []
+    for tile_id in tileset.tile_ids():
+        t = tileset.tiles[tile_id]
+        poly = t["poly"]
+        seen: dict[int, bool] = {}
+        stack: list[int] = []
+        for cid in t["covering"].ids:
+            lvl = H.level_scalar(cid)
+            if lvl > level:
+                pid = int(H.parent(np.array([cid], dtype=np.uint64), level)[0])
+                if pid not in seen:
+                    seen[pid] = False  # boundary: contains a boundary child
+            else:
+                stack.append(cid)
+        while stack:
+            cid = stack.pop()
+            cell = Cell(cid)
+            lvl = H.level_scalar(cid)
+            if lvl == level:
+                if poly.contains_cell(cell):
+                    seen[cid] = True
+                elif poly.may_intersect_cell(cell):
+                    if cid not in seen:
+                        seen[cid] = False
+                continue
+            if poly.contains_cell(cell):
+                # whole subtree interior: enumerate its level-L descendants
+                lo = H.child_begin_at_level(np.array([cid], dtype=np.uint64), level)[0]
+                hi = H.child_end_at_level(np.array([cid], dtype=np.uint64), level)[0]
+                step = np.uint64(2) * np.uint64(H.lsb_for_level(level))
+                for c in range(int(lo), int(hi), int(step)):
+                    seen[c] = True
+                continue
+            if poly.may_intersect_cell(cell):
+                stack.extend(cell.children())
+        out.extend((str(tile_id), cid, interior) for cid, interior in seen.items())
+    return sorted(out)
+
+
+def vectorize_cells(cell_ids: list[int], vertex_merge_radius: float | None = None) -> Polygon:
+    """Cell set -> boundary polygon: n-way union of the cells' 4-vertex
+    boundary loops (raster -> vector). Input ids are unsigned cell ids."""
+    pieces = [Polygon.from_cell(Cell(int(c))) for c in cell_ids]
+    if vertex_merge_radius is None:
+        return destructive_union(pieces)
+    return destructive_union(pieces, vertex_merge_radius)
