@@ -597,11 +597,24 @@ def distance_join(
     else:
         b_key = b_key or point_key
 
+    if radius_rad > MIN_WIDTH.value(0):
+        # radius exceeds the level-0 MinWidth (~54 deg): the 3x3 adjacency
+        # guarantee no longer holds, so block on ALL 6 faces (A replicates
+        # 6x == a cross join expressed through the same machinery).
+        face_ids = F.array(
+            *[F.lit(b) for b in _biased([(2 * f + 1) << 60 for f in range(6)])]
+        )
+        blk = F.explode(face_ids).alias("_blk")
+    else:
+        blk = F.explode(
+            s2_neighborhood(F.col(cell_col), F.lit(level))
+        ).alias("_blk")
+
     a = points_a.select(
         F.col(point_key).alias("key_a"),
         F.col("lat").alias("lat_a"),
         F.col("lng").alias("lng_a"),
-        F.explode(s2_neighborhood(F.col(cell_col), F.lit(level))).alias("_blk"),
+        blk,
     )
     b = points_b.select(
         F.col(b_key).alias("key_b"),

@@ -303,3 +303,19 @@ def test_distance_join_two_sided_broadcast(spark, points):
             want.add((ra.url, rows_b[k].url))
     assert {(r.key_a, r.key_b) for r in got} == want
     assert len(got) > 0
+
+
+def test_distance_join_large_radius_global(spark, points):
+    """Radius beyond level-0 MinWidth (~54 deg) falls back to all-faces
+    blocking; result still equals brute force exactly."""
+    from gos2_spark.spark.joins import distance_join
+
+    sub = points.where(F.col("url").substr(-1, 1) == "0")  # ~1/10th sample
+    got = {
+        (r.key_a, r.key_b): r.dist_rad
+        for r in distance_join(sub, 80.0).collect()
+    }
+    rows = sub.select("url", "lat", "lng").collect()
+    want = _brute_pairs(rows, math.radians(80.0))
+    assert set(got) == set(want)
+    assert len(got) > 0
