@@ -924,7 +924,7 @@ def _rasterize_oracle_sql(level: int) -> str:
     with the convex tiles' edge-normal signs, and produce the cell id by
     forward Hilbert encode of the corner leaf + parent-at-level — sharing
     no code path with the engine's inverse-Hilbert decode."""
-    from gos2_spark.pipeline.duckdb_oracles import _hilbert_rounds
+    from gos2_spark.pipeline.duckdb_oracles import _biased_leaf, _hilbert_rounds
 
     n = 1 << level
     size = 1 << (30 - level)
@@ -972,7 +972,7 @@ def _rasterize_oracle_sql(level: int) -> str:
         hits AS ({" UNION ALL ".join(unions)}),
         {rounds}
         SELECT tile_id,
-               (((2 * (n - 4611686018427387904) + 1) & -{lsb}) | {lsb}) AS cell_id
+               (({_biased_leaf("n")} & -{lsb}) | {lsb}) AS cell_id
         FROM {final} ORDER BY tile_id, cell_id
     """
 

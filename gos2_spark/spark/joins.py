@@ -580,6 +580,11 @@ def distance_join(
     ``points_b=None`` -> self-join, deduped to key_a < key_b.
     ``broadcast_b`` hints the B side when it is dimension-sized.
 
+    ``cell_col`` must hold LEAF cell ids (as produced by geoparsed_pages /
+    s2_cellid — the engine-wide convention for point tables): Parent() on a
+    cell COARSER than the blocking level returns a descendant, not an
+    ancestor, which would silently mis-block pairs.
+
     Output: (key_a, key_b, dist_rad).
     """
     import math
@@ -593,9 +598,7 @@ def distance_join(
     self_join = points_b is None
     if self_join:
         points_b = points_a
-        b_key = b_key or point_key
-    else:
-        b_key = b_key or point_key
+    b_key = b_key or point_key
 
     if radius_rad > MIN_WIDTH.value(0):
         # radius exceeds the level-0 MinWidth (~54 deg): the 3x3 adjacency
