@@ -113,3 +113,49 @@ def test_pages_source_fallback_roundtrip(spark, tmp_path):
     write_pages(synth_pages(spark, 10), loc, mode="append")
     assert input_fingerprint(spark, loc) != f1
     assert read_pages(spark, loc).count() == 110
+
+
+def test_distance_join_skewed_cities_exact(spark):
+    """Within-radius self-join stays exact on the clustered city mixture
+    (hot blocking cells; AQE skew-join splits the quadratic block work).
+    Checked by full brute force against a 150-point probe set."""
+    import math
+
+    from gos2_spark.spark.joins import distance_join
+
+    pts = geoparsed_pages(synth_pages(spark, 20_000)).cache()
+    rows = pts.select("url", "lat", "lng").collect()
+    radius_deg = 0.4  # inside a city blob (~0.15 deg spread -> dense pairs)
+
+    lat = np.radians(np.array([r.lat for r in rows]))
+    lng = np.radians(np.array([r.lng for r in rows]))
+    x = np.cos(lng) * np.cos(lat)
+    y = np.sin(lng) * np.cos(lat)
+    z = np.sin(lat)
+    urls = [r.url for r in rows]
+    rng = np.random.default_rng(11)
+    probe = rng.choice(len(rows), size=150, replace=False)
+    probe_urls = {urls[i] for i in probe}
+
+    # the full join runs distributed; only probe-involved pairs come back
+    joined = distance_join(pts, radius_deg)
+    got = joined.where(
+        F.col("key_a").isin(probe_urls) | F.col("key_b").isin(probe_urls)
+    ).collect()
+    got_by_url: dict[str, set] = {}
+    for r in got:
+        got_by_url.setdefault(r.key_a, set()).add(r.key_b)
+        got_by_url.setdefault(r.key_b, set()).add(r.key_a)
+    n_checked_pairs = 0
+    for i in probe:
+        cx = y[i] * z - z[i] * y
+        cy = z[i] * x - x[i] * z
+        cz = x[i] * y - y[i] * x
+        d = np.arctan2(
+            np.sqrt(cx * cx + cy * cy + cz * cz), x[i] * x + y[i] * y + z[i] * z
+        )
+        want = {urls[j] for j in np.nonzero(d <= math.radians(radius_deg))[0] if j != i}
+        assert got_by_url.get(urls[i], set()) == want, urls[i]
+        n_checked_pairs += len(want)
+    assert n_checked_pairs > 0  # city probes must actually have neighbors
+    pts.unpersist()
