@@ -613,16 +613,24 @@ def distance_join(
             s2_neighborhood(F.col(cell_col), F.lit(level))
         ).alias("_blk")
 
+    # project each input row to unit xyz ONCE (the exact expressions
+    # distance_rad_sql would emit, so downstream floats are bit-identical)
+    # — per-CANDIDATE work after the join is then pure multiply-add: the
+    # 10-trig-op per-pair evaluation dominated dense runs (measured on the
+    # 1.15B-pair city workload).
+    def _xyz_cols(suffix: str):
+        rl, rg = F.radians(F.col("lat")), F.radians(F.col("lng"))
+        return [
+            (F.cos(rg) * F.cos(rl)).alias(f"x{suffix}"),
+            (F.sin(rg) * F.cos(rl)).alias(f"y{suffix}"),
+            (F.sin(rl)).alias(f"z{suffix}"),
+        ]
+
     a = points_a.select(
-        F.col(point_key).alias("key_a"),
-        F.col("lat").alias("lat_a"),
-        F.col("lng").alias("lng_a"),
-        blk,
+        F.col(point_key).alias("key_a"), *_xyz_cols("a"), blk,
     )
     b = points_b.select(
-        F.col(b_key).alias("key_b"),
-        F.col("lat").alias("lat_b"),
-        F.col("lng").alias("lng_b"),
+        F.col(b_key).alias("key_b"), *_xyz_cols("b"),
         s2_parent_sql(F.col(cell_col), level).alias("_blk"),
     )
     if broadcast_b:
@@ -630,12 +638,27 @@ def distance_join(
     pairs = a.join(b, on="_blk", how="inner").drop("_blk")
     if self_join:
         pairs = pairs.where(F.col("key_a") < F.col("key_b"))
+
+    # chord-squared prefilter: |a-b|^2 = (2 sin(theta/2))^2 is monotone in
+    # the angle, so theta <= r  <=>  chord^2 <= (2 sin(r/2))^2. A 1e-9
+    # relative slack absorbs float rounding; the canonical atan2 test then
+    # decides the exact boundary on the (tiny) surviving band only.
+    chord2_limit = (2.0 * math.sin(0.5 * radius_rad)) ** 2 * (1.0 + 1e-9)
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dz = F.col("za") - F.col("zb")
+    pairs = pairs.where(dx * dx + dy * dy + dz * dz <= F.lit(chord2_limit))
+
+    cx = F.col("ya") * F.col("zb") - F.col("za") * F.col("yb")
+    cy = F.col("za") * F.col("xb") - F.col("xa") * F.col("zb")
+    cz = F.col("xa") * F.col("yb") - F.col("ya") * F.col("xb")
+    dot = (
+        F.col("xa") * F.col("xb") + F.col("ya") * F.col("yb")
+        + F.col("za") * F.col("zb")
+    )
     return (
         pairs.withColumn(
-            "dist_rad",
-            distance_rad_sql(
-                F.col("lat_a"), F.col("lng_a"), F.col("lat_b"), F.col("lng_b")
-            ),
+            "dist_rad", F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
         )
         .where(F.col("dist_rad") <= F.lit(radius_rad))
         .select("key_a", "key_b", "dist_rad")
