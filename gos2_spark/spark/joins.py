@@ -437,6 +437,31 @@ def distance_rad_sql(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> 
     return F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), ax * bx + ay * by + az * bz)
 
 
+def _with_query_xyz(q_df: DataFrame) -> DataFrame:
+    """Unit xyz of (qlat, qlng) as columns — the exact expressions
+    distance_rad_sql emits for its first argument pair, evaluated once per
+    (tiny, broadcast) query row instead of per candidate."""
+    rl, rg = F.radians(F.col("qlat")), F.radians(F.col("qlng"))
+    return (
+        q_df.withColumn("_qx", F.cos(rg) * F.cos(rl))
+        .withColumn("_qy", F.sin(rg) * F.cos(rl))
+        .withColumn("_qz", F.sin(rl))
+    )
+
+
+def _dist_from_xyz() -> Column:
+    """atan2(|q x p|, q . p) from precomputed xyz columns — float-identical
+    to distance_rad_sql(qlat, qlng, lat, lng)."""
+    cx = F.col("_qy") * F.col("_pz") - F.col("_qz") * F.col("_py")
+    cy = F.col("_qz") * F.col("_px") - F.col("_qx") * F.col("_pz")
+    cz = F.col("_qx") * F.col("_py") - F.col("_qy") * F.col("_px")
+    dot = (
+        F.col("_qx") * F.col("_px") + F.col("_qy") * F.col("_py")
+        + F.col("_qz") * F.col("_pz")
+    )
+    return F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
+
+
 def knn_join(
     points: DataFrame,
     queries: list[tuple[object, float, float]],
@@ -469,7 +494,15 @@ def knn_join(
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
 
     # the doubling loop re-scans ``points`` once per round — cache it for
-    # the loop's duration (unless the caller already persisted it)
+    # the loop's duration (unless the caller already persisted it), with
+    # unit-xyz projected ONCE per point (the same trig-per-candidate cut as
+    # distance_join: the exact-distance stage then runs pure multiply-add)
+    rl, rg = F.radians(F.col("lat")), F.radians(F.col("lng"))
+    points = (
+        points.withColumn("_px", F.cos(rg) * F.cos(rl))
+        .withColumn("_py", F.sin(rg) * F.cos(rl))
+        .withColumn("_pz", F.sin(rl))
+    )
     own_cache = points.storageLevel.useMemory is False and points.storageLevel.useDisk is False
     if own_cache:
         points = points.persist()
@@ -508,17 +541,18 @@ def knn_join(
             rmin, rmax = cov.ranges()
             for lo, hi in zip(_biased(rmin), _biased(rmax)):
                 rows.append((str(qid), float(qlat), float(qlng), lo, hi))
-        cov_df = spark.createDataFrame(
+        cov_df = _with_query_xyz(spark.createDataFrame(
             rows, "qid string, qlat double, qlng double, cov_rmin long, cov_rmax long"
-        )
+        ))
         cand = points.join(
             F.broadcast(cov_df),
             (F.col(cell_col) >= F.col("cov_rmin")) & (F.col(cell_col) <= F.col("cov_rmax")),
             "inner",
         ).drop("cov_rmin", "cov_rmax").withColumn(
-            "dist_rad",
-            distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
-        ).where(F.col("dist_rad") <= math.radians(radius))
+            "dist_rad", _dist_from_xyz()
+        ).where(F.col("dist_rad") <= math.radians(radius)).drop(
+            "_qx", "_qy", "_qz", "_px", "_py", "_pz"
+        )
 
         topk = _topk(cand)
         if schema is None:
@@ -535,11 +569,12 @@ def knn_join(
         if radius > 180.0 and pending:
             # final full pass for under-populated queries: no covering filter
             rows = [(str(qid), float(qlat), float(qlng)) for qid, (qlat, qlng) in pending.items()]
-            q_df = spark.createDataFrame(rows, "qid string, qlat double, qlng double")
-            cand = points.crossJoin(F.broadcast(q_df)).withColumn(
-                "dist_rad",
-                distance_rad_sql(F.col("qlat"), F.col("qlng"), F.col("lat"), F.col("lng")),
+            q_df = _with_query_xyz(
+                spark.createDataFrame(rows, "qid string, qlat double, qlng double")
             )
+            cand = points.crossJoin(F.broadcast(q_df)).withColumn(
+                "dist_rad", _dist_from_xyz()
+            ).drop("_qx", "_qy", "_qz", "_px", "_py", "_pz")
             topk = _topk(cand)
             if schema is None:
                 schema = topk.schema
