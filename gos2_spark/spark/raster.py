@@ -52,18 +52,55 @@ def level_cell_ids_df(spark: SparkSession, level: int) -> DataFrame:
     )
 
 
+def level_cells_intersecting_ranges_df(
+    spark: SparkSession, ranges_biased: list[tuple[int, int]], level: int
+) -> DataFrame:
+    """Level-``level`` cells whose leaf range INTERSECTS any of the given
+    biased (lo, hi) ranges — enumerated directly per range (union of
+    ``spark.range`` fragments over the Hilbert index k), so work is
+    proportional to the covered area, never to the 6*4^L global grid.
+    Overlapping expansions may emit a cell twice; consumers dedupe."""
+    lsb = 1 << (2 * (30 - level))
+    step = 2 * lsb
+    c = 1 << (2 * level + 3)
+    n_total = 6 * (4 ** level)
+    frags = []
+    for lo, hi in ranges_biased:
+        # unbias, widen by the cell half-range (intersect semantics), then
+        # bound the Hilbert index k of cells with id (2k+1)*lsb in range
+        ulo = max(0, (lo + (1 << 63)) - (lsb - 1))
+        uhi = min(6 << 61, (hi + (1 << 63)) + (lsb - 1))
+        k0 = max(0, (ulo - lsb + step - 1) // step)
+        k1 = min(n_total - 1, (uhi - lsb) // step)
+        if k1 >= k0:
+            frags.append(
+                spark.range(k0, k1 + 1).selectExpr(
+                    f"CAST((2 * id + 1 - {c}) * {lsb} AS BIGINT) AS cell_id"
+                )
+            )
+    if not frags:
+        return level_cell_ids_df(spark, level).limit(0)
+    out = frags[0]
+    for f in frags[1:]:
+        out = out.union(f)
+    return out
+
+
 def rasterize_centers(
-    spark: SparkSession, tileset: TileSet, level: int
+    spark: SparkSession, tileset: TileSet, level: int, grid: str = "pruned"
 ) -> DataFrame:
     """(tile_id, cell_id) for every level-``level`` cell whose CENTER point
     lies inside the tile polygon (center-mode rasterization).
 
-    Plan: grid enumeration -> codegen range-INTERSECT prefilter (a level-L
-    cell can only contain an inside center if its leaf range touches the
-    tile covering) -> broadcast range join to covering cells for the tile
-    label -> dedupe -> inverse-Hilbert centers + exact refine. Fully
-    distributed; the only Python is the Arrow-batched decode/refine kernels
-    on prefilter survivors.
+    Plan: cell enumeration -> broadcast range join to covering cells for
+    the tile label -> dedupe -> inverse-Hilbert centers + exact refine.
+    Fully distributed; the only Python is the Arrow-batched decode/refine
+    kernels on candidate cells.
+
+    ``grid="pruned"`` (default) enumerates only cells intersecting the
+    tileset's coarsened covering ranges — O(covered area), the scale path
+    for deep levels. ``grid="global"`` enumerates all 6*4^L cells and
+    filters with a codegen prefilter — the oracle-simple reference path.
     """
     from .functions import s2_cell_lat, s2_cell_lng
 
@@ -72,15 +109,20 @@ def rasterize_centers(
     refine = art["refine"]
     k = (1 << (2 * (30 - level))) - 1  # lsb - 1: half-range of an L-cell
 
-    cells = level_cell_ids_df(spark, level)
-    pre = F.expr(
-        " OR ".join(
-            f"(cell_id + {k} >= {lo} AND cell_id - {k} <= {hi})"
-            for lo, hi in art["ranges"]
+    if grid == "pruned":
+        cells = level_cells_intersecting_ranges_df(spark, art["ranges"], level)
+    elif grid == "global":
+        cells = level_cell_ids_df(spark, level)
+        pre = F.expr(
+            " OR ".join(
+                f"(cell_id + {k} >= {lo} AND cell_id - {k} <= {hi})"
+                for lo, hi in art["ranges"]
+            )
+            or "false"
         )
-        or "false"
-    )
-    cells = cells.where(pre)
+        cells = cells.where(pre)
+    else:
+        raise ValueError(f"unknown grid {grid!r}")
 
     # broadcast range join: L-cell leaf-range intersects covering range.
     # is_interior holds when the covering cell fully contains the L-cell

@@ -102,3 +102,38 @@ def test_vectorize_cells_roundtrip(tileset):
         lat, lng = PJ.cellid_to_latlng(np.array([cid], dtype=np.uint64))
         x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
         assert poly.contains_point((float(x[0]), float(y[0]), float(z[0])))
+
+
+def test_rasterize_pruned_equals_global(spark, tileset):
+    """Range-pruned enumeration (the deep-level scale path) produces the
+    exact same rasterization as the global-grid reference path."""
+    lvl = 9
+    a = sorted(
+        (r.tile_id, r.cell_id)
+        for r in rasterize_centers(spark, tileset, lvl, grid="pruned").collect()
+    )
+    b = sorted(
+        (r.tile_id, r.cell_id)
+        for r in rasterize_centers(spark, tileset, lvl, grid="global").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_rasterize_pruned_deep_level(spark):
+    """A small tile at level 14 — infeasible for the global grid (6*4^14 =
+    1.6B rows) but cheap for pruned enumeration; cross-checked against the
+    driver-side intersect-mode + center-containment oracle."""
+    ts = TileSet({"small": Loop.regular(48.8566, 2.3522, 0.05, 12)}, max_cells=16)
+    lvl = 14
+    got = {
+        (r.tile_id, _unbias(r.cell_id))
+        for r in rasterize_centers(spark, ts, lvl).collect()
+    }
+    want = set()
+    for tid, cid, _interior in rasterize_intersect(ts, lvl):
+        lat, lng = PJ.cellid_to_latlng(np.array([cid], dtype=np.uint64))
+        x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+        if ts.tiles[tid]["poly"].contains_point((float(x[0]), float(y[0]), float(z[0]))):
+            want.add((tid, cid))
+    assert got == want
+    assert len(got) > 50
