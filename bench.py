@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pip_anti_join",
     "knn_join",
     "distance_join_pairs",
+    "rasterize_centers_l8",
     "cell_counts_l5",
     "cell_center_latlng",
     "edge_distance",
