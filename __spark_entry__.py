@@ -422,6 +422,25 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting ([A-Za-z]+|[0-9]+|punct) per language —
+    the second token-counting mode the training-data pipeline needs beyond
+    whitespace splitting (text_stats)."""
+    from gos2_spark.pipeline.text import bpe_ish_token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", bpe_ish_token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.max("n_tok").alias("max_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force dot-product top-5 vs vec_id 0."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -832,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlap_relations": _q_polygon_overlap,
         "rasterize_centers_l8": _q_rasterize_centers,
         "raster_vector_roundtrip": _q_raster_vector_roundtrip,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 
@@ -1062,6 +1082,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id < 50
             QUALIFY rk <= 3
             ORDER BY user_id, rk
+        """,
+        "bpe_token_counts": r"""
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tok) AS total_bpe_tokens,
+                   max(n_tok) AS max_bpe_tokens
+            FROM t GROUP BY lang ORDER BY lang
         """,
         "word_jaccard_adjacent": _jaccard_oracle_sql(1),
         "trigram_jaccard_adjacent": _jaccard_oracle_sql(3),
