@@ -56,6 +56,29 @@ def streaming_tile_counts(
     )
 
 
+def streaming_first_seen_dedup(
+    pages_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    watermark: str = "24 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """First-seen streaming dedup: keep the first arrival per key, drop
+    re-crawls/duplicates arriving within the watermark horizon.
+
+    The streaming counterpart of pipeline.dedup.exact_dedup, built on the
+    native stateful operator (dropDuplicatesWithinWatermark) so state is
+    BOUNDED by event time — a plain dropDuplicates would grow state
+    forever on an unbounded crawl. Dedup by content instead of url by
+    adding a hash column first (e.g. md5(text)) and passing it here.
+    """
+    out = pages_stream.withWatermark(ts_col, watermark)
+    # bounded-state variant (Spark >= 3.5); the unbounded fallback keeps
+    # semantics for old runtimes but is not the 100-TB path
+    if hasattr(out, "dropDuplicatesWithinWatermark"):
+        return out.dropDuplicatesWithinWatermark(list(key_cols))
+    return out.dropDuplicates(list(key_cols))
+
+
 def run_to_memory(result: DataFrame, name: str = "tile_counts"):
     """Drive a streaming result into an in-memory table (tests/demos):
     returns the StreamingQuery; callers processAllAvailable() then read

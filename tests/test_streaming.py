@@ -49,3 +49,42 @@ def test_streaming_tile_counts_match_batch(spark, tmp_path):
     assert got == want
     assert sum(v for (_, t), v in got.items() if t == "nyc") > 0
     assert sum(v for (_, t), v in got.items() if t == "tokyo") > 0
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches are dropped (the
+    dedup operator is stateful across batches); output keys equal the
+    batch-mode distinct set."""
+    import shutil
+    from gos2_spark.spark.streaming import streaming_first_seen_dedup
+
+    src = str(tmp_path / "dup_stream")
+    synth_pages(spark, 3000, num_partitions=1).write.mode("overwrite").parquet(src)
+    # duplicate every row into a second file -> a later micro-batch
+    import glob, os
+    part = glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "part-duplicate.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    deduped = streaming_first_seen_dedup(stream, key_cols=("url",))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_test")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["url"] for r in spark.table("dedup_test").collect()]
+    finally:
+        q.stop()
+
+    n_in = spark.read.parquet(src).count()
+    want = {r["url"] for r in spark.read.parquet(src).select("url").distinct().collect()}
+    assert n_in == 2 * len(want)  # the stream really contained duplicates
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
