@@ -422,6 +422,31 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geoparse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-mention geoparse round-trip: format two coordinate mentions
+    per row into text, extract them ALL back with geoparse_all
+    (regexp_extract_all + higher-order array ops, no UDF); the oracle
+    regenerates the expected decimal-formatted values directly."""
+    from gos2_spark.spark.functions import geoparse_all
+
+    pts = _cust_points(spark, sf_dir)
+    text = F.format_string(
+        "Venue at %.6f, %.6f. Branch office at %.6f, %.6f nearby.",
+        F.col("lat"), F.col("lng"),
+        -F.col("lat") / 2.0, -F.col("lng") / 2.0,
+    )
+    out = pts.select("key", F.posexplode(geoparse_all(text)).alias("idx", "p"))
+    return (
+        out.select(
+            "key",
+            F.col("idx").cast("int").alias("idx"),
+            F.col("p.lat").alias("plat"),
+            F.col("p.lng").alias("plng"),
+        )
+        .orderBy("key", "idx")
+    )
+
+
 def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting ([A-Za-z]+|[0-9]+|punct) per language —
     the second token-counting mode the training-data pipeline needs beyond
@@ -852,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_centers_l8": _q_rasterize_centers,
         "raster_vector_roundtrip": _q_raster_vector_roundtrip,
         "bpe_token_counts": _q_bpe_token_counts,
+        "geoparse_multi": _q_geoparse_multi,
     }
 
 
@@ -1082,6 +1108,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id < 50
             QUALIFY rk <= 3
             ORDER BY user_id, rk
+        """,
+        # multi-mention geoparse round-trip: the oracle regenerates the
+        # %.6f-formatted values the engine's regex must recover:
+        "geoparse_multi": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL})
+            SELECT key, 0 AS idx,
+                   CAST(printf('%.6f', lat) AS DOUBLE) AS plat,
+                   CAST(printf('%.6f', lng) AS DOUBLE) AS plng
+            FROM pts
+            UNION ALL
+            SELECT key, 1 AS idx,
+                   CAST(printf('%.6f', -lat / 2.0) AS DOUBLE) AS plat,
+                   CAST(printf('%.6f', -lng / 2.0) AS DOUBLE) AS plng
+            FROM pts
+            ORDER BY key, idx
         """,
         "bpe_token_counts": r"""
             WITH t AS (

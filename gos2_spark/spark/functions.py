@@ -423,6 +423,26 @@ def geoparse(text: Column) -> Column:
     )
 
 
+def geoparse_all(text: Column) -> Column:
+    """[SQL] ALL lat/lng mentions in document order as
+    ``array<struct<lat,lng>>`` (the multi-mention geoparse surface of
+    SURVEY §2.8); pairs outside the lat/lng domain are dropped. Native
+    regexp_extract_all + higher-order functions — codegen, no UDF."""
+    ms = F.regexp_extract_all(text, F.lit(_GEO_RE), 0)
+    arr = F.transform(
+        ms,
+        lambda m: F.struct(
+            F.trim(F.split(m, ",").getItem(0)).cast("double").alias("lat"),
+            F.trim(F.split(m, ",").getItem(1)).cast("double").alias("lng"),
+        ),
+    )
+    return F.filter(
+        arr,
+        lambda p: (p["lat"] >= -90.0) & (p["lat"] <= 90.0)
+        & (p["lng"] >= -180.0) & (p["lng"] <= 180.0),
+    )
+
+
 def register_all(spark) -> None:
     """Register the surface for SQL use: SELECT s2_cellid(lat, lng) ..."""
     spark.udf.register("s2_cellid", s2_cellid)
