@@ -5,15 +5,17 @@ table, launched via spark-submit with the engine shipped as --py-files.
     spark-submit --master <cluster> --py-files /tmp/gos2_spark.zip \
         jobs/pip_tiling_job.py \
         --pages /data/pages_parquet --tiles tiles.json \
-        --output /data/pip_out --buckets 64 [--level 12] [--resume]
+        --output /data/pip_out --buckets 64 [--level 12]
 
 The job is resumable at bucket granularity (north_rule: "resumable from
 checkpoint with per-partition lineage + metrics"): pages are split into
 ``--buckets`` deterministic url-hash buckets — the stand-in for Iceberg
 partition values on a real warehouse — and each bucket runs as its own
 checkpointed Spark job writing ``partition=<b>`` output plus a manifest
-``(partition_id, rows_in, rows_out, t_start, t_end, lineage)``. Re-running
-with the same code version, params, and input skips completed buckets.
+``(partition_id, rows_in, rows_out, t_start, t_end, lineage)``. Resume is
+automatic: re-running with the same code version, params, and input skips
+buckets whose manifests validate; changing any of those invalidates the
+lineage hash and reruns everything.
 
 tiles.json accepts two shapes per tile id:
     {"nyc": {"regular": [40.71, -74.01, 1.5, 16]},
