@@ -70,12 +70,49 @@ class _MemoRegion:
         return v
 
 
+def _build_tile_entry(args):
+    """Per-tile build (coverer + interior classification) — module-level so
+    the parallel TileSet path can dispatch it to worker processes; the
+    computation is identical to the serial path (pure function of one
+    tile)."""
+    region, max_cells, min_level, max_level = args
+    from ..geometry.cell import Cell as _Cell
+
+    poly = Polygon.from_loop(region) if isinstance(region, Loop) else region
+    memo = _MemoRegion(poly)
+    coverer = RegionCoverer(min_level, max_level, 1, max_cells)
+    covering = coverer.cell_union_covering(memo)
+    # classify covering cells directly: fully-contained cells skip
+    # refinement (same ContainsCell test the coverer's terminal
+    # logic uses, regioncoverer.go:70-96)
+    interior_ids = [
+        cid for cid in covering.ids if memo.contains_cell(_Cell(cid))
+    ]
+    return {
+        "poly": poly,  # driver-side only; never broadcast
+        "covering": covering,
+        "interior": CellUnion(interior_ids),
+        "loops": [
+            (loop.vertices_array(), loop.origin_inside) for loop in poly.loops
+        ],
+        "bound": (
+            poly.rect_bound().lat.lo, poly.rect_bound().lat.hi,
+            poly.rect_bound().lng.lo, poly.rect_bound().lng.hi,
+        ),
+    }
+
+
 class TileSet:
     """Broadcast build side of the spatial join: per-tile coverings + loops.
 
     Built once on the driver from small polygon sets (the reference's
     in-memory Loop/Polygon world); ships to executors as plain numpy arrays
     inside a Spark broadcast.
+
+    ``workers``: per-tile builds are independent pure functions, so large
+    tile sets (the ~60ms/tile coverer + interior classification would cost
+    100 driver-minutes at 100k tiles) can fan out over a process pool with
+    results identical to the serial path. Default serial.
     """
 
     def __init__(
@@ -84,33 +121,21 @@ class TileSet:
         max_cells: int = 64,
         min_level: int = 0,
         max_level: int = 30,
+        workers: int | None = None,
     ):
-        self.tiles = {}
-        for tile_id, region in tiles.items():
-            poly = Polygon.from_loop(region) if isinstance(region, Loop) else region
-            memo = _MemoRegion(poly)
-            coverer = RegionCoverer(min_level, max_level, 1, max_cells)
-            covering = coverer.cell_union_covering(memo)
-            # classify covering cells directly: fully-contained cells skip
-            # refinement (same ContainsCell test the coverer's terminal
-            # logic uses, regioncoverer.go:70-96)
-            from ..geometry.cell import Cell as _Cell
+        items = list(tiles.items())
+        arg_list = [(r, max_cells, min_level, max_level) for _, r in items]
+        if workers and workers > 1 and len(items) > 1:
+            import concurrent.futures as _cf
 
-            interior_ids = [
-                cid for cid in covering.ids if memo.contains_cell(_Cell(cid))
-            ]
-            self.tiles[tile_id] = {
-                "poly": poly,  # driver-side only; never broadcast
-                "covering": covering,
-                "interior": CellUnion(interior_ids),
-                "loops": [
-                    (loop.vertices_array(), loop.origin_inside) for loop in poly.loops
-                ],
-                "bound": (
-                    poly.rect_bound().lat.lo, poly.rect_bound().lat.hi,
-                    poly.rect_bound().lng.lo, poly.rect_bound().lng.hi,
-                ),
-            }
+            with _cf.ProcessPoolExecutor(max_workers=workers) as pool:
+                entries = list(pool.map(
+                    _build_tile_entry, arg_list,
+                    chunksize=max(1, len(items) // (workers * 4)),
+                ))
+        else:
+            entries = [_build_tile_entry(a) for a in arg_list]
+        self.tiles = {tile_id: e for (tile_id, _), e in zip(items, entries)}
 
     def tile_ids(self) -> list:
         """Stable tile ordering; ``tile_idx`` columns index into this."""

@@ -319,3 +319,48 @@ def test_distance_join_large_radius_global(spark, points):
     want = _brute_pairs(rows, math.radians(80.0))
     assert set(got) == set(want)
     assert len(got) > 0
+
+
+def test_many_tiles_pip_join(spark, points):
+    """Production tiling shape: hundreds of tiles in ONE broadcast covering
+    join (not a join per tile). Probe rows verified against the driver-side
+    geometry oracle across all 200 tiles."""
+    rng = np.random.default_rng(23)
+    tiles = {}
+    for t in range(200):
+        lat = float(rng.uniform(-65, 65))
+        lng = float(rng.uniform(-180, 180))
+        tiles[f"t{t:03d}"] = Loop.regular(lat, lng, float(rng.uniform(0.5, 4.0)), 8)
+    ts = TileSet(tiles, max_cells=8)
+    got = point_in_polygon_join(points, ts, how="inner").collect()
+    got_pairs = {(r.url, r.tile_id) for r in got}
+    assert len(got_pairs) == len(got)  # no duplicate (point, tile) rows
+
+    rows = points.select("url", "lat", "lng").collect()
+    probe = [rows[i] for i in rng.choice(len(rows), size=120, replace=False)]
+    import math as m
+    from gos2_spark.geometry import _vec as V
+
+    for r in probe:
+        p = V.from_degrees(r.lat, r.lng)
+        want = {tid for tid, loop in tiles.items() if loop.contains(p)}
+        have = {tid for (u, tid) in got_pairs if u == r.url}
+        assert have == want, (r.url, have ^ want)
+
+
+def test_parallel_tileset_build_identical():
+    """TileSet(workers=N) builds identical coverings/interiors to serial."""
+    rng = np.random.default_rng(31)
+    tiles = {
+        f"t{t}": Loop.regular(
+            float(rng.uniform(-60, 60)), float(rng.uniform(-180, 180)),
+            float(rng.uniform(0.5, 3.0)), 10)
+        for t in range(24)
+    }
+    a = TileSet(tiles, max_cells=8)
+    b = TileSet(tiles, max_cells=8, workers=8)
+    assert set(a.tiles) == set(b.tiles)
+    for k in a.tiles:
+        assert a.tiles[k]["covering"].ids == b.tiles[k]["covering"].ids
+        assert a.tiles[k]["interior"].ids == b.tiles[k]["interior"].ids
+        assert a.tiles[k]["bound"] == b.tiles[k]["bound"]
