@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_tileset(spec_path: str, max_cells: int):
+def build_tileset(spec_path: str, max_cells: int, workers: int | None = None):
     from gos2_spark.geometry import Loop
     from gos2_spark.spark.joins import TileSet
 
@@ -50,7 +50,7 @@ def build_tileset(spec_path: str, max_cells: int):
             )
         else:
             raise ValueError(f"tile {tile_id!r}: need 'regular' or 'vertices'")
-    return TileSet(loops, max_cells=max_cells)
+    return TileSet(loops, max_cells=max_cells, workers=workers)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--level", type=int, default=None,
                    help="also emit the level-L cell per matched page")
     p.add_argument("--max-cells", type=int, default=32)
+    p.add_argument("--tile-workers", type=int, default=None,
+                   help="driver process pool for the TileSet build "
+                        "(large tile sets; identical results to serial)")
     p.add_argument("--code-version", default="r2")
     args = p.parse_args(argv)
 
@@ -80,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         "spark.sql.execution.arrow.pyspark.enabled", "true"
     ).getOrCreate()
 
-    tiles = build_tileset(args.tiles, args.max_cells)
+    tiles = build_tileset(args.tiles, args.max_cells, args.tile_workers)
     # Iceberg table identifier on a real cluster, parquet path here
     pages = read_pages(spark, args.pages)
 
