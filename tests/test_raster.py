@@ -165,3 +165,19 @@ def test_vectorize_distributed_matches_driver(spark, tileset):
         lat, lng = PJ.cellid_to_latlng(np.array([cid], dtype=np.uint64))
         x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
         assert dist.contains_point((float(x[0]), float(y[0]), float(z[0])))
+
+
+def test_rasterize_pruned_plan_no_global_range(spark, tileset):
+    """Pruned enumeration must generate only per-range Range sources (sum
+    of rows proportional to covered area), never the 6*4^L global grid."""
+    import re
+
+    df = rasterize_centers(spark, tileset, 12, grid="pruned")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    total = 6 * 4 ** 12
+    spans = [
+        int(m.group(2)) - int(m.group(1))
+        for m in re.finditer(r"Range \((\d+), (\d+)", plan)
+    ]
+    assert spans, plan[:1500]
+    assert sum(spans) < total / 100, (sum(spans), total)

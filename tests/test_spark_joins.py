@@ -364,3 +364,17 @@ def test_parallel_tileset_build_identical():
         assert a.tiles[k]["covering"].ids == b.tiles[k]["covering"].ids
         assert a.tiles[k]["interior"].ids == b.tiles[k]["interior"].ids
         assert a.tiles[k]["bound"] == b.tiles[k]["bound"]
+
+
+def test_distance_join_plan_shape(spark, points):
+    """The blocking equi-join must be a real join on _blk (hash or
+    sort-merge) — never a cartesian/nested-loop blowup — and the chord^2
+    prefilter must sit below the final atan2 filter."""
+    from gos2_spark.spark.joins import distance_join
+
+    plan = distance_join(points, 2.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:1500]
