@@ -164,50 +164,68 @@ def rasterize_centers(
     )
 
 
+def _rasterize_intersect_one(args) -> list[tuple[str, int, bool]]:
+    """Per-tile intersect-mode expansion — module-level pure function so
+    many-tile rasterizations can fan out over a process pool."""
+    tile_id, covering_ids, poly, level = args
+    seen: dict[int, bool] = {}
+    stack: list[int] = []
+    for cid in covering_ids:
+        lvl = H.level_scalar(cid)
+        if lvl > level:
+            pid = int(H.parent(np.array([cid], dtype=np.uint64), level)[0])
+            if pid not in seen:
+                seen[pid] = False  # boundary: contains a boundary child
+        else:
+            stack.append(cid)
+    while stack:
+        cid = stack.pop()
+        cell = Cell(cid)
+        lvl = H.level_scalar(cid)
+        if lvl == level:
+            if poly.contains_cell(cell):
+                seen[cid] = True
+            elif poly.may_intersect_cell(cell):
+                if cid not in seen:
+                    seen[cid] = False
+            continue
+        if poly.contains_cell(cell):
+            # whole subtree interior: enumerate its level-L descendants
+            lo = H.child_begin_at_level(np.array([cid], dtype=np.uint64), level)[0]
+            hi = H.child_end_at_level(np.array([cid], dtype=np.uint64), level)[0]
+            step = np.uint64(2) * np.uint64(H.lsb_for_level(level))
+            for c in range(int(lo), int(hi), int(step)):
+                seen[c] = True
+            continue
+        if poly.may_intersect_cell(cell):
+            stack.extend(cell.children())
+    return [(str(tile_id), cid, interior) for cid, interior in seen.items()]
+
+
 def rasterize_intersect(
-    tileset: TileSet, level: int
+    tileset: TileSet, level: int, workers: int | None = None
 ) -> list[tuple[str, int, bool]]:
     """Driver-side intersect-mode rasterization: sorted
     (tile_id, cell_id_unsigned, is_interior) for every level-``level`` cell
     that may intersect each tile. Covering cells shallower than the target
     expand child-by-child with the region callbacks; deeper covering cells
-    lift to their level-``level`` parent (boundary label)."""
+    lift to their level-``level`` parent (boundary label). ``workers``
+    fans the independent per-tile expansions over a process pool (results
+    identical to serial)."""
+    arg_list = [
+        (tid, tileset.tiles[tid]["covering"].ids, tileset.tiles[tid]["poly"], level)
+        for tid in tileset.tile_ids()
+    ]
+    if workers and workers > 1 and len(arg_list) > 1:
+        import concurrent.futures as _cf
+
+        with _cf.ProcessPoolExecutor(max_workers=workers) as pool:
+            parts = list(pool.map(_rasterize_intersect_one, arg_list))
+    else:
+        parts = [_rasterize_intersect_one(a) for a in arg_list]
     out: list[tuple[str, int, bool]] = []
-    for tile_id in tileset.tile_ids():
-        t = tileset.tiles[tile_id]
-        poly = t["poly"]
-        seen: dict[int, bool] = {}
-        stack: list[int] = []
-        for cid in t["covering"].ids:
-            lvl = H.level_scalar(cid)
-            if lvl > level:
-                pid = int(H.parent(np.array([cid], dtype=np.uint64), level)[0])
-                if pid not in seen:
-                    seen[pid] = False  # boundary: contains a boundary child
-            else:
-                stack.append(cid)
-        while stack:
-            cid = stack.pop()
-            cell = Cell(cid)
-            lvl = H.level_scalar(cid)
-            if lvl == level:
-                if poly.contains_cell(cell):
-                    seen[cid] = True
-                elif poly.may_intersect_cell(cell):
-                    if cid not in seen:
-                        seen[cid] = False
-                continue
-            if poly.contains_cell(cell):
-                # whole subtree interior: enumerate its level-L descendants
-                lo = H.child_begin_at_level(np.array([cid], dtype=np.uint64), level)[0]
-                hi = H.child_end_at_level(np.array([cid], dtype=np.uint64), level)[0]
-                step = np.uint64(2) * np.uint64(H.lsb_for_level(level))
-                for c in range(int(lo), int(hi), int(step)):
-                    seen[c] = True
-                continue
-            if poly.may_intersect_cell(cell):
-                stack.extend(cell.children())
-        out.extend((str(tile_id), cid, interior) for cid, interior in seen.items())
+    for p in parts:
+        out.extend(p)
     return sorted(out)
 
 

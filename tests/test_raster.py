@@ -181,3 +181,10 @@ def test_rasterize_pruned_plan_no_global_range(spark, tileset):
     ]
     assert spans, plan[:1500]
     assert sum(spans) < total / 100, (sum(spans), total)
+
+
+def test_rasterize_intersect_parallel_identical(tileset):
+    """workers=N rasterize_intersect equals the serial result exactly."""
+    a = rasterize_intersect(tileset, 9)
+    b = rasterize_intersect(tileset, 9, workers=4)
+    assert a == b and len(a) > 0
