@@ -83,6 +83,27 @@ def write_pages(
     w.parquet(location)
 
 
+def write_points_cell_sorted(
+    points: DataFrame, location: str, num_files: int | None = None,
+    cell_col: str = "cell_id", mode: str = "overwrite",
+) -> None:
+    """Write a point table range-partitioned AND sorted by the biased cell
+    id — the storage layout the spatial joins' covering-range prefilter is
+    designed for: each parquet file/row-group then spans a narrow Hilbert
+    interval, so the codegen ``cell_id BETWEEN lo AND hi`` OR-chain (which
+    pushes down to the parquet reader) skips almost all of a 100 TB table
+    via min/max statistics. On Iceberg the equivalent is a cell-prefix
+    partition transform + sorted write (see module docstring)."""
+    spark = points.sparkSession
+    n = num_files or spark.sparkContext.defaultParallelism
+    (
+        points.repartitionByRange(n, cell_col)
+        .sortWithinPartitions(cell_col)
+        .write.mode(mode)
+        .parquet(location)
+    )
+
+
 def input_fingerprint(spark: SparkSession, location: str) -> str:
     """Stable content fingerprint for checkpoint lineage: the Iceberg
     snapshot id when available, else a hash of the file listing + sizes."""

@@ -159,3 +159,28 @@ def test_distance_join_skewed_cities_exact(spark):
         n_checked_pairs += len(want)
     assert n_checked_pairs > 0  # city probes must actually have neighbors
     pts.unpersist()
+
+
+def test_cell_sorted_write_enables_pushdown(spark, tmp_path):
+    """Cell-sorted storage + covering-range prefilter: the BETWEEN chain
+    reaches the parquet scan as PushedFilters (row-group/file min-max
+    pruning at scale), and results equal the unsorted read."""
+    from gos2_spark.spark.joins import _covering_prefilter
+    from gos2_spark.spark.source import write_points_cell_sorted
+    from gos2_spark.geometry import Cap
+
+    pts = geoparsed_pages(synth_pages(spark, 20_000))
+    loc = str(tmp_path / "cell_sorted")
+    write_points_cell_sorted(pts, loc, num_files=8)
+    stored = spark.read.parquet(loc)
+
+    cap = Cap.from_latlng_deg(40.7128, -74.0060, 3.0)
+    pre = _covering_prefilter(cap, F.col("cell_id"))
+    filtered = stored.where(pre)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "cell_id" in plan.split("PushedFilters")[1][:400], \
+        plan[:2000]
+
+    got = sorted(r.url for r in filtered.collect())
+    want = sorted(r.url for r in pts.where(pre).collect())
+    assert got == want and len(got) > 0
