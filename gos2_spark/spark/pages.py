@@ -94,6 +94,20 @@ def synth_pages(spark: SparkSession, num_docs: int, num_partitions: int | None =
     )
 
 
+def extract_text(html_col):
+    """[SQL] deterministic HTML binary -> text extraction (engine-defined;
+    the reference has no text handling): decode utf-8, strip tags, unescape
+    the basic entities. No whitespace normalization — the north_rule
+    invariant is BYTE-identical extracted text per url, so the extraction
+    must be an exact function of the markup, not a lossy cleanup."""
+    t = F.decode(html_col, "UTF-8")
+    t = F.regexp_replace(t, r"<[^>]*>", "")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
 def geoparsed_pages(
     pages: DataFrame,
     level: int | None = None,

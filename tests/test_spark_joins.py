@@ -378,3 +378,51 @@ def test_distance_join_plan_shape(spark, points):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan[:1500]
+
+
+def test_extract_text_byte_identical(spark):
+    """north_rule invariant through the engine op: extract_text(html) is
+    BYTE-identical to the stored text for every page."""
+    from gos2_spark.spark.pages import extract_text, synth_pages
+
+    pages = synth_pages(spark, 20_000)
+    bad = pages.where(
+        extract_text(F.col("html")) != F.col("text")
+    ).count()
+    assert bad == 0
+    # and on a re-partitioned copy (stability across physical layouts)
+    bad2 = pages.repartition(17).where(
+        extract_text(F.col("html")) != F.col("text")
+    ).count()
+    assert bad2 == 0
+
+
+def test_knn_many_queries_single_pass(spark, points):
+    """100 queries resolve in bounded rounds with exact per-query top-k
+    (sampled brute-force check on 10 of them)."""
+    from gos2_spark.kernels import projection as PJ
+    from gos2_spark.spark.joins import knn_join
+
+    rng = np.random.default_rng(41)
+    queries = [
+        (f"q{i:03d}", float(rng.uniform(-70, 70)), float(rng.uniform(-180, 180)))
+        for i in range(100)
+    ]
+    k = 3
+    got = knn_join(points, queries, k=k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {q for q, _, _ in queries}
+    assert all(len(v) == k for v in by_q.values())
+
+    rows = points.select("url", "lat", "lng").collect()
+    lat = np.array([r.lat for r in rows]); lng = np.array([r.lng for r in rows])
+    x2, y2, z2 = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    for qid, qlat, qlng in queries[::10]:
+        x1, y1, z1 = PJ.latlng_to_xyz(np.radians(qlat), np.radians(qlng))
+        d = PJ.point_angle(x1, y1, z1, x2, y2, z2)
+        order = sorted(range(len(rows)), key=lambda i: (d[i], rows[i].url))
+        want = [rows[i].url for i in order[:k]]
+        have = [r.url for r in sorted(by_q[qid], key=lambda r: r.knn_rank)]
+        assert have == want, qid
