@@ -447,6 +447,33 @@ def _q_geoparse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant through the html pipeline: escape document
+    text into html markup, run the engine's extract_text, and count
+    roundtrip-exact docs per language. The oracle asserts EVERY doc
+    roundtrips (n_roundtrip == n_docs); any lossy extraction mismatches."""
+    from gos2_spark.spark.pages import extract_text
+
+    docs = _load(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), esc, F.lit("</p></body></html>")),
+        "UTF-8",
+    )
+    ok = (extract_text(html) == F.col("text")).cast("int")
+    return (
+        docs.select("lang", ok.alias("ok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").alias("n_roundtrip"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting ([A-Za-z]+|[0-9]+|punct) per language —
     the second token-counting mode the training-data pipeline needs beyond
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_roundtrip": _q_raster_vector_roundtrip,
         "bpe_token_counts": _q_bpe_token_counts,
         "geoparse_multi": _q_geoparse_multi,
+        "html_text_roundtrip": _q_html_roundtrip,
     }
 
 
@@ -1108,6 +1136,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id < 50
             QUALIFY rk <= 3
             ORDER BY user_id, rk
+        """,
+        # the oracle asserts the escape -> markup -> extract_text roundtrip
+        # is byte-exact for EVERY document (n_roundtrip == n_docs):
+        "html_text_roundtrip": """
+            SELECT lang, count(*) AS n_docs, count(*) AS n_roundtrip
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # multi-mention geoparse round-trip: the oracle regenerates the
         # %.6f-formatted values the engine's regex must recover:
