@@ -115,11 +115,15 @@ class S1Interval:
 
     @staticmethod
     def from_endpoints(lo: float, hi: float) -> "S1Interval":
+        # both conditions test the ORIGINAL endpoints (interval.go:23-31):
+        # from_endpoints(-pi, -pi) must normalize to [pi, pi], so the hi
+        # check must not observe the already-normalized lo
+        new_lo, new_hi = lo, hi
         if lo == -math.pi and hi != math.pi:
-            lo = math.pi
+            new_lo = math.pi
         if hi == -math.pi and lo != math.pi:
-            hi = math.pi
-        return S1Interval(lo, hi)
+            new_hi = math.pi
+        return S1Interval(new_lo, new_hi)
 
     @staticmethod
     def from_point_pair(p1: float, p2: float) -> "S1Interval":
