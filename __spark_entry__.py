@@ -1115,7 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(len(string_split(trim(text), ' '))) AS total_tokens,
+                   CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
                    round(avg(length(text)), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -1166,8 +1166,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(n_tok) AS total_bpe_tokens,
-                   max(n_tok) AS max_bpe_tokens
+                   CAST(sum(n_tok) AS BIGINT) AS total_bpe_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_bpe_tokens
             FROM t GROUP BY lang ORDER BY lang
         """,
         "word_jaccard_adjacent": _jaccard_oracle_sql(1),

@@ -519,16 +519,19 @@ def knn_join(
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
 
     # the doubling loop re-scans ``points`` once per round — cache it for
-    # the loop's duration (unless the caller already persisted it), with
-    # unit-xyz projected ONCE per point (the same trig-per-candidate cut as
-    # distance_join: the exact-distance stage then runs pure multiply-add)
+    # the loop's duration (unless the caller already persisted it; the
+    # check must read the CALLER's DataFrame, since the derived one below
+    # always reports StorageLevel.NONE), with unit-xyz projected ONCE per
+    # point (the same trig-per-candidate cut as distance_join: the
+    # exact-distance stage then runs pure multiply-add)
+    caller_sl = points.storageLevel
+    own_cache = caller_sl.useMemory is False and caller_sl.useDisk is False
     rl, rg = F.radians(F.col("lat")), F.radians(F.col("lng"))
     points = (
         points.withColumn("_px", F.cos(rg) * F.cos(rl))
         .withColumn("_py", F.sin(rg) * F.cos(rl))
         .withColumn("_pz", F.sin(rl))
     )
-    own_cache = points.storageLevel.useMemory is False and points.storageLevel.useDisk is False
     if own_cache:
         points = points.persist()
 

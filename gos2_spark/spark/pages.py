@@ -102,9 +102,18 @@ def extract_text(html_col):
     must be an exact function of the markup, not a lossy cleanup."""
     t = F.decode(html_col, "UTF-8")
     t = F.regexp_replace(t, r"<[^>]*>", "")
+    # F.replace only exists on PySpark >= 3.5; fall back to regexp_replace
+    # with escaped literals on older runtimes (streaming.py guards the
+    # same minimum version).
+    has_replace = hasattr(F, "replace")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&amp;", "&")):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+        if has_replace:
+            t = F.replace(t, F.lit(ent), F.lit(ch))
+        else:
+            import re as _re
+
+            t = F.regexp_replace(t, _re.escape(ent), ch)
     return t
 
 
