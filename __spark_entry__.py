@@ -769,9 +769,13 @@ def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only: approximate by construction, recall pytest-gated):
-    k-means coarse quantizer, nprobe-list probe, exact rerank."""
-    from gos2_spark.pipeline.similarity import ivf_topk
+    """IVF ANN with the deterministic fixed quantizer (seeded random unit
+    centroids): nprobe-list probe + exact cosine rerank. The DuckDB oracle
+    embeds the identical centroid literals and reproduces assignment,
+    probe selection, and rerank in SQL (duckdb_oracles.ann_ivf_oracle_sql).
+    The k-means quantizer path (ivf_build_centroids) is recall-gated by
+    pytest instead — its centroids depend on the data sample."""
+    from gos2_spark.pipeline.similarity import ivf_fixed_centroids, ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     qvecs = {
@@ -781,30 +785,46 @@ def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         emb.where(F.col("vec_id") > 1),
         [("q0", qvecs[0]), ("q1", qvecs[1])],
-        k=10, num_centroids=16, nprobe=8,
+        k=10, centroids=ivf_fixed_centroids(64, 16, seed=7), nprobe=8,
     )
     return out.select(
         "qid", "key", "rank", F.round("score", 6).alias("score")
     ).orderBy("qid", "rank")
 
 
-def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon-polygon (tile overlap) join (rows-only: driver-side loop
-    relations have no SQL equivalent): covering-range blocking + exact
-    Loop relations (loop.go:465-754) over two fixed tile sets."""
+# (name -> Loop.regular(lat, lng, radius_deg, n_vertices) args) for the
+# polygon-polygon overlap fixtures. Shared between the engine query and the
+# DuckDB oracle builder: the oracle embeds the loops' float64 vertices as
+# literals (input data, like _TILES) and re-derives the relations with
+# convex edge-normal sign tests + SimpleCrossing tests in SQL.
+_OVERLAP_A = {
+    "big_nyc": (40.7, -74.0, 3.0, 16),
+    "tokyo": (35.68, 139.65, 2.0, 16),
+    "sydney": (-33.87, 151.21, 1.0, 12),
+    "london_spot": (51.5, -0.13, 0.3, 8),
+}
+_OVERLAP_B = {
+    "small_nyc": (40.7, -74.0, 0.5, 12),
+    "nyc_edge": (42.5, -74.0, 1.5, 12),
+    "london": (51.5, -0.13, 2.0, 12),
+}
+
+
+def _overlap_loops(spec: dict):
     from gos2_spark.geometry import Loop
+
+    return {name: Loop.regular(*args) for name, args in spec.items()}
+
+
+def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon (tile overlap) join: covering-range blocking + exact
+    Loop relations (loop.go:465-754) over two fixed tile sets. Relations on
+    these convex fixtures reduce to vertex-containment + edge-crossing
+    counts, which the DuckDB oracle recomputes from the vertex literals."""
     from gos2_spark.spark.joins import TileSet, polygon_overlap_join
 
-    a = TileSet({
-        "big_nyc": Loop.regular(40.7, -74.0, 3.0, 16),
-        "tokyo": Loop.regular(35.68, 139.65, 2.0, 16),
-        "sydney": Loop.regular(-33.87, 151.21, 1.0, 12),
-    }, max_cells=16)
-    b = TileSet({
-        "small_nyc": Loop.regular(40.7, -74.0, 0.5, 12),
-        "nyc_edge": Loop.regular(42.5, -74.0, 1.5, 12),
-        "london": Loop.regular(51.5, -0.13, 2.0, 12),
-    }, max_cells=16)
+    a = TileSet(_overlap_loops(_OVERLAP_A), max_cells=16)
+    b = TileSet(_overlap_loops(_OVERLAP_B), max_cells=16)
     rows = polygon_overlap_join(a, b)
     return spark.createDataFrame(
         rows, "a_id string, b_id string, relation string"
@@ -1048,6 +1068,108 @@ def _rasterize_oracle_sql(level: int) -> str:
         SELECT tile_id,
                (({_biased_leaf("n")} & -{lsb}) | {lsb}) AS cell_id
         FROM {final} ORDER BY tile_id, cell_id
+    """
+
+
+def _polygon_overlap_oracle_sql() -> str:
+    """Independent relation derivation for the convex overlap fixtures.
+
+    The engine decides {contains, within, overlaps} with the full loop
+    relation machinery (robust predicates + wedge processing). For CONVEX
+    loops the relations are equivalent to vertex-containment + proper
+    edge-crossing counts: B inside A iff every B vertex passes all of A's
+    edge-normal sign tests and no edges cross (a convex region contains
+    the geodesic between interior points, so an inside-inside edge cannot
+    exit); nonempty intersection iff some vertex is contained or some
+    edge pair crosses. The SQL computes edge normals (lead() with wrap),
+    containment counts, and the SimpleCrossing sign ladder
+    (edgeutil.go:22-45: acb*bda > 0 AND acb*cbd > 0 AND acb*dac > 0) from
+    the fixtures' float64 vertex literals."""
+    def vrows(spec):
+        rows = []
+        for tid, loop in sorted(_overlap_loops(spec).items()):
+            for vi, (x, y, z) in enumerate(loop.vertices):
+                # bare decimal literals parse as DECIMAL (scale overflow
+                # in the cross products) — force DOUBLE:
+                rows.append(
+                    f"('{tid}', {vi}, CAST({x!r} AS DOUBLE),"
+                    f" CAST({y!r} AS DOUBLE), CAST({z!r} AS DOUBLE))"
+                )
+        return ", ".join(rows)
+
+    def edges(src):
+        return f"""
+          SELECT tid, vi, x, y, z,
+                 coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+                 coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2,
+                 coalesce(lead(z) OVER w, first_value(z) OVER w) AS z2
+          FROM {src}
+          WINDOW w AS (PARTITION BY tid ORDER BY vi
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+        """
+
+    crossing = """
+        (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (a.nx * b.x2 + a.ny * b.y2 + a.nz * b.z2) > 0
+        AND (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (-(b.nx * a.x2 + b.ny * a.y2 + b.nz * a.z2)) > 0
+        AND (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (b.nx * a.x + b.ny * a.y + b.nz * a.z) > 0
+    """
+    return f"""
+        WITH av(tid, vi, x, y, z) AS (VALUES {vrows(_OVERLAP_A)}),
+        bv(tid, vi, x, y, z) AS (VALUES {vrows(_OVERLAP_B)}),
+        ae AS ({edges('av')}),
+        be AS ({edges('bv')}),
+        aen AS (
+          SELECT *, y * z2 - z * y2 AS nx, z * x2 - x * z2 AS ny,
+                 x * y2 - y * x2 AS nz
+          FROM ae
+        ),
+        ben AS (
+          SELECT *, y * z2 - z * y2 AS nx, z * x2 - x * z2 AS ny,
+                 x * y2 - y * x2 AS nz
+          FROM be
+        ),
+        b_in_a AS (
+          SELECT a_tid, b_tid,
+                 count(*) FILTER (inside) AS n_in, count(*) AS n_tot
+          FROM (
+            SELECT a.tid AS a_tid, b.tid AS b_tid, b.vi,
+                   bool_and(a.nx * b.x + a.ny * b.y + a.nz * b.z > 0) AS inside
+            FROM aen a, bv b GROUP BY 1, 2, 3
+          ) GROUP BY 1, 2
+        ),
+        a_in_b AS (
+          SELECT a_tid, b_tid,
+                 count(*) FILTER (inside) AS n_in, count(*) AS n_tot
+          FROM (
+            SELECT a.tid AS a_tid, b.tid AS b_tid, a.vi,
+                   bool_and(b.nx * a.x + b.ny * a.y + b.nz * a.z > 0) AS inside
+            FROM ben b, av a GROUP BY 1, 2, 3
+          ) GROUP BY 1, 2
+        ),
+        crossings AS (
+          SELECT a.tid AS a_tid, b.tid AS b_tid,
+                 count(*) FILTER ({crossing}) AS n_x
+          FROM aen a, ben b GROUP BY 1, 2
+        ),
+        rel AS (
+          SELECT ba.a_tid, ba.b_tid,
+                 CASE
+                   WHEN ba.n_in = ba.n_tot AND x.n_x = 0 THEN 'contains'
+                   WHEN ab.n_in = ab.n_tot AND x.n_x = 0 THEN 'within'
+                   WHEN x.n_x > 0 OR ba.n_in > 0 OR ab.n_in > 0
+                     THEN 'overlaps'
+                 END AS relation
+          FROM b_in_a ba
+          JOIN a_in_b ab ON ab.a_tid = ba.a_tid AND ab.b_tid = ba.b_tid
+          JOIN crossings x ON x.a_tid = ba.a_tid AND x.b_tid = ba.b_tid
+        )
+        SELECT a_tid AS a_id, b_tid AS b_id, relation
+        FROM rel WHERE relation IS NOT NULL
+        ORDER BY a_id, b_id
     """
 
 
@@ -1336,10 +1458,12 @@ def oracle_sql() -> dict[str, str]:
         # and are embedded as literals; buckets + any-band join + cosine
         # rerank are plain SQL:
         "embedding_ann_lsh": _DO.ann_lsh_oracle_sql(),
+        "embedding_ann_ivf": _DO.ann_ivf_oracle_sql(),
         # center-mode rasterization: independent full-grid enumeration +
         # forward Hilbert encode in SQL (engine: codegen id enumeration +
         # inverse-Hilbert decode + exact refine):
         "rasterize_centers_l8": _rasterize_oracle_sql(_RASTER_LEVEL),
+        "polygon_overlap_relations": _polygon_overlap_oracle_sql(),
         # rows-only (driver-side clip geometry): polygon_boolean_areas,
         # raster_vector_roundtrip, polygon_overlap_relations; rows-only
         # (approximate by construction): embedding_ann_ivf.

@@ -553,3 +553,96 @@ def ann_lsh_oracle_sql(
         SELECT qid, key, rank, score FROM ranked
         WHERE rank <= {k} ORDER BY qid, rank
     """
+
+
+def ann_ivf_oracle_sql(
+    dim: int = 64, k: int = 10, num_centroids: int = 16, nprobe: int = 8,
+    seed: int = 7,
+) -> str:
+    """Oracle for the IVF ANN query (pipeline.similarity.ivf_topk with the
+    ``ivf_fixed_centroids`` quantizer): centroids are a pure function of
+    (dim, num_centroids, seed), embedded as float64 literals; list
+    assignment (argmax of centroid dots, ties to the lowest index — the
+    np.argmax convention), per-query nprobe probe selection, the
+    probed-list candidate join, and the exact cosine rerank are all plain
+    SQL.
+
+    Engine/SQL float caveat is the same as the LSH oracle: the engine
+    normalizes data rows before the assignment GEMM while SQL uses raw
+    dots (argmax is invariant under the row's positive rescale), and dots
+    are summed in different orders — an assignment or rank could flip only
+    for scores equal to ~1e-15 (never observed; validated empirically at
+    sf0.01 and sf0.1)."""
+    import numpy as np
+
+    from .similarity import ivf_fixed_centroids
+
+    C = ivf_fixed_centroids(dim, num_centroids, seed)
+
+    def dot(vec: str, row: np.ndarray) -> str:
+        lits = "[" + ",".join(repr(float(v)) for v in row) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lits}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    s_cols = ", ".join(f"{dot('embedding', C[c])} AS s_{c}"
+                       for c in range(num_centroids))
+    best = "greatest(" + ", ".join(f"s_{c}" for c in range(num_centroids)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN s_{c} = best THEN {c}" for c in range(num_centroids)
+    ) + " END"
+    probe_scores = " UNION ALL ".join(
+        f"SELECT qid, {c} AS list_id, s_{c} AS s FROM qsig"
+        for c in range(num_centroids)
+    )
+    norm = (
+        "list_transform({v}, x -> CAST(x AS DOUBLE) / greatest(sqrt("
+        "list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)"
+        "))), 1e-12))"
+    )
+    cos = (
+        f"list_sum(list_transform(list_zip({norm.format(v='d.emb')},"
+        f" {norm.format(v='q.emb')}), p -> p[1] * p[2]))"
+    )
+    return f"""
+        WITH dsig AS MATERIALIZED (
+          SELECT vec_id AS key, embedding AS emb, {s_cols}
+          FROM embeddings WHERE vec_id > 1
+        ),
+        d AS MATERIALIZED (
+          SELECT key, emb, {argmax.replace('best', f'({best})')} AS list_id
+          FROM dsig
+        ),
+        qsig AS MATERIALIZED (
+          SELECT CASE vec_id WHEN 0 THEN 'q0' ELSE 'q1' END AS qid,
+                 embedding AS emb, {s_cols}
+          FROM embeddings WHERE vec_id IN (0, 1)
+        ),
+        probes AS (
+          SELECT qid, list_id FROM (
+            SELECT qid, list_id,
+                   row_number() OVER (
+                     PARTITION BY qid ORDER BY s DESC, list_id ASC
+                   ) AS pr
+            FROM ({probe_scores})
+          ) WHERE pr <= {nprobe}
+        ),
+        q AS (SELECT qid, emb FROM qsig),
+        cand AS MATERIALIZED (
+          SELECT q.qid, d.key, {cos} AS score
+          FROM d
+          JOIN probes p ON p.list_id = d.list_id
+          JOIN q ON q.qid = p.qid
+        ),
+        ranked AS (
+          SELECT qid, key,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, key ASC
+                 ) AS INT) AS rank,
+                 round(score, 6) AS score
+          FROM cand
+        )
+        SELECT qid, key, rank, score FROM ranked
+        WHERE rank <= {k} ORDER BY qid, rank
+    """

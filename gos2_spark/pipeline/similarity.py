@@ -265,6 +265,19 @@ def ivf_build_centroids(
     return C
 
 
+def ivf_fixed_centroids(
+    dim: int = 64, num_centroids: int = 16, seed: int = 7
+) -> np.ndarray:
+    """Deterministic data-independent coarse quantizer: seeded random unit
+    vectors. Worse recall than the k-means quantizer (``ivf_build_centroids``)
+    but a pure function of (dim, num_centroids, seed), so a SQL oracle can
+    embed the identical centroids as literals (same trick as the LSH
+    hyperplanes in ``duckdb_oracles.ann_lsh_oracle_sql``)."""
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(num_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def ivf_topk(
     emb_df: DataFrame,
     queries: list[tuple[object, list[float]]],
