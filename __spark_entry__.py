@@ -707,13 +707,15 @@ def _q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_polygon_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon boolean ops (polygon.go:393-449) as a driver-side [D] parity
-    tier op (rows-only): areas/loop counts of A∩B, A∪B, A−B for two fixed
-    overlapping polygons."""
+    tier op: loop/vertex counts + areas of A∩B, A∪B, A−B for two fixed
+    overlapping convex polygons, value-checked against the set-theoretic
+    vertex counts and azimuth-fan areas the oracle derives in SQL
+    (_polygon_boolean_oracle_sql)."""
     from gos2_spark.geometry import Loop, Polygon
     from gos2_spark.geometry.boolean_ops import difference, intersection, union
 
-    a = Polygon.from_loop(Loop.regular(10.0, 20.0, 8.0, 24))
-    b = Polygon.from_loop(Loop.regular(14.0, 26.0, 8.0, 24))
+    a = Polygon.from_loop(Loop.regular(*_BOOL_A))
+    b = Polygon.from_loop(Loop.regular(*_BOOL_B))
     rows = []
     for op_name, res in (
         ("a_intersect_b", intersection(a, b)),
@@ -1068,6 +1070,211 @@ def _rasterize_oracle_sql(level: int) -> str:
         SELECT tile_id,
                (({_biased_leaf("n")} & -{lsb}) | {lsb}) AS cell_id
         FROM {final} ORDER BY tile_id, cell_id
+    """
+
+
+# Loop.regular args for the two boolean-op fixture polygons (shared
+# between the engine query and the oracle builder, like _OVERLAP_*).
+_BOOL_A = (10.0, 20.0, 8.0, 24)
+_BOOL_B = (14.0, 26.0, 8.0, 24)
+
+
+def _polygon_boolean_oracle_sql() -> str:
+    """Independent SQL derivation of the boolean-op metrics for the two
+    convex fixture polygons (both centers lie inside the other loop, so
+    the intersection is nonempty and each boundary crosses exactly twice).
+
+    The engine clips boundaries with the full builder pipeline
+    (polygon.go:658-735) and integrates each result loop's area directly
+    (loop.go:303-311). The oracle instead:
+
+    - classifies original vertices with convex edge-normal sign tests,
+    - detects the crossing edge pairs with the SimpleCrossing sign ladder
+      and computes their intersection points with the engine's
+      GetIntersection float recipe (edgeutil.go:356-369: normalize the
+      PointCross of each edge, cross+normalize, orient by the endpoint
+      sum) in SQL,
+    - counts result vertices set-theoretically: |A cap B| = A-in-B +
+      B-in-A + crossings; |A u B| = A-out-B + B-out-A + crossings;
+      |A - B| = A-out-B + B-in-A + crossings,
+    - computes area(A cap B) with an azimuth-ordered l'Huilier fan around
+      a shared interior point (the normalized midpoint of the two
+      centers; intersection of convex sets is convex, so azimuth order IS
+      boundary order), and derives the others by additivity:
+      area(A u B) = area(A) + area(B) - area(A cap B),
+      area(A - B) = area(A) - area(A cap B).
+    """
+    import numpy as np
+
+    from gos2_spark.geometry import Loop
+
+    la = Loop.regular(*_BOOL_A)
+    lb = Loop.regular(*_BOOL_B)
+    c = np.array(_xyz(0.5 * (_BOOL_A[0] + _BOOL_B[0]),
+                      0.5 * (_BOOL_A[1] + _BOOL_B[1])))
+    c = c / np.linalg.norm(c)
+    e1 = np.cross([0.0, 0.0, 1.0], c)
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(c, e1)
+    cx, cy, cz = (repr(float(v)) for v in c)
+    e1x, e1y, e1z = (repr(float(v)) for v in e1)
+    e2x, e2y, e2z = (repr(float(v)) for v in e2)
+
+    def vrows(loop):
+        return ", ".join(
+            f"({vi}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE),"
+            f" CAST({z!r} AS DOUBLE))"
+            for vi, (x, y, z) in enumerate(loop.vertices)
+        )
+
+    def edges(src):
+        return f"""
+          SELECT vi, x, y, z,
+                 coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+                 coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2,
+                 coalesce(lead(z) OVER w, first_value(z) OVER w) AS z2
+          FROM {src}
+          WINDOW w AS (ORDER BY vi ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+        """
+
+    # plain edge normals (crossing detection + convex containment)
+    def normals(src):
+        return f"""
+          SELECT *, y * z2 - z * y2 AS nx, z * x2 - x * z2 AS ny,
+                 x * y2 - y * x2 AS nz,
+                 -- engine GetIntersection edge normal: normalized
+                 -- PointCross = ((v0+v1) x (v1-v0)) / |.|
+                 (y + y2) * (z2 - z) - (z + z2) * (y2 - y) AS pcx,
+                 (z + z2) * (x2 - x) - (x + x2) * (z2 - z) AS pcy,
+                 (x + x2) * (y2 - y) - (y + y2) * (x2 - x) AS pcz
+          FROM ({src})
+        """
+
+    crossing = """
+        (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (a.nx * b.x2 + a.ny * b.y2 + a.nz * b.z2) > 0
+        AND (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (-(b.nx * a.x2 + b.ny * a.y2 + b.nz * a.z2)) > 0
+        AND (-(a.nx * b.x + a.ny * b.y + a.nz * b.z))
+          * (b.nx * a.x + b.ny * a.y + b.nz * a.z) > 0
+    """
+
+    az = f"atan2(x * {e2x} + y * {e2y} + z * {e2z}, x * {e1x} + y * {e1y} + z * {e1z})"
+
+    def fan_area(src):
+        """l'Huilier fan around c over azimuth-ordered vertices of src."""
+        return f"""
+          SELECT sum(4 * atan(sqrt(greatest(0.0,
+                     tan(0.5 * s) * tan(0.5 * (s - d1))
+                     * tan(0.5 * (s - d2)) * tan(0.5 * (s - d3))))))
+          FROM (
+            SELECT 0.5 * (d1 + d2 + d3) AS s, d1, d2, d3
+            FROM (
+              SELECT
+                atan2(sqrt(power({cy} * z - {cz} * y, 2)
+                         + power({cz} * x - {cx} * z, 2)
+                         + power({cx} * y - {cy} * x, 2)),
+                      {cx} * x + {cy} * y + {cz} * z) AS d1,
+                atan2(sqrt(power(y * z2 - z * y2, 2)
+                         + power(z * x2 - x * z2, 2)
+                         + power(x * y2 - y * x2, 2)),
+                      x * x2 + y * y2 + z * z2) AS d2,
+                atan2(sqrt(power(y2 * {cz} - z2 * {cy}, 2)
+                         + power(z2 * {cx} - x2 * {cz}, 2)
+                         + power(x2 * {cy} - y2 * {cx}, 2)),
+                      x2 * {cx} + y2 * {cy} + z2 * {cz}) AS d3
+              FROM (
+                SELECT x, y, z,
+                       coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+                       coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2,
+                       coalesce(lead(z) OVER w, first_value(z) OVER w) AS z2
+                FROM {src}
+                WINDOW w AS (ORDER BY {az}
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+              )
+            )
+          )
+        """
+
+    return f"""
+        WITH av(vi, x, y, z) AS (VALUES {vrows(la)}),
+        bv(vi, x, y, z) AS (VALUES {vrows(lb)}),
+        aen AS ({normals(edges('av'))}),
+        ben AS ({normals(edges('bv'))}),
+        a_cls AS (
+          SELECT a.vi, a.x, a.y, a.z,
+                 bool_and(b.nx * a.x + b.ny * a.y + b.nz * a.z > 0) AS in_b
+          FROM av a, ben b GROUP BY 1, 2, 3, 4
+        ),
+        b_cls AS (
+          SELECT b.vi, b.x, b.y, b.z,
+                 bool_and(a.nx * b.x + a.ny * b.y + a.nz * b.z > 0) AS in_a
+          FROM bv b, aen a GROUP BY 1, 2, 3, 4
+        ),
+        xraw AS (
+          SELECT
+            (a.pcy / a.pcn) * (b.pcz / b.pcn)
+              - (a.pcz / a.pcn) * (b.pcy / b.pcn) AS xr_x,
+            (a.pcz / a.pcn) * (b.pcx / b.pcn)
+              - (a.pcx / a.pcn) * (b.pcz / b.pcn) AS xr_y,
+            (a.pcx / a.pcn) * (b.pcy / b.pcn)
+              - (a.pcy / a.pcn) * (b.pcx / b.pcn) AS xr_z,
+            a.x + a.x2 + b.x + b.x2 AS sx,
+            a.y + a.y2 + b.y + b.y2 AS sy,
+            a.z + a.z2 + b.z + b.z2 AS sz
+          FROM (SELECT *, sqrt(pcx * pcx + pcy * pcy + pcz * pcz) AS pcn
+                FROM aen) a,
+               (SELECT *, sqrt(pcx * pcx + pcy * pcy + pcz * pcz) AS pcn
+                FROM ben) b
+          WHERE {crossing}
+        ),
+        xpt AS (
+          SELECT
+            CASE WHEN flip THEN -xr_x / xn ELSE xr_x / xn END AS x,
+            CASE WHEN flip THEN -xr_y / xn ELSE xr_y / xn END AS y,
+            CASE WHEN flip THEN -xr_z / xn ELSE xr_z / xn END AS z
+          FROM (
+            SELECT *, sqrt(xr_x * xr_x + xr_y * xr_y + xr_z * xr_z) AS xn,
+                   (xr_x * sx + xr_y * sy + xr_z * sz) < 0 AS flip
+            FROM xraw
+          )
+        ),
+        ivert AS (
+          SELECT x, y, z FROM a_cls WHERE in_b
+          UNION ALL SELECT x, y, z FROM b_cls WHERE in_a
+          UNION ALL SELECT x, y, z FROM xpt
+        ),
+        counts AS (
+          SELECT
+            (SELECT count(*) FROM a_cls WHERE in_b) AS a_in,
+            (SELECT count(*) FROM a_cls WHERE NOT in_b) AS a_out,
+            (SELECT count(*) FROM b_cls WHERE in_a) AS b_in,
+            (SELECT count(*) FROM b_cls WHERE NOT in_a) AS b_out,
+            (SELECT count(*) FROM xpt) AS n_x
+        ),
+        areas AS (
+          SELECT ({fan_area('ivert')}) AS area_i,
+                 ({fan_area('(SELECT x, y, z FROM av)')}) AS area_a,
+                 ({fan_area('(SELECT x, y, z FROM bv)')}) AS area_b
+        )
+        SELECT op, 1 AS n_loops, CAST(n_vertices AS INT) AS n_vertices,
+               round(area_sr, 9) AS area_sr
+        FROM (
+          SELECT 'a_intersect_b' AS op, c.a_in + c.b_in + c.n_x AS n_vertices,
+                 r.area_i AS area_sr
+          FROM counts c, areas r
+          UNION ALL
+          SELECT 'a_minus_b', c.a_out + c.b_in + c.n_x,
+                 r.area_a - r.area_i
+          FROM counts c, areas r
+          UNION ALL
+          SELECT 'a_union_b', c.a_out + c.b_out + c.n_x,
+                 r.area_a + r.area_b - r.area_i
+          FROM counts c, areas r
+        )
+        ORDER BY op
     """
 
 
@@ -1464,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         # inverse-Hilbert decode + exact refine):
         "rasterize_centers_l8": _rasterize_oracle_sql(_RASTER_LEVEL),
         "polygon_overlap_relations": _polygon_overlap_oracle_sql(),
+        "polygon_boolean_areas": _polygon_boolean_oracle_sql(),
         # rows-only (driver-side clip geometry): polygon_boolean_areas,
         # raster_vector_roundtrip, polygon_overlap_relations; rows-only
         # (approximate by construction): embedding_ann_ivf.
