@@ -850,9 +850,13 @@ def _q_rasterize_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_raster_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster -> vector round-trip (rows-only: driver-side boolean-op
-    geometry): intersect-mode cell counts per tile + the area of the
-    vectorized polygon of a 48-cell interior block."""
+    """Raster -> vector round-trip: exact intersect-mode cell/interior
+    counts per tile at level 7, plus the area of the VECTORIZED polygon of
+    the first-48-interior-cells block — the engine merges the cells into a
+    boundary loop (destructive union) and integrates ITS area; the oracle
+    (_raster_roundtrip_oracle_sql) checks the conservation law against the
+    sum of the closed-form per-cell areas and re-derives both counts from
+    cell-corner geometry in SQL."""
     from gos2_spark.spark.raster import rasterize_intersect, vectorize_cells
 
     ts = _tileset(32)
@@ -864,12 +868,12 @@ def _q_raster_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         poly = vectorize_cells(interior)
         rows.append((
             str(tid), len(mine), sum(1 for _, i in mine if i),
-            len(poly.loops),
+            len(interior),
             round(sum(l.area() for l in poly.loops), 9),
         ))
     return spark.createDataFrame(
         rows,
-        "tile_id string, n_cells int, n_interior int, n_loops int, block_area_sr double",
+        "tile_id string, n_cells int, n_interior int, block_n_cells int, block_area_sr double",
     ).orderBy("tile_id")
 
 
@@ -1070,6 +1074,249 @@ def _rasterize_oracle_sql(level: int) -> str:
         SELECT tile_id,
                (({_biased_leaf("n")} & -{lsb}) | {lsb}) AS cell_id
         FROM {final} ORDER BY tile_id, cell_id
+    """
+
+
+def _raster_roundtrip_oracle_sql(level: int = 7, block: int = 48) -> str:
+    """Full-grid oracle for exact intersect-mode rasterization + the
+    raster->vector area round-trip, per convex fixture tile:
+
+    - corners of every level-``level`` cell from the closed-form
+      st -> quadratic uv -> face xyz (no engine code path),
+    - INTERIOR == all 4 corners inside the tile (convex tile + geodesic
+      cell edges: corners inside => edges inside => the tile boundary
+      cannot enter the cell),
+    - INTERSECTS == any corner inside OR any tile vertex inside the
+      cell's (face, s, t) box OR any (cell edge x tile edge)
+      SimpleCrossing (sign ladder, edgeutil.go:22-45), crossing tests
+      pruned to cells near the tile's bounding cap,
+    - the "block" = first ``block`` interior cells in cell-id order
+      (forward Hilbert encode in SQL, shared _hilbert_rounds machinery),
+      whose vectorized-polygon area the engine computes from the merged
+      boundary loop; the oracle uses area additivity: the union of
+      disjoint cells' area == the sum of per-cell areas (two l'Huilier
+      triangles per cell).
+    """
+    import numpy as np
+
+    from gos2_spark.kernels import projection as PJ
+    from gos2_spark.pipeline.duckdb_oracles import _biased_leaf, _hilbert_rounds
+
+    n = 1 << level
+    size = 1 << (30 - level)
+    lsb = 1 << (2 * (30 - level))
+    nd = float(n)
+
+    def fxyz(u: str, v: str, axis: int) -> str:
+        """face_uv_to_xyz axis component (unnormalized; every test below
+        is scale-invariant)."""
+        table = [
+            ["1.0", f"-({u})", f"-({u})", "-1.0", v, v],          # x
+            [u, "1.0", f"-({v})", f"-({v})", "-1.0", u],          # y
+            [v, v, "1.0", f"-({u})", f"-({u})", "-1.0"],          # z
+        ][axis]
+        return (
+            "CASE face WHEN 0 THEN " + table[0]
+            + " WHEN 1 THEN " + table[1] + " WHEN 2 THEN " + table[2]
+            + " WHEN 3 THEN " + table[3] + " WHEN 4 THEN " + table[4]
+            + " ELSE " + table[5] + " END"
+        )
+
+    def q(s: str) -> str:
+        return (
+            f"CASE WHEN {s} >= 0.5 THEN (1.0 / 3.0) * (4.0 * {s} * {s} - 1.0)"
+            f" ELSE (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - {s}) * (1.0 - {s})) END"
+        )
+
+    def ang(p: str, r: str) -> str:
+        """angle(p, r) = atan2(|p x r|, p . r) over column prefixes."""
+        return (
+            f"atan2(sqrt(power({p}y * {r}z - {p}z * {r}y, 2)"
+            f" + power({p}z * {r}x - {p}x * {r}z, 2)"
+            f" + power({p}x * {r}y - {p}y * {r}x, 2)),"
+            f" {p}x * {r}x + {p}y * {r}y + {p}z * {r}z)"
+        )
+
+    def tri(a: str, b: str, c: str, tag: str) -> tuple[str, str]:
+        """l'Huilier triangle area; returns (helper cols, area expr)."""
+        cols = (
+            f"{ang(a, b)} AS d1{tag}, {ang(b, c)} AS d2{tag},"
+            f" {ang(c, a)} AS d3{tag},"
+            f" 0.5 * ({ang(a, b)} + {ang(b, c)} + {ang(c, a)}) AS s{tag}"
+        )
+        area = (
+            f"4 * atan(sqrt(greatest(0.0, tan(0.5 * s{tag})"
+            f" * tan(0.5 * (s{tag} - d1{tag})) * tan(0.5 * (s{tag} - d2{tag}))"
+            f" * tan(0.5 * (s{tag} - d3{tag})))))"
+        )
+        return cols, area
+
+    corners = ["c00", "c10", "c11", "c01"]
+    corner_uv = {"c00": ("ulo", "vlo"), "c10": ("uhi", "vlo"),
+                 "c11": ("uhi", "vhi"), "c01": ("ulo", "vhi")}
+    corner_cols = ", ".join(
+        f"{fxyz(u, v, 0)} AS {cn}x, {fxyz(u, v, 1)} AS {cn}y,"
+        f" {fxyz(u, v, 2)} AS {cn}z"
+        for cn, (u, v) in corner_uv.items()
+    )
+    # cell edge normals (ci x cj) for the 4 CCW boundary edges
+    edge_pairs = list(zip(corners, corners[1:] + corners[:1]))
+    enorm_cols = ", ".join(
+        f"{a}y * {b}z - {a}z * {b}y AS e{k}x,"
+        f" {a}z * {b}x - {a}x * {b}z AS e{k}y,"
+        f" {a}x * {b}y - {a}y * {b}x AS e{k}z"
+        for k, (a, b) in enumerate(edge_pairs)
+    )
+    t1c, t1a = tri("c00", "c10", "c11", "_t1")
+    t2c, t2a = tri("c00", "c11", "c01", "_t2")
+
+    # ---- per-tile literal data -------------------------------------------
+    tiles = {}
+    for tid in sorted(_TILES):
+        verts = [_xyz(la, ln) for la, ln in _TILES[tid]]
+        V = np.array(verts)
+        ctr = V.sum(axis=0)
+        ctr = ctr / np.linalg.norm(ctr)
+        max_ang = max(
+            float(np.arctan2(np.linalg.norm(np.cross(ctr, v)), ctr @ v))
+            for v in V
+        )
+        f_v = PJ.face_from_xyz(V[:, 0], V[:, 1], V[:, 2])
+        u_v, v_v = PJ.valid_face_xyz_to_uv(f_v, V[:, 0], V[:, 1], V[:, 2])
+        s_v, t_v = PJ.uv_to_st(u_v), PJ.uv_to_st(v_v)
+        tiles[tid] = {
+            "normals": _edge_normals(_TILES[tid]),
+            "verts": verts,
+            "vfst": list(zip(f_v.tolist(), s_v.tolist(), t_v.tolist())),
+            "ctr": tuple(float(x) for x in ctr),
+            "prune_ang": max_ang + 0.05,  # +margin >> level-7 cell diag
+        }
+
+    def inside(cn: str, tid: str) -> str:
+        return " AND ".join(
+            f"(({nx!r}) * {cn}x + ({ny!r}) * {cn}y + ({nz!r}) * {cn}z) > 0"
+            for nx, ny, nz in tiles[tid]["normals"]
+        )
+
+    def vert_in_cell(tid: str) -> str:
+        return " OR ".join(
+            f"({int(fv)} = face AND ({sv!r}) >= slo AND ({sv!r}) <= shi"
+            f" AND ({tv!r}) >= tlo AND ({tv!r}) <= thi)"
+            for fv, sv, tv in tiles[tid]["vfst"]
+        )
+
+    def crossing(tid: str) -> str:
+        conds = []
+        T = tiles[tid]
+        nvt = len(T["verts"])
+        for k in range(len(edge_pairs)):
+            ax, ay, az = f"e{k}x", f"e{k}y", f"e{k}z"
+            a0, a1 = edge_pairs[k]
+            for m in range(nvt):
+                b0 = T["verts"][m]
+                b1 = T["verts"][(m + 1) % nvt]
+                bn = T["normals"][m]
+                acb = (
+                    f"(-({ax} * ({b0[0]!r}) + {ay} * ({b0[1]!r})"
+                    f" + {az} * ({b0[2]!r})))"
+                )
+                bda = (
+                    f"({ax} * ({b1[0]!r}) + {ay} * ({b1[1]!r})"
+                    f" + {az} * ({b1[2]!r}))"
+                )
+                cbd = (
+                    f"(-(({bn[0]!r}) * {a1}x + ({bn[1]!r}) * {a1}y"
+                    f" + ({bn[2]!r}) * {a1}z))"
+                )
+                dac = (
+                    f"(({bn[0]!r}) * {a0}x + ({bn[1]!r}) * {a0}y"
+                    f" + ({bn[2]!r}) * {a0}z)"
+                )
+                conds.append(
+                    f"({acb} * {bda} > 0 AND {acb} * {cbd} > 0"
+                    f" AND {acb} * {dac} > 0)"
+                )
+        return " OR ".join(conds)
+
+    cls_ctes = []
+    stats_sel = []
+    inter_sel = []
+    for tid in sorted(_TILES):
+        T = tiles[tid]
+        cx, cy, cz = T["ctr"]
+        prune = (
+            f"{ang('c00', 'ctr_')} <= {T['prune_ang']!r}".replace(
+                "ctr_x", repr(cx)).replace("ctr_y", repr(cy)).replace(
+                "ctr_z", repr(cz))
+        )
+        n_in = " + ".join(
+            f"(CASE WHEN {inside(cn, tid)} THEN 1 ELSE 0 END)"
+            for cn in corners
+        )
+        cls_ctes.append(f"""
+        cls_{tid} AS (
+          SELECT face, i, j, area,
+                 (n_in = 4) AS interior,
+                 (n_in >= 1 OR ({vert_in_cell(tid)})
+                  OR (n_in = 0 AND {prune} AND ({crossing(tid)}))) AS isect
+          FROM (SELECT *, {n_in} AS n_in FROM c)
+        )""")
+        stats_sel.append(
+            f"SELECT '{tid}' AS tile_id,"
+            f" count(*) FILTER (isect) AS n_cells,"
+            f" count(*) FILTER (interior) AS n_interior FROM cls_{tid}"
+        )
+        inter_sel.append(
+            f"SELECT '{tid}' AS tile_id, face, i, j, area"
+            f" FROM cls_{tid} WHERE interior"
+        )
+    rounds, final = _hilbert_rounds("inter", ["tile_id", "area"], "hr")
+    return f"""
+        WITH g AS (
+          SELECT f.range AS face, bi.range AS bi, bj.range AS bj
+          FROM range(6) f, range({n}) bi, range({n}) bj
+        ),
+        cb AS (
+          SELECT face, bi, bj,
+                 bi / {nd!r} AS slo, (bi + 1) / {nd!r} AS shi,
+                 bj / {nd!r} AS tlo, (bj + 1) / {nd!r} AS thi
+          FROM g
+        ),
+        cuv AS (
+          SELECT *, {q('slo')} AS ulo, {q('shi')} AS uhi,
+                 {q('tlo')} AS vlo, {q('thi')} AS vhi
+          FROM cb
+        ),
+        cc AS (
+          SELECT face, bi * {size} AS i, bj * {size} AS j,
+                 slo, shi, tlo, thi, {corner_cols}
+          FROM cuv
+        ),
+        ce AS (SELECT *, {enorm_cols} FROM cc),
+        ct AS (SELECT *, {t1c}, {t2c} FROM ce),
+        c AS (SELECT *, {t1a} + {t2a} AS area FROM ct),
+        {",".join(cls_ctes)},
+        stats AS ({" UNION ALL ".join(stats_sel)}),
+        inter AS ({" UNION ALL ".join(inter_sel)}),
+        {rounds},
+        blk AS (
+          SELECT tile_id, area,
+                 row_number() OVER (
+                   PARTITION BY tile_id
+                   ORDER BY (({_biased_leaf("n")} & -{lsb}) | {lsb})
+                 ) AS rk
+          FROM {final}
+        ),
+        blkagg AS (
+          SELECT tile_id, CAST(count(*) AS INT) AS block_n_cells,
+                 sum(area) AS block_area
+          FROM blk WHERE rk <= {block} GROUP BY tile_id
+        )
+        SELECT s.tile_id, CAST(s.n_cells AS INT) AS n_cells,
+               CAST(s.n_interior AS INT) AS n_interior,
+               b.block_n_cells, round(b.block_area, 9) AS block_area_sr
+        FROM stats s JOIN blkagg b ON b.tile_id = s.tile_id
+        ORDER BY s.tile_id
     """
 
 
@@ -1672,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_centers_l8": _rasterize_oracle_sql(_RASTER_LEVEL),
         "polygon_overlap_relations": _polygon_overlap_oracle_sql(),
         "polygon_boolean_areas": _polygon_boolean_oracle_sql(),
+        "raster_vector_roundtrip": _raster_roundtrip_oracle_sql(),
         # rows-only (driver-side clip geometry): polygon_boolean_areas,
         # raster_vector_roundtrip, polygon_overlap_relations; rows-only
         # (approximate by construction): embedding_ann_ivf.

@@ -27,7 +27,8 @@ import os
 import subprocess
 import sys
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+_num_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+ROWS = int(_num_args[0]) if _num_args else 4_000_000
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 N = int(os.environ.get("BENCH_N", "4"))
 N4 = 4 * N
@@ -105,7 +106,73 @@ def _prime_cache(rows: int) -> None:
                     pass
 
 
+_PROBE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from gos2_spark.spark.session import get_spark
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1]); rows = int(sys.argv[2])
+spark = get_spark(app_name=f"probe_{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(f"/tmp/gos2_scaling_pages_{{rows}}")
+def job():
+    # pure columnar scan + native filter: no python, no shuffle — this is
+    # the memory-bandwidth-bound floor of every pipeline on this box
+    pages.where(F.col("text").contains("location")).select(
+        F.count("*")).collect()
+for _ in range(2):
+    job()
+ts = []
+for _ in range(3):
+    t0 = time.time(); job(); ts.append(time.time() - t0)
+print("RESULT " + json.dumps(ts))
+spark.stop()
+"""
+
+
+def run_probe(cpus: int):
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(repo=repo), str(cpus), str(ROWS)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"probe failed (cpus={cpus}):\n{out.stderr[-3000:]}")
+
+
+def probe_main() -> None:
+    """Scan-bandwidth probe: the pure parquet scan at N vs 4N threads.
+    This is the named datapoint behind the protocol note that this single
+    box's DRAM bandwidth caps end-to-end 8->32 scaling — the probe has no
+    Python, no shuffle, and no join, so its speedup is the hardware
+    ceiling for ANY job at these two levels."""
+    run_worker(N4, "prepare")
+    _prime_cache(ROWS)
+    t_n = run_probe(N)
+    t_n4 = run_probe(N4)
+    import statistics
+
+    speedup = min(t_n) / min(t_n4)
+    print(json.dumps({
+        "metric": f"parquet-scan bandwidth probe local[{N}] -> local[{N4}]",
+        "rows": ROWS,
+        f"times_at_{N}": [round(t, 2) for t in t_n],
+        f"times_at_{N4}": [round(t, 2) for t in t_n4],
+        "speedup_min": round(speedup, 3),
+        "speedup_median": round(
+            statistics.median(t_n) / statistics.median(t_n4), 3),
+        "scan_scaling_efficiency": round(speedup / 4.0, 4),
+    }))
+
+
 def main() -> None:
+    if "--probe" in sys.argv:
+        probe_main()
+        return
     run_worker(N4, "prepare")
     _prime_cache(ROWS)
     times = {N: [], N4: []}
@@ -117,11 +184,14 @@ def main() -> None:
     # additive, so the fastest steady-state run at each level is the
     # unbiased capability estimator (same protocol as bench.py); raw runs
     # are reported for transparency.
+    import statistics
+
     t_n = min(times[N])
     t_n4 = min(times[N4])
     rate_n = ROWS / t_n
     rate_n4 = ROWS / t_n4
     efficiency = (rate_n4 / rate_n) / 4.0
+    eff_median = (statistics.median(times[N]) / statistics.median(times[N4])) / 4.0
     print(json.dumps({
         "metric": f"pip-join scaling efficiency local[{N}] -> local[{N4}]",
         "rows": ROWS,
@@ -133,6 +203,7 @@ def main() -> None:
         f"pages_per_sec_at_{N}": round(rate_n, 1),
         f"pages_per_sec_at_{N4}": round(rate_n4, 1),
         "efficiency": round(efficiency, 4),
+        "efficiency_median": round(eff_median, 4),
         "target": 0.8,
         "pass": efficiency >= 0.8,
     }))

@@ -170,12 +170,18 @@ def _rasterize_intersect_one(args) -> list[tuple[str, int, bool]]:
     tile_id, covering_ids, poly, level = args
     seen: dict[int, bool] = {}
     stack: list[int] = []
+    lifted: set[int] = set()
     for cid in covering_ids:
         lvl = H.level_scalar(cid)
         if lvl > level:
+            # covering cells deeper than the target lift to their level-L
+            # parent — push it for the EXACT contains/may-intersect
+            # classification below (marking it boundary outright would
+            # bake the coverer's subdivision choices into the labels).
             pid = int(H.parent(np.array([cid], dtype=np.uint64), level)[0])
-            if pid not in seen:
-                seen[pid] = False  # boundary: contains a boundary child
+            if pid not in lifted:
+                lifted.add(pid)
+                stack.append(pid)
         else:
             stack.append(cid)
     while stack:
