@@ -276,6 +276,31 @@ class Loop:
             m -= 1
         return float(direction) * angle
 
+    def is_valid(self) -> bool:
+        """Input validation for untrusted loops (loop.go:90-135): >= 3
+        vertices, all unit length, no duplicate vertices, no non-adjacent
+        edge intersections. The reference prunes the crossing scan with
+        its edge index; the candidate set here is the full upper triangle
+        (a superset), so results are identical."""
+        n = len(self.vertices)
+        if n < 3:
+            return False
+        for v in self.vertices:
+            if not V.is_unit(v):
+                return False
+        if len(set(self.vertices)) != n:
+            return False
+        for i in range(n):
+            a0, a1 = self.vertex(i), self.vertex((i + 1) % n)
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue  # adjacent (wraps)
+                if PR.robust_crossing(
+                    a0, a1, self.vertex(j), self.vertex((j + 1) % n)
+                ) > 0:
+                    return False
+        return True
+
     def is_normalized(self) -> bool:
         """loop.go:398-407."""
         if self.bound.lng.length() < math.pi:

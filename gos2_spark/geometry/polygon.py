@@ -13,6 +13,30 @@ from .loop import Loop
 from .rect import Rect
 
 
+def are_loops_valid(loops: list[Loop]) -> bool:
+    """Validation for a loop set about to form a polygon
+    (polygon.go:315-340): no directed edge may appear in two loops, every
+    loop must be normalized (cover less than half the sphere), and no two
+    loop boundaries may cross (contains_or_crosses < 0 also catches
+    shared-vertex boundary crossings)."""
+    if len(loops) > 1:
+        edges: dict = {}
+        for i, loop in enumerate(loops):
+            n = len(loop.vertices)
+            for j in range(n):
+                key = (loop.vertex(j), loop.vertex((j + 1) % n))
+                if key in edges:
+                    return False
+                edges[key] = (i, j)
+    for i, loop in enumerate(loops):
+        if not loop.is_normalized():
+            return False
+        for j in range(i + 1, len(loops)):
+            if loop.contains_or_crosses(loops[j]) < 0:
+                return False
+    return True
+
+
 class Polygon:
     def __init__(self, loops: list[Loop]):
         """Takes ownership; nests loops into the depth forest (polygon.go:65-91)."""
@@ -170,6 +194,36 @@ class Polygon:
         return self.intersects_any_shell(b) or b.intersects_any_shell(self)
 
     # --- Region contract ---------------------------------------------------
+
+    def parent(self, k: int) -> int:
+        """Index of loop k's parent in the nesting forest, -1 for top-level
+        shells (polygon.go:341-351): scan left for the nearest loop with a
+        strictly smaller depth."""
+        depth = self.loops[k].depth
+        if depth == 0:
+            return -1
+        k -= 1
+        while k >= 0 and self.loops[k].depth >= depth:
+            k -= 1
+        return k
+
+    def is_normalized(self) -> bool:
+        """polygon.go:353-380: no child loop may share more than one vertex
+        with its parent (boundary pairs must have been merged by the
+        builder's undirected-xor assembly)."""
+        last_parent: Loop | None = None
+        vertices: set = set()
+        for i, child in enumerate(self.loops):
+            if child.depth == 0:
+                continue
+            par = self.loops[self.parent(i)]
+            if par is not last_parent:
+                vertices = set(par.vertices)
+                last_parent = par
+            count = sum(1 for v in child.vertices if v in vertices)
+            if count > 1:
+                return False
+        return True
 
     def cap_bound(self):
         return self.bound.cap_bound()

@@ -464,6 +464,57 @@ def distance_to_edges(points: np.ndarray, a, b) -> np.ndarray:
     return np.where(in_wedge, d_interior, d_endpoint)
 
 
+def closest_point_with_normal(x, a, b, a_cross_b):
+    """Nearest point on geodesic segment AB to X, given the edge normal
+    (edgeutil.go:108-122): project X onto the AB great-circle plane; if
+    the projection falls inside the wedge it is the answer, otherwise the
+    nearer endpoint. Scalar (snap/builder utility)."""
+    x = tuple(map(float, x))
+    n = tuple(map(float, a_cross_b))
+    n2 = _dot3(n, n)
+    dx = _dot3(x, n) / n2
+    p = (x[0] - n[0] * dx, x[1] - n[1] * dx, x[2] - n[2] * dx)
+    if simple_ccw(n, a, p) and simple_ccw(p, b, n):
+        # the reference returns the plane projection as-is (unit to within
+        # the projection error for unit x); parity over prettiness
+        return p
+
+    def sub(u, v):
+        return (u[0] - v[0], u[1] - v[1], u[2] - v[2])
+
+    xa = _dot3(sub(x, a), sub(x, a))
+    xb = _dot3(sub(x, b), sub(x, b))
+    return tuple(map(float, a)) if xa <= xb else tuple(map(float, b))
+
+
+def closest_point(x, a, b):
+    """edgeutil.go:124-126."""
+    return closest_point_with_normal(x, a, b, _point_cross(a, b))
+
+
+def closest_points_to_edge(points: np.ndarray, a, b) -> np.ndarray:
+    """Vectorized ClosestPoint: batch of points vs one geodesic segment
+    (edgeutil.go:108-126), same wedge construction as
+    ``distance_to_edges``. Returns (n, 3) xyz (interior answers are the
+    raw plane projections, exactly as the reference returns them)."""
+    X = np.asarray(points, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    acb = np.cross(a + b, b - a)
+    nrm = np.sqrt(acb @ acb)
+    if nrm < 1e-300 or np.allclose(acb, 0, atol=1e-14):
+        acb = np.array(ortho(tuple(a)))
+    else:
+        acb = acb / nrm
+    in_wedge = (np.cross(X, acb) @ a > 0) & (np.cross(acb[None, :], X) @ b > 0)
+    dx = (X @ acb) / (acb @ acb)
+    proj = X - dx[:, None] * acb[None, :]
+    xa = ((X - a) ** 2).sum(axis=1)
+    xb = ((X - b) ** 2).sum(axis=1)
+    endpoint = np.where((xa <= xb)[:, None], a[None, :], b[None, :])
+    return np.where(in_wedge[:, None], proj, endpoint)
+
+
 def point_area(a, b, c) -> float:
     """Triangle area via l'Huilier with Girard fallback (point.go:383-407)."""
     import math

@@ -71,6 +71,61 @@ def valid_face_xyz_to_uv(f, x, y, z):
     return u_num / u_den, v_num / v_den
 
 
+_U_AXIS = np.array([
+    [0, 1, 0], [-1, 0, 0], [-1, 0, 0], [0, 0, -1], [0, 0, -1], [0, 1, 0],
+], dtype=np.float64)
+_V_AXIS = np.array([
+    [0, 0, 1], [0, 0, 1], [0, -1, 0], [0, -1, 0], [1, 0, 0], [1, 0, 0],
+], dtype=np.float64)
+
+
+def u_axis(f):
+    """Positive-u tangent axis per face (stuv.go:170-185); vectorized
+    table gather, rows for scalar or array face ids."""
+    return _U_AXIS[np.asarray(f)]
+
+
+def v_axis(f):
+    """Positive-v tangent axis per face (stuv.go:187-202)."""
+    return _V_AXIS[np.asarray(f)]
+
+
+def face_norm(f):
+    """Outward unit normal of the face plane = faceUVToXYZ(face, 0, 0)
+    (stuv.go:125-127)."""
+    f = np.asarray(f)
+    zero = np.zeros(f.shape, dtype=np.float64)
+    return np.stack(face_uv_to_xyz(f, zero, zero), axis=-1)
+
+
+def u_norm(f, u):
+    """Right-handed normal for the constant-u edge (stuv.go:129-148);
+    not unit length."""
+    f = np.asarray(f)
+    u = np.asarray(u, dtype=np.float64)
+    zero = np.zeros_like(u)
+    one = np.ones_like(u)
+    sel = [f == 0, f == 1, f == 2, f == 3, f == 4]
+    x = np.select(sel, [u, one, one, -u, zero], default=zero)
+    y = np.select(sel, [-one, u, zero, zero, -u], default=-one)
+    z = np.select(sel, [zero, zero, u, one, one], default=-u)
+    return np.stack([x, y, z], axis=-1)
+
+
+def v_norm(f, v):
+    """Right-handed normal for the constant-v edge (stuv.go:150-168);
+    not unit length."""
+    f = np.asarray(f)
+    v = np.asarray(v, dtype=np.float64)
+    zero = np.zeros_like(v)
+    one = np.ones_like(v)
+    sel = [f == 0, f == 1, f == 2, f == 3, f == 4]
+    x = np.select(sel, [-v, zero, zero, v, one], default=one)
+    y = np.select(sel, [zero, -v, -one, -one, v], default=zero)
+    z = np.select(sel, [one, one, -v, zero, zero], default=v)
+    return np.stack([x, y, z], axis=-1)
+
+
 def xyz_to_face_uv(x, y, z):
     """stuv.go:101-105."""
     f = face_from_xyz(x, y, z)

@@ -149,45 +149,60 @@ def minhash_dedup_groups(
 ) -> DataFrame:
     """(key, group_key) assignment: connected components over accepted
     candidate pairs via iterative min-label propagation (converges in
-    O(log(component diameter)) shuffles — no driver-side state)."""
+    O(log(component diameter)) shuffles — no driver-side state).
+
+    Each round's labels are materialized to keep the plan lineage flat
+    (it would double per iteration otherwise). When the SparkContext has
+    a checkpoint directory configured (``sc.setCheckpointDir`` — the
+    cluster deployment path), materialization uses RELIABLE
+    ``checkpoint()``: executor loss replays from storage instead of
+    killing the job. Without one (local runs, tests) it falls back to
+    ``localCheckpoint`` — executor-memory lineage truncation, fine on
+    local[*] where executor == driver. Convergence detection rides the
+    same materialization: the round computes a ``_changed`` flag column,
+    so the follow-up check is a scan of the materialized result, not a
+    second labels join."""
+    spark = docs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True)
+
     pairs = minhash_lsh_candidates(
         docs, key_col, text_col, num_perm, bands, shingle_n
     ).where(F.col("est_jaccard") >= threshold)
     # materialize edges once: the signature computation must not be re-run
-    # per propagation round, and each round's result is checkpointed so the
-    # plan lineage stays flat (otherwise it doubles every iteration)
-    edges = (
+    # per propagation round
+    edges = _mat(
         pairs.select("key_a", "key_b")
         .union(pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")))
-        .localCheckpoint(eager=True)
     )
-    labels = docs.select(F.col(key_col).alias("key")).withColumn(
-        "label", F.col("key")
-    ).localCheckpoint(eager=True)
+    labels = _mat(
+        docs.select(F.col(key_col).alias("key")).withColumn("label", F.col("key"))
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["key_b"] == labels["key"])
             .groupBy("key_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _mat(
             labels.join(neighbor_min, labels["key"] == neighbor_min["key_a"], "left")
             .select(
                 "key",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # scan of the just-materialized partitions — no recompute, no join
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("key"), F.col("label").alias("group_key"))
@@ -265,30 +280,108 @@ def simhash(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def _simhash_tables(max_hamming: int, n_blocks: int | None) -> list[list[int]]:
+    """Band layout for the multi-table SimHash scheme (Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the 64
+    bits into ``n_blocks`` blocks; if two signatures differ in at most
+    ``max_hamming`` bits then at least ``n_blocks - max_hamming`` blocks
+    are identical, so keying one table per (n_blocks - max_hamming)-block
+    combination catches every qualifying pair. Wider combined keys =
+    exponentially smaller buckets than single-chunk banding (the old 4 x
+    16-bit scheme caps at 65,536 buckets per band — quadratic per-bucket
+    self-joins at web scale).
+
+    Returns the list of block-index combinations (one per table)."""
+    import itertools
+
+    k = max_hamming
+    if n_blocks is None:
+        # 6 blocks for the standard k<=3 -> C(6,3)=20 tables with ~32-bit
+        # keys; degrade gracefully for looser thresholds (fewer key bits,
+        # the bucket cap then bounds the damage)
+        n_blocks = 6 if k <= 3 else min(k + 2, 16) if k <= 14 else k + 1
+    if n_blocks <= k:
+        n_blocks = k + 1
+    keep = n_blocks - k
+    return [list(c) for c in itertools.combinations(range(n_blocks), keep)]
+
+
 def simhash_candidates(
     docs: DataFrame, key_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, n_blocks: int | None = None,
+    bucket_cap: int | None = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
-    (any-chunk equality catches all pairs with Hamming distance <= 3),
-    verify exact Hamming on collisions. Returns (key_a, key_b, hamming)."""
+    """Near-dup pairs by SimHash, multi-table banded (see
+    ``_simhash_tables``): any-table key equality catches all pairs with
+    Hamming distance <= ``max_hamming``; collisions verify exact Hamming
+    via bit_count. Returns (key_a, key_b, hamming).
+
+    ``bucket_cap`` bounds the quadratic per-bucket self-join: buckets
+    holding more than ``bucket_cap`` rows (i.e. > cap near-identical
+    documents sharing ~32 signature bits) are dropped from the candidate
+    join and logged — candidate count stays O(n_tables * rows * cap)
+    regardless of skew. Over-full buckets are by construction clusters of
+    near-identical documents; route those through exact dedup
+    (``dedup_exact``) or a per-cluster representative instead of pair
+    enumeration. ``bucket_cap=None`` disables the cap."""
+    tables = _simhash_tables(max_hamming, n_blocks)
+    nb = max(max(c) for c in tables) + 1
+    base, rem = divmod(64, nb)
+    widths = [base + 1 if i < rem else base for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+
+    def table_key(combo: list[int]):
+        """Concatenate the combo's block values into one BIGINT key."""
+        expr = F.lit(0).cast("long")
+        shift = 0
+        for bi in combo:
+            block = F.shiftright("simhash", offsets[bi]).bitwiseAND(
+                F.lit((1 << widths[bi]) - 1)
+            )
+            expr = expr.bitwiseOR(F.shiftleft(block, shift))
+            shift += widths[bi]
+        return expr
+
     sh = simhash(docs, key_col, text_col)
-    chunks = sh.select(
+    keys = sh.select(
         "key", "simhash",
         F.explode(F.array(*[
             F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+                F.lit(t).alias("tbl"), table_key(c).alias("tbl_key")
             )
-            for c in range(4)
-        ])).alias("cv"),
-    ).select("key", "simhash", "cv.chunk", "cv.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+            for t, c in enumerate(tables)
+        ])).alias("kv"),
+    ).select("key", "simhash", "kv.tbl", "kv.tbl_key")
+
+    if bucket_cap is not None:
+        over = (
+            keys.groupBy("tbl", "tbl_key")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") > bucket_cap)
+        )
+        stats = over.agg(
+            F.count("*").alias("n"), F.max("_bsz").alias("mx")
+        ).collect()[0]
+        if stats["n"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_candidates: dropped %d over-full buckets "
+                "(cap=%d, largest=%d rows) from the candidate join; "
+                "their members are near-identical clusters — handle via "
+                "exact dedup.", stats["n"], bucket_cap, stats["mx"],
+            )
+            keys = keys.join(
+                F.broadcast(over.select("tbl", "tbl_key")),
+                ["tbl", "tbl_key"], "left_anti",
+            )
+
+    a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.tbl_key") == F.col("b.tbl_key"))
             & (F.col("a.key") < F.col("b.key")),
         )
         .select(

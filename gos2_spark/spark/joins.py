@@ -541,14 +541,14 @@ def knn_join(
         initial_radius_deg = min(45.0, max(0.05, 114.0 * math.sqrt(k / n)))
     radius = initial_radius_deg
 
-    # Results are tiny (k rows per query), so each round COLLECTS its top-k
-    # instead of deferring a lazy union: one Spark job per round (the old
-    # shape ran a counts job per round and then re-executed every round's
-    # lineage at the caller's terminal action), and the returned DataFrame
-    # is a small local relation with no recompute tail.
+    # Result rows STAY DISTRIBUTED: each round persists its top-k and only
+    # the per-query COUNTS come to the driver (the doubling decision needs
+    # them); finished queries' rows are appended as lazy slices of the
+    # persisted round result and unioned at the end. Large query sets
+    # therefore never funnel k x q result rows through the driver — the
+    # driver traffic is O(q) counts per round.
     w = Window.partitionBy("qid").orderBy(F.col("dist_rad"), F.col(point_key))
-    done_rows: list = []
-    schema = None
+    parts: list[DataFrame] = []
 
     def _topk(cand: DataFrame) -> DataFrame:
         # no dedup needed: a normalized CellUnion's ranges are disjoint
@@ -582,17 +582,18 @@ def knn_join(
             "_qx", "_qy", "_qz", "_px", "_py", "_pz"
         )
 
-        topk = _topk(cand)
-        if schema is None:
-            schema = topk.schema
-        collected = topk.collect()
-        by_qid: dict[str, list] = {}
-        for r in collected:
-            by_qid.setdefault(r["qid"], []).append(r)
-        done = [q for q in pending if len(by_qid.get(str(q), ())) >= k]
-        for q in done:
-            done_rows.extend(by_qid[str(q)])
-            del pending[q]
+        # persist + count in ONE job: the counts both drive the doubling
+        # decision and materialize the cached partitions the final union
+        # reads (k x |pending| rows per round — tiny)
+        topk = _topk(cand).persist()
+        cnts = {r["qid"]: r["n"] for r in
+                topk.groupBy("qid").agg(F.count("*").alias("n")).collect()}
+        done = [q for q in pending if cnts.get(str(q), 0) >= k]
+        if done:
+            done_set = sorted(str(q) for q in done)
+            parts.append(topk.where(F.col("qid").isin(done_set)))
+            for q in done:
+                del pending[q]
         radius *= 2.0
         if radius > 180.0 and pending:
             # final full pass for under-populated queries: no covering filter
@@ -603,16 +604,20 @@ def knn_join(
             cand = points.crossJoin(F.broadcast(q_df)).withColumn(
                 "dist_rad", _dist_from_xyz()
             ).drop("_qx", "_qy", "_qz", "_px", "_py", "_pz")
-            topk = _topk(cand)
-            if schema is None:
-                schema = topk.schema
-            done_rows.extend(topk.collect())
+            topk = _topk(cand).persist()
+            topk.count()  # materialize before points may be unpersisted
+            parts.append(topk)
             pending = {}
     if own_cache:
+        # parts are persisted+materialized above; evictions would recompute
+        # from source (correct, just slower), so the input cache can go
         points.unpersist()
-    if schema is None:
+    if not parts:
         return points.limit(0)
-    return spark.createDataFrame(done_rows, schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 # --- within-radius distance join ---------------------------------------------

@@ -233,3 +233,87 @@ def test_edge_distance_udf(spark):
     for i, p in enumerate(pts):
         assert got[p[0]] == want[i]  # bit-identical: same kernel
     assert got[2] == 0.0  # on-endpoint distance is exactly zero
+
+
+def test_simhash_multiblock_guarantee(spark):
+    """Every pair within max_hamming=3 must be caught by the multi-table
+    banding (pigeonhole: >= n_blocks - 3 identical blocks)."""
+    rng = np.random.default_rng(11)
+    base = int(rng.integers(0, 2**63))
+    rows = [(0, base)]
+    # plant signatures at exact Hamming distances 1..5 from base
+    for d in range(1, 6):
+        flipped = base
+        for bit in rng.choice(64, size=d, replace=False):
+            flipped ^= 1 << int(bit)
+        rows.append((d, flipped))
+    sig = spark.createDataFrame(
+        [(k, np.int64(np.uint64(v)).item()) for k, v in rows],
+        "key long, simhash long",
+    )
+    # drive the banding directly on the signature table via the module
+    # internals (same path simhash_candidates uses after simhash())
+    import gos2_spark.pipeline.dedup as dd
+
+    tables = dd._simhash_tables(3, None)
+    assert len(tables) == 20  # C(6,3)
+    # run the full function on synthetic docs is covered elsewhere; here
+    # check the key construction catches all hamming<=3 pairs
+    from pyspark.sql import functions as F
+
+    nb = max(max(c) for c in tables) + 1
+    base_w, rem = divmod(64, nb)
+    widths = [base_w + 1 if i < rem else base_w for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+
+    def table_key(combo):
+        expr = F.lit(0).cast("long")
+        shift = 0
+        for bi in combo:
+            block = F.shiftright("simhash", offsets[bi]).bitwiseAND(
+                F.lit((1 << widths[bi]) - 1))
+            expr = expr.bitwiseOR(F.shiftleft(block, shift))
+            shift += widths[bi]
+        return expr
+
+    keys = sig.select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), table_key(c).alias("tbl_key"))
+            for t, c in enumerate(tables)
+        ])).alias("kv"),
+    ).select("key", "kv.tbl", "kv.tbl_key")
+    a, b = keys.alias("a"), keys.alias("b")
+    got = {
+        (r.key_a, r.key_b)
+        for r in a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.tbl_key") == F.col("b.tbl_key"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+        .collect()
+    }
+    for d in (1, 2, 3):
+        assert (0, d) in got  # guaranteed recall within the threshold
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark, caplog):
+    """10^3 near-identical docs: without a cap the candidate join is
+    quadratic (~500k pairs); with the cap the over-full buckets drop out
+    and the pair count stays O(docs * cap)."""
+    n = 1000
+    rows = [(i, "common shared boilerplate text repeated everywhere") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="gos2_spark.pipeline.dedup"):
+        out = D.simhash_candidates(docs, bucket_cap=50)
+        cnt = out.count()
+    assert cnt == 0  # all buckets over-full -> dropped
+    assert any("over-full" in r.message for r in caplog.records)
+    # sanity: with the cap disabled the same input IS quadratic
+    uncapped = D.simhash_candidates(docs.limit(60), bucket_cap=None).count()
+    assert uncapped == 60 * 59 // 2
