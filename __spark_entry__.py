@@ -402,6 +402,49 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup over documents replayed as a file stream.
+
+    Runs the real Structured Streaming operator
+    (dropDuplicatesWithinWatermark behind streaming_first_seen_dedup) with
+    an availableNow drain into a memory sink, then returns the kept-key
+    set. Which duplicate row survives depends on arrival order, but the
+    KEY SET is order-independent, so the batch oracle is
+    SELECT DISTINCT md5(text) — the streaming result must equal the batch
+    dedup_exact key set exactly. Multi-micro-batch == batch equivalence is
+    separately pytest-gated (tests/test_streaming.py)."""
+    from gos2_spark.spark.streaming import streaming_first_seen_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    sch = spark.read.parquet(path).schema
+    stream = (
+        # the file-stream source requires a DIRECTORY basePath; sf_dir is
+        # one table per file, so glob-filter the documents file out of it
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("content_key", F.md5(F.col("text")))
+        .withColumn(
+            "event_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+    )
+    deduped = streaming_first_seen_dedup(
+        stream, key_cols=("content_key",), ts_col="event_ts"
+    )
+    name = "gos2_stream_dedup_keys"
+    q = (
+        deduped.select("content_key")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("content_key").orderBy("content_key")
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: token count + mean word length per language."""
     docs = _load(spark, sf_dir, "documents")
@@ -906,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_token_roundtrip": _q_cell_roundtrip,
         "cell_center_latlng": _q_cell_center,
         "dedup_exact": _q_dedup_exact,
+        "streaming_first_seen_dedup": _q_streaming_dedup,
         "text_stats": _q_text_stats,
         "embedding_knn": _q_embedding_knn,
         "top_events_per_user": _q_top_events,
@@ -1687,6 +1731,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY keep_id
+        """,
+        # first-seen streaming dedup keeps exactly one row per key; the
+        # kept-key SET (not which duplicate survived) is deterministic and
+        # must equal the batch-distinct set:
+        "streaming_first_seen_dedup": """
+            SELECT DISTINCT md5(text) AS content_key
+            FROM documents ORDER BY content_key
         """,
         "text_stats": """
             SELECT lang,

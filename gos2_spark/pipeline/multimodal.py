@@ -2,11 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schemas, batch iteration via mapInPandas, partition
-sizing) is real and tested. The codec step itself is STUBBED: this container
-has no image/audio libraries, so ``decode`` produces a deterministic fake
-derived from the payload bytes (clearly marked), and ``decode_real`` raises
-NotImplementedError where PIL/ffmpeg would be called. Swapping in a real
-decoder changes one function, not the pipeline.
+sizing) is real and tested. The codec step: PNG images decode FOR REAL via
+the pure-stdlib decoder in png.py (zlib inflate + scanline unfilter);
+other codecs (JPEG/audio/video) need PIL/torchaudio/pyav, absent in this
+container, so ``decode_real`` raises NotImplementedError for them and the
+deterministic fake (clearly marked) stands in. Swapping in another decoder
+changes one function, not the pipeline.
 """
 
 from __future__ import annotations
@@ -61,15 +62,63 @@ def synth_media(spark, num_rows: int, seed: int = 42) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, kind: str):
-    """The real decoder hook — intentionally unimplemented in this container.
+def synth_media_png(spark, num_rows: int, max_side: int = 24) -> DataFrame:
+    """Deterministic REAL-PNG media table: payload is a valid PNG whose
+    pixel (y, x, c) = (id + y * W + x + c) mod 256 — encoded distributed
+    (pandas UDF, one encode per row inside executors, never the driver).
+    Channel count cycles 1/3/4 by id so gray/RGB/RGBA all appear."""
+    import pandas as pd  # noqa: F811 (kept local for the UDF closure)
+    from pyspark.sql.functions import pandas_udf
 
-    A production deployment implements this with PIL / torchaudio / pyav and
+    from .png import encode_png
+
+    @pandas_udf(BinaryType())
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % max_side + 2
+            h = (i * 7) % max_side + 2
+            ch = (1, 3, 4)[i % 3]
+            base = np.arange(h * w * ch, dtype=np.int64).reshape(h, w, ch)
+            out.append(encode_png(((base + i) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    return (
+        spark.range(num_rows)
+        .select(
+            F.concat(F.lit("png"), F.col("id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("image/png").alias("mime"),
+            _enc(F.col("id")).alias("payload"),
+            (F.col("id") % max_side + 2).cast("int").alias("meta_width"),
+            ((F.col("id") * 7) % max_side + 2).cast("int").alias("meta_height"),
+            F.lit(0).cast("int").alias("meta_duration_ms"),
+        )
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """The real decoder hook: bytes -> (H, W, C) uint8 pixel array.
+
+    PNG images decode FOR REAL here — pure stdlib zlib inflate + scanline
+    unfilter (png.py), no image library needed. Other codecs (JPEG, audio,
+    video) require PIL / torchaudio / pyav, absent in this container, and
+    raise NotImplementedError; a production deployment adds them here and
     the surrounding mapInPandas pipeline is unchanged.
     """
+    b = bytes(payload)
+    if kind == "image" and b[:8] == _PNG_SIG:
+        from .png import decode_png
+
+        return decode_png(b)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use extract_features(deterministic_fake=True)"
+        f"no decoder for kind={kind!r} payload head={b[:4]!r} in this "
+        "environment (PNG is supported); use "
+        "extract_features(deterministic_fake=True) for opaque payloads"
     )
 
 
@@ -99,13 +148,32 @@ def extract_features(
     The generator iterates Arrow batches (bounded memory per task — required
     for multi-MB payloads at scale); video rows fan out to sampled frames.
     """
-    if not deterministic_fake:
-        # route through the real decoder (raises in this container)
-        decode_real(b"", "image")
+    def _real_row(payload: bytes, kind: str) -> tuple[int, int, list]:
+        img = decode_real(payload, kind)  # (H, W, C) uint8
+        h, w, ch = img.shape
+        px = img.reshape(-1, ch).astype(np.float64)
+        # per-channel mean then std, zero-padded to feature_dim — a fixed,
+        # decoder-independent contract the tests and oracles can reproduce
+        f = np.zeros(feature_dim, dtype=np.float32)
+        f[:ch] = px.mean(axis=0)
+        f[ch:2 * ch] = px.std(axis=0)
+        return w, h, f.tolist()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode_batch(pdf["payload"], feature_dim)
+            pdf = pdf.reset_index(drop=True)
+            if deterministic_fake:
+                feats = list(_fake_decode_batch(pdf["payload"], feature_dim))
+                widths = pdf["meta_width"].astype("int32")
+                heights = pdf["meta_height"].astype("int32")
+            else:
+                decoded = [
+                    _real_row(p, k)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+                widths = pd.Series([d[0] for d in decoded], dtype="int32")
+                heights = pd.Series([d[1] for d in decoded], dtype="int32")
+                feats = [d[2] for d in decoded]
             n_frames = np.where(
                 pdf["kind"].to_numpy() == "video",
                 np.maximum(1, pdf["meta_duration_ms"].to_numpy() // frame_sample_every_ms),
@@ -114,10 +182,10 @@ def extract_features(
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "width": pdf["meta_width"].astype("int32"),
-                "height": pdf["meta_height"].astype("int32"),
+                "width": widths,
+                "height": heights,
                 "n_frames": n_frames,
-                "features": list(feats),
+                "features": feats,
             })
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)

@@ -179,6 +179,106 @@ def test_multimodal_features(spark):
         MM.decode_real(b"x", "image")
 
 
+def _forward_filter_png(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build PNG bytes applying the SPEC's forward filter per row —
+    independent of encode_png (which only emits filter 0), so the decoder
+    is tested against the spec, not against our own encoder."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        line = [int(v) for v in img[y].reshape(-1)]
+        ft = ftypes[y % len(ftypes)]
+        raw.append(ft)
+        out = []
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            v = line[x]
+            if ft == 0:
+                out.append(v)
+            elif ft == 1:
+                out.append((v - a) & 0xFF)
+            elif ft == 2:
+                out.append((v - b) & 0xFF)
+            elif ft == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                out.append((v - paeth(a, b, c)) & 0xFF)
+        raw.extend(out)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters():
+    from gos2_spark.pipeline.png import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(11, 9, ch)).astype(np.uint8)
+        # every filter type, spec-forward-filtered independently of encode_png
+        for ft in (0, 1, 2, 3, 4):
+            got = decode_png(_forward_filter_png(img, [ft]))
+            np.testing.assert_array_equal(got, img)
+        # mixed filters across rows + encoder roundtrip
+        got = decode_png(_forward_filter_png(img, [0, 1, 2, 3, 4]))
+        np.testing.assert_array_equal(got, img)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decode_rejects_unsupported():
+    from gos2_spark.pipeline.png import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+
+
+def test_multimodal_real_png_decode(spark):
+    """End-to-end REAL decode: PNG payloads encoded in executors ->
+    extract_features(deterministic_fake=False) -> per-channel mean/std
+    features verified against the known pixel formula."""
+    media = MM.synth_media_png(spark, 30)
+    feats = {r.media_id: r for r in
+             MM.extract_features(media, feature_dim=16,
+                                 deterministic_fake=False).collect()}
+    assert len(feats) == 30
+    for i in range(30):
+        r = feats[f"png{i}"]
+        w = i % 24 + 2
+        h = (i * 7) % 24 + 2
+        ch = (1, 3, 4)[i % 3]
+        assert (r.width, r.height) == (w, h)
+        base = np.arange(h * w * ch, dtype=np.int64).reshape(h, w, ch)
+        px = ((base + i) % 256).reshape(-1, ch).astype(np.float64)
+        np.testing.assert_allclose(r.features[:ch], px.mean(axis=0), rtol=1e-6)
+        np.testing.assert_allclose(
+            r.features[ch:2 * ch], px.std(axis=0), rtol=1e-5, atol=1e-5)
+        assert all(v == 0.0 for v in r.features[2 * ch:])
+
+
 def test_cosine_near_dup_pairs(spark, emb):
     df, _ = emb
     brute = {
