@@ -445,6 +445,56 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("content_key").orderBy("content_key")
 
 
+def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming tiling: the full stream pipeline (geoparse ->
+    s2_cellid -> stream-static covering join -> refine -> watermarked
+    1-day windowed counts) over a deterministic page stream derived from
+    the customer table, replayed from a temp parquet dir in MULTIPLE
+    micro-batches (maxFilesPerTrigger=1 over 4 files). Page text embeds
+    "%.6f, %.6f" coordinates, warc_ts = 2024-01-01T00Z + (key % 72) hours,
+    so the per-(window, tile) counts have a closed SQL form: the oracle
+    re-derives tile membership from the %.6f-rounded coordinates via
+    convex edge-normal sign tests and the window epoch by integer
+    arithmetic. Tumbling F.window aligns on the UTC epoch, so
+    unix_timestamp(window_start) is timezone-independent on both sides."""
+    from gos2_spark.spark.streaming import run_to_memory, streaming_tile_counts
+
+    import tempfile
+
+    pts = _cust_points(spark, sf_dir)
+    pages = pts.select(
+        F.concat(F.lit("https://example.com/p"), F.col("key")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_704_067_200) + (F.col("key") % 72) * 3600
+        ).alias("warc_ts"),
+        F.format_string(
+            "Visit us at %.6f, %.6f today.", F.col("lat"), F.col("lng")
+        ).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gos2_stream_pages_")
+    pages.repartition(4).write.mode("overwrite").parquet(tmp)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    out = streaming_tile_counts(
+        stream, _tileset(), window="1 day", watermark="1 hour"
+    )
+    q = run_to_memory(out, "gos2_stream_tile_counts")
+    q.awaitTermination()
+    return (
+        spark.table("gos2_stream_tile_counts")
+        .select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "tile_id",
+            "n_pages",
+        )
+        .orderBy("window_epoch", "tile_id")
+    )
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: token count + mean word length per language."""
     docs = _load(spark, sf_dir, "documents")
@@ -950,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_center_latlng": _q_cell_center,
         "dedup_exact": _q_dedup_exact,
         "streaming_first_seen_dedup": _q_streaming_dedup,
+        "streaming_tile_counts": _q_streaming_tile_counts,
         "text_stats": _q_text_stats,
         "embedding_knn": _q_embedding_knn,
         "top_events_per_user": _q_top_events,
@@ -1738,6 +1789,25 @@ def oracle_sql() -> dict[str, str]:
         "streaming_first_seen_dedup": """
             SELECT DISTINCT md5(text) AS content_key
             FROM documents ORDER BY content_key
+        """,
+        # windowed streaming tiling: tile membership from the %.6f-rounded
+        # geoparsed coordinates, 1-day tumbling windows from the UTC epoch
+        # (1704067200 = 2024-01-01T00:00:00Z is day-aligned):
+        "streaming_tile_counts": f"""
+            WITH pts AS (
+              SELECT key,
+                     CAST(printf('%.6f', lat) AS DOUBLE) AS lat,
+                     CAST(printf('%.6f', lng) AS DOUBLE) AS lng,
+                     CAST(1704067200 + (key % 72) * 3600 AS BIGINT) AS ts
+              FROM ({_CUST_LATLNG_SQL})
+            ),
+            m AS ({" UNION ALL ".join(
+                f"SELECT ts, '{tid}' AS tile_id FROM pts WHERE {_tile_pred_sql(tid)}"
+                for tid in sorted(_TILES)
+            )})
+            SELECT CAST(ts // 86400 * 86400 AS BIGINT) AS window_epoch,
+                   tile_id, count(*) AS n_pages
+            FROM m GROUP BY 1, 2 ORDER BY window_epoch, tile_id
         """,
         "text_stats": """
             SELECT lang,
