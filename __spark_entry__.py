@@ -727,6 +727,25 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs).orderBy("key")
 
 
+def _q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate join, multi-table banded (Manku WWW'07
+    block layout, dedup.py::_simhash_tables). The banding is
+    guaranteed-complete for hamming <= 6 by block pigeonhole and no bucket
+    exceeds the cap at this corpus size, so the banded join must equal the
+    oracle's all-pairs hamming filter over DuckDB-re-derived signatures
+    (xxhash64 model, duckdb_oracles.py)."""
+    from gos2_spark.pipeline.dedup import simhash_candidates
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return (
+        simhash_candidates(docs, max_hamming=6)
+        .select(
+            "key_a", "key_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sizes (rows-only)."""
     from gos2_spark.pipeline.text import fingerprint
@@ -1011,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_multi": _q_embedding_topk,
         "minhash_dedup_groups": _q_minhash_groups,
         "simhash_signatures": _q_simhash,
+        "simhash_candidate_pairs": _q_simhash_candidates,
         "fingerprint_sizes": _q_fingerprints,
         "media_features": _q_media_features,
         "pip_semi_join": _q_pip_semi,
@@ -2004,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB HUGEINT expression (gos2_spark/pipeline/duckdb_oracles.py,
         # validated bit-for-bit against Spark):
         "simhash_signatures": _DO.simhash_oracle_sql(500),
+        "simhash_candidate_pairs": _DO.simhash_candidates_oracle_sql(500, 6),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),
         "minhash_dedup_groups": _DO.minhash_groups_oracle_sql(500, 0.8),
         # EdgeNeighbors incl. the cross-face wrap float path:

@@ -178,6 +178,24 @@ def simhash_oracle_sql(max_doc_id: int = 500) -> str:
     """
 
 
+def simhash_candidates_oracle_sql(
+    max_doc_id: int = 500, max_hamming: int = 6
+) -> str:
+    """Mirror of pipeline.dedup.simhash_candidates: the multi-table banded
+    layout is guaranteed-COMPLETE for hamming <= k (block pigeonhole), and
+    at oracle scale no bucket exceeds the cap, so the engine's banded join
+    must equal the all-pairs hamming filter over the same signatures."""
+    sig = simhash_oracle_sql(max_doc_id)
+    return f"""
+        WITH sig AS ({sig})
+        SELECT a.key AS key_a, b.key AS key_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.key < b.key
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY key_a, key_b
+    """
+
+
 def fingerprint_sizes_oracle_sql(max_doc_id: int = 200, k: int = 7, window: int = 4) -> str:
     """Mirror of pipeline.text.fingerprint: k-gram rolling xxhash64 ->
     window minima -> distinct count. Output (doc_id, fp_size)."""
