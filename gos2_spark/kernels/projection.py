@@ -59,16 +59,16 @@ def valid_face_xyz_to_uv(f, x, y, z):
     """(face, xyz) -> (u, v); face must be valid for the point (stuv.go:68-82)."""
     f = np.asarray(f)
     x, y, z = (np.asarray(a, dtype=np.float64) for a in (x, y, z))
-    # select the per-face numerator/denominator FIRST, then divide once:
+    # gather the per-face numerator/denominator FIRST, then divide once:
     # dividing all six branches and discarding five is 3x the work and
     # emits overflow/divide RuntimeWarnings for the never-selected
-    # branches (a valid face's own denominator is never ~0).
-    sel = [f == 0, f == 1, f == 2, f == 3, f == 4]
-    u_num = np.select(sel, [y, -x, -x, z, z], default=-y)
-    u_den = np.select(sel, [x, y, z, x, y], default=z)
-    v_num = np.select(sel, [z, z, -y, y, -x], default=-x)
-    v_den = np.select(sel, [x, y, z, x, y], default=z)
-    return u_num / u_den, v_num / v_den
+    # branches (a valid face's own denominator is never ~0). np.choose
+    # beats an np.select cascade (one gather pass vs 6 masked writes),
+    # and u and v share the same denominator table.
+    u_num = np.choose(f, (y, -x, -x, z, z, -y))
+    v_num = np.choose(f, (z, z, -y, y, -x, -x))
+    den = np.choose(f, (x, y, z, x, y, z))
+    return u_num / den, v_num / den
 
 
 _U_AXIS = np.array([
