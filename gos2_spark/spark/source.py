@@ -104,6 +104,38 @@ def write_points_cell_sorted(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    buckets: int = 64,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed sink: hash-cluster rows on ``bucket_col`` into ``buckets``
+    files AT WRITE TIME (Spark native bucketing; on Iceberg the equivalent
+    is a ``bucket(N, col)`` partition transform).
+
+    This moves the shuffle from every query to the single write: any later
+    aggregate or equi-join keyed on ``bucket_col`` reads co-located data
+    and plans WITHOUT an Exchange (the scan's outputPartitioning already
+    matches). The at-scale use cases this engine targets:
+
+    - repeated content-hash dedup sweeps over a 100 TB corpus
+      (``groupBy(hash)`` becomes a single-stage aggregate);
+    - corpus-corpus equi-joins on url/content hash (both sides bucketed
+      with the same count -> zero-shuffle sort-merge join);
+    - cell-block self-joins where the block key is stored (bucketing by
+      the level-L parent co-locates the B side of distance joins).
+
+    Shuffle elimination is pytest-gated (test_checkpoint_skew.py asserts
+    the plans contain no Exchange)."""
+    w = df.write.mode(mode).bucketBy(buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def input_fingerprint(spark: SparkSession, location: str) -> str:
     """Stable content fingerprint for checkpoint lineage: the Iceberg
     snapshot id when available, else a hash of the file listing + sizes."""

@@ -184,3 +184,46 @@ def test_cell_sorted_write_enables_pushdown(spark, tmp_path):
     got = sorted(r.url for r in filtered.collect())
     want = sorted(r.url for r in pts.where(pre).collect())
     assert got == want and len(got) > 0
+
+
+def test_bucketed_write_eliminates_shuffle(spark):
+    """write_bucketed moves the shuffle to write time: a later groupBy and
+    a self equi-join on the bucket column plan with NO Exchange, and
+    results equal the unbucketed computation."""
+    from gos2_spark.spark.source import write_bucketed
+
+    docs = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text"), (F.col("id") % 700)).alias("text"),
+        )
+        .withColumn("h", F.md5("text"))
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_docs_test")
+    write_bucketed(docs, "bucketed_docs_test", "h", buckets=8)
+    t = spark.table("bucketed_docs_test")
+
+    agg = t.groupBy("h").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    want = {
+        (r.keep_id, r.n)
+        for r in docs.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r.keep_id, r.n) for r in agg.collect()} == want
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t.alias("a").join(t.alias("b"), "h")
+        planj = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in planj, planj[:2000]
+        assert j.count() == docs.alias("a").join(docs.alias("b"), "h").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE bucketed_docs_test")
