@@ -484,6 +484,11 @@ def _q_streaming_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = run_to_memory(out, "gos2_stream_tile_counts")
     q.awaitTermination()
+    # the memory sink owns the rows once drained; the staged replay dir
+    # is no longer referenced by the returned (batch) DataFrame
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table("gos2_stream_tile_counts")
         .select(
