@@ -344,6 +344,28 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native distributed kNN join (knn_join_df): queries are a
+    DataFrame (first 30 customer locations), not a driver list — no
+    per-query driver work, level-coarsening 3x3 block join rounds with the
+    MinWidth exactness guarantee. Oracle: per-query window over the full
+    cross join with the identical xyz atan2 distance."""
+    from gos2_spark.spark.joins import knn_join_df
+
+    pts = _cust_points(spark, sf_dir)
+    qdf = pts.where(F.col("key") < 30).select(
+        F.col("key").alias("qid"), "lat", "lng", "cell_id"
+    )
+    out = knn_join_df(pts, qdf, k=5, point_key="key", query_key="qid")
+    return (
+        out.select(
+            "qid", "key", "knn_rank",
+            F.round(F.col("dist_rad"), 9).alias("dist_rad"),
+        )
+        .orderBy("qid", "knn_rank")
+    )
+
+
 def _q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-path op (rows-only oracle): per-level-5-cell point counts."""
     from gos2_spark.spark.pages import s2_parent_sql
@@ -1019,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_histogram": _q_pip_histogram,
         "pip_anti_join": _q_pip_anti,
         "knn_join": _q_knn,
+        "knn_join_df": _q_knn_join_df,
         "cell_counts_l5": _q_cell_counts,
         "cell_token_roundtrip": _q_cell_roundtrip,
         "cell_center_latlng": _q_cell_center,
@@ -1802,6 +1825,22 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": f"""
             WITH pts AS ({_CUST_LATLNG_SQL})
             SELECT qid, key, knn_rank, dist_rad FROM ({knn_union})
+            ORDER BY qid, knn_rank
+        """,
+        "knn_join_df": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL}),
+            q AS (SELECT key AS qid, lat AS qlat, lng AS qlng
+                  FROM pts WHERE key < 30),
+            d AS (
+              SELECT q.qid, p.key,
+                     {_DIST_ANGLE_SQL_TMPL.format(qlat='q.qlat', qlng='q.qlng')} AS dist
+              FROM q CROSS JOIN pts p
+            )
+            SELECT qid, key,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY dist, key) AS INT) AS knn_rank,
+                   round(dist, 9) AS dist_rad
+            FROM d QUALIFY knn_rank <= 5
             ORDER BY qid, knn_rank
         """,
         "dedup_exact": """

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "pip_semi_join",
     "pip_anti_join",
     "knn_join",
+    "knn_join_df",
     "distance_join_pairs",
     "rasterize_centers_l8",
     "cell_counts_l5",

@@ -620,6 +620,150 @@ def knn_join(
     return out
 
 
+def knn_join_df(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_key: str = "url",
+    query_key: str = "qid",
+    cell_col: str = "cell_id",
+    initial_level: int | None = None,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """k nearest points for EVERY row of a query DataFrame — the
+    DataFrame-scale sibling of knn_join. knn_join's per-query driver-side
+    cap coverings are the right plan for handfuls of queries; at millions
+    of queries the driver would loop over q Python objects every round.
+    Here the driver holds only the round counter — both sides stay
+    distributed end to end.
+
+    Round r blocks both sides at level L_r (L_0 sized from global point
+    density so the expected 3x3 block holds ~k candidates; each round
+    coarsens one level = 4x the area): queries explode to their 3x3 cell
+    neighborhood (AppendAllNeighbors, cellid.go:257-287), points key by
+    Parent(L_r) (pure bitwise SQL), one shuffle hash join, window top-k
+    per query.
+
+    EXACTNESS: a query finishes only when it holds >= k candidates AND its
+    k-th candidate distance <= MinWidth(L_r) — the same guarantee
+    distance_join relies on (any point within MinWidth(L_r) of q shares
+    q's 3x3 block at L_r, metric.go:44-54), so no unseen point can beat
+    the k-th. Queries still unfinished after the level schedule (or with
+    fewer than k points in range of it) resolve in a final face-blocked
+    round, which is complete by construction.
+
+    ``queries`` needs (query_key, lat, lng, cell_col) with LEAF cell ids —
+    the engine-wide point-table convention (see distance_join's warning on
+    coarse ids). Output: (query_key, point_key, knn_rank, dist_rad) with
+    the deterministic (dist, point_key) tie-break — knn_join's contract.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from ..geometry.metric import MIN_WIDTH
+    from .functions import s2_neighborhood
+
+    spark = points.sparkSession
+
+    def _xyz(df: DataFrame, prefix: str) -> DataFrame:
+        rl, rg = F.radians(F.col("lat")), F.radians(F.col("lng"))
+        return (
+            df.withColumn(f"_{prefix}x", F.cos(rg) * F.cos(rl))
+            .withColumn(f"_{prefix}y", F.sin(rg) * F.cos(rl))
+            .withColumn(f"_{prefix}z", F.sin(rl))
+        )
+
+    caller_sl = points.storageLevel
+    own_cache = not (caller_sl.useMemory or caller_sl.useDisk)
+    pts = _xyz(points, "p").select(
+        F.col(point_key).alias("_pkey"), F.col(cell_col).alias("_pcell"),
+        "_px", "_py", "_pz",
+    )
+    if own_cache:
+        pts = pts.persist()
+
+    if initial_level is None:
+        n = max(pts.count(), 1)  # also materializes the cache
+        r0 = math.radians(min(45.0, max(0.05, 114.0 * math.sqrt(k / n))))
+        level = max(0, min(30, MIN_WIDTH.max_level(r0)))
+    else:
+        level = initial_level
+
+    pending = _xyz(queries, "q").select(
+        F.col(query_key).alias("_qkey"), F.col(cell_col).alias("_qcell"),
+        "_qx", "_qy", "_qz",
+    )
+
+    w = Window.partitionBy("_qkey").orderBy(F.col("dist_rad"), F.col("_pkey"))
+
+    def _ranked(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("dist_rad", _dist_from_xyz())
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select("_qkey", "_pkey", "knn_rank", "dist_rad")
+        )
+
+    parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if level < 1:
+            break
+        guarantee = MIN_WIDTH.value(level)
+        blk_q = pending.select(
+            "*",
+            F.explode(
+                s2_neighborhood(F.col("_qcell"), F.lit(level))
+            ).alias("_blk"),
+        )
+        blk_p = pts.withColumn("_blk", s2_parent_sql(F.col("_pcell"), level))
+        ranked = _ranked(blk_q.join(blk_p, "_blk")).persist()
+        fin = (
+            ranked.groupBy("_qkey")
+            .agg(F.count("*").alias("_n"), F.max("dist_rad").alias("_kth"))
+            .where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee)))
+            .select("_qkey")
+            .persist()
+        )
+        # ONE driver-visible number per round (materializes ranked + fin)
+        n_fin = fin.count()
+        if n_fin:
+            parts.append(ranked.join(fin, "_qkey"))
+            pending = pending.join(fin, "_qkey", "left_anti")
+        level -= 1
+
+    # face-blocked completion round: every remaining query sees every
+    # point (the same all-6-faces trick distance_join uses past the
+    # level-0 MinWidth), so it is exact with no guarantee check and also
+    # settles queries when the corpus holds fewer than k points.
+    if pending.limit(1).count():
+        face_ids = F.array(
+            *[F.lit(b) for b in _biased([(2 * f + 1) << 60 for f in range(6)])]
+        )
+        blk_q = pending.select("*", F.explode(face_ids).alias("_blk"))
+        blk_p = pts.withColumn("_blk", s2_parent_sql(F.col("_pcell"), 0))
+        last = _ranked(blk_q.join(blk_p, "_blk")).persist()
+        last.count()  # materialize before the input cache may go
+        parts.append(last)
+
+    if own_cache:
+        pts.unpersist()
+    if not parts:
+        return spark.createDataFrame(
+            [], "_qkey string, _pkey string, knn_rank int, dist_rad double"
+        ).select(
+            F.col("_qkey").alias(query_key), F.col("_pkey").alias(point_key),
+            "knn_rank", "dist_rad",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.select(
+        F.col("_qkey").alias(query_key), F.col("_pkey").alias(point_key),
+        "knn_rank", "dist_rad",
+    )
+
+
 # --- within-radius distance join ---------------------------------------------
 
 def distance_join(

@@ -426,3 +426,50 @@ def test_knn_many_queries_single_pass(spark, points):
         want = [rows[i].url for i in order[:k]]
         have = [r.url for r in sorted(by_q[qid], key=lambda r: r.knn_rank)]
         assert have == want, qid
+
+
+def test_knn_join_df_matches_bruteforce(spark, points):
+    """DataFrame-native kNN join (knn_join_df): 60 distributed queries,
+    exact per-query top-k vs brute force on a sample, plus the
+    fewer-than-k-points face-round completion path."""
+    from gos2_spark.kernels import projection as PJ
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.joins import knn_join_df
+
+    rng = np.random.default_rng(43)
+    qrows = [
+        (f"q{i:03d}", float(rng.uniform(-70, 70)), float(rng.uniform(-180, 180)))
+        for i in range(60)
+    ]
+    qdf = add_cellid_sql(
+        spark.createDataFrame(qrows, "qid string, lat double, lng double"),
+        "lat", "lng", "cell_id",
+    )
+    k = 3
+    got = knn_join_df(points, qdf, k=k).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {q for q, _, _ in qrows}
+    assert all(len(v) == k for v in by_q.values())
+
+    rows = points.select("url", "lat", "lng").collect()
+    lat = np.array([r.lat for r in rows]); lng = np.array([r.lng for r in rows])
+    x2, y2, z2 = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    for qid, qlat, qlng in qrows[::6]:
+        x1, y1, z1 = PJ.latlng_to_xyz(np.radians(qlat), np.radians(qlng))
+        d = PJ.point_angle(x1, y1, z1, x2, y2, z2)
+        order = sorted(range(len(rows)), key=lambda i: (d[i], rows[i].url))
+        want = [rows[i].url for i in order[:k]]
+        have = [r.url for r in sorted(by_q[qid], key=lambda r: r.knn_rank)]
+        assert have == want, qid
+
+    # fewer points than k: the face completion round returns all of them
+    tiny = points.limit(2).cache()
+    tiny.count()
+    out = knn_join_df(tiny, qdf.limit(4), k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r)
+    assert len(per_q) == 4 and all(len(v) == 2 for v in per_q.values())
+    tiny.unpersist()
