@@ -628,7 +628,7 @@ def knn_join_df(
     query_key: str = "qid",
     cell_col: str = "cell_id",
     initial_level: int | None = None,
-    max_rounds: int = 10,
+    max_rounds: int = 16,
 ) -> DataFrame:
     """k nearest points for EVERY row of a query DataFrame — the
     DataFrame-scale sibling of knn_join. knn_join's per-query driver-side
@@ -637,12 +637,16 @@ def knn_join_df(
     Here the driver holds only the round counter — both sides stay
     distributed end to end.
 
-    Round r blocks both sides at level L_r (L_0 sized from global point
-    density so the expected 3x3 block holds ~k candidates; each round
-    coarsens one level = 4x the area): queries explode to their 3x3 cell
+    Round r blocks both sides at level L_r (L_0 from point density with a
+    sampled-max-block SKEW GUARD — see inline comment; each round coarsens
+    one level = 4x the area): queries explode to their 3x3 cell
     neighborhood (AppendAllNeighbors, cellid.go:257-287), points key by
     Parent(L_r) (pure bitwise SQL), one shuffle hash join, window top-k
-    per query.
+    per query. Dense-region queries finish in the first rounds (their
+    blocks are small by the guard and their k-th distance is tiny); the
+    queries that survive to coarse rounds are in sparse regions by
+    construction, so their candidate sets stay small — per-query work is
+    O(k) expected at every density.
 
     EXACTNESS: a query finishes only when it holds >= k candidates AND its
     k-th candidate distance <= MinWidth(L_r) — the same guarantee
@@ -686,7 +690,37 @@ def knn_join_df(
     if initial_level is None:
         n = max(pts.count(), 1)  # also materializes the cache
         r0 = math.radians(min(45.0, max(0.05, 114.0 * math.sqrt(k / n))))
-        level = max(0, min(30, MIN_WIDTH.max_level(r0)))
+        level_mean = max(0, min(30, MIN_WIDTH.max_level(r0)))
+        # SKEW GUARD: the mean-density level is catastrophically coarse
+        # for clustered data (a web corpus is city-skewed by nature): at
+        # the mean level a hot-city block can hold 100k+ points, and every
+        # query in it drags the whole block through the per-query window
+        # sort — measured as a multi-hour stall at 100k queries x 4M
+        # city-mixture points. Start instead at the coarsest level whose
+        # LARGEST block (estimated from a bounded sample, driver traffic
+        # <= 500k int64s) stays under ~16k candidates; sparse-region
+        # queries just take a few more (cheap, shrinking) rounds. Hot
+        # blocks are exactly the ones a uniform sample estimates well.
+        frac = min(1.0, 500_000.0 / n)
+        cells = np.array(
+            [r[0] for r in (
+                pts.sample(fraction=frac, seed=7).select("_pcell").collect()
+                if frac < 1.0 else pts.select("_pcell").collect()
+            )],
+            dtype=np.int64,
+        ).view(np.uint64) ^ np.uint64(1 << 63)
+        cap = max(512, 16 * k)
+        level_skew = level_mean
+        for lv in range(level_mean, 31):
+            lsb = np.uint64(1 << (2 * (30 - lv)))
+            # Parent(lv) on raw ids: (id & -lsb) | lsb (cellid.go:168-171)
+            parents = (cells & ~(lsb - np.uint64(1))) | lsb
+            _, counts = np.unique(parents, return_counts=True)
+            est_max = counts.max() / frac if len(counts) else 0.0
+            level_skew = lv
+            if est_max <= cap:
+                break
+        level = max(level_mean, level_skew)
     else:
         level = initial_level
 
@@ -706,8 +740,9 @@ def knn_join_df(
         )
 
     parts: list[DataFrame] = []
+    nq_left = pending.count()
     for _ in range(max_rounds):
-        if level < 1:
+        if level < 1 or nq_left == 0:
             break
         guarantee = MIN_WIDTH.value(level)
         blk_q = pending.select(
@@ -730,13 +765,23 @@ def knn_join_df(
         if n_fin:
             parts.append(ranked.join(fin, "_qkey"))
             pending = pending.join(fin, "_qkey", "left_anti")
+            nq_left -= n_fin
         level -= 1
 
     # face-blocked completion round: every remaining query sees every
     # point (the same all-6-faces trick distance_join uses past the
     # level-0 MinWidth), so it is exact with no guarantee check and also
     # settles queries when the corpus holds fewer than k points.
-    if pending.limit(1).count():
+    if nq_left:
+        if nq_left > 10_000:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_join_df: %d queries reached the face completion round "
+                "(a cross join against all points) — raise max_rounds or "
+                "initial_level so the level ladder settles them first.",
+                nq_left,
+            )
         face_ids = F.array(
             *[F.lit(b) for b in _biased([(2 * f + 1) << 60 for f in range(6)])]
         )
