@@ -607,7 +607,7 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_bpe_tokens"),
-            F.max("n_tok").alias("max_bpe_tokens"),
+            F.max("n_tok").cast("long").alias("max_bpe_tokens"),
         )
         .orderBy("lang")
     )
