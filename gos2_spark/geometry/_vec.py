@@ -67,6 +67,62 @@ def is_unit(a) -> bool:
     return abs(norm2(a) - 1) <= 5e-14
 
 
+def ortho(a):
+    """A unit vector orthogonal to ``a`` — the reference's fixed-offset
+    cross construction (r3/vector.go:102), NOT the axis-permutation trick,
+    so results match its choices bit-for-bit."""
+    return normalize(cross(a, (0.012, 0.0053, 0.00457)))
+
+
+# -- 3x3 matrices as row-major tuples of rows (r3/matrix.go) --------------
+
+
+def matrix_from_cols(v0, v1, v2):
+    """r3/matrix.go:11-19 — columns are the input vectors."""
+    return (
+        (v0[0], v1[0], v2[0]),
+        (v0[1], v1[1], v2[1]),
+        (v0[2], v1[2], v2[2]),
+    )
+
+
+def transpose(m):
+    return tuple(zip(*m))
+
+
+def col(m, i: int):
+    return (m[0][i], m[1][i], m[2][i])
+
+
+def mul_vector(m, v):
+    return (
+        m[0][0] * v[0] + m[0][1] * v[1] + m[0][2] * v[2],
+        m[1][0] * v[0] + m[1][1] * v[1] + m[1][2] * v[2],
+        m[2][0] * v[0] + m[2][1] * v[1] + m[2][2] * v[2],
+    )
+
+
+def frame_from_point(z):
+    """Right-handed orthonormal frame with ``z`` as the 3rd column
+    (point.go:440-445): col1 = z.Ortho(), col0 = col1 x z (unit by
+    construction). Used for local-tangent-plane work (snapping, small-cap
+    sampling)."""
+    c1 = ortho(z)
+    c0 = cross(c1, z)
+    return matrix_from_cols(c0, c1, z)
+
+
+def point_from_frame(m, q):
+    """point.go:447-449 — frame-local coords ``q`` back to world."""
+    return mul_vector(m, q)
+
+
+def point_to_frame(m, p):
+    """Inverse of point_from_frame for orthonormal ``m``: multiply by the
+    transpose (rotation inverse)."""
+    return mul_vector(transpose(m), p)
+
+
 def from_latlng_rad(lat: float, lng: float):
     """latlng.go:54-59."""
     cosphi = math.cos(lat)

@@ -166,3 +166,51 @@ def test_angle_codecs():
     assert abs(Angle.from_radians(-math.pi / 2).normalized().radians()
                - 1.5 * math.pi) < 1e-15
     assert abs(Angle.from_degrees(180.0).radians() - math.pi) < 1e-15
+
+
+# --- point frames + r3 matrix helpers (point.go:440-449, r3/matrix.go) -------
+
+def test_ortho_orthogonal_and_unit():
+    from gos2_spark.geometry import _vec as V
+    # the reference's TestOrtho axes plus skew vectors (r3/vector_test.go:229-243)
+    for v in [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1), (0.3, -0.7, 0.2),
+              (-3, 2, 9)]:
+        u = V.ortho(v)
+        assert abs(V.dot(v, u)) < 1e-14 * max(1.0, V.norm(v))
+        assert abs(V.norm(u) - 1.0) < 1e-14
+        # fixed-offset construction, matching r3/vector.go:102 exactly
+        want = V.normalize(V.cross(v, (0.012, 0.0053, 0.00457)))
+        assert u == want
+
+
+def test_frame_from_point_orthonormal_right_handed():
+    from gos2_spark.geometry import _vec as V
+    for z in [(0, 0, 1), (1, 0, 0), (0.26726124, 0.53452248, 0.80178373)]:
+        z = V.normalize(z)
+        m = V.frame_from_point(z)
+        c0, c1, c2 = (V.col(m, i) for i in range(3))
+        assert c2 == z
+        # orthonormal
+        for a, b in [(c0, c1), (c0, c2), (c1, c2)]:
+            assert abs(V.dot(a, b)) < 1e-14
+        for c in (c0, c1):
+            assert abs(V.norm(c) - 1.0) < 1e-14
+        # right-handed: c0 x c1 == c2
+        assert V.distance(V.cross(c0, c1), c2) < 1e-14
+        # frame axes map to world axes: M * e_i == col_i
+        for i, e in enumerate([(1, 0, 0), (0, 1, 0), (0, 0, 1)]):
+            assert V.distance(V.point_from_frame(m, e), V.col(m, i)) < 1e-15
+
+
+def test_point_frame_roundtrip():
+    from gos2_spark.geometry import _vec as V
+    z = V.normalize((0.2, -0.5, 0.84))
+    m = V.frame_from_point(z)
+    for q in [(1, 0, 0), (0.5, 0.5, 0.70710678), (-0.1, 0.9, 0.42)]:
+        q = V.normalize(q)
+        back = V.point_to_frame(m, V.point_from_frame(m, q))
+        assert V.distance(back, q) < 1e-15
+    # matrix helpers agree with the reference's definitions
+    mt = V.transpose(m)
+    assert V.transpose(mt) == m
+    assert V.matrix_from_cols(V.col(m, 0), V.col(m, 1), V.col(m, 2)) == m
