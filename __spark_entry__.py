@@ -1032,6 +1032,98 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed edge for the interpolate query (distinct from _EDGE_A/_EDGE_B so the
+# two edge queries don't share artifacts)
+_IEDGE_A = (10.0, 20.0)
+_IEDGE_B = (40.0, 100.0)
+
+
+def _q_nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation minimal wrap-aware bounding Rect over customer points —
+    drives spark.aggregates.rect_bound_agg (Rect/S1Interval union algebra,
+    rect.go + edgeutil.go:282-333, as a canonical largest-gap window
+    plan). Nations span ~340 deg of longitude here, so most groups
+    exercise the antimeridian-wrap (inverted interval) branch."""
+    from gos2_spark.spark.aggregates import rect_bound_agg
+
+    c = _load(spark, sf_dir, "customer")
+    lat = (-60.0 + (F.col("c_custkey") * 7 % 120)
+           + (F.col("c_custkey") % 97) / 97.0).alias("lat")
+    lng = (-170.0 + (F.col("c_custkey") * 13 % 340)
+           + (F.col("c_custkey") % 89) / 89.0).alias("lng")
+    pts = c.select(F.col("c_nationkey").alias("nationkey"), lat, lng)
+    r = rect_bound_agg(pts, ["nationkey"], "lat", "lng")
+    return r.select(
+        "nationkey",
+        F.round("lat_lo", 9).alias("lat_lo"),
+        F.round("lat_hi", 9).alias("lat_hi"),
+        F.round("lng_lo", 9).alias("lng_lo"),
+        F.round("lng_hi", 9).alias("lng_hi"),
+        "n_pts",
+    ).orderBy("nationkey")
+
+
+def _q_cellunion_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion.Denormalize (cellunion.go:68-88) as a native
+    sequence+explode plan: customer leaf cells -> parents at level
+    4 + key%3 -> descendants at level 6. Output per input level:
+    input-cell count and distinct level-6 descendant count (exactly
+    n_cells * 4^(6-level) when parents are distinct — the oracle
+    re-derives both via DuckDB generate_series)."""
+    from gos2_spark.spark.aggregates import denormalize_to_level
+
+    pts = _cust_points(spark, sf_dir)
+    lvl = (F.col("key") % 3 + 4).cast("int").alias("level")
+    # level -> lsb via a 3-arm CASE keeps the parent computation in pure
+    # codegen (variable shifts would need a UDF)
+    lsb = (
+        F.when(F.col("level") == 4, F.lit(1 << 52))
+        .when(F.col("level") == 5, F.lit(1 << 50))
+        .otherwise(F.lit(1 << 48))
+    )
+    parents = (
+        pts.select(lvl, "cell_id")
+        .withColumn("_lsb", lsb)
+        .select(
+            "level",
+            (F.col("cell_id").bitwiseAND(-F.col("_lsb")).bitwiseOR(F.col("_lsb"))).alias("parent"),
+        )
+        .distinct()
+    )
+    denorm = denormalize_to_level(parents, "parent", 6, "child")
+    return (
+        denorm.groupBy("level")
+        .agg(
+            F.countDistinct("parent").alias("n_cells"),
+            F.countDistinct("child").alias("n_denorm"),
+        )
+        .orderBy("level")
+    )
+
+
+def _q_edge_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeInterpolate + GetDistanceFraction (edgeutil.go:335-354,
+    394-398): slerp each customer's fraction t = (key%101)/100 along a
+    fixed geodesic, report the point and its recovered distance fraction.
+    The oracle re-derives the slerp in DuckDB SQL from embedded xyz
+    literals."""
+    from gos2_spark.spark.functions import edge_interpolate_udf
+
+    interp = edge_interpolate_udf(*_IEDGE_A, *_IEDGE_B)
+    pts = _cust_points(spark, sf_dir)
+    t = (F.col("key") % 101) / 100.0
+    return (
+        pts.select("key", interp(t.cast("double")).alias("i"))
+        .select(
+            "key",
+            F.round("i.ilat", 9).alias("ilat"),
+            F.round("i.ilng", 9).alias("ilng"),
+            F.round("i.frac", 9).alias("frac"),
+        )
+        .orderBy("key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1075,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "geoparse_multi": _q_geoparse_multi,
         "html_text_roundtrip": _q_html_roundtrip,
+        "nation_bounding_rects": _q_nation_rects,
+        "cellunion_denormalize": _q_cellunion_denormalize,
+        "edge_interpolate": _q_edge_interpolate,
     }
 
 
@@ -1770,6 +1865,66 @@ def _polygon_overlap_oracle_sql() -> str:
     """
 
 
+def _edge_interpolate_oracle_sql() -> str:
+    """Slerp re-derivation in DuckDB SQL (edgeutil.go:346-354 formulas)
+    from embedded endpoint xyz literals: f = sin(t*ab)/sin(ab),
+    e = cos(t*ab) - f*cos(ab), u = normalize(e*a + f*b), plus the
+    GetDistanceFraction recovery d0/(d0+d1) — sharing no code with the
+    numpy kernel."""
+    # CAST: DuckDB parses long plain-decimal literals as DECIMAL, and
+    # literal*literal then overflows scale 38 — force DOUBLE arithmetic
+    a1, a2, a3 = (f"CAST({v!r} AS DOUBLE)" for v in _xyz(*_IEDGE_A))
+    b1, b2, b3 = (f"CAST({v!r} AS DOUBLE)" for v in _xyz(*_IEDGE_B))
+    ab = (
+        f"atan2(sqrt(({a2}*{b3}-{a3}*{b2})*({a2}*{b3}-{a3}*{b2})"
+        f" + ({a3}*{b1}-{a1}*{b3})*({a3}*{b1}-{a1}*{b3})"
+        f" + ({a1}*{b2}-{a2}*{b1})*({a1}*{b2}-{a2}*{b1})),"
+        f" {a1}*{b1}+{a2}*{b2}+{a3}*{b3})"
+    )
+    return f"""
+        WITH p AS (
+          SELECT c_custkey AS key, (c_custkey % 101) / 100.0 AS t FROM customer
+        ),
+        ang AS (SELECT key, t, {ab} AS ab FROM p),
+        ef AS (SELECT key, t, ab, sin(t * ab) / sin(ab) AS f FROM ang),
+        e2 AS (SELECT *, cos(t * ab) - f * cos(ab) AS e FROM ef),
+        v AS (
+          SELECT key, t,
+                 e * {a1} + f * {b1} AS x,
+                 e * {a2} + f * {b2} AS y,
+                 e * {a3} + f * {b3} AS z
+          FROM e2
+        ),
+        u AS (
+          SELECT key, t,
+                 CASE WHEN t = 0 THEN {a1} WHEN t = 1 THEN {b1}
+                      ELSE x / sqrt(x*x + y*y + z*z) END AS ux,
+                 CASE WHEN t = 0 THEN {a2} WHEN t = 1 THEN {b2}
+                      ELSE y / sqrt(x*x + y*y + z*z) END AS uy,
+                 CASE WHEN t = 0 THEN {a3} WHEN t = 1 THEN {b3}
+                      ELSE z / sqrt(x*x + y*y + z*z) END AS uz
+          FROM v
+        ),
+        d AS (
+          SELECT key, ux, uy, uz,
+                 atan2(sqrt((uy*{a3}-uz*{a2})*(uy*{a3}-uz*{a2})
+                          + (uz*{a1}-ux*{a3})*(uz*{a1}-ux*{a3})
+                          + (ux*{a2}-uy*{a1})*(ux*{a2}-uy*{a1})),
+                       ux*{a1} + uy*{a2} + uz*{a3}) AS d0,
+                 atan2(sqrt((uy*{b3}-uz*{b2})*(uy*{b3}-uz*{b2})
+                          + (uz*{b1}-ux*{b3})*(uz*{b1}-ux*{b3})
+                          + (ux*{b2}-uy*{b1})*(ux*{b2}-uy*{b1})),
+                       ux*{b1} + uy*{b2} + uz*{b3}) AS d1
+          FROM u
+        )
+        SELECT key,
+               round(degrees(atan2(uz, sqrt(ux*ux + uy*uy))), 9) AS ilat,
+               round(degrees(atan2(uy, ux)), 9) AS ilng,
+               round(d0 / (d0 + d1), 9) AS frac
+        FROM d ORDER BY key
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from gos2_spark.pipeline import duckdb_oracles as _DO
 
@@ -2106,7 +2261,60 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlap_relations": _polygon_overlap_oracle_sql(),
         "polygon_boolean_areas": _polygon_boolean_oracle_sql(),
         "raster_vector_roundtrip": _raster_roundtrip_oracle_sql(),
-        # rows-only (driver-side clip geometry): polygon_boolean_areas,
-        # raster_vector_roundtrip, polygon_overlap_relations; rows-only
-        # (approximate by construction): embedding_ann_ivf.
+        "nation_bounding_rects": """
+            WITH pts AS (
+              SELECT c_nationkey AS nationkey,
+                     -60.0 + (c_custkey * 7 % 120) + (c_custkey % 97) / 97.0 AS lat,
+                     -170.0 + (c_custkey * 13 % 340) + (c_custkey % 89) / 89.0 AS lng
+              FROM customer
+            ),
+            s AS (
+              SELECT nationkey, lat, lng,
+                     coalesce(lead(lng) OVER (PARTITION BY nationkey ORDER BY lng),
+                              min(lng) OVER (PARTITION BY nationkey) + 360.0) AS nxt,
+                     min(lat) OVER (PARTITION BY nationkey) AS lat_lo,
+                     max(lat) OVER (PARTITION BY nationkey) AS lat_hi,
+                     count(*) OVER (PARTITION BY nationkey) AS n_pts
+              FROM pts
+            ),
+            g AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY nationkey ORDER BY nxt - lng DESC, lng
+                     ) AS rn
+              FROM s
+            )
+            SELECT nationkey,
+                   round(lat_lo, 9) AS lat_lo,
+                   round(lat_hi, 9) AS lat_hi,
+                   round(CASE WHEN nxt >= 180.0 THEN nxt - 360.0 ELSE nxt END, 9) AS lng_lo,
+                   round(lng, 9) AS lng_hi,
+                   n_pts
+            FROM g WHERE rn = 1 ORDER BY nationkey
+        """,
+        "cellunion_denormalize": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+            lvl AS (
+              SELECT CAST(key % 3 + 4 AS INT) AS level,
+                     CASE WHEN key % 3 = 0 THEN {1 << 52}
+                          WHEN key % 3 = 1 THEN {1 << 50}
+                          ELSE {1 << 48} END AS lsb,
+                     cell_id
+              FROM cells
+            ),
+            parents AS (
+              SELECT DISTINCT level, (cell_id & -lsb) | lsb AS parent FROM lvl
+            ),
+            ch AS (
+              SELECT level, parent,
+                     unnest(generate_series(parent - (parent & -parent) + {1 << 48},
+                                            parent + (parent & -parent) - {1 << 48},
+                                            {2 * (1 << 48)})) AS child
+              FROM parents
+            )
+            SELECT level,
+                   count(DISTINCT parent) AS n_cells,
+                   count(DISTINCT child) AS n_denorm
+            FROM ch GROUP BY level ORDER BY level
+        """,
+        "edge_interpolate": _edge_interpolate_oracle_sql(),
     }

@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "fingerprint_sizes",
     "embedding_knn",
     "top_events_per_user",
+    "nation_bounding_rects",
+    "cellunion_denormalize",
+    "edge_interpolate",
 ]
 
 

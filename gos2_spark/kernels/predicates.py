@@ -583,3 +583,37 @@ def turn_angle(a, b, c) -> float:
         u[0] * v[0] + u[1] * v[1] + u[2] * v[2],
     )
     return angle if robust_ccw(a, b, c) > 0 else -angle
+
+
+def interpolate_on_edge(t: np.ndarray, a, b) -> np.ndarray:
+    """Vectorized EdgeInterpolate (edgeutil.go:335-354): spherical linear
+    interpolation of a batch of fractions ``t`` along ONE geodesic segment
+    A-B. Returns (n, 3) unit xyz. t=0 / t=1 return the exact endpoints,
+    matching the reference's shortcuts."""
+    t = np.asarray(t, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    cr = np.cross(a, b)
+    ab = np.arctan2(np.sqrt(cr @ cr), a @ b)  # Vector.Angle (r3/vector.go:96)
+    ax = t * ab
+    f = np.sin(ax) / np.sin(ab)
+    e = np.cos(ax) - f * np.cos(ab)
+    out = e[:, None] * a[None, :] + f[:, None] * b[None, :]
+    out /= np.sqrt((out * out).sum(axis=1))[:, None]
+    out = np.where((t == 0.0)[:, None], a[None, :], out)
+    out = np.where((t == 1.0)[:, None], b[None, :], out)
+    return out
+
+
+def distance_fractions(points: np.ndarray, a, b) -> np.ndarray:
+    """Vectorized GetDistanceFraction (edgeutil.go:394-398): position of
+    each point along A-B as d(x,a) / (d(x,a) + d(x,b)). The point need not
+    lie on the edge."""
+    X = np.asarray(points, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ca = np.cross(X, a[None, :])
+    cb = np.cross(X, b[None, :])
+    d0 = np.arctan2(np.sqrt((ca * ca).sum(axis=1)), X @ a)
+    d1 = np.arctan2(np.sqrt((cb * cb).sum(axis=1)), X @ b)
+    return d0 / (d0 + d1)

@@ -1,0 +1,104 @@
+"""Distributed per-group spatial aggregations — pure Catalyst plans.
+
+rect_bound_agg
+    The minimal wrap-aware bounding Rect per group. The reference builds
+    per-shape bounds by greedy interval union (RectBounder.AddPoint,
+    /root/reference/s2/edgeutil.go:282-333, over Rect's S1Interval
+    longitude algebra, rect.go + s1 interval semantics); greedy union is
+    order-dependent once a group spans >= 180 deg, which has no place in a
+    distributed engine. We instead compute the CANONICAL minimal bound:
+    latitude is plain min/max, longitude is the complement of the largest
+    gap between consecutive longitudes on the circle — for groups spanning
+    < 180 deg this equals the reference's greedy bound exactly, and for
+    wider groups it is the unique minimal interval (deterministic under
+    any partitioning / arrival order). One shuffle (window partitionBy);
+    everything stays in whole-stage codegen.
+
+denormalize_to_level
+    CellUnion.Denormalize (/root/reference/s2/cellunion.go:68-88): replace
+    every cell by its 4^(level - cell_level) descendants at a fixed level.
+    Native sequence()+explode over the id arithmetic — first descendant
+    id = cell - lsb + lsb_target, stride 2*lsb_target (cellid.go ChildBegin
+    arithmetic, cellid.go:235-258) — valid on the engine's BIASED signed
+    ids because the bias only flips bit 63 and the child arithmetic never
+    borrows across it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rect_bound_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-group minimal bounding rect: (groups..., lat_lo, lat_hi,
+    lng_lo, lng_hi, n_pts). lng_lo > lng_hi means the interval wraps the
+    antimeridian (the reference Rect's inverted-interval convention).
+
+    Longitudes are taken in degrees in [-180, 180). Deterministic tie
+    break: among equal largest gaps the one starting at the smallest
+    longitude wins.
+    """
+    gcols = [F.col(c) for c in group_cols]
+
+    w_sorted = Window.partitionBy(*group_cols).orderBy("_lng")
+    w_grp = Window.partitionBy(*group_cols)
+
+    # circular successor of each longitude: the next-larger one, or
+    # (wrapping) the group's smallest + 360
+    nxt = F.coalesce(
+        F.lead("_lng").over(w_sorted), F.min("_lng").over(w_grp) + F.lit(360.0)
+    )
+    staged = df.select(
+        *gcols, F.col(lat_col).alias("_lat"), F.col(lng_col).alias("_lng")
+    ).select(
+        *group_cols,
+        "_lat",
+        "_lng",
+        nxt.alias("_nxt"),
+        F.min("_lat").over(w_grp).alias("lat_lo"),
+        F.max("_lat").over(w_grp).alias("lat_hi"),
+        F.count(F.lit(1)).over(w_grp).alias("n_pts"),
+    )
+    staged = staged.withColumn("_gap", F.col("_nxt") - F.col("_lng"))
+    pick = Window.partitionBy(*group_cols).orderBy(F.desc("_gap"), F.col("_lng"))
+    lng_lo = F.when(F.col("_nxt") >= 180.0, F.col("_nxt") - 360.0).otherwise(F.col("_nxt"))
+    return (
+        staged.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            "lat_lo",
+            "lat_hi",
+            lng_lo.alias("lng_lo"),
+            F.col("_lng").alias("lng_hi"),
+            "n_pts",
+        )
+    )
+
+
+def denormalize_to_level(
+    df: DataFrame, cell_col: str, level: int, out_col: str = "cell_id"
+) -> DataFrame:
+    """Explode each cell (level <= ``level``) into its descendants at
+    exactly ``level``. Cells already DEEPER than ``level`` drop out (the
+    reference instead refuses to denormalize such unions,
+    cellunion.go:70-73 — here a row-level guard is the distributed
+    equivalent; callers normalize first if they need the strict contract).
+    """
+    if not 0 <= level <= 30:
+        raise ValueError(f"level must be in [0, 30], got {level}")
+    lsb_t = 1 << (2 * (30 - level))
+    cell = F.col(cell_col)
+    lsb = cell.bitwiseAND(-cell)  # level marker of the input cell
+    first = cell - lsb + F.lit(lsb_t)
+    last = cell + lsb - F.lit(lsb_t)
+    seq = F.when(lsb >= F.lit(lsb_t), F.sequence(first, last, F.lit(2 * lsb_t)))
+    return df.withColumn(out_col, F.explode(seq))

@@ -299,6 +299,49 @@ def edge_distance_udf(a_lat: float, a_lng: float, b_lat: float, b_lng: float):
     return s2_edge_distance
 
 
+def edge_interpolate_udf(a_lat: float, a_lng: float, b_lat: float, b_lng: float):
+    """Pandas-UDF factory: EdgeInterpolate + GetDistanceFraction
+    (edgeutil.go:335-354, 394-398) of a fraction column along ONE fixed
+    geodesic segment A-B (captured in the closure — one double column in,
+    one struct out across the Arrow channel). Returns
+    struct(ilat, ilng, frac): the interpolated point in degrees and its
+    recovered distance fraction (== t up to float error; the recovery runs
+    the independent GetDistanceFraction formula, not algebraic identity)."""
+    import math
+
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import StructField, StructType
+
+    a = (
+        math.cos(math.radians(a_lng)) * math.cos(math.radians(a_lat)),
+        math.sin(math.radians(a_lng)) * math.cos(math.radians(a_lat)),
+        math.sin(math.radians(a_lat)),
+    )
+    b = (
+        math.cos(math.radians(b_lng)) * math.cos(math.radians(b_lat)),
+        math.sin(math.radians(b_lng)) * math.cos(math.radians(b_lat)),
+        math.sin(math.radians(b_lat)),
+    )
+    schema = StructType([
+        StructField("ilat", _D()),
+        StructField("ilng", _D()),
+        StructField("frac", _D()),
+    ])
+
+    @pandas_udf(schema)
+    def s2_edge_interpolate(t: pd.Series) -> pd.DataFrame:
+        from ..kernels import predicates as PR
+
+        pts = PR.interpolate_on_edge(t.to_numpy(np.float64), a, b)
+        return pd.DataFrame({
+            "ilat": np.degrees(np.arctan2(pts[:, 2], np.hypot(pts[:, 0], pts[:, 1]))),
+            "ilng": np.degrees(np.arctan2(pts[:, 1], pts[:, 0])),
+            "frac": PR.distance_fractions(pts, a, b),
+        })
+
+    return s2_edge_interpolate
+
+
 def haversine_rad(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
     """[SQL] haversine (latlng.go:32-40 op order) — native Catalyst
     expression, stays in whole-stage codegen AND is DuckDB-oracle friendly.

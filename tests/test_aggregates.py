@@ -1,0 +1,136 @@
+"""spark.aggregates: wrap-aware bounding-rect aggregation and native
+CellUnion.Denormalize, plus the edge-interpolate kernels they ride on.
+
+Reference semantics: Rect/S1Interval union (rect.go, edgeutil.go:282-333),
+CellUnion.Denormalize (cellunion.go:68-88), EdgeInterpolate /
+GetDistanceFraction (edgeutil.go:335-354, 394-398).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from gos2_spark.spark.aggregates import denormalize_to_level, rect_bound_agg
+
+
+def _brute_min_interval(lngs):
+    """Minimal covering arc of a set of longitudes: complement of the
+    largest circular gap, O(n log n) reference implementation."""
+    s = sorted(lngs)
+    if len(s) == 1:
+        return s[0], s[0]
+    # same float-op order as the engine: wrap gap is (min + 360) - last
+    nxts = s[1:] + [s[0] + 360.0]
+    gaps = [nxts[i] - s[i] for i in range(len(s))]
+    k = max(range(len(s)), key=lambda i: (gaps[i], -s[i]))
+    lo = nxts[k] - 360.0 if nxts[k] >= 180.0 else nxts[k]
+    hi = s[k]
+    return lo, hi
+
+
+@pytest.fixture(scope="module")
+def groups_df(spark):
+    rows = []
+    # narrow group (< 180 span): minimal == greedy RectBounder bound
+    for i, (lat, lng) in enumerate([(10.0, -5.0), (12.0, 3.0), (8.0, 20.0)]):
+        rows.append(("narrow", lat, lng))
+    # wrap group: points hug the antimeridian on both sides
+    for lat, lng in [(0.0, 170.0), (5.0, -175.0), (-3.0, 178.0), (2.0, -160.0)]:
+        rows.append(("wrap", lat, lng))
+    # wide group spanning > 180 without wrapping through 180
+    for lat, lng in [(0.0, -120.0), (0.0, 0.0), (0.0, 100.0)]:
+        rows.append(("wide", lat, lng))
+    # singleton
+    rows.append(("one", 42.0, 13.0))
+    return spark.createDataFrame(rows, "g string, lat double, lng double")
+
+
+def test_rect_bound_agg_matches_brute(groups_df, spark):
+    out = {r["g"]: r for r in rect_bound_agg(groups_df, ["g"], "lat", "lng").collect()}
+    data = groups_df.collect()
+    for g in ["narrow", "wrap", "wide", "one"]:
+        pts = [(r["lat"], r["lng"]) for r in data if r["g"] == g]
+        lo, hi = _brute_min_interval([p[1] for p in pts])
+        r = out[g]
+        assert r["lat_lo"] == min(p[0] for p in pts)
+        assert r["lat_hi"] == max(p[0] for p in pts)
+        assert (r["lng_lo"], r["lng_hi"]) == (lo, hi), g
+        assert r["n_pts"] == len(pts)
+    # the wrap group must actually produce an inverted interval
+    assert out["wrap"]["lng_lo"] > out["wrap"]["lng_hi"]
+
+
+def test_rect_bound_agg_random_vs_brute(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in range(8):
+        n = int(rng.integers(1, 40))
+        lats = rng.uniform(-80, 80, n)
+        lngs = np.round(rng.uniform(-180, 180, n), 6)
+        rows += [(f"g{g}", float(a), float(o)) for a, o in zip(lats, lngs)]
+    df = spark.createDataFrame(rows, "g string, lat double, lng double")
+    out = {r["g"]: r for r in rect_bound_agg(df, ["g"], "lat", "lng").collect()}
+    for g in {r[0] for r in rows}:
+        lngs = [r[2] for r in rows if r[0] == g]
+        lo, hi = _brute_min_interval(lngs)
+        assert (out[g]["lng_lo"], out[g]["lng_hi"]) == (lo, hi), g
+
+
+def test_denormalize_to_level_counts(spark):
+    from gos2_spark.kernels import hilbert as H
+    from gos2_spark.kernels import projection as PJ
+
+    lats = np.array([40.7, -33.9, 51.5, 35.7])
+    lngs = np.array([-74.0, 151.2, -0.13, 139.7])
+    leaves = PJ.cellid_from_latlng(lats, lngs)
+    for lvl_in, lvl_out in [(3, 5), (5, 5), (0, 2)]:
+        parents = H.parent(leaves, lvl_in)
+        biased = H.to_signed(parents)
+        df = spark.createDataFrame([(int(b),) for b in set(biased.tolist())], "cell long")
+        out = denormalize_to_level(df, "cell", lvl_out, "child").collect()
+        n_parents = len(set(biased.tolist()))
+        assert len(out) == n_parents * 4 ** (lvl_out - lvl_in)
+        # every child is at lvl_out and its ancestor at lvl_in is the source
+        childs = np.array([r["child"] for r in out], dtype=np.int64)
+        raw = H.from_signed(childs)
+        assert (H.level(raw) == lvl_out).all()
+        anc = H.parent(raw, lvl_in)
+        assert set(anc.tolist()) == set(parents.tolist())
+        # children are distinct
+        assert len(set(childs.tolist())) == len(childs)
+
+
+def test_denormalize_drops_too_deep_cells(spark):
+    from gos2_spark.kernels import hilbert as H
+    from gos2_spark.kernels import projection as PJ
+
+    leaf = PJ.cellid_from_latlng(np.array([10.0]), np.array([20.0]))
+    deep = int(H.to_signed(H.parent(leaf, 8))[0])
+    shallow = int(H.to_signed(H.parent(leaf, 2))[0])
+    df = spark.createDataFrame([(deep,), (shallow,)], "cell long")
+    out = denormalize_to_level(df, "cell", 4, "child").collect()
+    # the level-8 cell is deeper than target 4 -> dropped; level-2 -> 4^2
+    assert len(out) == 16
+    src = {r["cell"] for r in out}
+    assert src == {shallow}
+
+
+def test_interpolate_kernel_matches_scalar():
+    from gos2_spark.geometry import _vec as V
+    from gos2_spark.geometry.polyline import edge_interpolate_at_distance
+    from gos2_spark.kernels import predicates as PR
+
+    a = V.from_degrees(10.0, 20.0)
+    b = V.from_degrees(40.0, 100.0)
+    ab = V.angle(a, b)
+    ts = np.array([0.0, 0.1, 0.5, 0.9, 1.0])
+    batch = PR.interpolate_on_edge(ts, a, b)
+    for i, t in enumerate(ts):
+        want = (
+            a if t == 0.0 else b if t == 1.0
+            else edge_interpolate_at_distance(t * ab, a, b, ab)
+        )
+        assert V.distance(tuple(batch[i]), want) < 1e-15
+    # fraction recovery is the identity on on-edge points
+    np.testing.assert_allclose(PR.distance_fractions(batch, a, b), ts, atol=1e-12)
