@@ -1124,6 +1124,117 @@ def _q_edge_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nl_docs(docs: DataFrame):
+    """Deterministic multi-line corpus: break each document's text into
+    5-word lines, then append corpus-wide boilerplate lines ('subscribe...'
+    on every doc, 'follow...' on 1/7 of docs) — the line-level-dedup targets."""
+    nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    t = F.concat(nl, F.lit("\nsubscribe to our newsletter today"))
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit("\nfollow us on social media")),
+    ).otherwise(t)
+    return docs.select(F.col("doc_id").alias("key"), "lang", t.alias("text"))
+
+
+def _q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (pipeline/dedup.py line_dedup): drop
+    lines appearing in >2 docs corpus-wide (the injected boilerplate, plus
+    any organically repeated 5-word line), reassemble docs, report per-lang
+    line/char accounting. kept_chars gates the in-order reassembly, not
+    just the drop set."""
+    from gos2_spark.pipeline.dedup import line_dedup
+
+    docs2 = _nl_docs(_load(spark, sf_dir, "documents"))
+    res = line_dedup(docs2, key_col="key", max_occurrences=2)
+    joined = res.join(docs2.select("key", "lang"), "key")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("total_lines"),
+            F.sum("n_kept").alias("total_kept"),
+            F.sum((F.col("n_kept") < F.col("n_lines")).cast("long")).alias(
+                "docs_changed"
+            ),
+            F.sum(F.length("text").cast("long")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (pipeline/text.py
+    repetition_features — pure per-row array folds, zero shuffle): docs are
+    split into 5-word lines and 1/3 get their first line duplicated; per
+    lang report mean dup-line / dup-char / top-bigram fractions and the
+    count a Gopher-rule filter would drop."""
+    from gos2_spark.pipeline.text import repetition_features
+
+    docs = _load(spark, sf_dir, "documents")
+    nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(nl, F.lit("\n"), F.substring_index(nl, "\n", 1)),
+    ).otherwise(nl)
+    feats = repetition_features(docs.select("doc_id", "lang", t.alias("text")))
+    flagged = (
+        (F.col("dup_line_frac") > 0.25) | (F.col("top_bigram_frac") > 0.18)
+    ).cast("long")
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_line_frac"), 9).alias("avg_dup_line_frac"),
+            F.round(F.avg("dup_line_char_frac"), 9).alias("avg_dup_char_frac"),
+            F.round(F.avg("top_bigram_frac"), 9).alias("avg_top_bigram_frac"),
+            F.sum(flagged).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup (pipeline/web.py): urls are built
+    deterministically from doc_id (subdomain / tld / port / query-string /
+    case variation), the engine's REGEX parser recovers host, domain, tld
+    and path depth, and the oracle re-derives the ground truth from the
+    construction arithmetic — so the parse itself is what's gated."""
+    from gos2_spark.pipeline.web import domain_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sub = (
+        F.when(d % 4 == 0, F.lit("www."))
+        .when(d % 4 == 1, F.lit("m."))
+        .otherwise(F.lit(""))
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")), (d % 3 + 1).cast("int")
+    )
+    host = F.concat(sub, F.lit("site"), (d % 97).cast("string"), F.lit("."), tld)
+    host = F.when(d % 13 == 0, F.upper(host)).otherwise(host)
+    port = F.when(d % 11 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    path = F.concat(
+        F.repeat(F.lit("/dir"), (d % 3).cast("int")), F.lit("/p"), d.cast("string")
+    )
+    query = F.when(d % 5 == 0, F.lit("?ref=feed#top")).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), host, port, path, query)
+    pages = docs.select(url.alias("url"), "text")
+    return (
+        domain_stats(pages)
+        .select(
+            "domain",
+            "n_pages",
+            "n_hosts",
+            "total_chars",
+            F.round("avg_chars", 9).alias("avg_chars"),
+            "max_path_depth",
+        )
+        .orderBy("domain")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1170,6 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_bounding_rects": _q_nation_rects,
         "cellunion_denormalize": _q_cellunion_denormalize,
         "edge_interpolate": _q_edge_interpolate,
+        "line_dedup_stats": _q_line_dedup_stats,
+        "repetition_filters": _q_repetition_filters,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -2317,4 +2431,128 @@ def oracle_sql() -> dict[str, str]:
             FROM ch GROUP BY level ORDER BY level
         """,
         "edge_interpolate": _edge_interpolate_oracle_sql(),
+        # Multi-line corpus shared by line_dedup_stats: 5-word lines + the
+        # injected boilerplate ('subscribe...' everywhere, 'follow...' on 1/7).
+        "line_dedup_stats": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g')
+                     || chr(10) || 'subscribe to our newsletter today'
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'follow us on social media'
+                             ELSE '' END AS t
+              FROM documents
+            ),
+            split AS (
+              SELECT doc_id, lang, string_split(t, chr(10)) AS ls FROM d
+            ),
+            lines AS (
+              SELECT doc_id, lang, ls[i] AS line, i AS pos
+              FROM split, unnest(generate_series(1, len(ls))) AS g(i)
+              WHERE length(trim(ls[i])) >= 1
+            ),
+            over_quota AS (
+              SELECT trim(line) AS tl
+              FROM (SELECT DISTINCT trim(line) AS line, doc_id FROM lines)
+              GROUP BY 1 HAVING count(*) > 2
+            ),
+            kept AS (
+              SELECT l.* FROM lines l
+              WHERE trim(l.line) NOT IN (SELECT tl FROM over_quota)
+            ),
+            per_doc AS (
+              SELECT l.doc_id, l.lang,
+                     count(*) AS n_lines,
+                     count(k.line) AS n_kept,
+                     coalesce(sum(length(k.line)), 0)
+                       + CASE WHEN count(k.line) > 0
+                              THEN count(k.line) - 1 ELSE 0 END AS kept_chars
+              FROM lines l
+              LEFT JOIN kept k ON k.doc_id = l.doc_id AND k.pos = l.pos
+              GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_lines) AS BIGINT) AS total_lines,
+                   CAST(sum(n_kept) AS BIGINT) AS total_kept,
+                   CAST(sum(CASE WHEN n_kept < n_lines THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_changed,
+                   CAST(sum(kept_chars) AS BIGINT) AS kept_chars
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "repetition_filters": r"""
+            WITH d AS (
+              SELECT doc_id, lang,
+                     regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                    '\1' || chr(10), 'g') AS nl
+              FROM documents
+            ),
+            d2 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN nl || chr(10) || split_part(nl, chr(10), 1)
+                          ELSE nl END AS t
+              FROM d
+            ),
+            lined AS (
+              SELECT doc_id, lang, t,
+                     list_filter(string_split(t, chr(10)),
+                                 x -> length(trim(x)) > 0) AS lines,
+                     regexp_split_to_array(trim(t), '\s+') AS words
+              FROM d2
+            ),
+            bg AS (
+              SELECT doc_id, words[i] || ' ' || words[i + 1] AS bigram
+              FROM lined, unnest(generate_series(1, len(words) - 1)) AS g(i)
+            ),
+            top_bg AS (
+              SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+              FROM (SELECT doc_id, bigram, count(*) AS cnt
+                    FROM bg GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            feats AS (
+              SELECT l.doc_id, l.lang,
+                     1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                       AS dup_line_frac,
+                     (list_sum(list_transform(lines, x -> length(x)))
+                      - list_sum(list_transform(list_distinct(lines),
+                                                x -> length(x))))::DOUBLE
+                     / list_sum(list_transform(lines, x -> length(x)))
+                       AS dup_line_char_frac,
+                     t.top_cnt::DOUBLE / t.n_bigrams AS top_bigram_frac
+              FROM lined l JOIN top_bg t USING (doc_id)
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(dup_line_frac), 9) AS avg_dup_line_frac,
+                   round(avg(dup_line_char_frac), 9) AS avg_dup_char_frac,
+                   round(avg(top_bigram_frac), 9) AS avg_top_bigram_frac,
+                   CAST(sum(CASE WHEN dup_line_frac > 0.25
+                                   OR top_bigram_frac > 0.18
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM feats GROUP BY lang ORDER BY lang
+        """,
+        # Ground truth from the url-construction arithmetic (the engine must
+        # RECOVER these via its regex host/path parser).
+        "domain_stats": """
+            WITH d AS (
+              SELECT doc_id, text,
+                     'site' || (doc_id % 97) || '.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS domain,
+                     CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.'
+                                     ELSE '' END AS sub,
+                     CAST(doc_id % 3 + 1 AS INTEGER) AS path_depth
+              FROM documents
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT sub || domain) AS BIGINT) AS n_hosts,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   round(avg(length(text)), 9) AS avg_chars,
+                   max(path_depth) AS max_path_depth
+            FROM d GROUP BY domain ORDER BY domain
+        """,
     }

@@ -397,3 +397,69 @@ def simhash_candidates(
         pairs.select("key_a", "key_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every line whose normalized form
+    appears in more than ``max_occurrences`` documents corpus-wide
+    (boilerplate nav bars, cookie banners, footers), then reassemble each
+    document from its surviving lines in original order.
+
+    Returns (key, text, n_lines, n_kept) with text rebuilt from kept lines.
+
+    Scale shape: explode lines -> count per line-hash (map-side combine: the
+    shuffle carries one row per DISTINCT line per task, not per occurrence)
+    -> the over-quota hash set is joined back. That join is keyed by the
+    line hash, NOT broadcast, because at 10^12 pages the distinct-dup-line
+    set is itself huge; Spark sorts both sides on the same hash so the
+    reassembly groupBy(key) is the only page-keyed shuffle.
+    """
+    lines = (
+        docs.select(
+            F.col(key_col).alias("key"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .where(F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .withColumn("line_hash", F.xxhash64(F.trim(F.col("line"))))
+    )
+    # count DISTINCT docs per line (a line repeated inside one doc is not
+    # corpus boilerplate), partial-agg friendly via two-level groupBy
+    line_docs = lines.select("line_hash", "key").distinct()
+    over_quota = (
+        line_docs.groupBy("line_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_occurrences)
+        .select("line_hash")
+    )
+    kept = lines.join(over_quota, "line_hash", "left_anti")
+    rebuilt = (
+        kept.groupBy("key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy("key").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

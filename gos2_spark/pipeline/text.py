@@ -133,3 +133,84 @@ def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", language_id(F.col(text_col))).withColumn(
         "bpe_ish_tokens", bpe_ish_token_count(F.col(text_col))
     ).withColumn("fingerprint", fingerprint(F.col(text_col)))
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e. the
+    max multiplicity — via a single O(n) fold (no explode, no shuffle)."""
+    acc = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )
+    return acc["best"]
+
+
+def _dup_char_count(sorted_arr: Column) -> Column:
+    """Chars in repeat occurrences (2nd+ copy of each value) of a sorted
+    array — the Gopher 'fraction of characters in duplicate lines' numerator."""
+    acc = F.aggregate(
+        sorted_arr,
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("dup")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (a["dup"] + F.when(x == a["prev"], F.length(x)).otherwise(F.lit(0))).alias("dup"),
+        ),
+    )
+    return acc["dup"]
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, one row per input row:
+
+      * ``dup_line_frac``      — 1 - distinct_lines / lines
+      * ``dup_line_char_frac`` — chars in 2nd+ copies of a line / line chars
+      * ``top_bigram_frac``    — occurrences of the most frequent word
+                                 bigram / total bigrams
+
+    All three are pure per-row array folds (array_sort + aggregate) inside
+    whole-stage codegen: at 10^12 docs this adds ZERO shuffles — it runs in
+    the same scan stage as everything else. Degenerate docs (no lines / <2
+    words) get 0.0 fractions.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda s: F.length(F.trim(s)) > 0)
+    n_lines = F.size(lines)
+    sorted_lines = F.array_sort(lines)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bigrams = F.size(bigrams)
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return docs.withColumns(
+        {
+            "dup_line_frac": F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+            ).otherwise(0.0),
+            "dup_line_char_frac": F.when(
+                total_line_chars > 0,
+                _dup_char_count(sorted_lines) / total_line_chars.cast("double"),
+            ).otherwise(0.0),
+            "top_bigram_frac": F.when(
+                n_bigrams > 0,
+                _max_run_length(F.array_sort(bigrams)) / n_bigrams.cast("double"),
+            ).otherwise(0.0),
+        }
+    )

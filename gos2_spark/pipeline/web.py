@@ -1,0 +1,86 @@
+"""URL / domain analysis for Common-Crawl-style corpora.
+
+Web-scale curation is organized around the *host*: per-domain dedup budgets,
+domain blocklists, and domain quality priors (as in CCNet / RefinedWeb /
+FineWeb) all need host, registrable-domain, and TLD columns plus per-domain
+aggregates. Everything here is NATIVE column expressions (regex + string
+algebra inside whole-stage codegen — no Python, no UDFs), so a full-corpus
+domain rollup is scan-bound and the only shuffle is the final groupBy(domain),
+which is exactly the partitioning later per-domain stages want to reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/...  ->  host  (lowercased; credentials stripped)
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url_col: Column) -> Column:
+    """Lowercased hostname of a URL ('' when the URL has no scheme/host)."""
+    return F.lower(F.regexp_extract(url_col, _HOST_RE, 1))
+
+
+def url_tld(url_col: Column) -> Column:
+    """Final dot-label of the host (naive public-suffix stand-in)."""
+    return F.substring_index(url_host(url_col), ".", -1)
+
+
+def url_registrable_domain(url_col: Column) -> Column:
+    """Last two host labels — the eTLD+1 heuristic used when no public-suffix
+    list is loadable (CCNet groups shards the same way)."""
+    return F.substring_index(url_host(url_col), ".", -2)
+
+
+def url_path_depth(url_col: Column) -> Column:
+    """Number of non-empty path segments after the host."""
+    path = F.regexp_extract(url_col, _HOST_RE + r"(?::\d+)?([^?#]*)", 2)
+    return F.size(
+        F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    ).cast("int")
+
+
+def with_url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add host / domain / tld / path_depth columns (pure projection)."""
+    u = F.col(url_col)
+    return pages.withColumns(
+        {
+            "host": url_host(u),
+            "domain": url_registrable_domain(u),
+            "tld": url_tld(u),
+            "path_depth": url_path_depth(u),
+        }
+    )
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-registrable-domain rollup: page count, distinct hosts, mean doc
+    length, total bytes. ONE shuffle (groupBy domain); map-side partial
+    aggregation makes the exchange carry one row per domain per task, so at
+    10^12 pages the shuffle is O(domains), not O(pages)."""
+    parts = with_url_parts(pages, url_col)
+    return parts.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("total_chars"),
+        F.avg(F.length(F.col(text_col))).alias("avg_chars"),
+        F.max("path_depth").alias("max_path_depth"),
+    )
+
+
+def domain_quality_prior(
+    pages: DataFrame,
+    quality_col: Column,
+    url_col: str = "url",
+) -> DataFrame:
+    """Join each page with its domain's mean quality score (the 'domain
+    prior' used to keep/drop borderline pages). The per-domain aggregate is
+    tiny (O(domains) rows) so the join back is a BROADCAST hash join — no
+    repartition of the page table."""
+    parts = with_url_parts(pages, url_col)
+    prior = parts.groupBy("domain").agg(F.avg(quality_col).alias("domain_prior"))
+    return parts.join(F.broadcast(prior), "domain", "left")
