@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "nation_bounding_rects",
     "cellunion_denormalize",
     "edge_interpolate",
+    "line_dedup_stats",
+    "repetition_filters",
+    "domain_stats",
 ]
 
 
