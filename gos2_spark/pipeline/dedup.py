@@ -437,29 +437,26 @@ def line_dedup(
         .where(F.col("n_docs") > max_occurrences)
         .select("line_hash")
     )
-    kept = lines.join(over_quota, "line_hash", "left_anti")
-    rebuilt = (
-        kept.groupBy("key")
-        .agg(
-            F.array_join(
-                F.transform(
+    # LEFT join (not anti) so dropped lines still reach the per-doc
+    # aggregation as a flag: ONE page-keyed shuffle rebuilds the doc AND
+    # counts totals, instead of anti-join + a second totals join.
+    flagged = lines.join(
+        over_quota.withColumn("_dup", F.lit(True)), "line_hash", "left"
+    )
+    keep = F.col("_dup").isNull()
+    return flagged.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                        F.collect_list(F.struct(F.col("pos"), F.col("line"), keep.alias("keep")))
                     ),
-                    lambda s: s["line"],
+                    lambda s: s["keep"],
                 ),
-                "\n",
-            ).alias("text"),
-            F.count("*").alias("n_kept"),
-        )
-    )
-    totals = lines.groupBy("key").agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(rebuilt, "key", "left")
-        .select(
-            "key",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_lines",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        )
-    )
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    ).select("key", "text", "n_lines", "n_kept")
