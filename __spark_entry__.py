@@ -1235,6 +1235,65 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session-window rollup (spark/aggregates.py sessionize —
+    native F.session_window, same call sessionizes a stream): sessions
+    split at >=1h silences; report count / size / longest duration
+    (micros, end = last event + gap) per user. The oracle re-derives
+    sessions via gaps-and-islands SQL."""
+    from gos2_spark.spark.aggregates import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    s = sessionize(ev, key_col="user_id", ts_col="ts", gap="1 hour")
+    # events.ts is TIMESTAMP_NTZ from parquet; the cast pair is TZ-invariant
+    # because only the difference is kept.
+    dur = F.unix_micros(F.col("session_end").cast("timestamp")) - F.unix_micros(
+        F.col("session_start").cast("timestamp")
+    )
+    return (
+        s.groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max(dur).alias("max_session_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl budget (spark/aggregates.py capped_sample_per_key,
+    skew-safe two-level rank): keep the 3 docs with smallest deterministic
+    order value per domain; the aggregate fingerprints (sum of kept doc_ids)
+    gate the exact row selection against a single-window DuckDB oracle."""
+    from gos2_spark.spark.aggregates import capped_sample_per_key
+    from gos2_spark.pipeline.web import with_url_parts
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")), (d % 3 + 1).cast("int")
+    )
+    url = F.concat(
+        F.lit("https://site"), (d % 97).cast("string"), F.lit("."), tld, F.lit("/p")
+    )
+    ordv = (d * 2654435761) % 1000000007
+    pages = with_url_parts(
+        docs.select(url.alias("url"), "doc_id", ordv.alias("ord"))
+    )
+    kept = capped_sample_per_key(pages, ["domain"], 3, F.col("ord"), shards=8)
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("kept_doc_sum"),
+            F.max("ord").alias("max_ord"),
+        )
+        .orderBy("domain")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1284,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "repetition_filters": _q_repetition_filters,
         "domain_stats": _q_domain_stats,
+        "session_stats": _q_session_stats,
+        "domain_cap_sample": _q_domain_cap_sample,
     }
 
 
@@ -2533,6 +2594,59 @@ def oracle_sql() -> dict[str, str]:
                                    OR top_bigram_frac > 0.18
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
             FROM feats GROUP BY lang ORDER BY lang
+        """,
+        # Session boundaries: Spark's session_window merges an event into
+        # the previous session iff ts - prev_ts <= gap (boundary-inclusive;
+        # verified by tests/test_aggregates.py::test_sessionize_gap_semantics),
+        # so a new island starts only at diff STRICTLY > 1 hour.
+        "session_stats": """
+            WITH m AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            ),
+            per AS (
+              SELECT user_id, sid, count(*) AS n,
+                     epoch_us(max(ts) - min(ts)) + 3600000000 AS dur_us
+              FROM s GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS total_events,
+                   CAST(max(n) AS BIGINT) AS max_session_events,
+                   CAST(max(dur_us) AS BIGINT) AS max_session_micros
+            FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        # Single-window reference plan for the engine's two-level skew-safe
+        # rank — results must be IDENTICAL.
+        "domain_cap_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     'site' || (doc_id % 97) || '.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS domain,
+                     (doc_id * 2654435761) % 1000000007 AS ord
+              FROM documents
+            ),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY domain
+                                           ORDER BY ord, doc_id) AS rn
+              FROM d
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS kept_doc_sum,
+                   CAST(max(ord) AS BIGINT) AS max_ord
+            FROM r WHERE rn <= 3 GROUP BY domain ORDER BY domain
         """,
         # Ground truth from the url-construction arithmetic (the engine must
         # RECOVER these via its regex host/path parser).

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "line_dedup_stats",
     "repetition_filters",
     "domain_stats",
+    "session_stats",
+    "domain_cap_sample",
 ]
 
 

@@ -102,3 +102,67 @@ def denormalize_to_level(
     last = cell + lsb - F.lit(lsb_t)
     seq = F.when(lsb >= F.lit(lsb_t), F.sequence(first, last, F.lit(2 * lsb_t)))
     return df.withColumn(out_col, F.explode(seq))
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation: group each key's events into sessions
+    separated by silences longer than ``gap`` (native
+    ``F.session_window`` — Catalyst merges windows inside the single
+    groupBy shuffle; the same call sessionizes a stream when ``events``
+    is a streaming DataFrame).
+
+    Returns one row per (key, session): start/end timestamps and event
+    count. At web scale the only shuffle is keyed by (key, window) with
+    map-side partial merge, so hot users cost one task, not a replan.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def capped_sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    order_col,
+    shards: int = 32,
+) -> DataFrame:
+    """Deterministically keep at most ``k`` rows per key — the per-domain
+    crawl budget / per-host dedup cap of web curation — picking the k
+    smallest ``order_col`` values (use a hash for an unbiased sample).
+
+    Skew-safe two-level plan: a single window over a hot key would funnel
+    that key's 10^9 rows into ONE task. Instead rows are first ranked
+    within (key, shard) where shard = hash % ``shards`` (bounding any
+    task at ~1/shards of the hottest key) and only the <= shards*k
+    survivors enter the exact per-key rank. The k smallest order values
+    globally are each among the k smallest of their own shard, so the
+    result is IDENTICAL to the single-window plan.
+    """
+    keys = [F.col(c) for c in key_cols]
+    shard = F.pmod(F.xxhash64(order_col), F.lit(shards))
+    w1 = Window.partitionBy(*keys, shard).orderBy(order_col)
+    survivors = (
+        df.withColumn("_r1", F.row_number().over(w1)).where(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= k)
+        .drop("_r1", "_r2")
+    )

@@ -11,6 +11,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from gos2_spark.spark.aggregates import denormalize_to_level, rect_bound_agg
 
 
@@ -134,3 +136,54 @@ def test_interpolate_kernel_matches_scalar():
         assert V.distance(tuple(batch[i]), want) < 1e-15
     # fraction recovery is the identity on on-edge points
     np.testing.assert_allclose(PR.distance_fractions(batch, a, b), ts, atol=1e-12)
+
+
+def test_sessionize_gap_semantics(spark):
+    # Spark session_window merges iff diff <= gap (boundary-INCLUSIVE):
+    # u1's 90m event is exactly gap after the 30m event -> same session;
+    # the 151m event is 61m later -> new session. u2: one event.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),
+        (1, base + dt.timedelta(minutes=90)),
+        (1, base + dt.timedelta(minutes=151)),
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    from gos2_spark.spark.aggregates import sessionize
+
+    out = sessionize(df, gap="1 hour").orderBy("key", "session_start").collect()
+    assert [(r["key"], r["n_events"]) for r in out] == [(1, 3), (1, 1), (2, 1)]
+    # session end = last event + gap
+    assert out[0]["session_end"] == base + dt.timedelta(minutes=150)
+
+
+def test_capped_sample_two_level_equals_single_window(spark):
+    # Hot-key input: one key with 5000 rows, two cold keys. The sharded
+    # two-level plan must return EXACTLY the single-window top-k.
+    from pyspark.sql import Window
+    from gos2_spark.spark.aggregates import capped_sample_per_key
+
+    df = spark.range(5200).select(
+        F.when(F.col("id") < 5000, F.lit("hot"))
+        .when(F.col("id") < 5100, F.lit("cold_a"))
+        .otherwise(F.lit("cold_b"))
+        .alias("k"),
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 999983).alias("ord"),
+    )
+    got = {
+        (r["k"], r["id"])
+        for r in capped_sample_per_key(df, ["k"], 7, F.col("ord"), shards=16).collect()
+    }
+    w = Window.partitionBy("k").orderBy("ord", "id")
+    want = {
+        (r["k"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == want and len(got) == 21
