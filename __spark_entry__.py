@@ -1294,6 +1294,37 @@ def _q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory accounting: events get deterministic lat/lng,
+    are ordered by (ts, event_id) per user, and consecutive legs are
+    measured with the engine's haversine (latlng.go:32-40 op order) via a
+    window lag — all native codegen, one user-keyed shuffle. Gates window
+    ordering + spherical distance together."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import haversine_rad
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat")
+    lng = (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng")
+    pts = ev.select("user_id", "ts", "event_id", lat, lng)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leg = haversine_rad(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    legs = pts.select("user_id", leg.alias("leg")).where(F.col("leg").isNotNull())
+    return (
+        legs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.round(F.sum("leg"), 9).alias("path_rad"),
+            F.round(F.max("leg"), 9).alias("max_leg_rad"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1345,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
+        "trajectory_lengths": _q_trajectory_lengths,
     }
 
 
@@ -2625,6 +2657,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n) AS BIGINT) AS max_session_events,
                    CAST(max(dur_us) AS BIGINT) AS max_session_micros
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        "trajectory_lengths": """
+            WITH pts AS (
+              SELECT user_id, ts, event_id,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng
+              FROM events
+            ),
+            lagged AS (
+              SELECT user_id,
+                     lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+                     lat, lng
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            legs AS (
+              SELECT user_id,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                         + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                           * cos(radians(plat)) * cos(radians(lat))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                         + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                           * cos(radians(plat)) * cos(radians(lat))))))
+                       AS leg
+              FROM lagged WHERE plat IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_legs,
+                   round(sum(leg), 9) AS path_rad,
+                   round(max(leg), 9) AS max_leg_rad
+            FROM legs GROUP BY user_id ORDER BY user_id
         """,
         # Single-window reference plan for the engine's two-level skew-safe
         # rank — results must be IDENTICAL.

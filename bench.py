@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "domain_stats",
     "session_stats",
     "domain_cap_sample",
+    "trajectory_lengths",
 ]
 
 

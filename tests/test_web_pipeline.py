@@ -131,3 +131,11 @@ def test_repetition_features_degenerate(spark):
     for k in (0, 1):
         assert out[k]["dup_line_frac"] == 0.0
         assert out[k]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_features_adds_no_shuffle(spark):
+    # The Gopher signals are per-row array folds: the physical plan up to
+    # (and excluding) any aggregation must contain NO Exchange.
+    df = spark.createDataFrame([(0, "a b c\nd e f")], ["doc_id", "text"])
+    plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
