@@ -328,3 +328,34 @@ def _parity_walk(loop, p):
         ):
             inside = not inside
     return inside
+
+
+def test_normalized_compatible_with_contains():
+    """loop_test.go:583-607: IsNormalized() != Contains(p) for a degenerate
+    loop and its inversion; Normalize() makes Contains(p) false."""
+    p = tuple(V.from_latlng_rad(math.radians(40.0), math.radians(40.0)))
+    for fixture in ("0:1, 0:3, 0:2", "0:0, -1e-320:80, 0:1e-320, 1e-320:80"):
+        loop = makeloop(fixture)
+        flip = makeloop(fixture)
+        flip.invert()
+        assert loop.is_normalized() != loop.contains(p)
+        assert flip.is_normalized() != flip.contains(p)
+        assert loop.is_normalized() != flip.is_normalized()
+        flip.normalize()
+        assert not flip.contains(p)
+
+
+def test_polygon_from_cell_constructor_and_contains():
+    """polygon_test.go:525-539: a polygon built from a leaf-area cell
+    contains that cell, itself, and survives union with empty."""
+    from gos2_spark.geometry.boolean_ops import union
+
+    cell = Cell.from_latlng_deg(40.565459, -74.645276)
+    # use a coarser cell (level 10) so the polygon has finite-area edges
+    parent = Cell(int(H.parent(np.array([cell.id], dtype=np.uint64), 10)[0]))
+    cell_as_poly = Polygon.from_cell(parent)
+    poly_copy = union(cell_as_poly, Polygon([]))
+    assert poly_copy.contains_polygon(cell_as_poly)
+    assert poly_copy.contains_cell(parent)
+    assert cell_as_poly.contains_cell(parent)
+    assert cell_as_poly.contains_point(parent.center())
