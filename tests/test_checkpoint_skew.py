@@ -227,3 +227,60 @@ def test_bucketed_write_eliminates_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE bucketed_docs_test")
+
+
+def test_curation_job_end_to_end_and_resume(spark, tmp_path):
+    """jobs/curation_job.py e2e at tiny scale: quality gates drop short and
+    repetitive docs, corpus line-dedup strips shared boilerplate, exact
+    dedup collapses identical texts, and a re-run resumes (skips all
+    stage-1 buckets)."""
+    import json as _json
+
+    from jobs.curation_job import main
+
+    body = " ".join(f"w{i}" for i in range(30))
+    boiler = "subscribe to our newsletter"
+    rows = []
+    for i in range(40):
+        text = f"doc {i} starts\n{body} {i}\n{boiler}"
+        rows.append((f"https://site{i % 5}.com/p{i}", text, "en"))
+    # a pair of exact duplicates (same text, different urls)
+    rows.append(("https://dup.com/a", f"dup body\n{body}", "en"))
+    rows.append(("https://dup.com/b", f"dup body\n{body}", "en"))
+    # too short -> dropped by the token gate
+    rows.append(("https://short.com/x", "tiny", "en"))
+    # hyper-repetitive -> dropped by the bigram gate
+    rows.append(("https://rep.com/x", "spam spam " * 40, "en"))
+    df = spark.createDataFrame(rows, ["url", "text", "lang"])
+    pages_dir = str(tmp_path / "pages")
+    df.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    ).write.parquet(pages_dir)
+
+    out = str(tmp_path / "curated")
+    argv = [
+        "--pages", pages_dir, "--output", out, "--buckets", "4",
+        "--min-tokens", "10", "--line-occurrence-cap", "3",
+        "--domain-cap", "1000",
+    ]
+    assert main(argv) == 0
+    m = _json.load(open(f"{out}/_manifests/stage2.json"))
+    assert m["stage1_rows_in"] == 44
+    assert m["stage1_rows_out"] == 42          # short + repetitive dropped
+    assert m["stage2_rows_out"] == 41          # one exact-dup collapsed
+    result = spark.read.parquet(m["output"])
+    texts = {r["url"]: r["text"] for r in result.collect()}
+    # boilerplate line (in 40 docs > cap 3) removed; first/body lines kept
+    assert all(boiler not in t for t in texts.values())
+    assert texts["https://site0.com/p0"].startswith("doc 0 starts\n")
+    assert len({u for u in texts if u.startswith("https://dup.com")}) == 1
+
+    # resume: second run must skip every stage-1 bucket
+    assert main(argv) == 0
+    m2 = _json.load(open(f"{out}/_manifests/stage2.json"))
+    assert m2["stage1_resumed_skips"] == 4 and m2["stage1_processed"] == 0
+    assert m2["stage2_rows_out"] == m["stage2_rows_out"]
