@@ -88,3 +88,46 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     assert n_in == 2 * len(want)  # the stream really contained duplicates
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The same sessionize() call over a stream (4 micro-batches, events
+    time-UNORDERED across files) produces exactly the batch sessions —
+    session_window state merges sessions across micro-batches, and a
+    watermark wider than the file disorder admits every late event."""
+    src = str(tmp_path / "ev_stream")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    from gos2_spark.spark.aggregates import sessionize
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_to_memory(
+        sessionize(stream.withWatermark("ts", "400 days"), gap="1 hour"),
+        "sess_test",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["session_start"]): r["n_events"]
+            for r in spark.table("sess_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = sessionize(
+        spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp")),
+        gap="1 hour",
+    )
+    want = {
+        (r["key"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 100
