@@ -147,7 +147,10 @@ def main() -> None:
         tile_counts.clear()
         tile_counts.update({r["tile_id"]: r["n"] for r in counts})
 
-    t_flagship, raw = _best_timed(flagship)
+    # the headline number gets extra timed runs: on a noisy shared box a
+    # min-of-3 can miss a clean window entirely (observed [9.5, 5.7, 6.3]
+    # vs an isolated min of 4.45)
+    t_flagship, raw = _best_timed(flagship, runs=max(RUNS, 5))
     timings["flagship_pip_pages"] = round(t_flagship, 3)
     raw_runs["flagship_pip_pages"] = [round(t, 3) for t in raw]
     pages_per_sec = PAGES_ROWS / t_flagship
