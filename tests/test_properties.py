@@ -82,3 +82,50 @@ def test_neighborhood_symmetry(lat, lng, lvl):
         back = set(int(x) for x in PJ.neighborhood(
             np.array([b], dtype=np.uint64), lvl)[0])
         assert a_id in back, (hex(a_id), hex(b), lvl)
+
+
+# --- URL parser pattern laws (pipeline/web.py) ------------------------------
+# The Spark expressions are pinned by tests/test_web_pipeline.py URL_CASES;
+# here the same regex is property-checked in pure re against URLs built
+# from arbitrary components (Java and Python share these constructs).
+
+import re as _re
+
+from gos2_spark.pipeline.web import _HOST_RE as _HOST_RE_PAT
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1, max_size=10,
+).filter(lambda s: not s.startswith("-"))
+_scheme = st.sampled_from(["http", "https", "ftp", "ws+ssl"])
+_seg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-~%", min_size=1, max_size=8
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scheme=_scheme,
+    labels=st.lists(_label, min_size=1, max_size=4),
+    userinfo=st.one_of(st.none(), _seg),
+    port=st.one_of(st.none(), st.integers(min_value=1, max_value=65535)),
+    segs=st.lists(_seg, min_size=0, max_size=5),
+    query=st.one_of(st.none(), _seg),
+)
+def test_url_host_regex_recovers_components(scheme, labels, userinfo, port, segs, query):
+    host = ".".join(labels)
+    url = f"{scheme}://"
+    if userinfo is not None:
+        url += f"{userinfo}@"
+    url += host
+    if port is not None:
+        url += f":{port}"
+    url += "".join(f"/{s}" for s in segs)
+    if query is not None:
+        url += f"?{query}"
+    m = _re.match(_HOST_RE_PAT, url)
+    assert m is not None and m.group(1).lower() == host.lower()
+    # path recovery: the two-group pattern used by url_path_depth
+    m2 = _re.match(_HOST_RE_PAT + r"(?::\d+)?([^?#]*)", url)
+    path = m2.group(2)
+    assert [s for s in path.split("/") if s] == segs
