@@ -1325,6 +1325,76 @@ def _q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_adaptive_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive density tiling (spark/density.py): variable-resolution tile
+    set over the customer points — every tile holds <= 8 points or sits at
+    the max level. One raw-table shuffle; selection is per-level count
+    algebra the oracle replays with grouped CTEs + the biased-id parent
+    bit arithmetic (cellid.go:168-171)."""
+    from gos2_spark.spark.density import adaptive_density_tiles
+
+    pts = _cust_points(spark, sf_dir)
+    return (
+        adaptive_density_tiles(pts, threshold=8, min_level=1, max_level=4)
+        .orderBy("level", "cell")
+    )
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (pipeline/pack.py): concat-then-chunk
+    pack assignment per (lang, shard), summarized. Window cumulative-sum
+    algebra end to end — the oracle replays it with a SQL window."""
+    from gos2_spark.pipeline.pack import pack_sequences, packing_summary
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    d = docs.select("doc_id", "lang", toks.cast("long").alias("n_tok"))
+    packed = pack_sequences(d, budget=512, n_shards=8, group_cols=("lang",))
+    return packing_summary(packed, 512, group_cols=("lang",)).orderBy(
+        "lang", "shard"
+    )
+
+
+def _q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (pipeline/text.py pii_scrub): deterministic synthetic
+    emails / phones / IPv4s are appended to the digit-free corpus text; the
+    engine must find and redact EXACTLY the planted spans — the oracle
+    re-derives every count and redacted-char total from the injection
+    arithmetic, not from regexes, so any over- or under-match fails the
+    value hash."""
+    from gos2_spark.pipeline.text import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(
+        k % 3 == 0,
+        F.concat(t, F.format_string(" contact user%d@example.com", k % 50)),
+    ).otherwise(t)
+    t = F.when(
+        k % 4 == 0, F.concat(t, F.format_string(" call 555-123-4%03d", k % 1000))
+    ).otherwise(t)
+    t = F.when(
+        k % 5 == 0,
+        F.concat(t, F.format_string(" from host 10.1.%d.%d", k % 200, (k * 7) % 250)),
+    ).otherwise(t)
+    out = pii_scrub(docs.select("doc_id", "lang", t.alias("text")))
+    any_pii = (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.sum(any_pii.cast("long")).cast("long").alias("docs_with_pii"),
+            F.sum("chars_redacted").cast("long").alias("chars_redacted"),
+            F.sum(F.length("text_scrubbed")).cast("long").alias("scrubbed_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1377,6 +1447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
+        "adaptive_density_tiles": _q_adaptive_density,
+        "sequence_packing": _q_sequence_packing,
+        "pii_scrub_stats": _q_pii_scrub_stats,
     }
 
 
@@ -2733,5 +2806,107 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 9) AS avg_chars,
                    max(path_depth) AS max_path_depth
             FROM d GROUP BY domain ORDER BY domain
+        """,
+        # Grouped-CTE replay of the adaptive tiling rule: counts at L4 from
+        # the full cellid pipeline, rolled up L3..L1 via the biased-id
+        # parent bit arithmetic; a level-L cell is a tile iff its parent is
+        # hot (> 8) and it is cold (<= 8) or L == max.
+        "adaptive_density_tiles": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+            c4 AS (SELECT ((cell_id & -{1 << 52}) | {1 << 52}) AS cell,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM cells GROUP BY 1),
+            c3 AS (SELECT ((cell & -{1 << 54}) | {1 << 54}) AS cell,
+                          CAST(sum(n) AS BIGINT) AS n FROM c4 GROUP BY 1),
+            c2 AS (SELECT ((cell & -{1 << 56}) | {1 << 56}) AS cell,
+                          CAST(sum(n) AS BIGINT) AS n FROM c3 GROUP BY 1),
+            c1 AS (SELECT ((cell & -{1 << 58}) | {1 << 58}) AS cell,
+                          CAST(sum(n) AS BIGINT) AS n FROM c2 GROUP BY 1)
+            SELECT cell, CAST(1 AS INTEGER) AS level, n FROM c1 WHERE n <= 8
+            UNION ALL
+            SELECT c.cell, CAST(2 AS INTEGER) AS level, c.n
+            FROM c2 c JOIN c1 p ON ((c.cell & -{1 << 58}) | {1 << 58}) = p.cell
+            WHERE p.n > 8 AND c.n <= 8
+            UNION ALL
+            SELECT c.cell, CAST(3 AS INTEGER) AS level, c.n
+            FROM c3 c JOIN c2 p ON ((c.cell & -{1 << 56}) | {1 << 56}) = p.cell
+            WHERE p.n > 8 AND c.n <= 8
+            UNION ALL
+            SELECT c.cell, CAST(4 AS INTEGER) AS level, c.n
+            FROM c4 c JOIN c3 p ON ((c.cell & -{1 << 54}) | {1 << 54}) = p.cell
+            WHERE p.n > 8
+            ORDER BY level, cell
+        """,
+        "sequence_packing": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+                     CAST(doc_id % 8 AS INTEGER) AS shard
+              FROM documents
+            ),
+            w AS (
+              SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+              FROM d
+            ),
+            p AS (
+              SELECT *,
+                     CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_first,
+                     CASE WHEN n_tok > 0
+                          THEN CAST(floor((cum - 1) / 512.0) AS BIGINT)
+                          ELSE CAST(floor((cum - n_tok) / 512.0) AS BIGINT)
+                     END AS pack_last
+              FROM w
+            )
+            SELECT lang, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                   CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_packs,
+                   CAST(sum(CASE WHEN pack_last <> pack_first THEN 1 ELSE 0 END)
+                        AS BIGINT) AS boundary_docs,
+                   round((sum(n_tok) - (ceil(sum(n_tok) / 512.0) - 1) * 512)
+                         / 512.0, 9) AS last_pack_fill
+            FROM p GROUP BY lang, shard ORDER BY lang, shard
+        """,
+        # Injection-arithmetic ground truth (no regexes): every count and
+        # char total is derived from what was planted, so the engine's
+        # regex scrubber must match EXACTLY the injected spans.
+        "pii_scrub_stats": """
+            WITH d AS (
+              SELECT doc_id, lang, length(text) AS base_len,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS p,
+                     CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS i,
+                     -- matched-span lengths: email 'user<k%50>@example.com',
+                     -- phone '555-123-4' + 3 digits, ip '10.1.<a>.<b>'
+                     16 + length(CAST(doc_id % 50 AS VARCHAR)) AS e_len,
+                     12 AS p_len,
+                     6 + length(CAST(doc_id % 200 AS VARCHAR))
+                       + length(CAST((doc_id * 7) % 250 AS VARCHAR)) AS i_len
+              FROM documents
+            ),
+            s AS (
+              SELECT lang,
+                     e, p, i,
+                     e * e_len + p * p_len + i * i_len AS redacted,
+                     -- appended prefixes: ' contact '=9, ' call '+'555-123-4'
+                     -- counts inside p_len already, extra=6; ip ' from host '=11
+                     base_len + e * (9 + e_len) + p * (6 + p_len)
+                       + i * (11 + i_len)
+                       - (e * e_len + p * p_len + i * i_len)
+                       + e * 7 + i * 4 + p * 7 AS scrubbed_len
+              FROM d
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(e) AS BIGINT) AS n_email,
+                   CAST(sum(i) AS BIGINT) AS n_ipv4,
+                   CAST(sum(p) AS BIGINT) AS n_phone,
+                   CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_pii,
+                   CAST(sum(redacted) AS BIGINT) AS chars_redacted,
+                   CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
+            FROM s GROUP BY lang ORDER BY lang
         """,
     }

@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "session_stats",
     "domain_cap_sample",
     "trajectory_lengths",
+    "adaptive_density_tiles",
+    "sequence_packing",
+    "pii_scrub_stats",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Sequence packing for LLM pre-training: assign documents to fixed
+token-budget training sequences ("packs") by concatenate-then-chunk — the
+standard pretraining layout (docs are streamed in order, token stream is
+cut every ``budget`` tokens; a doc may straddle a cut).
+
+Scale shape: packing is per (group, shard) — ``shard = key % n_shards``
+gives a deterministic, SQL-reproducible split whose count scales with the
+cluster, so the single window sort each shard needs is local to its
+shuffle partition and no shard ever sees more than ~corpus/n_shards
+tokens. One shuffle total (the window's), pure codegen arithmetic on top
+of a cumulative sum — no Python, no iteration, no driver state.
+
+Everything is exact window algebra so a SQL oracle can replay it:
+    cum        = sum(n_tok) over (partition group, shard order key)
+    start      = cum - n_tok              (token offset of the doc)
+    pack_first = floor(start / budget)    (pack holding the first token)
+    pack_last  = floor((cum - 1) / budget) for non-empty docs, else
+                 pack_first (an empty doc "lands" at its offset)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Adds (shard, cum_tok, start_tok, pack_first, pack_last, spans_packs)
+    to ``docs``; pack ids restart per (group_cols..., shard).
+
+    ``spans_packs`` marks boundary-straddling docs (the ones a loss mask /
+    attention reset has to handle). ``n_tok`` must be non-negative.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key, ntok = F.col(key_col), F.col(ntok_col)
+    shard = F.pmod(key, F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols], F.col("shard"))
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(ntok).over(w).cast("long")
+    start = (cum - ntok).cast("long")
+    pack_first = F.floor(start / budget).cast("long")
+    pack_last = F.when(
+        ntok > 0, F.floor((cum - 1) / budget).cast("long")
+    ).otherwise(pack_first)
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("cum_tok", cum)
+        .withColumn("start_tok", start)
+        .withColumn("pack_first", pack_first)
+        .withColumn("pack_last", pack_last)
+        .withColumn("spans_packs", F.col("pack_last") != F.col("pack_first"))
+    )
+
+
+def packing_summary(
+    packed: DataFrame, budget: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-(group..., shard) packing accounting: docs, tokens, packs used
+    (= ceil(total/budget)), boundary-straddling docs, and last-pack fill.
+    Pure aggregation over :func:`pack_sequences` output."""
+    total = F.sum("n_tok").cast("long")
+    n_packs = F.ceil(total / F.lit(budget)).cast("long")
+    return (
+        packed.groupBy(*group_cols, "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            total.alias("total_tok"),
+            n_packs.alias("n_packs"),
+            F.sum(F.col("spans_packs").cast("long")).cast("long").alias("boundary_docs"),
+            F.round(
+                (total - (n_packs - 1) * budget) / F.lit(budget).cast("double"), 9
+            ).alias("last_pack_fill"),
+        )
+    )

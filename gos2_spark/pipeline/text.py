@@ -127,6 +127,49 @@ def fingerprint(text_col: Column, k: int = 7, window: int = 4) -> Column:
     ).otherwise(F.when(n_grams > 0, F.array_sort(F.array_distinct(grams))).otherwise(F.array().cast("array<bigint>")))
 
 
+# PII patterns, applied in this order (email first so its local part can't
+# be re-matched as a phone/number). Kept to the Java-regex / RE2 common
+# subset (no lookaround, no backreferences) so the same pattern runs on any
+# engine a pipeline pairs this with.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers; count each category.
+
+    Adds ``n_email`` / ``n_ipv4`` / ``n_phone`` (match counts, taken on the
+    text as it stands when that pattern runs, so categories never
+    double-count one span), ``{text_col}_scrubbed``, and ``chars_redacted``
+    (original length minus scrubbed length plus replacement-token chars —
+    i.e. how many original characters were removed).
+
+    Pure codegen ``regexp_count`` + ``regexp_replace`` chain: at corpus
+    scale this is a zero-shuffle scan-stage gate, same as the quality
+    features above.
+    """
+    out = docs
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+        counts.append((f"n_{name}", len(repl)))
+    scrubbed = f"{text_col}_scrubbed"
+    out = out.withColumn(scrubbed, cur)
+    repl_chars = sum(
+        F.col(c) * n_repl for c, n_repl in counts
+    )
+    return out.withColumn(
+        "chars_redacted",
+        (F.length(F.col(text_col)) - F.length(F.col(scrubbed)) + repl_chars)
+        .cast("long"),
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: language guess + quality + counts + fingerprint."""
     out = quality_features(docs, text_col)
