@@ -1395,6 +1395,33 @@ def _q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delta Bloom gate (pipeline/bloom.py): build a distributed
+    63-bit-word Bloom filter from the previous crawl (even doc_ids), probe
+    the full table, and summarize per (is_old, maybe_seen). The filter is
+    exact integer algebra on xxhash64 so the oracle replays every bit —
+    including the deterministic false-positive count — via the SQL XXH64
+    model. No false negatives: (is_old=true, maybe_seen=false) must have
+    no row."""
+    from gos2_spark.pipeline.bloom import bloom_build, bloom_probe
+
+    m, g = 2048, 3
+    docs = _load(spark, sf_dir, "documents")
+    url = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    k = docs.select(
+        url.alias("url"),
+        F.col("doc_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+    )
+    filt = bloom_build(k.where("is_old"), "url", m, g)
+    probed = bloom_probe(k, filt, "url", m, g, carry_cols=("doc_id", "is_old"))
+    return (
+        probed.groupBy("is_old", "maybe_seen")
+        .agg(F.count("*").alias("n_keys"), F.sum("doc_id").alias("key_sum"))
+        .orderBy("is_old", "maybe_seen")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1450,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_density_tiles": _q_adaptive_density,
         "sequence_packing": _q_sequence_packing,
         "pii_scrub_stats": _q_pii_scrub_stats,
+        "bloom_delta_gate": _q_bloom_delta_gate,
     }
 
 
@@ -2502,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64-based pipeline ops: Spark's XXH64 reimplemented as a
         # DuckDB HUGEINT expression (gos2_spark/pipeline/duckdb_oracles.py,
         # validated bit-for-bit against Spark):
+        "bloom_delta_gate": _DO.bloom_gate_oracle_sql(2048, 3),
         "simhash_signatures": _DO.simhash_oracle_sql(500),
         "simhash_candidate_pairs": _DO.simhash_candidates_oracle_sql(500, 6),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),

@@ -664,3 +664,55 @@ def ann_ivf_oracle_sql(
         SELECT qid, key, rank, score FROM ranked
         WHERE rank <= {k} ORDER BY qid, rank
     """
+
+
+def bloom_gate_oracle_sql(m: int = 2048, g: int = 3) -> str:
+    """Mirror of pipeline.bloom bloom_build + bloom_probe over documents:
+    previous crawl = even doc_ids, probed with the full table. Replays the
+    exact bit algebra — xxhash64(url) / xxhash64(url || '#2') via the SQL
+    XXH64 model, Kirsch-Mitzenmacher positions, 63-bit words, bit_or build,
+    bool_and probe — so the per-group counts (including the deterministic
+    false-positive count among new keys) must match bit-for-bit."""
+
+    def pm(h: str) -> str:
+        return f"(((({h}) % {m}) + {m}) % {m})"
+
+    hashes = xxh64_list_sql("[url, url || '#2']")
+    return f"""
+        WITH k AS (
+          SELECT doc_id,
+                 source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                 doc_id % 2 = 0 AS is_old
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, is_old, ({hashes}) AS hs FROM k
+        ),
+        hm AS (
+          SELECT doc_id, is_old, {pm('hs[1]')} AS h1, {pm('hs[2]')} AS h2
+          FROM h
+        ),
+        ps AS (
+          SELECT doc_id, is_old, (h1 + i * h2) % {m} AS pos
+          FROM hm, (SELECT unnest(generate_series(0, {g - 1})) AS i)
+        ),
+        words AS (
+          SELECT pos // 63 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+          FROM (SELECT DISTINCT pos FROM ps WHERE is_old)
+          GROUP BY 1
+        ),
+        probe AS (
+          SELECT p.doc_id, p.is_old,
+                 bool_and(coalesce(
+                     (w.word & (CAST(1 AS BIGINT)
+                                << CAST(p.pos % 63 AS INT))) <> 0,
+                     false)) AS maybe_seen
+          FROM ps p LEFT JOIN words w ON p.pos // 63 = w.word_idx
+          GROUP BY 1, 2
+        )
+        SELECT is_old, maybe_seen,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum
+        FROM probe GROUP BY 1, 2 ORDER BY 1, 2
+    """
