@@ -1422,6 +1422,72 @@ def _q_bloom_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pipeline/contamination.py): 5-gram
+    overlap of the corpus against a held-out set (doc_id % 37 == 0),
+    summarized per lang. Benchmark grams broadcast; the only wide exchange
+    is the per-doc count agg. The oracle replays the plain-string grams."""
+    from gos2_spark.pipeline.contamination import ngram_contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    out = ngram_contamination(docs, bench, n=5)
+    d = docs.select(F.col("doc_id").alias("key"), "lang")
+    return (
+        out.join(d, "key")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias(
+                "n_contaminated_docs"
+            ),
+            F.sum("n_contaminated").cast("long").alias("total_hit_ngrams"),
+            F.sum("n_ngrams").cast("long").alias("total_ngrams"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (pipeline/classify.py): fasttext-
+    style hashing-trick scorer with closed-form weights — one codegen
+    projection, no shuffle before the per-lang agg. The oracle replays
+    xxhash64 bucketing and the exact sequential fold."""
+    from gos2_spark.pipeline.classify import hashed_linear_score
+
+    docs = _load(spark, sf_dir, "documents")
+    out = hashed_linear_score(docs, n_features=4096)
+    d = docs.select(F.col("doc_id").alias("key"), "lang")
+    return (
+        out.join(d, "key")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-graph PageRank (pipeline/graph.py): 3 damped power
+    iterations over the synthetic customer-key link graph (64 domains,
+    every node has out-edges). Fixed iteration count -> the oracle unrolls
+    the same algebra as chained CTEs."""
+    from gos2_spark.pipeline.graph import pagerank
+
+    c = _load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 64).alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 64).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 9).alias("rank")
+    ).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1478,6 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "pii_scrub_stats": _q_pii_scrub_stats,
         "bloom_delta_gate": _q_bloom_delta_gate,
+        "ngram_contamination": _q_ngram_contamination,
+        "quality_classifier": _q_quality_classifier,
+        "domain_pagerank": _q_domain_pagerank,
     }
 
 
@@ -2531,6 +2600,9 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB HUGEINT expression (gos2_spark/pipeline/duckdb_oracles.py,
         # validated bit-for-bit against Spark):
         "bloom_delta_gate": _DO.bloom_gate_oracle_sql(2048, 3),
+        "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
+        "quality_classifier": _DO.classifier_oracle_sql(4096),
+        "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),
         "simhash_signatures": _DO.simhash_oracle_sql(500),
         "simhash_candidate_pairs": _DO.simhash_candidates_oracle_sql(500, 6),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),

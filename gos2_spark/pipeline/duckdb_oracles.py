@@ -716,3 +716,130 @@ def bloom_gate_oracle_sql(m: int = 2048, g: int = 3) -> str:
                CAST(sum(doc_id) AS BIGINT) AS key_sum
         FROM probe GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def contamination_oracle_sql(n: int = 5, bench_mod: int = 37) -> str:
+    """Mirror of pipeline.contamination.ngram_contamination with the
+    benchmark = documents where doc_id % bench_mod = 0, aggregated per
+    lang. Plain-string n-grams, so the replay is literal SQL."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(tk) >= {n}
+                      THEN list_distinct(list_transform(
+                               generate_series(1, len(tk) - {n - 1}),
+                               i -> array_to_string(tk[i:i + {n - 1}], ' ')))
+                      ELSE [] END AS grams
+          FROM toks
+        ),
+        bg AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE doc_id % {bench_mod} = 0
+        ),
+        cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        per AS (
+          SELECT c.doc_id, count(*) AS n_ngrams, count(b.gram) AS n_hit
+          FROM cg c LEFT JOIN bg b USING (gram) GROUP BY 1
+        ),
+        fl AS (
+          SELECT g.lang,
+                 coalesce(p.n_ngrams, 0) AS n_ngrams,
+                 coalesce(p.n_hit, 0) AS n_hit
+          FROM g LEFT JOIN per p USING (doc_id)
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated_docs,
+               CAST(sum(n_hit) AS BIGINT) AS total_hit_ngrams,
+               CAST(sum(n_ngrams) AS BIGINT) AS total_ngrams
+        FROM fl GROUP BY lang ORDER BY lang
+    """
+
+
+def classifier_oracle_sql(n_features: int = 4096) -> str:
+    """Mirror of pipeline.classify.hashed_linear_score aggregated per lang.
+    Replays xxhash64 token hashing (SQL XXH64 model), pmod bucketing, the
+    closed-form weight, and the engine's exact SEQUENTIAL fold order
+    (list_reduce, matching Spark's F.aggregate) so the keep flag's
+    score > 0 knife-edge cannot drift."""
+    hashes = xxh64_list_sql("tk")
+    w = (
+        f"((((((h % {n_features}) + {n_features}) % {n_features})"
+        f" * 2654435761) % 1000) / 999.0 - 0.5)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, trim(text) AS ttext,
+                 regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents
+        ),
+        h AS (SELECT doc_id, lang,
+                     CASE WHEN ttext = '' THEN 0
+                          ELSE len(tk) END AS n_tok,
+                     ({hashes}) AS hs FROM toks),
+        s AS (
+          SELECT doc_id, lang, n_tok,
+                 CASE WHEN n_tok > 0 THEN
+                   list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(hs, h -> CAST({w} AS DOUBLE))),
+                     (a, x) -> a + x) / n_tok
+                 ELSE 0.0 END AS score
+          FROM h
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(avg(score), 6) AS avg_score
+        FROM s GROUP BY lang ORDER BY lang
+    """
+
+
+def pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Mirror of pipeline.graph.pagerank over the synthetic customer-key
+    domain graph (src = c_custkey % 64, dst = (c_custkey*7+3) % 64; every
+    node has out-edges so dangling mass is zero by construction). The
+    fixed iteration count unrolls into chained CTEs."""
+    d = damping
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 7 + 3) % 64 AS dst
+          FROM customer
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        w AS (
+          SELECT e.src, e.dst, CAST(1 AS DOUBLE) / deg.out_deg AS w
+          FROM e JOIN deg USING (src)
+        ),
+        r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+               FROM nodes, nn)
+    """
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        c{i} AS (
+          SELECT w.dst, sum({prev}.rank * w.w) AS contrib
+          FROM w JOIN {prev} ON w.src = {prev}.node GROUP BY 1
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - {d}) / nn.n
+                   + {d} * coalesce(c{i}.contrib, 0.0) AS rank
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, nn
+        )
+    """
+        prev = f"r{i}"
+    sql += f"""
+        SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
+    """
+    return sql

@@ -1,0 +1,191 @@
+"""pipeline/graph.py (PageRank), pipeline/classify.py (hashed linear
+scorer), pipeline/contamination.py (n-gram decontamination): each checked
+against an independent pure-Python/numpy reference model.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from xxh64_model import xxh64_signed  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _ref_pagerank(edges, iterations=3, damping=0.85):
+    """Dense numpy power iteration with uniform dangling redistribution."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in set(edges):
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in set(edges):
+            contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run_pagerank(spark, edges, **kw):
+    from gos2_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_reference(spark):
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(rng.integers(0, 20)), int(rng.integers(0, 20))) for _ in range(80)
+    ]
+    got = _run_pagerank(spark, edges, iterations=3, damping=0.85)
+    want = _ref_pagerank(edges, 3, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # node 2 has no out-edges: its rank must be redistributed uniformly,
+    # and total mass must stay exactly 1
+    edges = [(0, 1), (1, 2), (0, 2)]
+    got = _run_pagerank(spark, edges, iterations=4, damping=0.85)
+    want = _ref_pagerank(edges, 4, 0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[2] > got[1] > got[0]
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    got = _run_pagerank(
+        spark, [(0, 1), (0, 1), (0, 1), (1, 0)], iterations=2
+    )
+    want = _ref_pagerank([(0, 1), (1, 0)], 2)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier
+# ---------------------------------------------------------------------------
+
+def _ref_score(text: str, n_features: int) -> float:
+    toks = text.strip().split()
+    if not toks:
+        return 0.0
+    acc = 0.0
+    for t in toks:
+        b = xxh64_signed(t) % n_features
+        acc += ((b * 2654435761) % 1000) / 999.0 - 0.5
+    return acc / len(toks)
+
+
+def test_hashed_linear_score_matches_model(spark):
+    from gos2_spark.pipeline.classify import hashed_linear_score
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "single",
+        "",
+        "   ",
+        "numbers 123 and symbols #! mixed in a short doc",
+        "repeated repeated repeated repeated",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["key"]: r for r in hashed_linear_score(df, n_features=4096).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _ref_score(t, 4096)
+        assert rows[i]["score"] == pytest.approx(want, abs=1e-12), t
+        assert rows[i]["keep"] == (want > 0)
+
+
+def test_hashed_linear_score_no_python_stage(spark):
+    from gos2_spark.pipeline.classify import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# N-gram contamination
+# ---------------------------------------------------------------------------
+
+def _ref_contamination(corpus, bench, n):
+    def grams(t):
+        tk = t.strip().split()
+        return {
+            " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+        } if len(tk) >= n else set()
+
+    bg = set().union(*(grams(t) for _, t in bench)) if bench else set()
+    out = {}
+    for k, t in corpus:
+        g = grams(t)
+        out[k] = (len(g), len(g & bg))
+    return out
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_ngram_contamination_matches_model(spark, broadcast):
+    from gos2_spark.pipeline.contamination import ngram_contamination
+
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "beta gamma delta epsilon zeta eta theta"),
+        (2, "completely different words here nothing shared"),
+        (3, "too short"),
+        (4, ""),
+        (5, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+    ]
+    bench = [(100, "x alpha beta gamma delta epsilon y")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["key"]: (r["n_ngrams"], r["n_contaminated"], r["contaminated"])
+        for r in ngram_contamination(
+            cdf, bdf, n=5, broadcast_benchmark=broadcast
+        ).collect()
+    }
+    want = _ref_contamination(corpus, bench, 5)
+    assert set(got) == set(want)
+    for k, (n_g, n_hit) in want.items():
+        assert got[k] == (n_g, n_hit, n_hit > 0), k
+
+
+def test_ngram_contamination_benchmark_broadcast_plan(spark):
+    from gos2_spark.pipeline.contamination import ngram_contamination
+
+    cdf = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    plan = (
+        ngram_contamination(cdf, bdf, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
