@@ -1488,6 +1488,21 @@ def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_spatial_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial single-linkage clustering: connected components
+    (pipeline/graph.py) of the within-3-degree graph produced by the
+    blocked distance self-join (spark/joins.py::distance_join). The
+    oracle rebuilds the edge set with the identical float formula and
+    resolves components with a recursive transitive-closure CTE."""
+    from gos2_spark.pipeline.graph import connected_components
+    from gos2_spark.spark.joins import distance_join
+
+    pts = _cust_points(spark, sf_dir)
+    pairs = distance_join(pts, 3.0, point_key="key").select("key_a", "key_b")
+    comps = connected_components(pts.select("key"), pairs)
+    return comps.orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1547,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "quality_classifier": _q_quality_classifier,
         "domain_pagerank": _q_domain_pagerank,
+        "spatial_components": _q_spatial_components,
     }
 
 
@@ -2603,6 +2619,36 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
         "quality_classifier": _DO.classifier_oracle_sql(4096),
         "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),
+        # Spatial single-linkage clustering: within-3deg edges (identical
+        # float-op order as distance_join_pairs) -> recursive transitive
+        # closure -> min reachable key per node:
+        "spatial_components": f"""
+            WITH RECURSIVE pts AS ({_CUST_LATLNG_SQL}),
+            v AS (
+              SELECT key,
+                     cos(radians(lng)) * cos(radians(lat)) AS x,
+                     sin(radians(lng)) * cos(radians(lat)) AS y,
+                     sin(radians(lat)) AS z
+              FROM pts
+            ),
+            e AS (
+              SELECT a.key AS src, b.key AS dst
+              FROM v a JOIN v b ON a.key != b.key
+              WHERE atan2(sqrt(
+                        (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                      + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                      + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                      a.x * b.x + a.y * b.y + a.z * b.z)
+                    <= {math.radians(3.0)!r}
+            ),
+            reach(a, b) AS (
+              SELECT key, key FROM pts
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+            )
+            SELECT a AS key, min(b) AS component
+            FROM reach GROUP BY a ORDER BY key
+        """,
         "simhash_signatures": _DO.simhash_oracle_sql(500),
         "simhash_candidate_pairs": _DO.simhash_candidates_oracle_sql(500, 6),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),

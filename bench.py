@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "adaptive_density_tiles",
     "sequence_packing",
     "pii_scrub_stats",
+    "bloom_delta_gate",
+    "ngram_contamination",
+    "quality_classifier",
+    "domain_pagerank",
 ]
 
 

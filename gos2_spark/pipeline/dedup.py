@@ -148,64 +148,22 @@ def minhash_dedup_groups(
     max_iterations: int = 10,
 ) -> DataFrame:
     """(key, group_key) assignment: connected components over accepted
-    candidate pairs via iterative min-label propagation (converges in
-    O(log(component diameter)) shuffles — no driver-side state).
-
-    Each round's labels are materialized to keep the plan lineage flat
-    (it would double per iteration otherwise). When the SparkContext has
-    a checkpoint directory configured (``sc.setCheckpointDir`` — the
-    cluster deployment path), materialization uses RELIABLE
-    ``checkpoint()``: executor loss replays from storage instead of
-    killing the job. Without one (local runs, tests) it falls back to
-    ``localCheckpoint`` — executor-memory lineage truncation, fine on
-    local[*] where executor == driver. Convergence detection rides the
-    same materialization: the round computes a ``_changed`` flag column,
-    so the follow-up check is a scan of the materialized result, not a
-    second labels join."""
-    spark = docs.sparkSession
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _mat(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True)
+    candidate pairs, delegated to ``pipeline.graph.connected_components``
+    (neighbor-min + pointer-doubling rounds, O(log diameter) shuffles;
+    reliable checkpoint per round when the SparkContext has a checkpoint
+    dir, localCheckpoint otherwise — see that docstring for the full
+    lineage/durability story)."""
+    from gos2_spark.pipeline.graph import connected_components
 
     pairs = minhash_lsh_candidates(
         docs, key_col, text_col, num_perm, bands, shingle_n
     ).where(F.col("est_jaccard") >= threshold)
-    # materialize edges once: the signature computation must not be re-run
-    # per propagation round
-    edges = _mat(
-        pairs.select("key_a", "key_b")
-        .union(pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b")))
+    comps = connected_components(
+        docs.select(F.col(key_col).alias("key")),
+        pairs,
+        max_iterations=max_iterations,
     )
-    labels = _mat(
-        docs.select(F.col(key_col).alias("key")).withColumn("label", F.col("key"))
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["key_b"] == labels["key"])
-            .groupBy("key_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = _mat(
-            labels.join(neighbor_min, labels["key"] == neighbor_min["key_a"], "left")
-            .select(
-                "key",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
-                ).alias("_changed"),
-            )
-        )
-        # scan of the just-materialized partitions — no recompute, no join
-        changed = new_labels.where(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    return labels.select(F.col("key"), F.col("label").alias("group_key"))
+    return comps.select("key", F.col("component").alias("group_key"))
 
 
 def ngram_jaccard(

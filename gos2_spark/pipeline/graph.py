@@ -23,6 +23,117 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _default_materialize(spark):
+    """Per-round lineage truncation for iterative algorithms: RELIABLE
+    checkpoint when the SparkContext has a checkpoint dir configured (the
+    cluster deployment path — executor loss replays from storage), else
+    localCheckpoint (fine on local[*] where executor == driver)."""
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    return _mat
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "key",
+    src_col: str = "key_a",
+    dst_col: str = "key_b",
+    max_iterations: int = 25,
+    materialize=None,
+) -> DataFrame:
+    """(key, component): min-node label per connected component.
+
+    Alternates two label-shrinking steps until a joint fixpoint:
+
+    1. **neighbor-min round** — every node adopts the min label in its
+       closed neighborhood (one join + one map-side-combined agg);
+    2. **pointer doubling to stability** — labels form parent pointers
+       (label(u) <= u), so repeated ``label := label(label)`` self-joins
+       halve every chain's height (path halving).
+
+    Plain min-label propagation spreads one hop per round — a diameter-D
+    chain needs D shuffles (at web scale, unbounded). The doubling step
+    collapses the chain the neighbor round just built, so each outer
+    round shortens label chains geometrically and convergence is
+    O(log D) rounds in practice (the hash-to-min bound).
+
+    At the joint fixpoint labels are equal across every edge and
+    root-stable, hence exactly the component minimum.
+
+    ``edges`` is an UNDIRECTED pair list (symmetrized internally and
+    materialized once so upstream candidate generation never re-runs).
+    Every round's labels are materialized (reliable checkpoint when the
+    SparkContext has a checkpoint dir — see ``_default_materialize``);
+    the ``_changed`` flag rides the same materialization so convergence
+    detection is a scan, not a second join.
+    """
+    spark = nodes.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    sym = mat(
+        edges.select(F.col(src_col).alias("key_a"), F.col(dst_col).alias("key_b"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("key_a"), F.col(src_col).alias("key_b")
+            )
+        )
+    )
+    labels = mat(
+        nodes.select(F.col(node_col).alias("key")).withColumn(
+            "label", F.col("key")
+        )
+    )
+
+    def _apply(new_labels: DataFrame) -> tuple[DataFrame, bool]:
+        m = mat(new_labels)
+        changed = m.where(F.col("_changed")).limit(1).count() > 0
+        return m.drop("_changed"), changed
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["key_b"] == labels["key"])
+            .groupBy("key_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels, changed_n = _apply(
+            labels.join(neighbor_min, labels["key"] == neighbor_min["key_a"], "left")
+            .select(
+                "key",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("_changed"),
+            )
+        )
+        changed_d = False
+        while True:
+            grand = labels.select(
+                F.col("key").alias("_lk"), F.col("label").alias("_ll")
+            )
+            labels, ch = _apply(
+                labels.join(grand, labels["label"] == grand["_lk"])
+                .select(
+                    "key",
+                    F.col("_ll").alias("label"),
+                    (F.col("_ll") < F.col("label")).alias("_changed"),
+                )
+            )
+            if not ch:
+                break
+            changed_d = True
+        if not changed_n and not changed_d:
+            break
+    return labels.select(F.col("key"), F.col("label").alias("component"))
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

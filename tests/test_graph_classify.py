@@ -189,3 +189,75 @@ def test_ngram_contamination_benchmark_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+def _ref_components(nodes, edges):
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node in component
+    comp = {}
+    for v in nodes:
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_connected_components_matches_union_find(spark):
+    from gos2_spark.pipeline.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    nodes = list(range(40))
+    edges = [
+        (int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(25)
+    ]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "key long")
+    edf = spark.createDataFrame(edges, "key_a long, key_b long")
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == _ref_components(nodes, edges)
+
+
+def test_connected_components_isolated_nodes(spark):
+    from gos2_spark.pipeline.graph import connected_components
+
+    ndf = spark.createDataFrame([(1,), (2,), (3,)], "key long")
+    edf = spark.createDataFrame([], "key_a long, key_b long")
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Regression: plain min-label propagation moves the min ONE hop per
+    round, so a diameter-200 path would need 200 shuffles; the pointer-
+    doubling step must collapse it within the default round budget."""
+    from gos2_spark.pipeline.graph import connected_components
+
+    n = 200
+    ndf = spark.createDataFrame([(v,) for v in range(n)], "key long")
+    # path n-1 - n-2 - ... - 1 - 0, plus an isolated pair
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "key_a long, key_b long")
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
