@@ -1503,6 +1503,33 @@ def _q_spatial_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.orderBy("key")
 
 
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: EXACT per-lang char/token percentiles
+    (Spark's percentile aggregate and DuckDB's quantile_cont share type-7
+    linear interpolation, so values match to rounding). At 100 TB the
+    exact aggregate is still one shuffle on lang; swap percentile ->
+    percentile_approx for a sketch when per-group cardinality explodes."""
+    from gos2_spark.pipeline.text import token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("double").alias("c"),
+        token_count(F.col("text")).cast("double").alias("tk"),
+    )
+    pct = F.lit([0.25, 0.5, 0.9, 0.99])
+    agg = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("c", pct).alias("_cq"),
+        F.percentile("tk", pct).alias("_tq"),
+    )
+    cols = [F.col("lang"), F.col("n_docs")]
+    for i, name in enumerate(["p25", "p50", "p90", "p99"]):
+        cols.append(F.round(F.col("_cq")[i], 6).alias(f"chars_{name}"))
+        cols.append(F.round(F.col("_tq")[i], 6).alias(f"tokens_{name}"))
+    return agg.select(*cols).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1563,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "domain_pagerank": _q_domain_pagerank,
         "spatial_components": _q_spatial_components,
+        "doc_length_quantiles": _q_doc_length_quantiles,
     }
 
 
@@ -2619,6 +2647,29 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
         "quality_classifier": _DO.classifier_oracle_sql(4096),
         "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),
+        # Exact percentiles: Spark percentile and DuckDB quantile_cont
+        # share type-7 linear interpolation (idx = p*(n-1)):
+        "doc_length_quantiles": r"""
+            WITH d AS (
+              SELECT lang,
+                     CAST(length(text) AS DOUBLE) AS c,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(regexp_split_to_array(trim(text),
+                                                              '\s+'))
+                          END AS DOUBLE) AS tk
+              FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(c, 0.25), 6) AS chars_p25,
+                   round(quantile_cont(c, 0.5), 6) AS chars_p50,
+                   round(quantile_cont(c, 0.9), 6) AS chars_p90,
+                   round(quantile_cont(c, 0.99), 6) AS chars_p99,
+                   round(quantile_cont(tk, 0.25), 6) AS tokens_p25,
+                   round(quantile_cont(tk, 0.5), 6) AS tokens_p50,
+                   round(quantile_cont(tk, 0.9), 6) AS tokens_p90,
+                   round(quantile_cont(tk, 0.99), 6) AS tokens_p99
+            FROM d GROUP BY lang ORDER BY lang
+        """,
         # Spatial single-linkage clustering: within-3deg edges (identical
         # float-op order as distance_join_pairs) -> recursive transitive
         # closure -> min reachable key per node:
