@@ -1530,6 +1530,53 @@ def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*cols).orderBy("lang")
 
 
+def _q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-delta gate: the batch-built Bloom filter (previous
+    crawl = even doc_ids) probed by the documents STREAM via the
+    stateless flat probe (g broadcast stream-static joins — no state, no
+    watermark, plain append mode). Summarized identically to
+    bloom_delta_gate, so the batch oracle verifies the streaming path
+    bit-for-bit. Multi-micro-batch equivalence is pytest-gated."""
+    from gos2_spark.pipeline.bloom import bloom_build, bloom_probe_flat
+
+    m, g = 2048, 3
+    url = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    batch = _load(spark, sf_dir, "documents").select(
+        url.alias("url"),
+        F.col("doc_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+    )
+    filt = bloom_build(batch.where("is_old"), "url", m, g)
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            url.alias("url"),
+            F.col("doc_id"),
+            (F.col("doc_id") % 2 == 0).alias("is_old"),
+        )
+    )
+    gated = bloom_probe_flat(stream, filt, "url", m, g)
+    name = "gos2_stream_bloom_gate"
+    q = (
+        gated.select("doc_id", "is_old", "maybe_seen")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("is_old", "maybe_seen")
+        .agg(F.count("*").alias("n_keys"), F.sum("doc_id").alias("key_sum"))
+        .orderBy("is_old", "maybe_seen")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1591,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q_domain_pagerank,
         "spatial_components": _q_spatial_components,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "streaming_bloom_gate": _q_streaming_bloom_gate,
     }
 
 
@@ -2644,6 +2692,8 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB HUGEINT expression (gos2_spark/pipeline/duckdb_oracles.py,
         # validated bit-for-bit against Spark):
         "bloom_delta_gate": _DO.bloom_gate_oracle_sql(2048, 3),
+        # the streaming gate must reproduce the batch gate bit-for-bit:
+        "streaming_bloom_gate": _DO.bloom_gate_oracle_sql(2048, 3),
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
         "quality_classifier": _DO.classifier_oracle_sql(4096),
         "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),

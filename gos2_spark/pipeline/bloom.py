@@ -70,6 +70,47 @@ def bloom_build(df: DataFrame, key_col: str, m: int, g: int) -> DataFrame:
     )
 
 
+def bloom_probe_flat(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int,
+    g: int,
+) -> DataFrame:
+    """Stateless probe: ``df`` + a ``maybe_seen`` column, via ``g``
+    successive BROADCAST left joins (one per bit position) instead of
+    explode + groupBy. Identical result to ``bloom_probe``; because there
+    is no aggregation it also works unchanged on a STREAMING ``df`` —
+    stream-static joins need no state or watermark, so the crawl-delta
+    gate runs in plain append mode at ingest.
+
+    Requires the filter to fit a broadcast (~2 bytes/bit budget: a 10^9-bit
+    filter is ~130 MB of words — fine; for 10^12-bit filters use the
+    shuffling ``bloom_probe``)."""
+    pos = bloom_positions(F.col(key_col), m, g)
+    out = df.withColumn("_bloom_pos", pos)
+    hits = []
+    for i in range(g):
+        p = F.element_at(F.col("_bloom_pos"), i + 1)
+        b = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_wi{i}"),
+                F.col("word").alias(f"_w{i}"),
+            )
+        )
+        out = out.join(b, _word_idx(p) == F.col(f"_wi{i}"), "left")
+        hits.append(
+            F.coalesce(F.col(f"_w{i}").bitwiseAND(_mask(p)) != 0, F.lit(False))
+        )
+    seen = hits[0]
+    for h in hits[1:]:
+        seen = seen & h
+    drop = ["_bloom_pos"] + [f"_wi{i}" for i in range(g)] + [
+        f"_w{i}" for i in range(g)
+    ]
+    return out.withColumn("maybe_seen", seen).drop(*drop)
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

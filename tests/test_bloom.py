@@ -117,3 +117,69 @@ def test_probe_no_python_stage(spark, keys):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_probe_flat_equals_probe(spark, keys):
+    """bloom_probe_flat (stateless g-broadcast-join path) must equal the
+    explode+groupBy probe on every key."""
+    from gos2_spark.pipeline.bloom import bloom_probe_flat
+
+    old, new = keys
+    bloom = bloom_build(
+        spark.createDataFrame([(k,) for k in old], "url string"), "url", M_BITS, G
+    )
+    probe_in = spark.createDataFrame(
+        [(k,) for k in old + new], "url string"
+    )
+    agg = {
+        r["url"]: r["maybe_seen"]
+        for r in bloom_probe(probe_in, bloom, "url", M_BITS, G).collect()
+    }
+    flat = {
+        r["url"]: r["maybe_seen"]
+        for r in bloom_probe_flat(probe_in, bloom, "url", M_BITS, G).collect()
+    }
+    assert flat == agg and len(flat) == len(old) + len(new)
+
+
+def test_streaming_flat_probe_multi_batch(spark, keys, tmp_path):
+    """The flat probe on a 4-micro-batch stream equals the batch probe:
+    stream-static joins are stateless, so per-row results cannot depend
+    on batching."""
+    from gos2_spark.pipeline.bloom import bloom_probe_flat
+
+    old, new = keys
+    bloom = bloom_build(
+        spark.createDataFrame([(k,) for k in old], "url string"), "url", M_BITS, G
+    )
+    src = str(tmp_path / "probe_src")
+    spark.createDataFrame(
+        [(k,) for k in old + new], "url string"
+    ).repartition(4).write.parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bloom_probe_flat(stream, bloom, "url", M_BITS, G)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_gate_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+    got = {
+        r["url"]: r["maybe_seen"]
+        for r in spark.table("bloom_gate_mb").collect()
+    }
+    batch = {
+        r["url"]: r["maybe_seen"]
+        for r in bloom_probe_flat(
+            spark.read.parquet(src), bloom, "url", M_BITS, G
+        ).collect()
+    }
+    assert got == batch and len(got) == len(old) + len(new)
