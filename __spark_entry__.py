@@ -1577,6 +1577,39 @@ def _q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (pipeline/spans.py): per-lang coverage
+    of 8-token spans occurring more than once corpus-wide (Lee et al.
+    exact-substring dedup measurement). Span keys are xxhash64 (8 bytes
+    through the shuffle); the oracle replays the hashes and the interval-
+    union fold exactly."""
+    from gos2_spark.pipeline.spans import duplicated_span_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    out = duplicated_span_coverage(docs, k=8)
+    d = docs.select(F.col("doc_id").alias("key"), "lang")
+    return (
+        out.join(d, "key")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_spans").alias("total_spans"),
+            F.sum("n_dup_spans").alias("total_dup_spans"),
+            F.sum("dup_tokens").alias("total_dup_tokens"),
+            F.sum((F.col("dup_tokens") > 0).cast("long")).alias(
+                "docs_with_dups"
+            ),
+            F.round(
+                F.sum("dup_tokens").cast("double")
+                / F.sum("n_tokens").cast("double"),
+                9,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1639,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_components": _q_spatial_components,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "streaming_bloom_gate": _q_streaming_bloom_gate,
+        "dup_span_coverage": _q_dup_span_coverage,
     }
 
 
@@ -2695,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming gate must reproduce the batch gate bit-for-bit:
         "streaming_bloom_gate": _DO.bloom_gate_oracle_sql(2048, 3),
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
+        "dup_span_coverage": _DO.dup_span_oracle_sql(8),
         "quality_classifier": _DO.classifier_oracle_sql(4096),
         "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),
         # Exact percentiles: Spark percentile and DuckDB quantile_cont

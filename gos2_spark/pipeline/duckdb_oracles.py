@@ -843,3 +843,64 @@ def pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
         SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
     """
     return sql
+
+
+def dup_span_oracle_sql(k: int = 8) -> str:
+    """Mirror of pipeline.spans.duplicated_span_coverage aggregated per
+    lang: same xxhash64 span keys (SQL XXH64 model over the space-joined
+    k-token windows), same count(*)>1 duplication rule, same sorted-
+    position interval-union fold |union| = k + sum(min(k, gap))."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, trim(text) AS ttext,
+                 regexp_split_to_array(trim(text), '\\s+') AS tk
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, lang,
+                 CASE WHEN ttext = '' THEN 0 ELSE len(tk) END AS n_tok,
+                 CASE WHEN ttext != '' AND len(tk) >= {k}
+                      THEN list_transform(
+                               generate_series(1, len(tk) - {k - 1}),
+                               i -> array_to_string(tk[i:i + {k - 1}], ' '))
+                      ELSE [] END AS grams
+          FROM toks
+        ),
+        h AS (SELECT doc_id, lang, n_tok, len(grams) AS n_spans,
+                     ({xxh64_list_sql('grams')}) AS ghs FROM g),
+        occ AS (
+          SELECT doc_id, unnest(ghs) AS gh,
+                 unnest(generate_series(1, len(ghs))) AS pos
+          FROM h
+        ),
+        dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) > 1),
+        docc AS (
+          SELECT o.doc_id, list_sort(list(o.pos)) AS ps,
+                 count(*) AS n_dup_spans
+          FROM occ o JOIN dup USING (gh) GROUP BY 1
+        ),
+        cov AS (
+          SELECT doc_id, n_dup_spans,
+                 {k} + coalesce(list_sum(list_transform(
+                     generate_series(2, len(ps)),
+                     j -> least({k}, ps[j] - ps[j - 1]))), 0) AS dup_tokens
+          FROM docc
+        ),
+        fl AS (
+          SELECT h.lang, h.n_tok, h.n_spans,
+                 coalesce(cov.n_dup_spans, 0) AS n_dup_spans,
+                 coalesce(cov.dup_tokens, 0) AS dup_tokens
+          FROM h LEFT JOIN cov USING (doc_id)
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_spans) AS BIGINT) AS total_spans,
+               CAST(sum(n_dup_spans) AS BIGINT) AS total_dup_spans,
+               CAST(sum(dup_tokens) AS BIGINT) AS total_dup_tokens,
+               CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_with_dups,
+               round(CAST(sum(dup_tokens) AS DOUBLE)
+                     / CAST(sum(n_tok) AS DOUBLE), 9) AS dup_token_frac
+        FROM fl GROUP BY lang ORDER BY lang
+    """

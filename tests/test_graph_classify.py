@@ -261,3 +261,69 @@ def test_connected_components_long_chain_converges(spark):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == {v: 0 for v in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage
+# ---------------------------------------------------------------------------
+
+def _ref_dup_coverage(corpus, k):
+    from collections import Counter
+
+    occ = []  # (doc, pos 1-based, gram)
+    for key, t in corpus:
+        tk = t.strip().split() if t.strip() else []
+        for i in range(max(0, len(tk) - k + 1)):
+            occ.append((key, i + 1, " ".join(tk[i : i + k])))
+    counts = Counter(g for _, _, g in occ)
+    out = {}
+    for key, t in corpus:
+        tk = t.strip().split() if t.strip() else []
+        n_spans = max(0, len(tk) - k + 1) if len(tk) >= k else 0
+        covered = set()
+        n_dup = 0
+        for d, p, g in occ:
+            if d == key and counts[g] > 1:
+                n_dup += 1
+                covered.update(range(p, p + k))
+        out[key] = (len(tk), n_spans, n_dup, len(covered))
+    return out
+
+
+def test_dup_span_coverage_matches_model(spark):
+    from gos2_spark.pipeline.spans import duplicated_span_coverage
+
+    shared = "one two three four"
+    corpus = [
+        (0, f"{shared} alpha beta"),            # shares the 4-gram with 1
+        (1, f"x {shared} y"),
+        (2, "totally unique words in this document only"),
+        (3, "rep rep rep rep rep rep rep"),      # within-doc repeats
+        (4, "short"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["key"]: (
+            r["n_tokens"], r["n_spans"], r["n_dup_spans"], r["dup_tokens"]
+        )
+        for r in duplicated_span_coverage(df, k=4).collect()
+    }
+    assert got == _ref_dup_coverage(corpus, 4)
+
+
+def test_dup_span_interval_union_overlaps(spark):
+    """Overlapping duplicated spans must be union-counted, not summed:
+    two copies of a 6-token run with k=4 give 3 dup spans but only 6
+    covered tokens per doc."""
+    from gos2_spark.pipeline.spans import duplicated_span_coverage
+
+    run = "a b c d e f"
+    df = spark.createDataFrame(
+        [(0, run), (1, run)], "doc_id long, text string"
+    )
+    got = {
+        r["key"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicated_span_coverage(df, k=4).collect()
+    }
+    assert got == {0: (3, 6), 1: (3, 6)}
