@@ -1610,6 +1610,17 @@ def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (pipeline/text.py::tfidf_top_terms) over
+    doc_id < 100. Ranking is the RATIONAL weight tf*(N+1)/(df+1) so the
+    cross-engine order is exact; the reported tfidf is the classic
+    smoothed log weight, rounded."""
+    from gos2_spark.pipeline.text import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return tfidf_top_terms(docs, top_k=3).orderBy("key", "rk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1673,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "streaming_bloom_gate": _q_streaming_bloom_gate,
         "dup_span_coverage": _q_dup_span_coverage,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -2730,6 +2742,41 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bloom_gate": _DO.bloom_gate_oracle_sql(2048, 3),
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
         "dup_span_coverage": _DO.dup_span_oracle_sql(8),
+        # rational rank weight tf*(N+1)/(df+1): integer-derived IEEE
+        # division is correctly rounded, so ORDER BY matches Spark exactly;
+        # only the reported log weight is rounded:
+        "tfidf_top_terms": r"""
+            WITH d AS (
+              SELECT doc_id AS key, trim(text) AS ttext
+              FROM documents WHERE doc_id < 100
+            ),
+            nn AS (SELECT count(*) AS n FROM d),
+            t AS (
+              SELECT key,
+                     unnest(list_transform(
+                         regexp_split_to_array(ttext, '\s+'),
+                         x -> lower(x))) AS term
+              FROM d WHERE ttext != ''
+            ),
+            tf AS (SELECT key, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            j AS (
+              SELECT tf.key, tf.term, tf.tf, dfr.df,
+                     CAST(tf.tf * (nn.n + 1) AS DOUBLE) / (dfr.df + 1) AS rw,
+                     nn.n AS n
+              FROM tf JOIN dfr USING (term), nn
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY key ORDER BY rw DESC, term ASC) AS rk
+              FROM j
+            )
+            SELECT key, CAST(rk AS INT) AS rk, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   round(tf * (ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1), 6)
+                       AS tfidf
+            FROM r WHERE rk <= 3 ORDER BY key, rk
+        """,
         "quality_classifier": _DO.classifier_oracle_sql(4096),
         "domain_pagerank": _DO.pagerank_oracle_sql(3, 0.85),
         # Exact percentiles: Spark percentile and DuckDB quantile_cont

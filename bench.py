@@ -178,6 +178,11 @@ def main() -> None:
         "sf": SF_DIR,
         "pages_rows": PAGES_ROWS,
         "pages_per_sec": round(pages_per_sec, 1),
+        "flagship_sec": timings["flagship_pip_pages"],
+        "n_queries": len(timings),
+        "note": ("'value' sums ALL timed queries; the query set GROWS as "
+                 "operators are added, so compare rounds on flagship_sec/"
+                 "pages_per_sec or per-query, never on the total"),
         "cpus": int(CPUS),
         "runs_per_query": RUNS,
         "protocol": "1 untimed warmup + min of timed runs per query (additive-noise robust)",

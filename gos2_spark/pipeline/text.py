@@ -257,3 +257,53 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(0.0),
         }
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (key, rk, term, tf, df, tfidf).
+
+    Ranking uses the RATIONAL weight tf*(N+1)/(df+1): with integer tf/df/N
+    the IEEE division is correctly rounded and two distinct rationals at
+    corpus scale differ by far more than an ulp, so the ordering is
+    bit-identical across engines — ranking by the classic log weight
+    would hinge on last-ulp differences between libm implementations.
+    The reported ``tfidf`` column is the classic smoothed log weight
+    tf*(ln((N+1)/(df+1))+1), rounded. Ties break on term ascending.
+
+    Scale shape: explode -> (doc, term) map-side-combined count (one
+    shuffle), document frequency as a second agg over that intermediate
+    (one shuffle on term, AQE-broadcast when the vocab is small), one
+    doc-keyed window for top-k. N is a driver scalar (one count action).
+    """
+    n_docs = docs.count()
+    toks = tokens(F.col(text_col))
+    terms = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+            .otherwise(F.transform(toks, F.lower))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("key", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = tf.join(df_, "term")
+    rank_w = (F.col("tf") * (n_docs + 1)) / (F.col("df") + 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        rank_w.desc(), F.col("term").asc()
+    )
+    tfidf = F.round(
+        F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1),
+        6,
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("key", "rk", "term", "tf", "df", tfidf.alias("tfidf"))
+    )

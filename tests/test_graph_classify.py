@@ -327,3 +327,47 @@ def test_dup_span_interval_union_overlaps(spark):
         for r in duplicated_span_coverage(df, k=4).collect()
     }
     assert got == {0: (3, 6), 1: (3, 6)}
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_matches_model(spark):
+    import math
+
+    from gos2_spark.pipeline.text import tfidf_top_terms
+
+    corpus = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple apple apple eel"),
+        (3, ""),
+    ]
+    n = len(corpus)
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["key"], r["rk"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(df, top_k=2).orderBy("key", "rk").collect()
+    ]
+    # reference: tf / df / rational-rank replay
+    tfs = {}
+    for k, t in corpus:
+        for w in t.lower().split():
+            tfs[(k, w)] = tfs.get((k, w), 0) + 1
+    dfs = {}
+    for (k, w), _ in tfs.items():
+        dfs[w] = dfs.get(w, 0) + 1
+    want = []
+    for k, _ in corpus:
+        rows = [
+            (w, c, dfs[w], c * (n + 1) / (dfs[w] + 1))
+            for (kk, w), c in tfs.items()
+            if kk == k
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        for rk, (w, c, d, _) in enumerate(rows[:2], 1):
+            want.append(
+                (k, rk, w, c, d, round(c * (math.log((n + 1) / (d + 1)) + 1), 6))
+            )
+    assert got == want
