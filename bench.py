@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "quality_classifier",
     "domain_pagerank",
+    "doc_length_quantiles",
+    "dup_span_coverage",
+    "tfidf_top_terms",
 ]
 
 
