@@ -1621,6 +1621,86 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=3).orderBy("key", "rk")
 
 
+_ROUTE_WAYPOINTS = [
+    (40.7128, -74.0060),   # nyc
+    (51.5074, -0.1278),    # london
+    (35.6762, 139.6503),   # tokyo
+    (-33.8688, 151.2093),  # sydney
+]
+_ROUTE_RADIUS_DEG = 2.0
+
+
+def _seg_dist_sql(a, b) -> str:
+    """DistanceToEdge (edgeutil.go:77-106) as a SQL expression over xyz
+    columns (x, y, z), endpoint/normal literals from the same numpy code
+    path as the kernel — identical float-op order."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    acb = np.cross(a + b, b - a)
+    acb = acb / np.sqrt(acb @ acb)
+    a1, a2, a3 = (repr(float(v)) for v in a)
+    b1, b2, b3 = (repr(float(v)) for v in b)
+    c1, c2, c3 = (repr(float(v)) for v in acb)
+    return f"""(CASE WHEN
+            ((y * {c3} - z * {c2}) * {a1} + (z * {c1} - x * {c3}) * {a2}
+             + (x * {c2} - y * {c1}) * {a3}) > 0
+            AND (({c2} * z - {c3} * y) * {b1} + ({c3} * x - {c1} * z) * {b2}
+             + ({c1} * y - {c2} * x) * {b3}) > 0
+          THEN asin(least(1.0, abs(x * {c1} + y * {c2} + z * {c3})
+                          / sqrt({c1} * {c1} + {c2} * {c2} + {c3} * {c3})))
+          ELSE 2 * asin(least(1.0, 0.5 * sqrt(least(
+            (x - {a1}) * (x - {a1}) + (y - {a2}) * (y - {a2}) + (z - {a3}) * (z - {a3}),
+            (x - {b1}) * (x - {b1}) + (y - {b2}) * (y - {b2}) + (z - {b3}) * (z - {b3})))))
+          END)"""
+
+
+def _route_oracle_sql() -> str:
+    """Brute-force oracle for route_proximity: min over the SAME segment
+    formulas the engine's kernel evaluates, over ALL points (no blocking
+    — the engine's covering prefilter must be a superset, so any point it
+    drops incorrectly fails the row compare)."""
+    segs = []
+    w = [_xyz(*p) for p in _ROUTE_WAYPOINTS]
+    for a, b in zip(w[:-1], w[1:]):
+        segs.append(_seg_dist_sql(a, b))
+    least = "least(" + ", ".join(segs) + ")"
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        xyz AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        d AS (SELECT key, {least} AS rd FROM xyz)
+        SELECT key, round(rd, 9) AS route_dist_rad
+        FROM d WHERE rd <= {math.radians(_ROUTE_RADIUS_DEG)!r}
+        ORDER BY key
+    """
+
+
+def _q_route_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline proximity join (spark/joins.py::route_proximity_join):
+    points within 2 degrees of the nyc-london-tokyo-sydney geodesic
+    route. Broadcast 5x5 corridor-cell prefilter at the MinWidth level +
+    exact min-over-segments DistanceToEdge refine; the oracle brute-
+    forces every point with the identical per-segment formula, so a
+    single wrongly-pruned point fails the compare."""
+    from gos2_spark.spark.joins import route_proximity_join
+
+    pts = _cust_points(spark, sf_dir)
+    out = route_proximity_join(
+        pts, _ROUTE_WAYPOINTS, _ROUTE_RADIUS_DEG, point_key="key"
+    )
+    return (
+        out.select("key", F.round("route_dist_rad", 9).alias("route_dist_rad"))
+        .orderBy("key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1685,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom_gate": _q_streaming_bloom_gate,
         "dup_span_coverage": _q_dup_span_coverage,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "route_proximity": _q_route_proximity,
     }
 
 
@@ -2742,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_bloom_gate": _DO.bloom_gate_oracle_sql(2048, 3),
         "ngram_contamination": _DO.contamination_oracle_sql(5, 37),
         "dup_span_coverage": _DO.dup_span_oracle_sql(8),
+        "route_proximity": _route_oracle_sql(),
         # rational rank weight tf*(N+1)/(df+1): integer-derived IEEE
         # division is correctly rounded, so ORDER BY matches Spark exactly;
         # only the reported log weight is rounded:

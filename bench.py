@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_length_quantiles",
     "dup_span_coverage",
     "tfidf_top_terms",
+    "route_proximity",
 ]
 
 

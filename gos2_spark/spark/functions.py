@@ -501,3 +501,42 @@ def register_all(spark) -> None:
     spark.udf.register("s2_cell_lat", s2_cell_lat)
     spark.udf.register("s2_cell_lng", s2_cell_lng)
     spark.udf.register("s2_distance_rad", s2_distance_rad)
+
+
+def route_distance_udf(waypoints):
+    """Pandas-UDF factory: distance (radians) from (lat,lng) points to a
+    geodesic POLYLINE — the vectorized per-segment DistanceToEdge
+    (edgeutil.go:77-106) folded with a running minimum over the route's
+    segments. The route is captured in the closure (segments are
+    dimension-sized), so only two double columns cross the Arrow channel.
+    """
+    import math
+
+    def _xyz(lat, lng):
+        return (
+            math.cos(math.radians(lng)) * math.cos(math.radians(lat)),
+            math.sin(math.radians(lng)) * math.cos(math.radians(lat)),
+            math.sin(math.radians(lat)),
+        )
+
+    w = [_xyz(la, ln) for la, ln in waypoints]
+    segs = list(zip(w[:-1], w[1:]))
+    if not segs:
+        raise ValueError("route needs at least 2 waypoints")
+
+    @pandas_udf(DoubleType())
+    def s2_route_distance(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernels import predicates as PR
+
+        x, y, z = PJ.latlng_to_xyz(
+            np.radians(lat.to_numpy(np.float64)),
+            np.radians(lng.to_numpy(np.float64)),
+        )
+        pts = np.stack([x, y, z], axis=1)
+        d = None
+        for a, b in segs:
+            di = PR.distance_to_edges(pts, a, b)
+            d = di if d is None else np.minimum(d, di)
+        return pd.Series(d)
+
+    return s2_route_distance

@@ -975,3 +975,90 @@ def polygon_overlap_join(a: TileSet, b: TileSet) -> list[tuple]:
                 rel = "overlaps"
             out.append((aid, bid, rel))
     return sorted(out, key=lambda t: (str(t[0]), str(t[1])))
+
+
+def route_proximity_join(
+    points: DataFrame,
+    waypoints: list,
+    radius_deg: float,
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """All points within great-circle distance ``radius_deg`` of the
+    geodesic polyline through ``waypoints`` [(lat, lng), ...]; returns
+    (key, lat, lng, route_dist_rad).
+
+    Blocking (provably a superset — the refine is exact, so any superset
+    is correct):
+
+    1. L = deepest level with MinWidth >= radius (metric.go:44-54), so a
+       point within the radius of any route point sits within ONE level-L
+       cell width of it.
+    2. Each segment is subdivided (slerp) into pieces of arc length
+       <= MinWidth(L). A piece fits inside the 3x3 neighborhood of its
+       midpoint's level-L cell (length <= one cell width), hence every
+       point within the radius of the piece lies in the 5x5 neighborhood.
+    3. The union of those 5x5 neighborhoods — O(route_length / radius)
+       cells, computed driver-side from the dimension-sized route — is
+       BROADCAST and equi-joined against Parent(L) of the point cells
+       (pure bitwise codegen, s2_parent_sql).
+
+    Refine: one Arrow-batched kernel call per candidate batch — the
+    vectorized min-over-segments DistanceToEdge — then the exact
+    ``<= radius`` filter. No shuffle anywhere: broadcast prefilter +
+    stateless refine; the output inherits the scan partitioning.
+    """
+    import math
+
+    import numpy as np
+
+    from ..geometry.metric import MIN_WIDTH
+    from ..kernels import hilbert as H
+    from ..kernels import projection as PJ
+    from .functions import route_distance_udf
+    from .pages import s2_parent_sql
+
+    r = math.radians(radius_deg)
+    level = max(0, min(30, MIN_WIDTH.max_level(r)))
+    w = MIN_WIDTH.value(level)
+
+    lat = np.array([p[0] for p in waypoints], dtype=np.float64)
+    lng = np.array([p[1] for p in waypoints], dtype=np.float64)
+    x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    V = np.stack([x, y, z], axis=1)
+    mids_lat, mids_lng = [], []
+    for a, b in zip(V[:-1], V[1:]):
+        cosang = float(np.clip(a @ b, -1.0, 1.0))
+        theta = math.acos(cosang)
+        n = max(1, math.ceil(theta / w)) if theta > 0 else 1
+        ts = (np.arange(n) + 0.5) / n
+        if theta < 1e-12:
+            pts = np.repeat(a[None, :], n, axis=0)
+        else:
+            s = math.sin(theta)
+            pts = (
+                (np.sin((1.0 - ts) * theta)[:, None] * a[None, :]
+                 + np.sin(ts * theta)[:, None] * b[None, :]) / s
+            )
+            pts = pts / np.sqrt((pts * pts).sum(axis=1))[:, None]
+        mids_lat.append(np.degrees(np.arctan2(pts[:, 2], np.sqrt(pts[:, 0] ** 2 + pts[:, 1] ** 2))))
+        mids_lng.append(np.degrees(np.arctan2(pts[:, 1], pts[:, 0])))
+    mlat = np.concatenate(mids_lat)
+    mlng = np.concatenate(mids_lng)
+    base = H.parent(PJ.cellid_from_latlng(mlat, mlng), level)
+    n1 = np.unique(PJ.neighborhood(base, level).ravel())
+    n2 = np.unique(PJ.neighborhood(n1, level).ravel())
+    cand = sorted(int(v) for v in H.to_signed(n2))
+
+    spark = points.sparkSession
+    cells_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in cand], "_rc long")
+    )
+    pref = points.join(
+        cells_df, s2_parent_sql(F.col(cell_col), level) == F.col("_rc")
+    ).drop("_rc")
+    udf = route_distance_udf(list(waypoints))
+    out = pref.withColumn("route_dist_rad", udf(F.col("lat"), F.col("lng")))
+    return out.where(F.col("route_dist_rad") <= F.lit(r)).select(
+        point_key, "lat", "lng", "route_dist_rad"
+    )

@@ -473,3 +473,72 @@ def test_knn_join_df_matches_bruteforce(spark, points):
         per_q.setdefault(r.qid, []).append(r)
     assert len(per_q) == 4 and all(len(v) == 2 for v in per_q.values())
     tiny.unpersist()
+
+
+def test_route_proximity_join_matches_brute_force(spark):
+    """Covering-corridor prefilter + min-over-segments refine vs a
+    brute-force kernel sweep over ALL points — a single wrongly-pruned
+    point fails the key-set compare."""
+    import numpy as np
+
+    from gos2_spark.kernels import predicates as PR
+    from gos2_spark.kernels import projection as PJ
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import route_proximity_join
+
+    route = [(10.0, -30.0), (25.0, 10.0), (5.0, 40.0)]
+    radius = 3.0
+    rng = np.random.default_rng(3)
+    # cluster points around the corridor so many straddle the boundary
+    lat = np.concatenate([
+        rng.uniform(0, 35, 400), rng.uniform(-60, 60, 200)
+    ])
+    lng = np.concatenate([
+        rng.uniform(-40, 50, 400), rng.uniform(-170, 170, 200)
+    ])
+    rows = [(i, float(lat[i]), float(lng[i])) for i in range(len(lat))]
+    pts = (
+        spark.createDataFrame(rows, "key long, lat double, lng double")
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    )
+    got = {
+        r["key"]: r["route_dist_rad"]
+        for r in route_proximity_join(pts, route, radius, point_key="key").collect()
+    }
+    # brute force with the same kernel
+    import math
+
+    x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    P = np.stack([x, y, z], axis=1)
+    w = [
+        tuple(PJ.latlng_to_xyz(np.radians(np.array([la])), np.radians(np.array([ln])))[i][0] for i in range(3))
+        for la, ln in route
+    ]
+    d = None
+    for a, b in zip(w[:-1], w[1:]):
+        di = PR.distance_to_edges(P, np.array(a), np.array(b))
+        d = di if d is None else np.minimum(d, di)
+    want = {
+        i: float(d[i]) for i in range(len(lat)) if d[i] <= math.radians(radius)
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=0), k  # bit-identical
+
+
+def test_route_proximity_join_no_shuffle(spark):
+    """Broadcast prefilter + stateless refine: the plan must contain no
+    Exchange (the output inherits the scan partitioning)."""
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import route_proximity_join
+
+    pts = (
+        spark.createDataFrame(
+            [(1, 10.0, -30.0)], "key long, lat double, lng double"
+        )
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    )
+    out = route_proximity_join(pts, [(10.0, -30.0), (12.0, -20.0)], 2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
