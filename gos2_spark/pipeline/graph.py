@@ -147,7 +147,15 @@ def pagerank(
     ``edges`` is a DISTINCT (src, dst) edge list; the node set is the union
     of both endpoints; ranks start uniform at 1/N and sum to 1 after every
     iteration (dangling mass redistributed uniformly).
+
+    Ranks are materialized per iteration (reliable checkpoint when a
+    checkpoint dir is configured — see ``_default_materialize``): without
+    it the per-iteration dangling-mass aggregate would recompute the whole
+    rank lineage from scratch (quadratic total work) and the plan would
+    double per iteration.
     """
+    if materialize is None:
+        materialize = _default_materialize(edges.sparkSession)
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -156,16 +164,14 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if materialize is not None:
-        nodes = materialize(nodes)
+    nodes = materialize(nodes)
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # one join up front; every iteration reuses this weighted edge table
     weighted = edges.join(out_deg, "src").select(
         "src", "dst", (1.0 / F.col("out_deg")).alias("w")
     )
-    if materialize is not None:
-        weighted = materialize(weighted)
+    weighted = materialize(weighted)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -193,6 +199,5 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if materialize is not None:
-            ranks = materialize(ranks)
+        ranks = materialize(ranks)
     return ranks
