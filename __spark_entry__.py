@@ -1701,6 +1701,19 @@ def _q_route_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution heatmap pyramid (spark/aggregates.py::cell_pyramid):
+    per-cell counts at levels 2-8 in one pass — ancestor array explode +
+    ONE (level, cell) hash agg. The oracle re-derives every level's parent
+    with the same bitwise arithmetic over the full SQL Hilbert encode."""
+    from gos2_spark.spark.aggregates import cell_pyramid
+
+    pts = _cust_points(spark, sf_dir)
+    return cell_pyramid(pts, levels=(2, 3, 4, 5, 6, 7, 8)).orderBy(
+        "level", "cell"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1766,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage": _q_dup_span_coverage,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "route_proximity": _q_route_proximity,
+        "cell_pyramid": _q_cell_pyramid,
     }
 
 
@@ -2776,6 +2790,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ((cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
                    count(*) AS n
             FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        "cell_pyramid": f"""
+            WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+            u AS ({" UNION ALL ".join(
+                f"SELECT {l} AS level,"
+                f" ((cell_id & -{1 << (2 * (30 - l))})"
+                f" | {1 << (2 * (30 - l))}) AS cell FROM cells"
+                for l in (2, 3, 4, 5, 6, 7, 8)
+            )})
+            SELECT CAST(level AS INT) AS level, cell, count(*) AS n
+            FROM u GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "cell_token_roundtrip": f"""
             WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)}

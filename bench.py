@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dup_span_coverage",
     "tfidf_top_terms",
     "route_proximity",
+    "cell_pyramid",
 ]
 
 

@@ -166,3 +166,34 @@ def capped_sample_per_key(
         .where(F.col("_r2") <= k)
         .drop("_r1", "_r2")
     )
+
+
+def cell_pyramid(
+    points: DataFrame,
+    levels: Sequence[int] = (2, 3, 4, 5, 6, 7, 8),
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Multi-resolution heatmap pyramid: per-cell point counts at EVERY
+    level in ``levels``, in ONE pass — the map-tile aggregation primitive.
+
+    The ancestor set per row is a log-depth in-row array (Parent is pure
+    bitwise SQL on biased ids, cellid.go:168-171), exploded by a Generate;
+    the only shuffle is the single (level, cell) hash aggregation, which
+    Catalyst partial-aggregates map-side — at 10^12 points the exchange
+    carries one row per DISTINCT (level, cell), not per input row."""
+    from .pages import s2_parent_sql
+
+    arr = F.array(*[
+        F.struct(
+            F.lit(l).cast("int").alias("level"),
+            s2_parent_sql(F.col(cell_col), l).alias("cell"),
+        )
+        for l in levels
+    ])
+    return (
+        points.select(F.explode(arr).alias("lc"))
+        .groupBy(
+            F.col("lc.level").alias("level"), F.col("lc.cell").alias("cell")
+        )
+        .agg(F.count("*").alias("n"))
+    )

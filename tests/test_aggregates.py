@@ -187,3 +187,41 @@ def test_capped_sample_two_level_equals_single_window(spark):
         .collect()
     }
     assert got == want and len(got) == 21
+
+
+def test_cell_pyramid_rollup_invariants(spark):
+    """Pyramid consistency: every level's counts sum to the point total,
+    and each parent's count equals the sum of its level-(l+1) children
+    (parent arithmetic, not re-aggregation)."""
+    import numpy as np
+
+    from gos2_spark.kernels import hilbert as H
+    from gos2_spark.spark.aggregates import cell_pyramid
+    from gos2_spark.spark.functions import s2_cellid
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    n = 500
+    rows = [
+        (i, float(rng.uniform(-80, 80)), float(rng.uniform(-179, 179)))
+        for i in range(n)
+    ]
+    pts = (
+        spark.createDataFrame(rows, "key long, lat double, lng double")
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    )
+    out = cell_pyramid(pts, levels=(3, 4, 5)).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], {})[r["cell"]] = r["n"]
+    assert set(by_level) == {3, 4, 5}
+    for lvl, cells in by_level.items():
+        assert sum(cells.values()) == n, lvl
+    for lvl in (3, 4):
+        child = by_level[lvl + 1]
+        rolled = {}
+        for c, cnt in child.items():
+            u = H.from_signed(np.array([c]))
+            p = int(H.to_signed(H.parent(u, lvl))[0])
+            rolled[p] = rolled.get(p, 0) + cnt
+        assert rolled == by_level[lvl], lvl
