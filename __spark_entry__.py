@@ -1714,6 +1714,98 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence monitoring: per-user enter/exit transitions between the
+    fixture tiles over the ordered event stream — pip join for membership
+    (left: outside = 'none'), window lag for edges, transition-matrix
+    output. One user-keyed shuffle on top of the covering join; the
+    oracle replays membership with the convex edge-normal predicates and
+    the same window."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import point_in_polygon_join
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat")
+    lng = (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng")
+    pts = ev.select("user_id", "ts", "event_id", lat, lng).withColumn(
+        "cell_id", s2_cellid(F.col("lat"), F.col("lng"))
+    )
+    hits = point_in_polygon_join(
+        pts, _tileset(32), how="inner", point_key="event_id"
+    ).select("event_id", "tile_id")
+    labeled = pts.join(hits, "event_id", "left").withColumn(
+        "fence", F.coalesce(F.col("tile_id"), F.lit("none"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = labeled.select(
+        "user_id", "fence", F.lag("fence").over(w).alias("prev_fence")
+    ).where(
+        F.col("prev_fence").isNotNull()
+        & (F.col("prev_fence") != F.col("fence"))
+    )
+    return (
+        t.groupBy(
+            F.col("prev_fence").alias("from_fence"),
+            F.col("fence").alias("to_fence"),
+        )
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("from_fence", "to_fence")
+    )
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (stop) detection: maximal runs of >= 3 consecutive
+    events in the SAME level-6 cell per user — gaps-and-islands via the
+    row_number difference trick, all native window algebra (two windows
+    on the one user-keyed shuffle; the cell key is bitwise Parent). The
+    oracle replays the full Hilbert encode + identical windows."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # sticky per-user locations: every ~5 consecutive events share one
+    # deterministic spot (loc = ordinal // 5), so real stays exist
+    seq = F.row_number().over(w_all) - 1
+    loc = F.floor(seq / 5)
+    u = F.col("user_id")
+    lat = (-60.0 + ((u * 37 + loc * 11) % 120) + ((u + loc) % 83) / 83.0)
+    lng = (-170.0 + ((u * 53 + loc * 17) % 340) + ((u + loc) % 79) / 79.0)
+    pts = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("lat", lat)
+        .withColumn("lng", lng)
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+        .withColumn("cell6", s2_parent_sql(F.col("cell_id"), 6))
+    )
+    w_cell = Window.partitionBy("user_id", "cell6").orderBy("ts", "event_id")
+    runs = (
+        pts.withColumn(
+            "island", F.row_number().over(w_all) - F.row_number().over(w_cell)
+        )
+        .groupBy("user_id", "cell6", "island")
+        .agg(F.count("*").alias("run_len"))
+        .where(F.col("run_len") >= 3)
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_stays"),
+            F.max("run_len").alias("longest_stay"),
+            F.sum("run_len").alias("stay_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1780,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "route_proximity": _q_route_proximity,
         "cell_pyramid": _q_cell_pyramid,
+        "geofence_transitions": _q_geofence_transitions,
+        "stay_points": _q_stay_points,
     }
 
 
@@ -2790,6 +2884,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT ((cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
                    count(*) AS n
             FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        "stay_points": f"""
+            WITH {_cellid_cte_duckdb('''
+              SELECT event_id AS key, lat, lng FROM (
+                SELECT event_id, user_id,
+                       (row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1) // 5 AS loc
+                FROM events
+              ) s, LATERAL (SELECT
+                   -60.0 + ((user_id * 37 + loc * 11) % 120)
+                         + ((user_id + loc) % 83) / 83.0 AS lat,
+                   -170.0 + ((user_id * 53 + loc * 17) % 340)
+                          + ((user_id + loc) % 79) / 79.0 AS lng)
+            ''')},
+            c6 AS (
+              SELECT key AS event_id,
+                     ((cell_id & -{1 << 48}) | {1 << 48}) AS cell6
+              FROM cells
+            ),
+            lab AS (
+              SELECT e.user_id, e.ts, e.event_id, c6.cell6
+              FROM events e JOIN c6 USING (event_id)
+            ),
+            r AS (
+              SELECT user_id, cell6,
+                     row_number() OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                   - row_number() OVER (
+                         PARTITION BY user_id, cell6 ORDER BY ts, event_id)
+                       AS island
+              FROM lab
+            ),
+            runs AS (
+              SELECT user_id, cell6, island, count(*) AS run_len
+              FROM r GROUP BY 1, 2, 3 HAVING count(*) >= 3
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_stays,
+                   CAST(max(run_len) AS BIGINT) AS longest_stay,
+                   CAST(sum(run_len) AS BIGINT) AS stay_events
+            FROM runs GROUP BY 1 ORDER BY 1
+        """,
+        "geofence_transitions": f"""
+            WITH pts AS (
+              SELECT user_id, ts, event_id,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0
+                         AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0
+                         AS lng
+              FROM events
+            ),
+            lab AS (
+              SELECT user_id, ts, event_id,
+                     CASE
+                       WHEN {_tile_pred_sql("t_atl")} THEN 't_atl'
+                       WHEN {_tile_pred_sql("t_ind")} THEN 't_ind'
+                       WHEN {_tile_pred_sql("t_pac")} THEN 't_pac'
+                       ELSE 'none' END AS fence
+              FROM pts
+            ),
+            tr AS (
+              SELECT user_id, fence,
+                     lag(fence) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_fence
+              FROM lab
+            )
+            SELECT prev_fence AS from_fence, fence AS to_fence,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM tr
+            WHERE prev_fence IS NOT NULL AND prev_fence != fence
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "cell_pyramid": f"""
             WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},

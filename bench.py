@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "route_proximity",
     "cell_pyramid",
+    "geofence_transitions",
+    "stay_points",
 ]
 
 
