@@ -1806,6 +1806,103 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGETS = {"en": 120, "de": 40, "fr": 30, "es": 30, "zh": 40}
+
+
+def _q_data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sampler: per-lang document budgets
+    selected by xxhash64 rank (hash-ordered -> uniform yet reproducible;
+    re-running or resharding cannot change the sample). One lang-keyed
+    window shuffle; budgets are a literal CASE, no join. The oracle
+    replays the hash rank bit-for-bit via the SQL XXH64 model."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.xxhash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    budget = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(_MIX_BUDGETS.items())
+        ],
+        F.lit(0),
+    )
+    kept = docs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= budget
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("key_sum"),
+            F.sum(F.length("text")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff: old = even doc_ids, new = doc_id % 7 != 0
+    with text amended when doc_id % 5 == 0 — full outer join on the key,
+    md5-content compare, per-status accounting (added / removed /
+    changed / unchanged). The exact complement to the probabilistic
+    Bloom gate; one co-partitioned shuffle join."""
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("key"), F.md5("text").alias("h_old")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("key"), F.md5(new_text).alias("h_new")
+    )
+    j = old.join(new, "key", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(F.count("*").alias("n_docs"), F.sum("key").alias("key_sum"))
+        .orderBy("status")
+    )
+
+
+def _mix_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    h = f"({xxh64_list_sql('[CAST(doc_id AS VARCHAR)]')})[1]"
+    budget = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{k}' THEN {v}"
+            for k, v in sorted(_MIX_BUDGETS.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang, length(text) AS lc, {h} AS hv
+          FROM documents
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY hv, doc_id) AS rk
+          FROM h
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS key_sum,
+               CAST(sum(lc) AS BIGINT) AS kept_chars
+        FROM r WHERE rk <= {budget}
+        GROUP BY lang ORDER BY lang
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -1874,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pyramid": _q_cell_pyramid,
         "geofence_transitions": _q_geofence_transitions,
         "stay_points": _q_stay_points,
+        "data_mix_sample": _q_data_mix_sample,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -2884,6 +2983,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT ((cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
                    count(*) AS n
             FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        # hash-rank replay via the SQL XXH64 model:
+        "data_mix_sample": _mix_oracle_sql(),
+        # derivation-from-construction: the engine must EARN these counts
+        # via the md5 compare; the oracle knows them from the injection
+        # arithmetic (changed iff doc_id % 5 == 0 among survivors):
+        "snapshot_diff": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 2 = 0 AND doc_id % 7 = 0 THEN 'removed'
+                       WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN 'changed'
+                       WHEN doc_id % 2 = 0 THEN 'unchanged'
+                       WHEN doc_id % 7 != 0 THEN 'added'
+                       ELSE NULL END AS status
+              FROM documents
+            )
+            SELECT status,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS key_sum
+            FROM d WHERE status IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "stay_points": f"""
             WITH {_cellid_cte_duckdb('''

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "cell_pyramid",
     "geofence_transitions",
     "stay_points",
+    "data_mix_sample",
+    "snapshot_diff",
 ]
 
 
