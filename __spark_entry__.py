@@ -1872,6 +1872,36 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hotspot_oracle_sql() -> str:
+    """PULL-form focal sum: per-cell counts + exact SQL edge-neighbor
+    arithmetic (same generator as the cell_neighbors_l8 oracle, duplicate-
+    free), left-joined so isolated cells keep focal = own count."""
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL)
+    )
+    lsb = 1 << 44  # level 8
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (SELECT {tok} AS token, count(*) AS n FROM cells GROUP BY 1),
+        nb AS (
+          SELECT p.token, sum(c2.n) AS nsum
+          FROM pairs p JOIN cnt c2 ON c2.token = p.nbr_token
+          GROUP BY 1
+        ),
+        f AS (
+          SELECT c.token, c.n, c.n + coalesce(nb.nsum, 0) AS focal_sum
+          FROM cnt c LEFT JOIN nb USING (token)
+        )
+        SELECT token, n, CAST(focal_sum AS BIGINT) AS focal_sum,
+               focal_sum >= 5 AS hot
+        FROM f ORDER BY token
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -1901,6 +1931,41 @@ def _mix_oracle_sql() -> str:
         FROM r WHERE rk <= {budget}
         GROUP BY lang ORDER BY lang
     """
+
+
+def _q_cell_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (neighborhood) hotspot detection on the level-8 grid: each
+    occupied cell's focal sum = own count + its 4 edge neighbors' counts
+    (raster focal/Getis-Ord-style primitive). PUSH formulation — every
+    cell explodes its count to itself + neighbors (bounded 5x Generate),
+    one (cell) agg, co-partitioned join back; equals the PULL definition
+    because edge adjacency is symmetric (incl. cross-face wrap). The
+    oracle PULLS via the exact SQL neighbor arithmetic, so any asymmetry
+    or wrap bug fails the compare."""
+    from gos2_spark.spark.functions import s2_edge_neighbors, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    counts = pts.groupBy(
+        s2_parent_sql(F.col("cell_id"), 8).alias("cell")
+    ).agg(F.count("*").alias("n"))
+    targets = counts.select(
+        "n",
+        F.explode(
+            F.concat(F.array(F.col("cell")), s2_edge_neighbors(F.col("cell")))
+        ).alias("target"),
+    )
+    focal = targets.groupBy("target").agg(F.sum("n").alias("focal_sum"))
+    return (
+        counts.join(focal, counts["cell"] == focal["target"])
+        .select(
+            s2_token(F.col("cell")).alias("token"),
+            "n",
+            "focal_sum",
+            (F.col("focal_sum") >= 5).alias("hot"),
+        )
+        .orderBy("token")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1973,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": _q_stay_points,
         "data_mix_sample": _q_data_mix_sample,
         "snapshot_diff": _q_snapshot_diff,
+        "cell_hotspots": _q_cell_hotspots,
     }
 
 
@@ -2984,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM cells GROUP BY 1 ORDER BY 1
         """,
+        "cell_hotspots": _hotspot_oracle_sql(),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

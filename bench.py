@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "stay_points",
     "data_mix_sample",
     "snapshot_diff",
+    "cell_hotspots",
 ]
 
 
