@@ -1968,6 +1968,76 @@ def _q_cell_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming geofence (spark/streaming.py::
+    streaming_geofence_transitions, applyInPandasWithState): the event
+    stream is replayed in TWO phases split at the median timestamp, with
+    a full query RESTART between them — per-user last-fence state must
+    survive via the state-store checkpoint or cross-phase transitions are
+    lost. The aggregated transition matrix must equal the batch window
+    oracle exactly (same SQL as geofence_transitions)."""
+    import shutil
+    import tempfile
+
+    from gos2_spark.spark.streaming import streaming_geofence_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat")
+    lng = (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng")
+    pts = ev.select("user_id", "ts", "event_id", lat, lng)
+    ts_long = F.col("ts").cast("timestamp_ltz").cast("long")
+    m = pts.agg(
+        F.percentile(ts_long, F.lit(0.5)).alias("m")
+    ).collect()[0]["m"]
+
+    base = tempfile.mkdtemp(prefix="gos2_stream_geofence_")
+    src, chk, out = f"{base}/src", f"{base}/chk", f"{base}/out"
+    tiles = _tileset(32)
+
+    def drain():
+        sch = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(sch).parquet(src)
+        res = streaming_geofence_transitions(stream, tiles)
+        q = (
+            res.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        pts.where(ts_long <= m).write.mode("append").parquet(src)
+        drain()
+        pts.where(ts_long > m).write.mode("append").parquet(src)
+        drain()
+        names = F.array(
+            F.lit("none"), *[F.lit(str(t)) for t in tiles.tile_ids()]
+        )
+        trans = spark.read.parquet(out).select(
+            "user_id",
+            F.element_at(names, F.col("from_idx") + 2).alias("from_fence"),
+            F.element_at(names, F.col("to_idx") + 2).alias("to_fence"),
+        )
+        result = (
+            trans.groupBy("from_fence", "to_fence")
+            .agg(
+                F.count("*").alias("n_transitions"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .orderBy("from_fence", "to_fence")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema).orderBy(
+        "from_fence", "to_fence"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "haversine_distance": _q_haversine,
@@ -2039,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_mix_sample": _q_data_mix_sample,
         "snapshot_diff": _q_snapshot_diff,
         "cell_hotspots": _q_cell_hotspots,
+        "streaming_geofence": _q_streaming_geofence,
     }
 
 
@@ -2794,6 +2865,40 @@ def _edge_interpolate_oracle_sql() -> str:
     """
 
 
+_GEOFENCE_ORACLE_SQL = f"""
+            WITH pts AS (
+              SELECT user_id, ts, event_id,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0
+                         AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0
+                         AS lng
+              FROM events
+            ),
+            lab AS (
+              SELECT user_id, ts, event_id,
+                     CASE
+                       WHEN {_tile_pred_sql("t_atl")} THEN 't_atl'
+                       WHEN {_tile_pred_sql("t_ind")} THEN 't_ind'
+                       WHEN {_tile_pred_sql("t_pac")} THEN 't_pac'
+                       ELSE 'none' END AS fence
+              FROM pts
+            ),
+            tr AS (
+              SELECT user_id, fence,
+                     lag(fence) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_fence
+              FROM lab
+            )
+            SELECT prev_fence AS from_fence, fence AS to_fence,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM tr
+            WHERE prev_fence IS NOT NULL AND prev_fence != fence
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from gos2_spark.pipeline import duckdb_oracles as _DO
 
@@ -3051,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY 1 ORDER BY 1
         """,
         "cell_hotspots": _hotspot_oracle_sql(),
+        "streaming_geofence": _GEOFENCE_ORACLE_SQL,
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts
@@ -3115,38 +3221,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(run_len) AS BIGINT) AS stay_events
             FROM runs GROUP BY 1 ORDER BY 1
         """,
-        "geofence_transitions": f"""
-            WITH pts AS (
-              SELECT user_id, ts, event_id,
-                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0
-                         AS lat,
-                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0
-                         AS lng
-              FROM events
-            ),
-            lab AS (
-              SELECT user_id, ts, event_id,
-                     CASE
-                       WHEN {_tile_pred_sql("t_atl")} THEN 't_atl'
-                       WHEN {_tile_pred_sql("t_ind")} THEN 't_ind'
-                       WHEN {_tile_pred_sql("t_pac")} THEN 't_pac'
-                       ELSE 'none' END AS fence
-              FROM pts
-            ),
-            tr AS (
-              SELECT user_id, fence,
-                     lag(fence) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_id
-                     ) AS prev_fence
-              FROM lab
-            )
-            SELECT prev_fence AS from_fence, fence AS to_fence,
-                   CAST(count(*) AS BIGINT) AS n_transitions,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM tr
-            WHERE prev_fence IS NOT NULL AND prev_fence != fence
-            GROUP BY 1, 2 ORDER BY 1, 2
-        """,
+        "geofence_transitions": _GEOFENCE_ORACLE_SQL,
         "cell_pyramid": f"""
             WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
             u AS ({" UNION ALL ".join(

@@ -17,6 +17,8 @@ unbounded pages stream. Design notes for 100 TB/day ingest:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,4 +95,106 @@ def run_to_memory(result: DataFrame, name: str = "tile_counts"):
         .queryName(name)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def fence_index_udf(tileset: TileSet, spark):
+    """Vectorized which-fence labeler: tests EVERY fence per Arrow batch
+    with the same bound-prefilter + crossing-parity kernels as the join
+    refine, returning the matched tile index or -1 ('outside'). The right
+    shape for geofence monitoring, where fence sets are dimension-sized
+    (dozens, broadcast in one payload); use the covering JOIN path for
+    thousands of tiles. Int output keeps strings off the Python channel.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from ..kernels import predicates as PR
+    from ..kernels import projection as PJ
+
+    bc = tileset.spark_artifacts(spark)["bc"]
+
+    @pandas_udf(IntegerType())
+    def s2_fence_idx(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        tiles = bc.value
+        lat_rad = np.radians(lat.to_numpy(np.float64))
+        lng_rad = np.radians(lng.to_numpy(np.float64))
+        x, y, z = PJ.latlng_to_xyz(lat_rad, lng_rad)
+        pts = np.stack([x, y, z], axis=1)
+        out = np.full(len(pts), -1, dtype=np.int32)
+        for tid, t in tiles.items():
+            todo = np.nonzero(out == -1)[0]  # fences are disjoint
+            if len(todo) == 0:
+                break
+            lat_lo, lat_hi, lng_lo, lng_hi = t["bound"]
+            in_bound = (lat_rad[todo] >= lat_lo) & (lat_rad[todo] <= lat_hi)
+            if lng_lo <= lng_hi:
+                in_bound &= (lng_rad[todo] >= lng_lo) & (lng_rad[todo] <= lng_hi)
+            else:
+                in_bound &= (lng_rad[todo] >= lng_lo) | (lng_rad[todo] <= lng_hi)
+            live = todo[in_bound]
+            if len(live) == 0:
+                continue
+            acc = np.zeros(len(live), dtype=bool)
+            for verts, origin_inside in t["loops"]:
+                acc ^= PR.contains_points_in_loop(pts[live], verts, origin_inside)
+            out[live[acc]] = tid
+        return pd.Series(out)
+
+    return s2_fence_idx
+
+
+def streaming_geofence_transitions(
+    events_stream: DataFrame,
+    tileset: TileSet,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Stateful streaming enter/exit detection: per-user fence-transition
+    events over an unbounded stream, via ``applyInPandasWithState``.
+
+    State is ONE int per user (the last fence index) — bounded by user
+    cardinality, checkpointed by the state store, and RESTORED across
+    query restarts, so the detector is resumable mid-stream. Rows are
+    sorted by (ts, seq) within each micro-batch; cross-batch order is the
+    source's responsibility (time-partitioned ingest — the standard
+    contract for per-key event-time state machines).
+
+    Output rows: (user, seq, from_idx, to_idx) in append mode — the first
+    event of a user emits nothing (matches the batch window-lag op).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark = events_stream.sparkSession
+    fidx = fence_index_udf(tileset, spark)
+    labeled = events_stream.select(
+        F.col(user_col), F.col(ts_col), F.col(seq_col),
+        fidx(F.col(lat_col), F.col(lng_col)).alias("_fidx"),
+    )
+    out_schema = f"{user_col} long, {seq_col} long, from_idx int, to_idx int"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, seq_col])
+        prev = state.get[0] if state.exists else None
+        recs = []
+        for eid, f in zip(pdf[seq_col], pdf["_fidx"]):
+            f = int(f)
+            if prev is not None and f != prev:
+                recs.append((key[0], int(eid), prev, f))
+            prev = f
+        if prev is not None:
+            state.update((int(prev),))
+        if recs:
+            yield pd.DataFrame(
+                recs, columns=[user_col, seq_col, "from_idx", "to_idx"]
+            )
+
+    return labeled.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, "last int", "append", GroupStateTimeout.NoTimeout
     )

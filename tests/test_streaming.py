@@ -131,3 +131,64 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         (r["key"], r["session_start"]): r["n_events"] for r in batch.collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_geofence_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState geofence: drain phase 1, STOP the query,
+    add phase-2 files, restart from the same checkpoint — transitions
+    that straddle the phase boundary are only detectable if per-user
+    last-fence state was restored from the state store."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet
+    from gos2_spark.spark.streaming import streaming_geofence_transitions
+
+    tiles = TileSet(
+        {"a": Loop.regular(10.0, 10.0, 3.0, 12),
+         "b": Loop.regular(-20.0, 40.0, 3.0, 12)},
+        max_cells=16,
+    )
+    # user 1: inside a (phase 1) -> inside b (phase 2): ONE cross-phase
+    # transition. user 2: outside -> outside: none.
+    p1 = [(1, 100, 1000, 10.0, 10.0), (1, 200, 1001, 10.1, 10.1),
+          (2, 100, 2000, 50.0, 120.0)]
+    p2 = [(1, 300, 1002, -20.0, 40.0), (2, 300, 2001, 55.0, 125.0)]
+    schema = "user_id long, tsec long, event_id long, lat double, lng double"
+    src, chk, out = str(tmp_path / "src"), str(tmp_path / "chk"), str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds(F.col("tsec"))
+        ).drop("tsec").write.mode("append").parquet(src)
+
+    def drain():
+        sch = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = (
+            streaming_geofence_transitions(stream, tiles)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(p1)
+    drain()
+    mid = spark.read.parquet(out).count()
+    assert mid == 0  # no transitions inside phase 1
+    write(p2)
+    drain()
+    rows = {
+        (r["user_id"], r["event_id"], r["from_idx"], r["to_idx"])
+        for r in spark.read.parquet(out).collect()
+    }
+    names = tiles.tile_ids()
+    ia, ib = names.index("a"), names.index("b")
+    # the a->b transition at event 1002 exists ONLY if user 1's
+    # last-fence state (a) survived the restart
+    assert rows == {(1, 1002, ia, ib)}
