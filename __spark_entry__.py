@@ -1902,6 +1902,82 @@ def _hotspot_oracle_sql() -> str:
     """
 
 
+def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (pipeline/sketch.py): token
+    counts estimated from a depth-4 x width-2048 sketch for the top-10
+    tokens, reported against the exact counts — est >= true must hold on
+    every row (visible upper-bound guarantee). The oracle replays every
+    cell via the SQL XXH64 model, including collision overestimates."""
+    from gos2_spark.pipeline.sketch import cms_build, cms_estimate
+    from gos2_spark.pipeline.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.when(
+                F.trim(F.col("text")) == "", F.array().cast("array<string>")
+            ).otherwise(tokens(F.col("text")))
+        ).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    sketch = cms_build(tf, "token", 4, 2048, weight_col="cnt")
+    probes = tf.orderBy(F.col("cnt").desc(), "token").limit(10)
+    est = cms_estimate(probes.select("token"), sketch, "token", 4, 2048)
+    return (
+        probes.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").alias("true_cnt"),
+            "est",
+            (F.col("est") >= F.col("cnt")).alias("upper_bound_ok"),
+        )
+        .orderBy("token")
+    )
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 2048) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[" + ", ".join(
+        f"token || '#cms{d}'" for d in range(depth)
+    ) + "]"
+    col = f"list_transform(hs, x -> CAST((((x % {width}) + {width}) % {width}) AS INT))"
+    return f"""
+        WITH toks AS (
+          SELECT CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS tk
+          FROM documents
+        ),
+        occ AS (SELECT unnest(tk) AS token FROM toks),
+        tf AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+        h AS (SELECT token, cnt, ({xxh64_list_sql(salted)}) AS hs FROM tf),
+        cells AS (
+          SELECT unnest(generate_series(0, {depth - 1})) AS row,
+                 unnest({col}) AS col, cnt
+          FROM h
+        ),
+        sk AS (SELECT row, col, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+        probes AS (
+          SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT 10
+        ),
+        pc AS (
+          SELECT p.token, p.cnt,
+                 unnest(generate_series(0, {depth - 1})) AS row,
+                 unnest({col}) AS col
+          FROM probes p JOIN h USING (token)
+        ),
+        est AS (
+          SELECT pc.token, pc.cnt, min(coalesce(sk.c, 0)) AS est
+          FROM pc LEFT JOIN sk USING (row, col) GROUP BY 1, 2
+        )
+        SELECT token, CAST(cnt AS BIGINT) AS true_cnt,
+               CAST(est AS BIGINT) AS est,
+               est >= cnt AS upper_bound_ok
+        FROM est ORDER BY token
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -2110,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "cell_hotspots": _q_cell_hotspots,
         "streaming_geofence": _q_streaming_geofence,
+        "cms_token_freq": _q_cms_token_freq,
     }
 
 
@@ -3157,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cell_hotspots": _hotspot_oracle_sql(),
         "streaming_geofence": _GEOFENCE_ORACLE_SQL,
+        "cms_token_freq": _cms_oracle_sql(4, 2048),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

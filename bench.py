@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "data_mix_sample",
     "snapshot_diff",
     "cell_hotspots",
+    "cms_token_freq",
 ]
 
 

@@ -183,3 +183,42 @@ def test_streaming_flat_probe_multi_batch(spark, keys, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == len(old) + len(new)
+
+
+def test_cms_matches_model_and_upper_bound(spark):
+    """Count-Min sketch (pipeline/sketch.py): cells and estimates match
+    an independent XXH64 reference model; est >= true on every key."""
+    from collections import Counter
+
+    from gos2_spark.pipeline.sketch import cms_build, cms_estimate
+
+    depth, width = 3, 64  # tiny width forces real collisions
+    words = (["alpha"] * 7 + ["beta"] * 5 + ["gamma"] * 3
+             + [f"w{i}" for i in range(40)])
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    sketch = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(df, "token", depth, width).collect()
+    }
+    true = Counter(words)
+    model = {}
+    for w, c in true.items():
+        for d in range(depth):
+            pos = (d, xxh64_signed(w + f"#cms{d}") % width)
+            model[pos] = model.get(pos, 0) + c
+    assert sketch == model
+    probes = spark.createDataFrame(
+        [(w,) for w in true], "token string"
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(probes, cms_build(df, "token", depth, width),
+                              "token", depth, width).collect()
+    }
+    for w, c in true.items():
+        want = min(
+            model[(d, xxh64_signed(w + f"#cms{d}") % width)]
+            for d in range(depth)
+        )
+        assert est[w] == want, w
+        assert est[w] >= c, w
