@@ -1978,6 +1978,102 @@ def _cms_oracle_sql(depth: int = 4, width: int = 2048) -> str:
     """
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimation per lang (pipeline/
+    sketch.py): integer register build (b=12) + exact-decimal harmonic
+    sum, reported against the true distinct counts. The oracle replays
+    every register and the full estimator — bucket bits, rank via
+    bit-length, the 2^(R-rank) integer sum, linear-counting branch —
+    bit-for-bit via the SQL XXH64 model."""
+    from gos2_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.trim(F.col("text")) == "", F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    regs = hll_registers(toks, "token", group_cols=("lang",), b=12)
+    est = hll_estimate(regs, ("lang",), b=12)
+    true = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("true_distinct")
+    )
+    return (
+        true.join(est, "lang")
+        .select("lang", "true_distinct", "occupied", "est")
+        .orderBy("lang")
+    )
+
+
+def _hll_oracle_sql(b: int = 12) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import _unsigned, xxh64_list_sql
+
+    m = 1 << b
+    nb = 64 - b
+    R = nb + 1
+    p_r = 1 << R          # 2^53
+    p_nb = 1 << nb        # 2^52
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(p_r)
+    return f"""
+        WITH toks AS (
+          SELECT lang,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS tk
+          FROM documents
+        ),
+        occ AS (SELECT lang, unnest(tk) AS token FROM toks),
+        dt AS (SELECT DISTINCT lang, token FROM occ),
+        h AS (
+          SELECT lang, ({xxh64_list_sql('[token]')})[1] AS hv FROM dt
+        ),
+        u AS (SELECT lang, {_unsigned('hv')} AS hu FROM h),
+        r AS (
+          SELECT lang, CAST(hu >> {nb} AS INT) AS bucket,
+                 CAST(hu % {p_nb} AS BIGINT) AS w
+          FROM u
+        ),
+        rk AS (
+          SELECT lang, bucket,
+                 max(CASE WHEN w = 0 THEN {R}
+                          ELSE {R} - length(ltrim(bin(w), '0')) END) AS rank
+          FROM r GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT lang, count(*) AS occupied,
+                 sum(CAST({p_r} // (CAST(1 AS BIGINT) << CAST(rank AS INT))
+                     AS HUGEINT)) AS s_occ
+          FROM rk GROUP BY 1
+        ),
+        e AS (
+          SELECT lang, occupied,
+                 CAST(s_occ + ({m} - occupied) * CAST({p_r} AS HUGEINT)
+                      AS DOUBLE) AS s,
+                 {m} - occupied AS v
+          FROM agg
+        ),
+        est AS (
+          SELECT lang, occupied,
+                 CASE WHEN ({num!r} / s) <= {2.5 * m!r} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / v)
+                      ELSE {num!r} / s END AS raw
+          FROM e
+        ),
+        tr AS (
+          SELECT lang, count(DISTINCT token) AS true_distinct FROM occ
+          GROUP BY 1
+        )
+        SELECT tr.lang, CAST(tr.true_distinct AS BIGINT) AS true_distinct,
+               CAST(est.occupied AS BIGINT) AS occupied,
+               round(est.raw, 4) AS est
+        FROM tr JOIN est USING (lang) ORDER BY lang
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -2187,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hotspots": _q_cell_hotspots,
         "streaming_geofence": _q_streaming_geofence,
         "cms_token_freq": _q_cms_token_freq,
+        "hll_distinct": _q_hll_distinct,
     }
 
 
@@ -3235,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_hotspots": _hotspot_oracle_sql(),
         "streaming_geofence": _GEOFENCE_ORACLE_SQL,
         "cms_token_freq": _cms_oracle_sql(4, 2048),
+        "hll_distinct": _hll_oracle_sql(12),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "cell_hotspots",
     "cms_token_freq",
+    "hll_distinct",
 ]
 
 

@@ -84,3 +84,73 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    b: int = 12,
+) -> DataFrame:
+    """HyperLogLog register table (group..., bucket, rank): bucket = top-b
+    bits of the UNSIGNED xxhash64, rank = leading-zero count of the
+    remaining 64-b bits + 1, register = MAX rank per bucket. Pure integer
+    algebra — bit_length via length(bin(w)), no floats — so every
+    register is replayable bit-for-bit. Duplicates cannot change a max,
+    so the input needs no distinct; one (group, bucket) shuffle total."""
+    h = F.xxhash64(F.col(key_col))
+    nb = 64 - b
+    bucket = F.shiftrightunsigned(h, nb)
+    w = h.bitwiseAND(F.lit((1 << nb) - 1))
+    rank = F.when(w == 0, F.lit(nb + 1)).otherwise(
+        F.lit(nb + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    b: int = 12,
+) -> DataFrame:
+    """(group..., occupied, est): the standard HLL estimator with linear
+    counting below 2.5m. The harmonic sum is computed EXACTLY: each
+    2^-rank term becomes the integer 2^(R-rank) (R = 65-b covers the max
+    rank) summed in DECIMAL, so the only floats are one final division,
+    one branch compare, and the small-range ln — cross-engine drift is
+    bounded to an ulp and absorbed by round(est, 4)."""
+    m = 1 << b
+    R = (64 - b) + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # single Python-computed double literal shared with the oracle so both
+    # engines divide the identical numerator
+    num = alpha * m * m * float(1 << R)
+    # call_function: pyspark's F.shiftleft only accepts a literal int for
+    # numBits, but SQL shiftleft takes a column (same pattern as bloom._mask)
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.lit(R) - F.col("rank")).cast("int"),
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("occupied"),
+        F.sum(term.cast("decimal(20,0)")).alias("_s_occ"),
+    )
+    s = (
+        F.col("_s_occ")
+        + (F.lit(m) - F.col("occupied")).cast("decimal(20,0)")
+        * F.lit(1 << R).cast("decimal(20,0)")
+    )
+    raw = F.lit(num) / s.cast("double")
+    v = F.lit(m) - F.col("occupied")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "occupied", F.round(est, 4).alias("est")
+    )

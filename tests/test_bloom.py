@@ -222,3 +222,31 @@ def test_cms_matches_model_and_upper_bound(spark):
         )
         assert est[w] == want, w
         assert est[w] >= c, w
+
+
+def test_hll_registers_match_model_and_estimate_accuracy(spark):
+    """HyperLogLog (pipeline/sketch.py): registers equal an independent
+    XXH64 reference; the estimate lands within the expected ~1.04/sqrt(m)
+    error band on 5000 distinct keys."""
+    from gos2_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    b, n = 10, 5000
+    m, nb = 1 << b, 64 - b
+    keys = [f"key-{i}" for i in range(n)] * 2  # duplicates must not matter
+    df = spark.createDataFrame([(k,) for k in keys], "token string")
+    regs = {
+        r["bucket"]: r["rank"]
+        for r in hll_registers(df, "token", b=b).collect()
+    }
+    model = {}
+    for k in set(keys):
+        h = xxh64_signed(k) % (1 << 64)
+        bucket = h >> nb
+        w = h & ((1 << nb) - 1)
+        rank = (nb + 1) if w == 0 else (nb + 1 - w.bit_length())
+        model[bucket] = max(model.get(bucket, 0), rank)
+    assert regs == model
+    est = hll_estimate(
+        hll_registers(df, "token", b=b), b=b
+    ).collect()[0]["est"]
+    assert abs(est - n) / n < 5 * 1.04 / (m ** 0.5)  # 5 sigma
