@@ -2074,6 +2074,112 @@ def _hll_oracle_sql(b: int = 12) -> str:
     """
 
 
+def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (the semi-join-pushdown pattern): orders are
+    probed against a Bloom filter of the qualifying customer keys BEFORE
+    the exact semi join, so at scale the shuffle carries only
+    bloom-survivors. No false negatives -> the final result equals a
+    plain semi join; the per-status candidate counts (incl. deterministic
+    false positives) are themselves oracle-replayed, so the pruning rate
+    is verified, not just the end result."""
+    from gos2_spark.pipeline.bloom import bloom_build, bloom_probe_flat
+
+    m, g = 4096, 3
+    cust = _load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    dims = cust.select(F.col("c_custkey").cast("string").alias("bkey"))
+    filt = bloom_build(dims, "bkey", m, g)
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "bkey", F.col("o_custkey").cast("string")
+    )
+    cand = bloom_probe_flat(orders, filt, "bkey", m, g).where("maybe_seen")
+    matched = cand.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    c = (
+        cand.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    mm = matched.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_matched"),
+        F.sum("o_orderkey").alias("matched_key_sum"),
+    )
+    tot = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))
+    return (
+        tot.join(c, "o_orderstatus").join(mm, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
+
+
+def _bloom_semi_oracle_sql(m: int = 4096, g: int = 3) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    def pm(h: str) -> str:
+        return f"(((({h}) % {m}) + {m}) % {m})"
+
+    hashes = xxh64_list_sql("[bkey, bkey || '#2']")
+    return f"""
+        WITH dims AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS bkey FROM customer
+          WHERE c_custkey % 3 = 0
+        ),
+        ords AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_custkey AS VARCHAR) AS bkey
+          FROM orders
+        ),
+        allk AS (
+          SELECT bkey FROM dims UNION SELECT bkey FROM ords
+        ),
+        h AS (SELECT bkey, ({hashes}) AS hs FROM allk),
+        hm AS (SELECT bkey, {pm('hs[1]')} AS h1, {pm('hs[2]')} AS h2 FROM h),
+        ps AS (
+          SELECT bkey, (h1 + i * h2) % {m} AS pos
+          FROM hm, (SELECT unnest(generate_series(0, {g - 1})) AS i)
+        ),
+        words AS (
+          SELECT pos // 63 AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+          FROM (SELECT DISTINCT pos FROM ps
+                WHERE bkey IN (SELECT bkey FROM dims))
+          GROUP BY 1
+        ),
+        seen AS (
+          SELECT p.bkey,
+                 bool_and(coalesce(
+                     (w.word & (CAST(1 AS BIGINT)
+                                << CAST(p.pos % 63 AS INT))) <> 0,
+                     false)) AS maybe_seen
+          FROM ps p LEFT JOIN words w ON p.pos // 63 = w.word_idx
+          GROUP BY 1
+        ),
+        cand AS (
+          SELECT o.* FROM ords o JOIN seen s USING (bkey)
+          WHERE s.maybe_seen
+        ),
+        mtc AS (
+          SELECT c.* FROM cand c
+          WHERE c.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+        )
+        SELECT t.o_orderstatus,
+               CAST(t.n AS BIGINT) AS n_orders,
+               CAST(c.n AS BIGINT) AS n_candidates,
+               CAST(m2.n AS BIGINT) AS n_matched,
+               CAST(m2.ks AS BIGINT) AS matched_key_sum
+        FROM (SELECT o_orderstatus, count(*) AS n FROM ords GROUP BY 1) t
+        JOIN (SELECT o_orderstatus, count(*) AS n FROM cand GROUP BY 1) c
+          USING (o_orderstatus)
+        JOIN (SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS ks
+              FROM mtc GROUP BY 1) m2
+          USING (o_orderstatus)
+        ORDER BY o_orderstatus
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -2284,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_geofence": _q_streaming_geofence,
         "cms_token_freq": _q_cms_token_freq,
         "hll_distinct": _q_hll_distinct,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -3333,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_geofence": _GEOFENCE_ORACLE_SQL,
         "cms_token_freq": _cms_oracle_sql(4, 2048),
         "hll_distinct": _hll_oracle_sql(12),
+        "bloom_semi_join": _bloom_semi_oracle_sql(4096, 3),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "cell_hotspots",
     "cms_token_freq",
     "hll_distinct",
+    "bloom_semi_join",
 ]
 
 

@@ -250,3 +250,34 @@ def test_hll_registers_match_model_and_estimate_accuracy(spark):
         hll_registers(df, "token", b=b), b=b
     ).collect()[0]["est"]
     assert abs(est - n) / n < 5 * 1.04 / (m ** 0.5)  # 5 sigma
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability — the property that makes HLL distributed: registers
+    of a union equal the bucketwise MAX of per-part registers, so shards
+    can sketch independently and combine with one tiny agg."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.pipeline.sketch import hll_registers
+
+    b = 8
+    a = [f"a{i}" for i in range(800)] + [f"s{i}" for i in range(200)]
+    c = [f"c{i}" for i in range(700)] + [f"s{i}" for i in range(200)]
+    dfa = spark.createDataFrame([(k,) for k in a], "token string")
+    dfc = spark.createDataFrame([(k,) for k in c], "token string")
+    both = spark.createDataFrame([(k,) for k in a + c], "token string")
+    merged = {
+        r["bucket"]: r["rank"]
+        for r in (
+            hll_registers(dfa, "token", b=b)
+            .union(hll_registers(dfc, "token", b=b))
+            .groupBy("bucket")
+            .agg(F.max("rank").alias("rank"))
+            .collect()
+        )
+    }
+    direct = {
+        r["bucket"]: r["rank"]
+        for r in hll_registers(both, "token", b=b).collect()
+    }
+    assert merged == direct
