@@ -1062,3 +1062,51 @@ def route_proximity_join(
     return out.where(F.col("route_dist_rad") <= F.lit(r)).select(
         point_key, "lat", "lng", "route_dist_rad"
     )
+
+
+def tileset_from_geojson(
+    geojson: dict,
+    max_cells: int = 64,
+    id_property: str = "name",
+    workers: int | None = None,
+) -> TileSet:
+    """GeoJSON FeatureCollection -> TileSet (the standard interchange
+    format for polygon tile sets).
+
+    Per RFC 7946: coordinates are [lng, lat] order; a Polygon's first ring
+    is the exterior, subsequent rings are holes; rings close by repeating
+    the first position (dropped here — Loop vertices are implicit-closed).
+    Ring orientation is NOT trusted: Loop construction normalizes each
+    ring and the Polygon depth forest assigns hole parity, so files that
+    violate the RFC winding convention (most in the wild) still load
+    correctly. MultiPolygon parts merge into one multi-loop Polygon per
+    feature. Tile id: feature ``id``, else properties[id_property], else
+    the feature ordinal."""
+    from ..geometry import Polygon
+
+    def _ring_to_loop(ring):
+        pts = [(lat, lng) for lng, lat, *_ in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        return Loop.from_latlngs_deg(pts)
+
+    tiles: dict = {}
+    for i, feat in enumerate(geojson.get("features", [])):
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        if gtype == "Polygon":
+            ring_sets = [geom["coordinates"]]
+        elif gtype == "MultiPolygon":
+            ring_sets = geom["coordinates"]
+        else:
+            raise ValueError(f"unsupported GeoJSON geometry: {gtype!r}")
+        loops = [
+            _ring_to_loop(ring) for rings in ring_sets for ring in rings
+        ]
+        tid = (
+            feat.get("id")
+            or (feat.get("properties") or {}).get(id_property)
+            or f"tile_{i}"
+        )
+        tiles[tid] = loops[0] if len(loops) == 1 else Polygon(loops)
+    return TileSet(tiles, max_cells=max_cells, workers=workers)

@@ -542,3 +542,61 @@ def test_route_proximity_join_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tileset_from_geojson_holes_and_multipolygon(spark):
+    """GeoJSON loader: [lng, lat] order, dropped closing positions, holes
+    via the Polygon depth forest, MultiPolygon parts merged — verified by
+    a pip join against points placed inside the outer ring, inside the
+    hole, in the second part, and outside everything."""
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import point_in_polygon_join, tileset_from_geojson
+
+    def ring(coords):
+        return coords + [coords[0]]  # GeoJSON rings repeat the first point
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "donut"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        ring([[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0]]),
+                        ring([[8.0, 8.0], [12.0, 8.0], [12.0, 12.0], [8.0, 12.0]]),
+                    ],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "pair"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [ring([[40.0, -10.0], [45.0, -10.0], [45.0, -5.0], [40.0, -5.0]])],
+                        [ring([[50.0, -10.0], [55.0, -10.0], [55.0, -5.0], [50.0, -5.0]])],
+                    ],
+                },
+            },
+        ],
+    }
+    tiles = tileset_from_geojson(gj, max_cells=16)
+    pts = [
+        (0, 5.0, 5.0),     # in donut ring (lat 5, lng 5)
+        (1, 10.0, 10.0),   # in the hole -> NOT matched
+        (2, -7.0, 42.0),   # multipolygon part 1
+        (3, -7.0, 52.0),   # multipolygon part 2
+        (4, -40.0, 100.0), # outside everything
+    ]
+    df = spark.createDataFrame(
+        pts, "key long, lat double, lng double"
+    ).withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    got = {
+        r["key"]: r["tile_id"]
+        for r in point_in_polygon_join(
+            df, tiles, how="inner", point_key="key"
+        ).collect()
+    }
+    assert got == {0: "donut", 2: "pair", 3: "pair"}
