@@ -17,7 +17,8 @@ automatic: re-running with the same code version, params, and input skips
 buckets whose manifests validate; changing any of those invalidates the
 lineage hash and reruns everything.
 
-tiles.json accepts two shapes per tile id:
+tiles.json accepts a GeoJSON FeatureCollection (Polygon/MultiPolygon
+features, RFC 7946) or the compact per-tile-id form:
     {"nyc": {"regular": [40.71, -74.01, 1.5, 16]},
      "box": {"vertices": [[10, -40], [10, -20], [30, -20], [30, -40]]}}
 """
@@ -39,6 +40,10 @@ def build_tileset(spec_path: str, max_cells: int, workers: int | None = None):
 
     with open(spec_path) as f:
         spec = json.load(f)
+    if spec.get("type") == "FeatureCollection":
+        from gos2_spark.spark.joins import tileset_from_geojson
+
+        return tileset_from_geojson(spec, max_cells=max_cells, workers=workers)
     loops = {}
     for tile_id, body in spec.items():
         if "regular" in body:
