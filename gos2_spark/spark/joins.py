@@ -1110,3 +1110,44 @@ def tileset_from_geojson(
         )
         tiles[tid] = loops[0] if len(loops) == 1 else Polygon(loops)
     return TileSet(tiles, max_cells=max_cells, workers=workers)
+
+
+def tileset_from_wkt(
+    wkt_by_id: dict,
+    max_cells: int = 64,
+    workers: int | None = None,
+) -> TileSet:
+    """{tile_id: WKT string} -> TileSet for POLYGON / MULTIPOLYGON
+    geometries (the other common interchange format, e.g. what a
+    warehouse exports from ST_AsText).
+
+    WKT is [lng lat] coordinate order like GeoJSON; rings close by
+    repeating the first position; first ring = exterior, rest = holes —
+    all handled identically to tileset_from_geojson (winding-agnostic via
+    the Polygon depth forest)."""
+    import re
+
+    from ..geometry import Polygon
+
+    def _parse_ring(txt: str):
+        pts = []
+        for pair in txt.split(","):
+            lng, lat, *_ = pair.split()
+            pts.append((float(lat), float(lng)))
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        return Loop.from_latlngs_deg(pts)
+
+    def _rings(body: str):
+        # ring bodies are the innermost parenthesized groups
+        return [m.group(1) for m in re.finditer(r"\(([^()]+)\)", body)]
+
+    tiles: dict = {}
+    for tid, wkt in wkt_by_id.items():
+        head, _, body = wkt.strip().partition("(")
+        gtype = head.strip().upper()
+        if gtype not in ("POLYGON", "MULTIPOLYGON"):
+            raise ValueError(f"tile {tid!r}: unsupported WKT type {gtype!r}")
+        loops = [_parse_ring(r) for r in _rings("(" + body)]
+        tiles[tid] = loops[0] if len(loops) == 1 else Polygon(loops)
+    return TileSet(tiles, max_cells=max_cells, workers=workers)

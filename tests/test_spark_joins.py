@@ -600,3 +600,38 @@ def test_tileset_from_geojson_holes_and_multipolygon(spark):
         ).collect()
     }
     assert got == {0: "donut", 2: "pair", 3: "pair"}
+
+
+def test_tileset_from_wkt_matches_geojson(spark):
+    """WKT loader: the same donut + multipolygon as the GeoJSON test,
+    expressed as WKT, must produce identical pip-join results."""
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import point_in_polygon_join, tileset_from_wkt
+
+    tiles = tileset_from_wkt(
+        {
+            "donut": (
+                "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0),"
+                " (8 8, 12 8, 12 12, 8 12, 8 8))"
+            ),
+            "pair": (
+                "MULTIPOLYGON(((40 -10, 45 -10, 45 -5, 40 -5, 40 -10)),"
+                " ((50 -10, 55 -10, 55 -5, 50 -5, 50 -10)))"
+            ),
+        },
+        max_cells=16,
+    )
+    pts = [
+        (0, 5.0, 5.0), (1, 10.0, 10.0), (2, -7.0, 42.0),
+        (3, -7.0, 52.0), (4, -40.0, 100.0),
+    ]
+    df = spark.createDataFrame(
+        pts, "key long, lat double, lng double"
+    ).withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    got = {
+        r["key"]: r["tile_id"]
+        for r in point_in_polygon_join(
+            df, tiles, how="inner", point_key="key"
+        ).collect()
+    }
+    assert got == {0: "donut", 2: "pair", 3: "pair"}
