@@ -2180,6 +2180,57 @@ def _bloom_semi_oracle_sql(m: int = 4096, g: int = 3) -> str:
     """
 
 
+def _q_webmercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator slippy tiles + Bing quadkeys at z=5 over the customer
+    points (spark/webmercator.py — the XYZ scheme map servers speak,
+    alongside the S2 index). Pure codegen column algebra; the oracle
+    replays the OSM formulas and the quadkey bit interleave in SQL."""
+    from gos2_spark.spark.webmercator import wm_quadkey, wm_tile_x, wm_tile_y
+
+    z = 5
+    pts = _cust_points(spark, sf_dir)
+    t = pts.select(
+        wm_tile_x(F.col("lng"), z).alias("xt"),
+        wm_tile_y(F.col("lat"), z).alias("yt"),
+    ).withColumn("quadkey", wm_quadkey("xt", "yt", z))
+    return (
+        t.groupBy("xt", "yt", "quadkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("xt", "yt")
+    )
+
+
+def _webmercator_oracle_sql(z: int = 5) -> str:
+    n = 1 << z
+    pi = repr(math.pi)
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        t0 AS (
+          SELECT CAST(floor((lng + 180.0) / 360.0 * {n}) AS BIGINT) AS x0,
+                 CAST(floor((1.0 - ln(tan(radians(lat))
+                             + 1.0 / cos(radians(lat))) / {pi})
+                            / 2.0 * {n}) AS BIGINT) AS y0
+          FROM pts
+        ),
+        t AS (
+          SELECT greatest(0, least({n - 1}, x0)) AS xt,
+                 greatest(0, least({n - 1}, y0)) AS yt
+          FROM t0
+        ),
+        q AS (
+          SELECT xt, yt,
+                 array_to_string(list_transform(
+                     generate_series({z}, 1, -1),
+                     i -> CAST((xt >> (i - 1)) % 2
+                               + 2 * ((yt >> (i - 1)) % 2) AS VARCHAR)),
+                     '') AS quadkey
+          FROM t
+        )
+        SELECT xt, yt, quadkey, CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2, 3 ORDER BY xt, yt
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -2391,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _q_cms_token_freq,
         "hll_distinct": _q_hll_distinct,
         "bloom_semi_join": _q_bloom_semi_join,
+        "webmercator_tiles": _q_webmercator_tiles,
     }
 
 
@@ -3441,6 +3493,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freq": _cms_oracle_sql(4, 2048),
         "hll_distinct": _hll_oracle_sql(12),
         "bloom_semi_join": _bloom_semi_oracle_sql(4096, 3),
+        "webmercator_tiles": _webmercator_oracle_sql(5),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

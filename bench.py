@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "cms_token_freq",
     "hll_distinct",
     "bloom_semi_join",
+    "webmercator_tiles",
 ]
 
 

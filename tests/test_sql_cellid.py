@@ -49,3 +49,53 @@ def test_sql_cellid_edge_points(spark):
     want = H.to_signed(PJ.cellid_from_latlng(lat, lng))
     for i in range(len(pts)):
         assert rows[i] == int(want[i]), pts[i]
+
+
+def test_webmercator_tiles_and_quadkey_golden(spark):
+    """Slippy-tile golden vectors: (0,0) z=1 -> (1,1); the Bing docs
+    quadkey example tile (x=3, y=5, z=3) -> '213'; Mercator-domain clamp
+    at the poles."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.spark.webmercator import wm_quadkey, wm_tile_x, wm_tile_y
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (41.85, -87.65), (89.9, 10.0), (-89.9, 10.0)],
+        "lat double, lng double",
+    )
+    rows = (
+        df.select(
+            wm_tile_x(F.col("lng"), 1).alias("x1"),
+            wm_tile_y(F.col("lat"), 1).alias("y1"),
+        )
+        .collect()
+    )
+    assert (rows[0]["x1"], rows[0]["y1"]) == (1, 1)
+    # poles clamp into the valid row range
+    assert rows[2]["y1"] == 0 and rows[3]["y1"] == 1
+    qk = (
+        spark.createDataFrame([(3, 5)], "xt long, yt long")
+        .select(wm_quadkey("xt", "yt", 3).alias("q"))
+        .collect()[0]["q"]
+    )
+    assert qk == "213"  # Bing tile-system documentation example
+    # independent python-math reference for a non-trivial point
+    import math
+
+    lat, lng, z = 41.85, -87.65, 15
+    n = 1 << z
+    wx = math.floor((lng + 180.0) / 360.0 * n)
+    rad = math.radians(lat)
+    wy = math.floor(
+        (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+        / 2.0 * n
+    )
+    r = (
+        df.where(F.col("lat") == 41.85)
+        .select(
+            wm_tile_x(F.col("lng"), z).alias("x"),
+            wm_tile_y(F.col("lat"), z).alias("y"),
+        )
+        .collect()[0]
+    )
+    assert (r["x"], r["y"]) == (wx, wy)
