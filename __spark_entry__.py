@@ -2231,6 +2231,54 @@ def _webmercator_oracle_sql(z: int = 5) -> str:
     """
 
 
+def _q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash interop key (spark/geohash.py): per-4-char-geohash counts
+    over the customer points — one codegen expression, one shuffle. The
+    oracle replays the fixed-point interleave + base-32 emit in SQL."""
+    from gos2_spark.spark.geohash import geohash
+
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.select(geohash("lat", "lng", 4).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("n"))
+        .orderBy("gh")
+    )
+
+
+def _geohash_oracle_sql(length: int = 4) -> str:
+    from gos2_spark.spark.geohash import BASE32
+
+    bits = 5 * length
+    assert bits % 2 == 0, "oracle covers the even-length path"
+    p = bits // 2
+
+    def axis(col, off, span):
+        n = 1 << p
+        return (
+            f"greatest(0, least({n - 1}, "
+            f"CAST(floor(({col} + {off!r}) / {span!r} * {n}) AS BIGINT)))"
+        )
+
+    lng_e = axis("lng", 180.0, 360.0)
+    lat_e = axis("lat", 90.0, 180.0)
+    v = (
+        f"list_sum(list_transform(generate_series(0, {p - 1}), i ->"
+        f" ((({lng_e}) >> i) % 2) * (CAST(1 AS BIGINT) << (2 * i + 1))"
+        f" + ((({lat_e}) >> i) % 2) * (CAST(1 AS BIGINT) << (2 * i))))"
+    )
+    gh = (
+        f"array_to_string(list_transform(generate_series({length - 1}, 0, -1),"
+        f" j -> substr('{BASE32}',"
+        f" CAST((({v}) >> (5 * j)) % 32 AS INT) + 1, 1)), '')"
+    )
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL})
+        SELECT {gh} AS gh, CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1 ORDER BY gh
+    """
+
+
 def _mix_oracle_sql() -> str:
     from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
 
@@ -2443,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "bloom_semi_join": _q_bloom_semi_join,
         "webmercator_tiles": _q_webmercator_tiles,
+        "geohash_counts": _q_geohash_counts,
     }
 
 
@@ -3494,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(12),
         "bloom_semi_join": _bloom_semi_oracle_sql(4096, 3),
         "webmercator_tiles": _webmercator_oracle_sql(5),
+        "geohash_counts": _geohash_oracle_sql(4),
         # hash-rank replay via the SQL XXH64 model:
         "data_mix_sample": _mix_oracle_sql(),
         # derivation-from-construction: the engine must EARN these counts

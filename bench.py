@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "bloom_semi_join",
     "webmercator_tiles",
+    "geohash_counts",
 ]
 
 

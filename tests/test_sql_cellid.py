@@ -99,3 +99,23 @@ def test_webmercator_tiles_and_quadkey_golden(spark):
         .collect()[0]
     )
     assert (r["x"], r["y"]) == (wx, wy)
+
+
+def test_geohash_golden_vectors(spark):
+    """Known geohashes: the Wikipedia example, the origin, a southern-
+    hemisphere city, and odd-length prefix consistency."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.spark.geohash import geohash
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (0.0, 0.0), (-25.382708, -49.265506)],
+        "lat double, lng double",
+    )
+    rows = df.select(
+        geohash("lat", "lng", 8).alias("g8"),
+        geohash("lat", "lng", 5).alias("g5"),
+    ).collect()
+    assert [r["g8"] for r in rows] == ["u4pruydq", "s0000000", "6gkzwgjz"]
+    # truncation property: a shorter geohash is the prefix of a longer one
+    assert all(r["g8"].startswith(r["g5"]) for r in rows)
