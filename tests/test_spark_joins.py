@@ -635,3 +635,51 @@ def test_tileset_from_wkt_matches_geojson(spark):
         ).collect()
     }
     assert got == {0: "donut", 2: "pair", 3: "pair"}
+
+
+def test_route_proximity_join_antimeridian(spark):
+    """Corridor blocking must survive a route crossing the +/-180
+    meridian (slerp midpoints near the date line, cross-face cell
+    neighborhoods) — verified against the brute-force kernel."""
+    import math
+
+    import numpy as np
+
+    from gos2_spark.kernels import predicates as PR
+    from gos2_spark.kernels import projection as PJ
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import route_proximity_join
+
+    route = [(5.0, 170.0), (8.0, -170.0)]  # crosses the antimeridian
+    radius = 2.0
+    lat = np.concatenate([
+        np.linspace(2.0, 11.0, 40),
+        np.array([6.0, 6.5, 7.0, -30.0]),
+    ])
+    lng = np.concatenate([
+        np.linspace(165.0, 195.0, 40) % 360.0 - 180.0 + 180.0,
+        np.array([179.9, -179.9, 180.0 - 1e-9, 20.0]),
+    ])
+    lng = (lng + 180.0) % 360.0 - 180.0
+    rows = [(i, float(lat[i]), float(lng[i])) for i in range(len(lat))]
+    pts = (
+        spark.createDataFrame(rows, "key long, lat double, lng double")
+        .withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    )
+    got = {
+        r["key"]
+        for r in route_proximity_join(pts, route, radius, point_key="key").collect()
+    }
+    x, y, z = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    P = np.stack([x, y, z], axis=1)
+    w = [
+        np.array([
+            math.cos(math.radians(ln)) * math.cos(math.radians(la)),
+            math.sin(math.radians(ln)) * math.cos(math.radians(la)),
+            math.sin(math.radians(la)),
+        ])
+        for la, ln in route
+    ]
+    d = PR.distance_to_edges(P, w[0], w[1])
+    want = {i for i in range(len(lat)) if d[i] <= math.radians(radius)}
+    assert got == want and len(want) > 10
