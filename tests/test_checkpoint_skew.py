@@ -284,3 +284,60 @@ def test_curation_job_end_to_end_and_resume(spark, tmp_path):
     m2 = _json.load(open(f"{out}/_manifests/stage2.json"))
     assert m2["stage1_resumed_skips"] == 4 and m2["stage1_processed"] == 0
     assert m2["stage2_rows_out"] == m["stage2_rows_out"]
+
+
+def test_cell_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """Beyond PushedFilters: measure ACTUAL min/max row-group pruning on
+    the written files. Cell-sorted layout leaves only a small fraction of
+    row groups overlapping the covering ranges; the same data written
+    crawl-ordered overlaps nearly all of them."""
+    import pyarrow.parquet as pq
+
+    from gos2_spark.geometry import Cap
+    from gos2_spark.kernels import hilbert as H
+    from gos2_spark.cover.coverer import RegionCoverer
+
+    from gos2_spark.spark.source import write_points_cell_sorted
+
+    pts = geoparsed_pages(synth_pages(spark, 40_000))
+    sloc = str(tmp_path / "sorted")
+    uloc = str(tmp_path / "unsorted")
+    write_points_cell_sorted(pts, sloc, num_files=8)
+    pts.repartition(8).write.parquet(uloc)
+
+    cap = Cap.from_latlng_deg(40.7128, -74.0060, 3.0)
+    cov = RegionCoverer(max_cells=8).cell_union_covering(cap)
+    rmin, rmax = cov.ranges()
+    ranges = list(zip(
+        (int(v) for v in H.to_signed(rmin)),
+        (int(v) for v in H.to_signed(rmax)),
+    ))
+
+    def overlap_fraction(loc):
+        import os
+
+        total = kept = 0
+        for fn in os.listdir(loc):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(loc, fn)).metadata
+            sch = md.schema.to_arrow_schema()
+            ci = sch.get_field_index("cell_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st is None:
+                    kept += 1  # no stats -> reader must keep it
+                    continue
+                if any(st.min <= hi and st.max >= lo for lo, hi in ranges):
+                    kept += 1
+        assert total > 0
+        return kept / total
+
+    f_sorted = overlap_fraction(sloc)
+    f_unsorted = overlap_fraction(uloc)
+    # NYC 3-degree cap over the city-mixture corpus: sorted layout keeps
+    # only the row groups whose Hilbert interval touches the cap
+    assert f_sorted <= 0.5, f_sorted
+    assert f_unsorted >= 0.9, f_unsorted
+    assert f_sorted < f_unsorted
