@@ -2318,14 +2318,20 @@ def _q_cell_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (cell) agg, co-partitioned join back; equals the PULL definition
     because edge adjacency is symmetric (incl. cross-face wrap). The
     oracle PULLS via the exact SQL neighbor arithmetic, so any asymmetry
-    or wrap bug fails the compare."""
+    or wrap bug fails the compare. The per-cell counts feed BOTH the push
+    explode and the join-back, so they are materialized once
+    (checkpoint-dir-aware) — without it Catalyst re-executes the whole
+    scan + encode per consumer (pinned by the plan-shape test)."""
+    from gos2_spark.pipeline.graph import _default_materialize
     from gos2_spark.spark.functions import s2_edge_neighbors, s2_token
     from gos2_spark.spark.pages import s2_parent_sql
 
     pts = _cust_points(spark, sf_dir)
-    counts = pts.groupBy(
-        s2_parent_sql(F.col("cell_id"), 8).alias("cell")
-    ).agg(F.count("*").alias("n"))
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 8).alias("cell")).agg(
+            F.count("*").alias("n")
+        )
+    )
     targets = counts.select(
         "n",
         F.explode(

@@ -1,0 +1,98 @@
+"""Plan-shape guards for the round-2 driver queries: the scale claims in
+their docstrings (codegen-only, bounded exchanges, no Python stages) are
+asserted against the actual physical plans so regressions in plan shape
+fail CI, not a future 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan):
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "quality_classifier",
+        "doc_length_quantiles",
+        "data_mix_sample",
+        "snapshot_diff",
+        "geohash_counts",
+        "webmercator_tiles",
+        "bpe_token_counts",
+        "ngram_contamination",
+        "dup_span_coverage",
+        "tfidf_top_terms",
+        "cms_token_freq",
+        "hll_distinct",
+        "bloom_delta_gate",
+        "bloom_semi_join",
+    ],
+)
+def test_no_python_stage(spark, name):
+    """These queries claim pure-Catalyst execution: no row-at-a-time or
+    Arrow Python evaluation anywhere in the plan."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["cell_pyramid", "cell_hotspots"])
+def test_only_the_encode_kernel_is_python(spark, name):
+    """Cell queries are codegen EXCEPT the one vectorized s2_cellid Arrow
+    kernel that encodes the input points — exactly one Arrow stage, and
+    it must be the cellid encode."""
+    plan = _plan(spark, name)
+    arrows = re.findall(r"ArrowEvalPython \[(\w+)", plan)
+    # cell_pyramid: just the encode. cell_hotspots: counts are
+    # materialized first (encode not in THIS plan), leaving the neighbor
+    # explode and the token emit.
+    want = {
+        "cell_pyramid": ["s2_cellid"],
+        "cell_hotspots": ["s2_token", "s2_edge_neighbors"],
+    }[name]
+    assert sorted(arrows) == sorted(want), (name, arrows)
+    assert "BatchEvalPython" not in plan
+
+
+def test_cell_pyramid_single_wide_exchange(spark):
+    """One Generate + one (level, cell) agg: at most the agg exchange and
+    the final sort exchange — the ancestor explode must not shuffle."""
+    plan = _plan(spark, "cell_pyramid")
+    assert _exchanges(plan) <= 2, plan[:1500]
+    assert plan.count("Generate") == 1
+
+
+def test_geohash_counts_single_wide_exchange(spark):
+    plan = _plan(spark, "geohash_counts")
+    assert _exchanges(plan) <= 2, plan[:1500]
+
+
+def test_snapshot_diff_no_python_and_bounded_exchanges(spark):
+    # full-outer join on the key + final status agg (+ sort)
+    plan = _plan(spark, "snapshot_diff")
+    assert _exchanges(plan) <= 4, plan[:1500]
+
+
+def test_bloom_gate_broadcast_only_probe(spark):
+    """streaming-safe flat probe inside bloom_semi_join: the probe joins
+    must all be broadcasts, never a shuffled join on word_idx."""
+    plan = _plan(spark, "bloom_semi_join")
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning\(word_idx", plan), (
+        plan[:1500]
+    )
