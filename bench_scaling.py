@@ -1,10 +1,12 @@
 """Scaling-efficiency evidence: the same flagship job at two parallelism
 levels (N vs 4N cores — sandbox stand-in for N vs 4N executors; default
-local[4] vs local[16], override with BENCH_N). Both levels and the 8->32
-pair are reported in BENCH/BASELINE.md: this box's DRAM bandwidth saturates
-near 32 threads (a pure parquet-text-scan probe scales only ~2.5x from 8 to
-32), which caps any end-to-end 8->32 number — per-node bandwidth on a real
-cluster scales with executors, so 4->16 is the faithful stand-in.
+local[4] vs local[16], override with BENCH_N). The committed evidence is a
+LADDER of pairs (BENCH/scaling.json: 2->8 = 1.005, 4->16 = 0.74,
+8->32 = 0.62 on round-2 code, alongside the round-1 measurements and a
+pure-scan DRAM probe at 0.44): this box's memory bandwidth saturates near
+32 threads, so efficiency declines with ABSOLUTE core count while
+absolute pages/sec rises — per-node bandwidth on a real cluster scales
+with executors, so the below-saturation pair is the faithful stand-in.
 
 Protocol (BASELINE.md): deterministic synthetic pages table, flagship
 geoparse -> s2_cellid -> covering join -> refine -> per-tile counts.
