@@ -2422,57 +2422,14 @@ def _q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's correctness gate evaluates the FIRST
+    # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
+    # trajectory_lengths), so round 3 rotates the 26 never-driver-checked
+    # queries to the front; the remaining window slots are filled with
+    # previously-green entries (flagship joins first).  All entries remain
+    # oracle-checked locally via tools/oracle_check.py regardless of position.
     return {
-        "haversine_distance": _q_haversine,
-        "rect_contains_wrap": _q_rect,
-        "cap_contains": _q_cap,
-        "pip_join": _q_pip_join,
-        "pip_histogram": _q_pip_histogram,
-        "pip_anti_join": _q_pip_anti,
-        "knn_join": _q_knn,
-        "knn_join_df": _q_knn_join_df,
-        "cell_counts_l5": _q_cell_counts,
-        "cell_token_roundtrip": _q_cell_roundtrip,
-        "cell_center_latlng": _q_cell_center,
-        "dedup_exact": _q_dedup_exact,
-        "streaming_first_seen_dedup": _q_streaming_dedup,
-        "streaming_tile_counts": _q_streaming_tile_counts,
-        "text_stats": _q_text_stats,
-        "embedding_knn": _q_embedding_knn,
-        "top_events_per_user": _q_top_events,
-        "word_jaccard_adjacent": _q_word_jaccard,
-        "trigram_jaccard_adjacent": _q_trigram_jaccard,
-        "lang_id_counts": _q_lang_id,
-        "text_quality_features": _q_text_quality,
-        "embedding_topk_multi": _q_embedding_topk,
-        "minhash_dedup_groups": _q_minhash_groups,
-        "simhash_signatures": _q_simhash,
-        "simhash_candidate_pairs": _q_simhash_candidates,
-        "fingerprint_sizes": _q_fingerprints,
-        "media_features": _q_media_features,
-        "pip_semi_join": _q_pip_semi,
-        "edge_distance": _q_edge_distance,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_ann_lsh": _q_embedding_ann_lsh,
-        "polygon_boolean_areas": _q_polygon_boolean,
-        "cell_neighbors_l8": _q_cell_neighbors,
-        "distance_join_pairs": _q_distance_join,
-        "embedding_ann_ivf": _q_embedding_ann_ivf,
-        "polygon_overlap_relations": _q_polygon_overlap,
-        "rasterize_centers_l8": _q_rasterize_centers,
-        "raster_vector_roundtrip": _q_raster_vector_roundtrip,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "geoparse_multi": _q_geoparse_multi,
-        "html_text_roundtrip": _q_html_roundtrip,
-        "nation_bounding_rects": _q_nation_rects,
-        "cellunion_denormalize": _q_cellunion_denormalize,
-        "edge_interpolate": _q_edge_interpolate,
-        "line_dedup_stats": _q_line_dedup_stats,
-        "repetition_filters": _q_repetition_filters,
-        "domain_stats": _q_domain_stats,
-        "session_stats": _q_session_stats,
-        "domain_cap_sample": _q_domain_cap_sample,
-        "trajectory_lengths": _q_trajectory_lengths,
+        # --- 26 queries that sat past position 50 in rounds 1-2 ---
         "adaptive_density_tiles": _q_adaptive_density,
         "sequence_packing": _q_sequence_packing,
         "pii_scrub_stats": _q_pii_scrub_stats,
@@ -2498,6 +2455,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "webmercator_tiles": _q_webmercator_tiles,
         "geohash_counts": _q_geohash_counts,
+        "media_features": _q_media_features,
+        # --- previously driver-green (rounds 1-2); flagship coverage next so
+        # --- the 50-entry window still re-checks the core spatial engine ---
+        "pip_join": _q_pip_join,
+        "pip_histogram": _q_pip_histogram,
+        "pip_anti_join": _q_pip_anti,
+        "pip_semi_join": _q_pip_semi,
+        "knn_join": _q_knn,
+        "knn_join_df": _q_knn_join_df,
+        "distance_join_pairs": _q_distance_join,
+        "polygon_overlap_relations": _q_polygon_overlap,
+        "polygon_boolean_areas": _q_polygon_boolean,
+        "cell_counts_l5": _q_cell_counts,
+        "cell_token_roundtrip": _q_cell_roundtrip,
+        "cell_center_latlng": _q_cell_center,
+        "cell_neighbors_l8": _q_cell_neighbors,
+        "cellunion_denormalize": _q_cellunion_denormalize,
+        "rasterize_centers_l8": _q_rasterize_centers,
+        "raster_vector_roundtrip": _q_raster_vector_roundtrip,
+        "haversine_distance": _q_haversine,
+        "rect_contains_wrap": _q_rect,
+        "cap_contains": _q_cap,
+        "edge_distance": _q_edge_distance,
+        "edge_interpolate": _q_edge_interpolate,
+        "nation_bounding_rects": _q_nation_rects,
+        "minhash_dedup_groups": _q_minhash_groups,
+        "geoparse_multi": _q_geoparse_multi,
+        # --- past the driver's 50-entry window (all were green in r1/r2 and
+        # --- stay value-checked by tools/oracle_check.py each round) ---
+        "dedup_exact": _q_dedup_exact,
+        "streaming_first_seen_dedup": _q_streaming_dedup,
+        "streaming_tile_counts": _q_streaming_tile_counts,
+        "text_stats": _q_text_stats,
+        "embedding_knn": _q_embedding_knn,
+        "top_events_per_user": _q_top_events,
+        "word_jaccard_adjacent": _q_word_jaccard,
+        "trigram_jaccard_adjacent": _q_trigram_jaccard,
+        "lang_id_counts": _q_lang_id,
+        "text_quality_features": _q_text_quality,
+        "embedding_topk_multi": _q_embedding_topk,
+        "simhash_signatures": _q_simhash,
+        "simhash_candidate_pairs": _q_simhash_candidates,
+        "fingerprint_sizes": _q_fingerprints,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_ann_lsh": _q_embedding_ann_lsh,
+        "embedding_ann_ivf": _q_embedding_ann_ivf,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "html_text_roundtrip": _q_html_roundtrip,
+        "line_dedup_stats": _q_line_dedup_stats,
+        "repetition_filters": _q_repetition_filters,
+        "domain_stats": _q_domain_stats,
+        "session_stats": _q_session_stats,
+        "domain_cap_sample": _q_domain_cap_sample,
+        "trajectory_lengths": _q_trajectory_lengths,
     }
 
 
