@@ -1282,7 +1282,10 @@ def _q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = with_url_parts(
         docs.select(url.alias("url"), "doc_id", ordv.alias("ord"))
     )
-    kept = capped_sample_per_key(pages, ["domain"], 3, F.col("ord"), shards=8)
+    kept = capped_sample_per_key(
+        pages, ["domain"], 3, F.col("ord"), shards=8,
+        tiebreak_cols=[F.col("doc_id")],
+    )
     return (
         kept.groupBy("domain")
         .agg(

@@ -185,7 +185,7 @@ def main() -> None:
         raw_runs[name] = [round(t, 3) for t in raw]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    headline = {
         "metric": "spatial-join + S2-tiling bench (flagship pip pages + driver queries)",
         "value": total,
         "unit": "sec",
@@ -195,15 +195,31 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "flagship_sec": timings["flagship_pip_pages"],
         "n_queries": len(timings),
+        "cpus": int(CPUS),
+        "runs_per_query": RUNS,
+    }
+    # Full payload (raw per-run times, tile counts, protocol notes) goes to a
+    # file: round 2's stdout line carried raw_runs inline, exceeded the
+    # driver's capture window, and was tail-truncated into unparseable JSON.
+    full = dict(headline)
+    full.update({
         "note": ("'value' sums ALL timed queries; the query set GROWS as "
                  "operators are added, so compare rounds on flagship_sec/"
                  "pages_per_sec or per-query, never on the total"),
-        "cpus": int(CPUS),
-        "runs_per_query": RUNS,
-        "protocol": "1 untimed warmup + min of timed runs per query (additive-noise robust)",
+        "protocol": ("1 untimed warmup + min of timed runs per query "
+                     "(additive-noise robust)"),
         "raw_runs": raw_runs,
         "tile_counts": tile_counts,
-    }))
+    })
+    raw_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_raw_latest.json"
+    )
+    os.makedirs(os.path.dirname(raw_path), exist_ok=True)
+    with open(raw_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    # the compact headline is the LAST stdout line (the driver captures the
+    # tail of stdout) and stays well under any sane capture window
+    print(json.dumps(headline))
     spark.stop()
 
 

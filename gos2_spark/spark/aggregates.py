@@ -141,26 +141,36 @@ def capped_sample_per_key(
     k: int,
     order_col,
     shards: int = 32,
+    tiebreak_cols: Sequence | None = None,
 ) -> DataFrame:
     """Deterministically keep at most ``k`` rows per key — the per-domain
     crawl budget / per-host dedup cap of web curation — picking the k
     smallest ``order_col`` values (use a hash for an unbiased sample).
 
+    ``tiebreak_cols`` (default: the key columns — pass a row-unique column
+    such as the url/doc id whenever ``order_col`` can collide WITHIN a
+    key) is appended to the ordering of BOTH windows: with ties left
+    unbroken, row_number is partitioning-dependent and the "deterministic"
+    contract silently fails on the tied rows.
+
     Skew-safe two-level plan: a single window over a hot key would funnel
     that key's 10^9 rows into ONE task. Instead rows are first ranked
     within (key, shard) where shard = hash % ``shards`` (bounding any
     task at ~1/shards of the hottest key) and only the <= shards*k
-    survivors enter the exact per-key rank. The k smallest order values
-    globally are each among the k smallest of their own shard, so the
-    result is IDENTICAL to the single-window plan.
+    survivors enter the exact per-key rank. Any globally-top-k row under
+    the composite total order is top-k within its own shard (top-k is
+    subset-monotone for ANY total order), so the result is IDENTICAL to
+    the single-window plan.
     """
     keys = [F.col(c) for c in key_cols]
+    ties = list(tiebreak_cols) if tiebreak_cols is not None else list(key_cols)
+    order = [order_col, *ties]
     shard = F.pmod(F.xxhash64(order_col), F.lit(shards))
-    w1 = Window.partitionBy(*keys, shard).orderBy(order_col)
+    w1 = Window.partitionBy(*keys, shard).orderBy(*order)
     survivors = (
         df.withColumn("_r1", F.row_number().over(w1)).where(F.col("_r1") <= k)
     )
-    w2 = Window.partitionBy(*keys).orderBy(order_col)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
     return (
         survivors.withColumn("_r2", F.row_number().over(w2))
         .where(F.col("_r2") <= k)

@@ -763,9 +763,23 @@ def knn_join_df(
         # ONE driver-visible number per round (materializes ranked + fin)
         n_fin = fin.count()
         if n_fin:
-            parts.append(ranked.join(fin, "_qkey"))
-            pending = pending.join(fin, "_qkey", "left_anti")
+            # Eagerly materialize this round's FINISHED rows (bounded:
+            # <= n_fin * k narrow rows) and the shrinking pending set, so
+            # the big per-round intermediates (ranked = top-k over the full
+            # block join) can be unpersisted NOW instead of living for the
+            # session — the round-2 version leaked up to max_rounds
+            # persisted frames per call. localCheckpoint cuts lineage; its
+            # blocks are released by the ContextCleaner once unreachable
+            # (pending: next round; done: when the caller drops the result).
+            parts.append(
+                ranked.join(fin, "_qkey").localCheckpoint(eager=True)
+            )
+            pending = pending.join(fin, "_qkey", "left_anti").localCheckpoint(
+                eager=True
+            )
             nq_left -= n_fin
+        ranked.unpersist()
+        fin.unpersist()
         level -= 1
 
     # face-blocked completion round: every remaining query sees every
@@ -787,9 +801,11 @@ def knn_join_df(
         )
         blk_q = pending.select("*", F.explode(face_ids).alias("_blk"))
         blk_p = pts.withColumn("_blk", s2_parent_sql(F.col("_pcell"), 0))
-        last = _ranked(blk_q.join(blk_p, "_blk")).persist()
-        last.count()  # materialize before the input cache may go
-        parts.append(last)
+        # eager checkpoint = materialize before the input cache may go,
+        # without leaving a session-lifetime persist behind
+        parts.append(
+            _ranked(blk_q.join(blk_p, "_blk")).localCheckpoint(eager=True)
+        )
 
     if own_cache:
         pts.unpersist()

@@ -116,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     unique = rejoined.join(keep_keys, "url")
     capped = capped_sample_per_key(
-        unique, ["domain"], args.domain_cap, F.xxhash64(F.col("url"))
+        unique, ["domain"], args.domain_cap, F.xxhash64(F.col("url")),
+        tiebreak_cols=[F.col("url")],
     )
     final_dir = os.path.join(args.output, "data")
     capped.write.mode("overwrite").parquet(final_dir)

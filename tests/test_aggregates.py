@@ -189,6 +189,36 @@ def test_capped_sample_two_level_equals_single_window(spark):
     assert got == want and len(got) == 21
 
 
+def test_capped_sample_deterministic_under_ties(spark):
+    # order_col collides heavily WITHIN keys (ord = id % 5 over 4000 rows):
+    # with a row-unique tiebreak the selection must be exactly the
+    # single-window (ord, id) top-k, independent of input partitioning.
+    from pyspark.sql import Window
+    from gos2_spark.spark.aggregates import capped_sample_per_key
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id"),
+        (F.col("id") % 5).alias("ord"),
+    )
+    w = Window.partitionBy("k").orderBy("ord", "id")
+    want = {
+        (r["k"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 9)
+        .collect()
+    }
+    for nparts in (1, 7, 32):
+        got = {
+            (r["k"], r["id"])
+            for r in capped_sample_per_key(
+                df.repartition(nparts), ["k"], 9, F.col("ord"),
+                shards=8, tiebreak_cols=[F.col("id")],
+            ).collect()
+        }
+        assert got == want and len(got) == 27
+
+
 def test_cell_pyramid_rollup_invariants(spark):
     """Pyramid consistency: every level's counts sum to the point total,
     and each parent's count equals the sum of its level-(l+1) children
