@@ -369,7 +369,11 @@ def line_dedup(
     (boilerplate nav bars, cookie banners, footers), then reassemble each
     document from its surviving lines in original order.
 
-    Returns (key, text, n_lines, n_kept) with text rebuilt from kept lines.
+    Returns (key, text, n_lines, n_kept) with text rebuilt from kept lines —
+    one row per INPUT document: a doc whose every line is dropped (all
+    under ``min_line_chars``, or all over-quota) comes back as
+    (key, '', n_lines, 0) rather than vanishing. ``n_lines`` counts the
+    lines that entered dedup, i.e. excludes sub-``min_line_chars`` lines.
 
     Scale shape: explode lines -> count per line-hash (map-side combine: the
     shuffle carries one row per DISTINCT line per task, not per occurrence)
@@ -402,7 +406,7 @@ def line_dedup(
         over_quota.withColumn("_dup", F.lit(True)), "line_hash", "left"
     )
     keep = F.col("_dup").isNull()
-    return flagged.groupBy("key").agg(
+    rebuilt = flagged.groupBy("key").agg(
         F.array_join(
             F.transform(
                 F.filter(
@@ -417,4 +421,16 @@ def line_dedup(
         ).alias("text"),
         F.count("*").alias("n_lines"),
         F.sum(keep.cast("long")).alias("n_kept"),
-    ).select("key", "text", "n_lines", "n_kept")
+    )
+    # docs with ZERO qualifying lines never reach the explode — left-join
+    # the aggregate back so every input doc yields a row (empty rebuild).
+    # The join key is the doc key on both sides, so Catalyst co-partitions
+    # it with the groupBy above: no extra exchange on the big side.
+    return docs.select(F.col(key_col).alias("key")).join(
+        rebuilt, "key", "left"
+    ).select(
+        "key",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

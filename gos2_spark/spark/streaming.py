@@ -174,7 +174,13 @@ def streaming_geofence_transitions(
         F.col(user_col), F.col(ts_col), F.col(seq_col),
         fidx(F.col(lat_col), F.col(lng_col)).alias("_fidx"),
     )
-    out_schema = f"{user_col} long, {seq_col} long, from_idx int, to_idx int"
+    # user/seq output types mirror the INPUT stream (string/UUID keys are
+    # as valid as longs — nothing in the state machine needs integer ids)
+    in_fields = {f.name: f.dataType.simpleString() for f in events_stream.schema}
+    out_schema = (
+        f"{user_col} {in_fields[user_col]}, {seq_col} {in_fields[seq_col]}, "
+        "from_idx int, to_idx int"
+    )
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -186,7 +192,7 @@ def streaming_geofence_transitions(
         for eid, f in zip(pdf[seq_col], pdf["_fidx"]):
             f = int(f)
             if prev is not None and f != prev:
-                recs.append((key[0], int(eid), prev, f))
+                recs.append((key[0], eid, prev, f))
             prev = f
         if prev is not None:
             state.update((int(prev),))

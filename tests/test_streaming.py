@@ -192,3 +192,42 @@ def test_streaming_geofence_state_survives_restart(spark, tmp_path):
     # the a->b transition at event 1002 exists ONLY if user 1's
     # last-fence state (a) survived the restart
     assert rows == {(1, 1002, ia, ib)}
+
+
+def test_streaming_geofence_string_keys(spark, tmp_path):
+    """The output schema mirrors the input stream's user/seq types:
+    string/UUID ids must flow through the stateful geofence unchanged
+    (round 2 hardcoded 'long, long' and failed on them)."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet
+    from gos2_spark.spark.streaming import streaming_geofence_transitions
+
+    tiles = TileSet(
+        {"a": Loop.regular(10.0, 10.0, 3.0, 12),
+         "b": Loop.regular(-20.0, 40.0, 3.0, 12)},
+        max_cells=16,
+    )
+    rows = [("alice", 100, "ev-1", 10.0, 10.0), ("alice", 200, "ev-2", -20.0, 40.0),
+            ("bob", 100, "ev-3", 50.0, 120.0)]
+    schema = "user_id string, tsec long, event_id string, lat double, lng double"
+    src, chk, out = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_seconds(F.col("tsec"))
+    ).drop("tsec").write.parquet(src)
+    sch = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sch).parquet(src)
+    q = (
+        streaming_geofence_transitions(stream, tiles)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"], r["from_idx"], r["to_idx"])
+        for r in spark.read.parquet(out).collect()
+    }
+    names = tiles.tile_ids()
+    assert got == {("alice", "ev-2", names.index("a"), names.index("b"))}

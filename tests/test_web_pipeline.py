@@ -104,6 +104,22 @@ def test_line_dedup_all_dropped_doc(spark):
     assert all(out[k]["text"] == "" and out[k]["n_kept"] == 0 for k in out)
 
 
+def test_line_dedup_keeps_docs_with_no_qualifying_lines(spark):
+    # doc 1's lines are all shorter than min_line_chars: it must still come
+    # back as (key, '', 0, 0), one row per INPUT doc (round-2 dropped it)
+    df = spark.createDataFrame(
+        [(0, "a long enough line\nanother long line"), (1, "x\ny\n\nz")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["key"]: r
+        for r in line_dedup(df, max_occurrences=5, min_line_chars=3).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[1]["text"] == "" and out[1]["n_lines"] == 0 and out[1]["n_kept"] == 0
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+
+
 def test_repetition_features_known_values(spark):
     docs = [
         # 4 lines, 1 duplicated pair "dup": dup_line_frac = 1 - 3/4 = 0.25;
