@@ -10,8 +10,10 @@ Scale shape (10^9 domains, 10^11 edges):
   unpersisted — lineage stays O(1) deep, and ``materialize`` can be swapped
   for a reliable checkpoint on long chains (same pattern as
   pipeline.dedup.minhash_dedup_groups);
-* dangling mass (nodes with no out-edges) is collected as ONE scalar
-  aggregate per iteration and redistributed uniformly — never a join;
+* dangling mass (nodes with no out-edges) is folded into the contribution
+  aggregate as a broadcast 1-row total (flowed mass == sum(contrib)) and
+  redistributed uniformly — never a join, never a driver collect: the only
+  action per iteration is the eager materialize;
 * iteration count is fixed (training-pipeline PageRank runs a handful of
   iterations, not to convergence), which keeps the whole computation a
   statically unrollable DAG — the DuckDB oracle replays it as chained CTEs.
@@ -181,20 +183,23 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         # dangling mass = 1 - mass that flowed along edges (exact: ranks
-        # sum to 1), one scalar aggregate instead of an anti-join
-        flowed = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-        ) or 0.0
-        dangling = 1.0 - flowed
-        base = (1.0 - damping) / n + damping * dangling / n
+        # sum to 1, and each src's edge weights sum to 1, so the flowed
+        # mass is just sum(contrib)). Folding it in as a broadcast 1-row
+        # aggregate removes the per-iteration driver .collect() round 2
+        # ran (the materialize is now the only action). The contrib
+        # subtree appears in both branches; Catalyst's ReusedExchange
+        # makes the second branch a re-read of the same shuffle, not a
+        # recompute.
+        total = contrib.agg(F.sum("contrib").alias("_flowed"))
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(total))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n)
+                    * (F.lit(1.0) - F.coalesce(F.col("_flowed"), F.lit(0.0)))
                     + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )

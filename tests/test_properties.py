@@ -25,7 +25,7 @@ def test_cellid_roundtrip_distance_bound(lat, lng):
     clat, clng = PJ.cellid_to_latlng(ids)
     x1, y1, z1 = PJ.latlng_to_xyz(np.radians(lat), np.radians(lng))
     x2, y2, z2 = PJ.latlng_to_xyz(np.radians(clat), np.radians(clng))
-    d = float(PJ.point_angle(x1, y1, z1, x2, y2, z2))
+    d = float(np.asarray(PJ.point_angle(x1, y1, z1, x2, y2, z2)).reshape(-1)[0])
     assert d <= MAX_DIAG.value(30) / 2 * 1.0001
 
 
