@@ -1016,6 +1016,38 @@ def _q_raster_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tile_id")
 
 
+def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode of BOTH pure-stdlib codecs (pipeline/png.py zlib
+    inflate + unfilter; pipeline/jpeg.py Huffman + dequant + IDCT): 40 PNG
+    + 40 JPEG payloads are encoded executor-side, decoded back through
+    extract_features(deterministic_fake=False), and the oracle re-derives
+    the decoded dimensions for both codecs plus the EXACT channel-0 pixel
+    sum for the lossless PNGs (reconstructed from the float32 mean — the
+    reconstruction error bound is ~0.01 << 0.5, so the rounded sum is
+    exact). A wrong unfilter/IDCT/Huffman path shifts sums or dims."""
+    from gos2_spark.pipeline.multimodal import (
+        extract_features, synth_media_jpeg, synth_media_png,
+    )
+
+    media = synth_media_png(spark, 40).unionByName(synth_media_jpeg(spark, 40))
+    feats = extract_features(media, feature_dim=8, deterministic_fake=False)
+    return (
+        feats.select(
+            "media_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.when(
+                F.col("media_id").startswith("png"),
+                F.round(
+                    F.element_at("features", 1).cast("double")
+                    * F.col("width") * F.col("height")
+                ).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")).alias("c0_pixel_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -2458,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": _q_bloom_semi_join,
         "webmercator_tiles": _q_webmercator_tiles,
         "geohash_counts": _q_geohash_counts,
+        "media_real_decode": _q_media_real_decode,
         "media_features": _q_media_features,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
@@ -3789,6 +3822,40 @@ def oracle_sql() -> dict[str, str]:
         # pipeline depends only on the deterministic synth parameters
         # (kind = id%3, video frames = max(1, (id%90000)//1000)), so the
         # oracle regenerates it without the payload bytes:
+        # REAL-decode check: dims for both codecs come from the decoded
+        # pixel arrays; the PNG channel-0 pixel sum is reconstructed
+        # exactly from the (lossless) formula (k*ch + i) % 256 over the
+        # h*w channel-0 positions. JPEG sums are lossy -> -1 sentinel.
+        "media_real_decode": """
+            WITH ids AS (SELECT range AS i FROM range(40)),
+            png AS (
+              SELECT 'png' || i AS media_id,
+                     CAST(i % 24 + 2 AS INT) AS width,
+                     CAST((i * 7) % 24 + 2 AS INT) AS height,
+                     (CASE CAST(i % 3 AS INT)
+                           WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS ch,
+                     i
+              FROM ids
+            ),
+            png_rows AS (
+              SELECT media_id, width, height,
+                     CAST(list_sum(list_transform(
+                         range(0, width * height),
+                         k -> (k * ch + i) % 256
+                     )) AS BIGINT) AS c0_pixel_sum
+              FROM png
+            ),
+            jpg_rows AS (
+              SELECT 'jpg' || i AS media_id,
+                     CAST(i % 24 + 8 AS INT) AS width,
+                     CAST((i * 5) % 24 + 8 AS INT) AS height,
+                     CAST(-1 AS BIGINT) AS c0_pixel_sum
+              FROM ids
+            )
+            SELECT * FROM png_rows
+            UNION ALL SELECT * FROM jpg_rows
+            ORDER BY media_id
+        """,
         "media_features": """
             WITH m AS (SELECT range AS id FROM range(300)),
             k AS (

@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schemas, batch iteration via mapInPandas, partition
 sizing) is real and tested. The codec step: PNG images decode FOR REAL via
-the pure-stdlib decoder in png.py (zlib inflate + scanline unfilter);
-other codecs (JPEG/audio/video) need PIL/torchaudio/pyav, absent in this
-container, so ``decode_real`` raises NotImplementedError for them and the
-deterministic fake (clearly marked) stands in. Swapping in another decoder
-changes one function, not the pipeline.
+the pure-stdlib decoder in png.py (zlib inflate + scanline unfilter) and
+baseline JPEG via jpeg.py (Huffman + dequant + IDCT, plus a
+marker/DQT parser that reads any JPEG's metadata); audio/video codecs
+need torchaudio/pyav, absent in this container, so ``decode_real`` raises
+NotImplementedError for them and the deterministic fake (clearly marked)
+stands in. Swapping in another decoder changes one function, not the
+pipeline.
 """
 
 from __future__ import annotations
@@ -98,26 +100,72 @@ def synth_media_png(spark, num_rows: int, max_side: int = 24) -> DataFrame:
     )
 
 
+def synth_media_jpeg(spark, num_rows: int, max_side: int = 24,
+                     quality: int = 92) -> DataFrame:
+    """Deterministic REAL-JPEG media table: payload is a valid baseline
+    JFIF stream of a smooth gradient image (pixel (y, x, c) derived from
+    id), encoded distributed via a pandas UDF (one encode per row inside
+    executors). Channel count cycles gray/RGB by id."""
+    import pandas as pd  # noqa: F811 (kept local for the UDF closure)
+    from pyspark.sql.functions import pandas_udf
+
+    from .jpeg import encode_jpeg
+
+    @pandas_udf(BinaryType())
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % max_side + 8
+            h = (i * 5) % max_side + 8
+            ch = (1, 3)[i % 2]
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = np.stack(
+                [(yy * (c + 2) + xx + i) % 256 for c in range(ch)], axis=-1
+            ).astype(np.uint8)
+            out.append(encode_jpeg(base, quality=quality))
+        return pd.Series(out)
+
+    return (
+        spark.range(num_rows)
+        .select(
+            F.concat(F.lit("jpg"), F.col("id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("image/jpeg").alias("mime"),
+            _enc(F.col("id")).alias("payload"),
+            (F.col("id") % max_side + 8).cast("int").alias("meta_width"),
+            ((F.col("id") * 5) % max_side + 8).cast("int").alias("meta_height"),
+            F.lit(0).cast("int").alias("meta_duration_ms"),
+        )
+    )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_real(payload: bytes, kind: str) -> np.ndarray:
     """The real decoder hook: bytes -> (H, W, C) uint8 pixel array.
 
-    PNG images decode FOR REAL here — pure stdlib zlib inflate + scanline
-    unfilter (png.py), no image library needed. Other codecs (JPEG, audio,
-    video) require PIL / torchaudio / pyav, absent in this container, and
-    raise NotImplementedError; a production deployment adds them here and
-    the surrounding mapInPandas pipeline is unchanged.
+    TWO image codecs decode FOR REAL here, no image library needed:
+    PNG (pure stdlib zlib inflate + scanline unfilter, png.py) and
+    baseline JPEG (marker walk + DHT Huffman decode + dequant + IDCT,
+    jpeg.py; 4:4:4 and grayscale — progressive/subsampled streams raise).
+    Audio/video codecs require torchaudio / pyav, absent in this
+    container, and raise NotImplementedError; a production deployment adds
+    them here and the surrounding mapInPandas pipeline is unchanged.
     """
     b = bytes(payload)
     if kind == "image" and b[:8] == _PNG_SIG:
         from .png import decode_png
 
         return decode_png(b)
+    if kind == "image" and b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
         f"no decoder for kind={kind!r} payload head={b[:4]!r} in this "
-        "environment (PNG is supported); use "
+        "environment (PNG and baseline JPEG are supported); use "
         "extract_features(deterministic_fake=True) for opaque payloads"
     )
 

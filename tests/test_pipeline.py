@@ -279,6 +279,93 @@ def test_multimodal_real_png_decode(spark):
         assert all(v == 0.0 for v in r.features[2 * ch:])
 
 
+def test_jpeg_roundtrip_and_parse():
+    """Baseline JPEG codec (jpeg.py): encode -> parse (exact dims, DQT
+    quality-scaled Annex K tables) -> full decode, pixels within
+    quantization error of the source for gray and RGB."""
+    from gos2_spark.pipeline import jpeg as J
+
+    yy, xx = np.mgrid[0:21, 0:34]
+    rgb = np.stack(
+        [(yy * 2 + xx) % 256, (xx * 3) % 256, (yy * 4 + 7) % 256], axis=-1
+    ).astype(np.uint8)
+    b = J.encode_jpeg(rgb, quality=95)
+    info = J.parse_jpeg(b)
+    assert (info["width"], info["height"]) == (34, 21)
+    assert len(info["components"]) == 3 and not info["progressive"]
+    assert all(c["h"] == 1 and c["v"] == 1 for c in info["components"])
+    # DQT parse is exact: quality-95 scaling of the Annex K luma table
+    scale = 200 - 2 * 95
+    want = np.clip((J.QUANT_LUMA * scale + 50) // 100, 1, 255)
+    np.testing.assert_array_equal(info["dqt"][0], want)
+    dec = J.decode_jpeg(b)
+    assert dec.shape == (21, 34, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+    gray = ((yy * 5 + xx * 2) % 251).astype(np.uint8)
+    dg = J.decode_jpeg(J.encode_jpeg(gray, quality=98))
+    assert dg.shape == (21, 34, 1)
+    assert np.abs(dg[..., 0].astype(int) - gray.astype(int)).max() <= 12
+
+
+def test_jpeg_rejects_non_jpeg_and_parse_reports_subsampling():
+    from gos2_spark.pipeline import jpeg as J
+
+    with pytest.raises(ValueError):
+        J.parse_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+    # hand-build a minimal SOF0 with 2x2 luma subsampling: parse reports
+    # it, decode refuses it
+    import struct as _s
+
+    seg = bytes([8]) + _s.pack(">HH", 16, 16) + bytes([3]) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    b = (b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 2 + len(seg)) + seg
+         + b"\xff\xd9")
+    info = J.parse_jpeg(b)
+    assert info["components"][0]["h"] == 2 and info["components"][0]["v"] == 2
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(b)
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    """End-to-end REAL JPEG decode: payloads encoded in executors ->
+    extract_features(deterministic_fake=False) -> exact dims and
+    per-channel mean/std within quantization tolerance of the source."""
+    media = MM.synth_media_jpeg(spark, 20)
+    feats = {r.media_id: r for r in
+             MM.extract_features(media, feature_dim=16,
+                                 deterministic_fake=False).collect()}
+    assert len(feats) == 20
+    for i in range(20):
+        r = feats[f"jpg{i}"]
+        w = i % 24 + 8
+        h = (i * 5) % 24 + 8
+        ch = (1, 3)[i % 2]
+        assert (r.width, r.height) == (w, h)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [(yy * (c + 2) + xx + i) % 256 for c in range(ch)], axis=-1
+        )
+        px = base.reshape(-1, ch).astype(np.float64)
+        # JPEG is lossy: means/stds must land within a few gray levels
+        np.testing.assert_allclose(r.features[:ch], px.mean(axis=0), atol=4.0)
+        np.testing.assert_allclose(
+            r.features[ch:2 * ch], px.std(axis=0), atol=6.0)
+        assert all(v == 0.0 for v in r.features[2 * ch:])
+
+
+def test_mixed_png_jpeg_media_table(spark):
+    """One media table holding BOTH real codecs: decode_real dispatches on
+    magic bytes row by row inside the same mapInPandas pass."""
+    media = MM.synth_media_png(spark, 6).unionByName(MM.synth_media_jpeg(spark, 6))
+    feats = MM.extract_features(
+        media, feature_dim=8, deterministic_fake=False
+    ).collect()
+    assert len(feats) == 12
+    assert {r.media_id[:3] for r in feats} == {"png", "jpg"}
+
+
 def test_cosine_near_dup_pairs(spark, emb):
     df, _ = emb
     brute = {
@@ -417,3 +504,81 @@ def test_simhash_bucket_cap_bounds_candidates(spark, caplog):
     # sanity: with the cap disabled the same input IS quadratic
     uncapped = D.simhash_candidates(docs.limit(60), bucket_cap=None).count()
     assert uncapped == 60 * 59 // 2
+
+
+def test_simhash_cap_recall_safe_composition(spark):
+    """VERDICT r2 #5: plant clusters of identical docs FAR larger than the
+    bucket cap. The raw capped join loses their pairs (buckets dropped);
+    simhash_candidates_safe must recover every one of them (exact-dedup
+    collapse before banding), match the brute-force signature comparison
+    exactly, and keep rep-level candidate volume O(reps * cap)."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    cluster_texts = [
+        " ".join(f"c{c}tok{j}" for j in range(30)) for c in range(3)
+    ]
+    kid = 0
+    cluster_keys: list[list[int]] = []
+    for c in range(3):
+        ks = []
+        for _ in range(40):  # 40 identical docs per cluster, cap is 8
+            rows.append((kid, cluster_texts[c]))
+            ks.append(kid)
+            kid += 1
+        cluster_keys.append(ks)
+    # 5 near-identical variants of cluster 0 (unique texts, tiny edits)
+    for v in range(5):
+        rows.append((kid, cluster_texts[0] + f" extra{v}"))
+        kid += 1
+    # 50 unrelated random docs
+    for _ in range(50):
+        rows.append((kid, " ".join(
+            f"r{rng.integers(1 << 30)}" for _ in range(25)
+        )))
+        kid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 8
+    raw = {
+        (r["key_a"], r["key_b"])
+        for r in D.simhash_candidates(docs, bucket_cap=cap).collect()
+    }
+    safe = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in D.simhash_candidates_safe(docs, bucket_cap=cap).collect()
+    }
+
+    # every intra-cluster pair is recovered at hamming 0 ...
+    for ks in cluster_keys:
+        for a, b in itertools.combinations(ks, 2):
+            assert safe.get((a, b)) == 0
+            # ... and the raw capped join lost it (40 >> cap)
+            assert (a, b) not in raw
+
+    # exactness: safe == brute force over signatures (identical text =>
+    # identical signature; reps' buckets are all under the cap here)
+    sigs = {r["key"]: r["simhash"] for r in D.simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert set(safe) == brute
+    for (a, b), h in safe.items():
+        assert h == bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    # rep-level candidate volume bound: n_tables * n_reps * cap
+    n_tables = len(D._simhash_tables(3, None))
+    n_reps = len({t for _, t in rows})
+    rep_pairs = D.simhash_candidates(
+        spark.createDataFrame(
+            [(min(k for k, t2 in rows if t2 == t), t) for t in {t for _, t in rows}],
+            "doc_id long, text string",
+        ),
+        bucket_cap=cap,
+    ).count()
+    assert rep_pairs <= n_tables * n_reps * cap
