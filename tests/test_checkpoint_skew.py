@@ -186,6 +186,35 @@ def test_cell_sorted_write_enables_pushdown(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_pip_join_prefilter_pushes_down_on_stored_points(spark, tmp_path):
+    """The staged-deployment path (bench_scaling --staged): when the pip
+    join reads a stored points table, its OR-of-BETWEEN covering
+    prefilter must reach the parquet scan as PushedFilters — that is the
+    row-group pruning the 100 TB layout depends on."""
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet, point_in_polygon_join
+    from gos2_spark.spark.source import write_points_cell_sorted
+
+    pts = geoparsed_pages(synth_pages(spark, 20_000))
+    loc = str(tmp_path / "pts")
+    write_points_cell_sorted(pts, loc, num_files=4)
+    stored = spark.read.parquet(loc)
+    tiles = TileSet(
+        {"nyc": Loop.regular(40.7128, -74.0060, 1.5, 16)}, max_cells=16
+    )
+    joined = point_in_polygon_join(stored, tiles, how="inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("PushedFilters")
+    assert len(scan) > 1 and "cell_id" in scan[1][:600], plan[:3000]
+    # parity with the in-memory path
+    got = {(r.url, r.tile_id) for r in joined.collect()}
+    want = {
+        (r.url, r.tile_id)
+        for r in point_in_polygon_join(pts, tiles, how="inner").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_bucketed_write_eliminates_shuffle(spark):
     """write_bucketed moves the shuffle to write time: a later groupBy and
     a self equi-join on the bucket column plan with NO Exchange, and
