@@ -95,11 +95,15 @@ if variant == "staged":
     # indexed-deployment job: the points table is already geoparsed and
     # cell-sorted on disk (the prepare step), so the measured pipeline is
     # prefilter (row-group pruned scan) -> covering join -> refine ->
-    # agg. Cell-clustered storage wants the refine rebalance ON.
+    # agg. rebalance=False: write_points_cell_sorted range-partitions by
+    # EQUAL ROW COUNTS, so the 40%-of-rows city cluster already spans
+    # ~40% of the files — measured at 50M rows the extra exchange costs
+    # 0.68s/0.72s at 8/32 cores and worsens 8->32 scaling (1.62x -> 1.88x
+    # without it). rebalance is for hot-FILE layouts (one file per city).
     points = spark.read.parquet(points_dir)
     def job():
         point_in_polygon_join(points, tiles, how="inner",
-                              rebalance=True).groupBy(
+                              rebalance=False).groupBy(
             "tile_id").agg(F.count("*")).collect()
 else:
     pages = spark.read.parquet(pages_dir)
@@ -159,15 +163,36 @@ from gos2_spark.spark.session import get_spark
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); rows = int(sys.argv[2])
+which = sys.argv[3] if len(sys.argv) > 3 else "pages"
 spark = get_spark(app_name=f"probe_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-pages = spark.read.parquet(f"/tmp/gos2_scaling_pages_{{rows}}")
-def job():
-    # pure columnar scan + native filter: no python, no shuffle — this is
-    # the memory-bandwidth-bound floor of every pipeline on this box
-    pages.where(F.col("text").contains("location")).select(
-        F.count("*")).collect()
+if which == "points":
+    # the staged job's hardware floor: scan of the narrow cell-sorted
+    # points table with the flagship covering prefilter (same row-group
+    # pruning and decode path, no python, no join, no shuffle)
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet
+    pts = spark.read.parquet(f"/tmp/gos2_scaling_points_{{rows}}")
+    tiles = TileSet({{
+        "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
+        "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
+        "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
+        "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
+    }}, max_cells=32)
+    art = tiles.spark_artifacts(spark)
+    pre = F.expr(" OR ".join(
+        f"(`cell_id` BETWEEN {{lo}} AND {{hi}})" for lo, hi in art["ranges"]
+    ))
+    def job():
+        pts.where(pre).select(F.count("*")).collect()
+else:
+    pages = spark.read.parquet(f"/tmp/gos2_scaling_pages_{{rows}}")
+    def job():
+        # pure columnar scan + native filter: no python, no shuffle — this
+        # is the memory-bandwidth-bound floor of every pipeline on this box
+        pages.where(F.col("text").contains("location")).select(
+            F.count("*")).collect()
 for _ in range(2):
     job()
 ts = []
@@ -178,10 +203,11 @@ spark.stop()
 """
 
 
-def run_probe(cpus: int):
+def run_probe(cpus: int, which: str = "pages"):
     repo = os.path.dirname(os.path.abspath(__file__))
     out = subprocess.run(
-        [sys.executable, "-c", _PROBE.format(repo=repo), str(cpus), str(ROWS)],
+        [sys.executable, "-c", _PROBE.format(repo=repo), str(cpus), str(ROWS),
+         which],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -196,15 +222,19 @@ def probe_main() -> None:
     box's DRAM bandwidth caps end-to-end 8->32 scaling — the probe has no
     Python, no shuffle, and no join, so its speedup is the hardware
     ceiling for ANY job at these two levels."""
+    which = "points" if "--points" in sys.argv else "pages"
     run_worker(N4, "prepare")
     _prime_cache(ROWS)
-    t_n = run_probe(N)
-    t_n4 = run_probe(N4)
+    if which == "points":
+        _prime_points_cache(ROWS)
+    t_n = run_probe(N, which)
+    t_n4 = run_probe(N4, which)
     import statistics
 
     speedup = min(t_n) / min(t_n4)
     print(json.dumps({
-        "metric": f"parquet-scan bandwidth probe local[{N}] -> local[{N4}]",
+        "metric": f"parquet-scan bandwidth probe ({which}) "
+                  f"local[{N}] -> local[{N4}]",
         "rows": ROWS,
         f"times_at_{N}": [round(t, 2) for t in t_n],
         f"times_at_{N4}": [round(t, 2) for t in t_n4],

@@ -353,10 +353,16 @@ def point_in_polygon_join(
     # (3 longs/row ≈ 25% of the exchange payload)
     joined = joined.select(*points.columns, "tile_idx", "is_interior")
 
-    # REBALANCE matched rows before refinement: with cell-clustered storage
-    # all rows matching a tile live in a handful of input partitions, so
-    # without this shuffle the refine stage runs on ~2 tasks regardless of
-    # cluster size (salted round-robin — the skew handling the engine owes).
+    # REBALANCE matched rows before refinement: with cell-clustered FILES
+    # (e.g. one file per coarse cell / per city) all rows matching a tile
+    # live in a handful of input partitions, so without this shuffle the
+    # refine stage runs on ~2 tasks regardless of cluster size (salted
+    # round-robin — the skew handling the engine owes). NOTE: a table
+    # written by write_points_cell_sorted range-partitions by EQUAL ROW
+    # COUNTS, so a cluster holding x% of rows already spans ~x% of the
+    # partitions — measured at 50M rows the exchange there is pure
+    # overhead (+20% wall at 8 and 32 cores) and callers should pass
+    # rebalance=False; keep it on for hot-file layouts.
     # The join stays SINGLE-BRANCH: the interior/boundary verdict is a skip
     # mask INSIDE the refine kernel (see _make_refine_udf) — splitting into
     # two filtered sub-plans re-executed the whole upstream per branch.
