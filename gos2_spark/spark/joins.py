@@ -746,6 +746,7 @@ def knn_join_df(
         )
 
     parts: list[DataFrame] = []
+    intermediates: list[DataFrame] = []
     nq_left = pending.count()
     for _ in range(max_rounds):
         if level < 1 or nq_left == 0:
@@ -766,26 +767,13 @@ def knn_join_df(
             .select("_qkey")
             .persist()
         )
+        intermediates += [ranked, fin]
         # ONE driver-visible number per round (materializes ranked + fin)
         n_fin = fin.count()
         if n_fin:
-            # Eagerly materialize this round's FINISHED rows (bounded:
-            # <= n_fin * k narrow rows) and the shrinking pending set, so
-            # the big per-round intermediates (ranked = top-k over the full
-            # block join) can be unpersisted NOW instead of living for the
-            # session — the round-2 version leaked up to max_rounds
-            # persisted frames per call. localCheckpoint cuts lineage; its
-            # blocks are released by the ContextCleaner once unreachable
-            # (pending: next round; done: when the caller drops the result).
-            parts.append(
-                ranked.join(fin, "_qkey").localCheckpoint(eager=True)
-            )
-            pending = pending.join(fin, "_qkey", "left_anti").localCheckpoint(
-                eager=True
-            )
+            parts.append(ranked.join(fin, "_qkey"))
+            pending = pending.join(fin, "_qkey", "left_anti")
             nq_left -= n_fin
-        ranked.unpersist()
-        fin.unpersist()
         level -= 1
 
     # face-blocked completion round: every remaining query sees every
@@ -807,15 +795,13 @@ def knn_join_df(
         )
         blk_q = pending.select("*", F.explode(face_ids).alias("_blk"))
         blk_p = pts.withColumn("_blk", s2_parent_sql(F.col("_pcell"), 0))
-        # eager checkpoint = materialize before the input cache may go,
-        # without leaving a session-lifetime persist behind
-        parts.append(
-            _ranked(blk_q.join(blk_p, "_blk")).localCheckpoint(eager=True)
-        )
+        last = _ranked(blk_q.join(blk_p, "_blk")).persist()
+        intermediates.append(last)
+        parts.append(last)
 
-    if own_cache:
-        pts.unpersist()
     if not parts:
+        if own_cache:
+            pts.unpersist()
         return spark.createDataFrame(
             [], "_qkey string, _pkey string, knn_rank int, dist_rad double"
         ).select(
@@ -825,10 +811,24 @@ def knn_join_df(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return out.select(
+    out = out.select(
         F.col("_qkey").alias(query_key), F.col("_pkey").alias(point_key),
         "knn_rank", "dist_rad",
     )
+    # ONE eager checkpoint of the final (bounded, <= queries*k rows)
+    # result cuts the lineage over the per-round persisted frames, so
+    # every intermediate can be released NOW instead of living for the
+    # session (the round-2 version leaked up to max_rounds persisted
+    # ranked frames per call; a per-round checkpoint variant cost two
+    # extra jobs per round — this is the cheap point to materialize).
+    # The checkpoint blocks themselves are freed by the ContextCleaner
+    # when the caller drops the result.
+    out = out.localCheckpoint(eager=True)
+    for df in intermediates:
+        df.unpersist()
+    if own_cache:
+        pts.unpersist()
+    return out
 
 
 # --- within-radius distance join ---------------------------------------------
