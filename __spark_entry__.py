@@ -1048,6 +1048,31 @@ def _q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (pipeline/audio.py: pure-stdlib RIFF walk + PCM
+    numpy reshape): 40 WAV payloads are encoded executor-side and decoded
+    back through extract_features(deterministic_fake=False); the oracle
+    re-derives channel count, frame count, and the EXACT channel-0 sample
+    sum (PCM is lossless; the float32-mean reconstruction error bound is
+    ~0.14 << 0.5)."""
+    from gos2_spark.pipeline.multimodal import extract_features, synth_media_wav
+
+    media = synth_media_wav(spark, 40)
+    feats = extract_features(media, feature_dim=8, deterministic_fake=False)
+    return (
+        feats.select(
+            "media_id",
+            F.col("width").cast("int").alias("n_channels"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.round(
+                F.element_at("features", 1).cast("double")
+                * F.col("n_frames") * F.lit(32768.0)
+            ).cast("long").alias("c0_sample_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -2491,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmercator_tiles": _q_webmercator_tiles,
         "geohash_counts": _q_geohash_counts,
         "media_real_decode": _q_media_real_decode,
+        "media_audio_decode": _q_media_audio_decode,
         "media_features": _q_media_features,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
@@ -3855,6 +3881,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM png_rows
             UNION ALL SELECT * FROM jpg_rows
             ORDER BY media_id
+        """,
+        # REAL WAV decode: PCM is lossless, so channel-0 sample sums are
+        # exact integers reconstructible from the generator formula.
+        "media_audio_decode": """
+            WITH ids AS (SELECT range AS i FROM range(40)),
+            w AS (
+              SELECT 'wav' || i AS media_id,
+                     CAST(1 + (i % 2) AS INT) AS n_channels,
+                     CAST(i % 50 + 20 AS INT) AS n_frames,
+                     i
+              FROM ids
+            )
+            SELECT media_id, n_channels, n_frames,
+                   CAST(list_sum(list_transform(
+                       range(0, n_frames),
+                       k -> (i * 31 + k * 7) % 65536 - 32768
+                   )) AS BIGINT) AS c0_sample_sum
+            FROM w ORDER BY media_id
         """,
         "media_features": """
             WITH m AS (SELECT range AS id FROM range(300)),

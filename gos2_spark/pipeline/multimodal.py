@@ -140,6 +140,44 @@ def synth_media_jpeg(spark, num_rows: int, max_side: int = 24,
     )
 
 
+def synth_media_wav(spark, num_rows: int, max_frames: int = 50,
+                    sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL-WAV media table: payload is a valid RIFF PCM
+    stream whose int16 sample (k, c) = ((id*31 + k*7 + c*13) % 65536)
+    - 32768, encoded distributed. Channel count cycles mono/stereo."""
+    import pandas as pd  # noqa: F811 (kept local for the UDF closure)
+    from pyspark.sql.functions import pandas_udf
+
+    from .audio import encode_wav
+
+    @pandas_udf(BinaryType())
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            n = i % max_frames + 20
+            ch = (1, 2)[i % 2]
+            k = np.arange(n, dtype=np.int64)[:, None]
+            c = np.arange(ch, dtype=np.int64)[None, :]
+            s = ((i * 31 + k * 7 + c * 13) % 65536 - 32768).astype(np.int16)
+            out.append(encode_wav(s, sample_rate=sample_rate))
+        return pd.Series(out)
+
+    return (
+        spark.range(num_rows)
+        .select(
+            F.concat(F.lit("wav"), F.col("id")).alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+            _enc(F.col("id")).alias("payload"),
+            F.lit(0).cast("int").alias("meta_width"),
+            F.lit(0).cast("int").alias("meta_height"),
+            (((F.col("id") % max_frames) + 20) * 1000 / sample_rate)
+            .cast("int").alias("meta_duration_ms"),
+        )
+    )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -170,6 +208,21 @@ def decode_real(payload: bytes, kind: str) -> np.ndarray:
     )
 
 
+def decode_audio_real(payload: bytes) -> np.ndarray:
+    """The real AUDIO decoder hook: bytes -> (n_frames, channels) float64
+    waveform in [-1, 1). WAV/RIFF PCM decodes FOR REAL (pure stdlib struct
+    + numpy reshape, audio.py); compressed codecs (MP3/AAC/OGG) need
+    torchaudio/pyav, absent here, and raise NotImplementedError."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        from .audio import decode_wav
+
+        return decode_wav(b)
+    raise NotImplementedError(
+        f"no audio decoder for payload head={b[:4]!r} (WAV PCM is supported)"
+    )
+
+
 def _fake_decode_batch(payloads: pd.Series, dim: int) -> np.ndarray:
     """Deterministic fake 'decode': features derived from payload bytes.
 
@@ -196,16 +249,24 @@ def extract_features(
     The generator iterates Arrow batches (bounded memory per task — required
     for multi-MB payloads at scale); video rows fan out to sampled frames.
     """
-    def _real_row(payload: bytes, kind: str) -> tuple[int, int, list]:
-        img = decode_real(payload, kind)  # (H, W, C) uint8
-        h, w, ch = img.shape
-        px = img.reshape(-1, ch).astype(np.float64)
+    def _real_row(payload: bytes, kind: str) -> tuple[int, int, int, list]:
         # per-channel mean then std, zero-padded to feature_dim — a fixed,
         # decoder-independent contract the tests and oracles can reproduce
         f = np.zeros(feature_dim, dtype=np.float32)
+        if kind == "audio":
+            wav = decode_audio_real(payload)  # (n_frames, channels) float
+            n, ch = wav.shape
+            f[:ch] = wav.mean(axis=0)
+            f[ch:2 * ch] = wav.std(axis=0)
+            # audio convention: width = channel count, height = 0,
+            # n_frames = PCM frame count
+            return ch, 0, n, f.tolist()
+        img = decode_real(payload, kind)  # (H, W, C) uint8
+        h, w, ch = img.shape
+        px = img.reshape(-1, ch).astype(np.float64)
         f[:ch] = px.mean(axis=0)
         f[ch:2 * ch] = px.std(axis=0)
-        return w, h, f.tolist()
+        return w, h, 1, f.tolist()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,12 +282,21 @@ def extract_features(
                 ]
                 widths = pd.Series([d[0] for d in decoded], dtype="int32")
                 heights = pd.Series([d[1] for d in decoded], dtype="int32")
-                feats = [d[2] for d in decoded]
-            n_frames = np.where(
-                pdf["kind"].to_numpy() == "video",
-                np.maximum(1, pdf["meta_duration_ms"].to_numpy() // frame_sample_every_ms),
-                1,
-            ).astype(np.int32)
+                feats = [d[3] for d in decoded]
+            if deterministic_fake:
+                n_frames = np.where(
+                    pdf["kind"].to_numpy() == "video",
+                    np.maximum(
+                        1,
+                        pdf["meta_duration_ms"].to_numpy()
+                        // frame_sample_every_ms,
+                    ),
+                    1,
+                ).astype(np.int32)
+            else:
+                n_frames = np.array(
+                    [d[2] for d in decoded], dtype=np.int32
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

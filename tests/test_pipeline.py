@@ -355,6 +355,66 @@ def test_multimodal_real_jpeg_decode(spark):
         assert all(v == 0.0 for v in r.features[2 * ch:])
 
 
+def test_wav_roundtrip_parse_and_depths():
+    """WAV codec (audio.py): int16 roundtrip is exact; header parse
+    reports rate/channels/frames; 8/24-bit and float32 PCM decode."""
+    import struct
+
+    from gos2_spark.pipeline import audio as A
+
+    n, ch = 37, 2
+    k = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    s = ((5 * 31 + k * 7 + c * 13) % 65536 - 32768).astype(np.int16)
+    b = A.encode_wav(s, 8000)
+    info = A.parse_wav(b)
+    assert (info["channels"], info["sample_rate"], info["n_frames"]) == (2, 8000, 37)
+    w = A.decode_wav(b)
+    np.testing.assert_array_equal((w * 32768).astype(np.int64), s.astype(np.int64))
+
+    def wav_raw(tag, bits, raw, nch=1, rate=8000):
+        block = nch * bits // 8
+        fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block, block, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert list(A.decode_wav(wav_raw(1, 8, bytes([0, 128, 255]))).ravel()) == [
+        -1.0, 0.0, 127 / 128.0]
+    v24 = [(1 << 23) - 1, -(1 << 23), 12345]
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+    got24 = (A.decode_wav(wav_raw(1, 24, raw24)).ravel() * (1 << 23)).astype(np.int64)
+    assert list(got24) == v24
+    fl = A.decode_wav(wav_raw(3, 32, np.array([0.5, -0.25], dtype="<f4").tobytes()))
+    assert list(fl.ravel()) == [0.5, -0.25]
+    with pytest.raises(ValueError):
+        A.parse_wav(b"\xff\xd8 not a wav")
+    with pytest.raises(NotImplementedError):
+        A.decode_wav(wav_raw(85, 16, b"\x00\x00"))  # MP3-in-WAV tag
+
+
+def test_multimodal_real_wav_decode(spark):
+    """End-to-end REAL audio decode: WAV payloads encoded in executors ->
+    extract_features(deterministic_fake=False) -> exact channel count,
+    frame count, and per-channel means (PCM lossless)."""
+    media = MM.synth_media_wav(spark, 16)
+    feats = {r.media_id: r for r in
+             MM.extract_features(media, feature_dim=8,
+                                 deterministic_fake=False).collect()}
+    assert len(feats) == 16
+    for i in range(16):
+        r = feats[f"wav{i}"]
+        n = i % 50 + 20
+        ch = (1, 2)[i % 2]
+        assert (r.width, r.height, r.n_frames) == (ch, 0, n)
+        k = np.arange(n)[:, None]
+        c = np.arange(ch)[None, :]
+        s = ((i * 31 + k * 7 + c * 13) % 65536 - 32768) / 32768.0
+        np.testing.assert_allclose(r.features[:ch], s.mean(axis=0), rtol=1e-6)
+        np.testing.assert_allclose(
+            r.features[ch:2 * ch], s.std(axis=0), rtol=1e-5, atol=1e-6)
+
+
 def test_mixed_png_jpeg_media_table(spark):
     """One media table holding BOTH real codecs: decode_real dispatches on
     magic bytes row by row inside the same mapInPandas pass."""
