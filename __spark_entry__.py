@@ -1073,6 +1073,34 @@ def _q_media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (pipeline/video.py MJPEG-in-AVI: RIFF container
+    walk + per-frame baseline JPEG, only SAMPLED chunks decoded): 40 AVI
+    payloads of constant-gray frames are sampled at one frame per 80 ms
+    (step 2 at 25 fps); constant 8x8 blocks survive quality-95 JPEG
+    exactly, so the oracle re-derives dims, sampled-frame counts, and the
+    exact sum of sampled frame values."""
+    from gos2_spark.pipeline.multimodal import extract_features, synth_media_avi
+
+    media = synth_media_avi(spark, 40)
+    feats = extract_features(
+        media, feature_dim=8, deterministic_fake=False,
+        frame_sample_every_ms=80,
+    )
+    return (
+        feats.select(
+            "media_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("n_frames").cast("int").alias("n_sampled"),
+            F.round(
+                F.element_at("features", 1).cast("double") * F.col("n_frames")
+            ).cast("long").alias("c0_value_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -2517,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_counts": _q_geohash_counts,
         "media_real_decode": _q_media_real_decode,
         "media_audio_decode": _q_media_audio_decode,
+        "media_video_decode": _q_media_video_decode,
         "media_features": _q_media_features,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
@@ -3899,6 +3928,28 @@ def oracle_sql() -> dict[str, str]:
                        k -> (i * 31 + k * 7) % 65536 - 32768
                    )) AS BIGINT) AS c0_sample_sum
             FROM w ORDER BY media_id
+        """,
+        # REAL MJPEG-AVI decode: constant-gray frames survive quality-95
+        # JPEG exactly (DC-only blocks, quant step 2), so the sum of the
+        # sampled frames' constant values is exact. Sampling: one frame
+        # per 80 ms at 25 fps = every 2nd frame starting at 0.
+        "media_video_decode": """
+            WITH ids AS (SELECT range AS i FROM range(40)),
+            v AS (
+              SELECT 'avi' || i AS media_id,
+                     CAST(i % 16 + 8 AS INT) AS width,
+                     CAST((i * 3) % 16 + 8 AS INT) AS height,
+                     CAST(i % 8 + 3 AS BIGINT) AS n,
+                     i
+              FROM ids
+            )
+            SELECT media_id, width, height,
+                   CAST((n + 1) // 2 AS INT) AS n_sampled,
+                   CAST(list_sum(list_transform(
+                       range(0, (n + 1) // 2),
+                       s -> (i * 37 + (2 * s) * 11) % 256
+                   )) AS BIGINT) AS c0_value_sum
+            FROM v ORDER BY media_id
         """,
         "media_features": """
             WITH m AS (SELECT range AS id FROM range(300)),

@@ -399,13 +399,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
 
     planes = np.clip(planes[:, :h, :w], 0, 255)
+    # round-to-nearest (truncation would bias every pixel -0.5)
     if ncomp == 1:
-        return planes[0].astype(np.uint8)[..., None]
+        return np.round(planes[0]).astype(np.uint8)[..., None]
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
-    return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
+    return np.round(
+        np.clip(np.stack([r, g, bl], axis=-1), 0, 255)
+    ).astype(np.uint8)
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:

@@ -2,14 +2,16 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side machinery (schemas, batch iteration via mapInPandas, partition
-sizing) is real and tested. The codec step: PNG images decode FOR REAL via
-the pure-stdlib decoder in png.py (zlib inflate + scanline unfilter) and
-baseline JPEG via jpeg.py (Huffman + dequant + IDCT, plus a
-marker/DQT parser that reads any JPEG's metadata); audio/video codecs
-need torchaudio/pyav, absent in this container, so ``decode_real`` raises
-NotImplementedError for them and the deterministic fake (clearly marked)
-stands in. Swapping in another decoder changes one function, not the
-pipeline.
+sizing) is real and tested. FOUR codecs decode FOR REAL, all pure
+stdlib+numpy: PNG (png.py: zlib inflate + scanline unfilter), baseline
+JPEG (jpeg.py: Huffman + dequant + IDCT, plus a marker/DQT parser that
+reads any JPEG's metadata), WAV PCM audio (audio.py: RIFF walk +
+8/16/24/32-bit decode), and MJPEG-in-AVI video (video.py: container walk
++ per-frame JPEG, sampled chunks only). Compressed audio/video codecs
+(MP3/H.264/...) need torchaudio/pyav, absent in this container, so the
+decode hooks raise NotImplementedError for them and the deterministic
+fake (clearly marked) stands in. Swapping in another decoder changes one
+function, not the pipeline.
 """
 
 from __future__ import annotations
@@ -178,6 +180,47 @@ def synth_media_wav(spark, num_rows: int, max_frames: int = 50,
     )
 
 
+def synth_media_avi(spark, num_rows: int, fps: float = 25.0) -> DataFrame:
+    """Deterministic REAL-MJPEG-AVI media table: each payload is a valid
+    AVI whose frame f is a constant-gray image of value
+    (id*37 + f*11) % 256 — constant 8x8 blocks survive quality-95 JPEG
+    EXACTLY (DC-only, quant step 2), so per-frame means are integers an
+    oracle can reconstruct. Encoded distributed via a pandas UDF."""
+    import pandas as pd  # noqa: F811 (kept local for the UDF closure)
+    from pyspark.sql.functions import pandas_udf
+
+    from .video import encode_avi_mjpeg
+
+    @pandas_udf(BinaryType())
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i % 16 + 8
+            h = (i * 3) % 16 + 8
+            n = i % 8 + 3
+            frames = [
+                np.full((h, w), (i * 37 + f * 11) % 256, dtype=np.uint8)
+                for f in range(n)
+            ]
+            out.append(encode_avi_mjpeg(frames, fps=fps, quality=95))
+        return pd.Series(out)
+
+    return (
+        spark.range(num_rows)
+        .select(
+            F.concat(F.lit("avi"), F.col("id")).alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("video/x-msvideo").alias("mime"),
+            _enc(F.col("id")).alias("payload"),
+            (F.col("id") % 16 + 8).cast("int").alias("meta_width"),
+            ((F.col("id") * 3) % 16 + 8).cast("int").alias("meta_height"),
+            (((F.col("id") % 8) + 3) * 1000 / F.lit(fps))
+            .cast("int").alias("meta_duration_ms"),
+        )
+    )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -223,6 +266,22 @@ def decode_audio_real(payload: bytes) -> np.ndarray:
     )
 
 
+def decode_video_real(payload: bytes, every_ms: int = 1000):
+    """The real VIDEO decoder hook: bytes -> (container info, sampled
+    frame arrays). MJPEG-in-AVI decodes FOR REAL (RIFF walk + per-frame
+    baseline JPEG, video.py) and only the SAMPLED frame chunks are
+    decoded; interframe codecs (H.264/VP9/...) need pyav, absent here,
+    and raise NotImplementedError."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from .video import sample_avi_frames
+
+        return sample_avi_frames(b, every_ms=every_ms)
+    raise NotImplementedError(
+        f"no video decoder for payload head={b[:4]!r} (MJPEG AVI is supported)"
+    )
+
+
 def _fake_decode_batch(payloads: pd.Series, dim: int) -> np.ndarray:
     """Deterministic fake 'decode': features derived from payload bytes.
 
@@ -261,6 +320,18 @@ def extract_features(
             # audio convention: width = channel count, height = 0,
             # n_frames = PCM frame count
             return ch, 0, n, f.tolist()
+        if kind == "video":
+            info, frames = decode_video_real(
+                payload, every_ms=frame_sample_every_ms
+            )
+            ch = frames[0].shape[2]
+            px = np.concatenate(
+                [fr.reshape(-1, ch) for fr in frames]
+            ).astype(np.float64)
+            f[:ch] = px.mean(axis=0)
+            f[ch:2 * ch] = px.std(axis=0)
+            # video convention: container dims, n_frames = SAMPLED frames
+            return info["width"], info["height"], len(frames), f.tolist()
         img = decode_real(payload, kind)  # (H, W, C) uint8
         h, w, ch = img.shape
         px = img.reshape(-1, ch).astype(np.float64)

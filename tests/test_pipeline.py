@@ -415,15 +415,68 @@ def test_multimodal_real_wav_decode(spark):
             r.features[ch:2 * ch], s.std(axis=0), rtol=1e-5, atol=1e-6)
 
 
+def test_avi_mjpeg_roundtrip_parse_and_sampling():
+    """MJPEG-AVI codec (video.py): container parse reports geometry/fps/
+    frame count; constant-gray frames decode EXACTLY at quality 95; frame
+    sampling decodes only every k-th chunk."""
+    from gos2_spark.pipeline import video as V
+
+    frames = [np.full((16, 24), (37 + f * 11) % 256, dtype=np.uint8)
+              for f in range(7)]
+    b = V.encode_avi_mjpeg(frames, fps=25.0, quality=95)
+    info = V.parse_avi(b)
+    assert (info["width"], info["height"]) == (24, 16)
+    assert info["n_frames"] == 7 and info["codec"] == "MJPG"
+    assert info["usec_per_frame"] == 40000
+    for f in (0, 3, 6):
+        dec = V.decode_avi_frame(b, info, f)
+        assert dec.shape == (16, 24, 1)
+        assert (dec[..., 0] == (37 + f * 11) % 256).all()
+    _, sampled = V.sample_avi_frames(b, every_ms=80)  # step 2 at 25 fps
+    assert [int(s[0, 0, 0]) for s in sampled] == [37, 59, 81, 103]
+    with pytest.raises(ValueError):
+        V.parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # foreign fourcc: parse succeeds, decode refuses
+    b2 = bytearray(b)
+    i = b2.find(b"vidsMJPG")
+    b2[i + 4:i + 8] = b"H264"
+    info2 = V.parse_avi(bytes(b2))
+    assert info2["codec"] == "H264"
+    with pytest.raises(NotImplementedError):
+        V.decode_avi_frame(bytes(b2), info2, 0)
+
+
+def test_multimodal_real_video_decode(spark):
+    """End-to-end REAL video decode: AVI payloads encoded in executors ->
+    extract_features(deterministic_fake=False, 80ms sampling) -> exact
+    dims, sampled-frame counts, and mean of the constant frame values."""
+    media = MM.synth_media_avi(spark, 12)
+    feats = {r.media_id: r for r in
+             MM.extract_features(media, feature_dim=8,
+                                 deterministic_fake=False,
+                                 frame_sample_every_ms=80).collect()}
+    assert len(feats) == 12
+    for i in range(12):
+        r = feats[f"avi{i}"]
+        n = i % 8 + 3
+        vals = [(i * 37 + f * 11) % 256 for f in range(0, n, 2)]
+        assert (r.width, r.height) == (i % 16 + 8, (i * 3) % 16 + 8)
+        assert r.n_frames == len(vals)
+        np.testing.assert_allclose(r.features[0], np.mean(vals), rtol=1e-6)
+
+
 def test_mixed_png_jpeg_media_table(spark):
     """One media table holding BOTH real codecs: decode_real dispatches on
     magic bytes row by row inside the same mapInPandas pass."""
-    media = MM.synth_media_png(spark, 6).unionByName(MM.synth_media_jpeg(spark, 6))
+    media = (MM.synth_media_png(spark, 6)
+             .unionByName(MM.synth_media_jpeg(spark, 6))
+             .unionByName(MM.synth_media_wav(spark, 6))
+             .unionByName(MM.synth_media_avi(spark, 6)))
     feats = MM.extract_features(
         media, feature_dim=8, deterministic_fake=False
     ).collect()
-    assert len(feats) == 12
-    assert {r.media_id[:3] for r in feats} == {"png", "jpg"}
+    assert len(feats) == 24
+    assert {r.media_id[:3] for r in feats} == {"png", "jpg", "wav", "avi"}
 
 
 def test_cosine_near_dup_pairs(spark, emb):
