@@ -1101,6 +1101,36 @@ def _q_media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source end-to-end (spark/warc.py): 8 deterministic .warc.gz
+    segments (one gzip member per record, the Common-Crawl layout) fan
+    out to page rows via mapInPandas, text extracts NATIVELY
+    (pages.extract_text — byte-exact contract), coordinates geoparse with
+    the engine regex. Every output field is a closed-form function of
+    doc_id, so the oracle regenerates the whole extraction in SQL."""
+    from gos2_spark.spark.pages import extract_text
+    from gos2_spark.spark.warc import read_warc_segments, synth_warc_segments
+
+    segs = synth_warc_segments(spark, 8, 40)
+    pages = read_warc_segments(segs)
+    t = pages.withColumn("text", extract_text(F.col("html")))
+    m = F.regexp_extract(
+        F.col("text"), r"(-?\d+\.\d{6}), (-?\d+\.\d{6})", 0
+    )
+    parts = F.split(m, ", ")
+    return (
+        t.select(
+            "url",
+            F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+            F.length("text").cast("int").alias("text_chars"),
+            F.length("html").cast("int").alias("html_bytes"),
+            F.element_at(parts, 1).cast("double").alias("lat"),
+            F.element_at(parts, 2).cast("double").alias("lng"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing smoke (rows-only; decode is a deterministic fake)."""
     from gos2_spark.pipeline.multimodal import extract_features, synth_media
@@ -2546,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": _q_media_real_decode,
         "media_audio_decode": _q_media_audio_decode,
         "media_video_decode": _q_media_video_decode,
+        "warc_extract_pages": _q_warc_extract_pages,
         "media_features": _q_media_features,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
@@ -3950,6 +3981,33 @@ def oracle_sql() -> dict[str, str]:
                        s -> (i * 37 + (2 * s) * 11) % 256
                    )) AS BIGINT) AS c0_value_sum
             FROM v ORDER BY media_id
+        """,
+        # WARC source: segment contents are closed-form in doc_id, so the
+        # oracle regenerates the extraction (text length = html minus the
+        # fixed 37 tag bytes; ts = epoch formula; coords = formatted ints)
+        "warc_extract_pages": """
+            WITH ids AS (SELECT range AS d FROM range(320)),
+            rows_ AS (
+              SELECT 'https://site' || (d % 97) || '.example/' || d AS url,
+                     CAST(1704067200 + (d * 37) % 31536000 AS BIGINT)
+                       AS ts_epoch,
+                     -60.0 + CAST((d * 7) % 120 AS DOUBLE) AS lat,
+                     -170.0 + CAST((d * 13) % 340 AS DOUBLE) AS lng,
+                     d
+              FROM ids
+            )
+            SELECT url, ts_epoch,
+                   CAST(length('Doc ' || d || ' located at '
+                        || printf('%.6f', lat) || ', '
+                        || printf('%.6f', lng) || ' today.') AS INT)
+                     AS text_chars,
+                   CAST(length('<html><body><p>Doc ' || d || ' located at '
+                        || printf('%.6f', lat) || ', '
+                        || printf('%.6f', lng)
+                        || ' today.</p></body></html>') AS INT)
+                     AS html_bytes,
+                   lat, lng
+            FROM rows_ ORDER BY url
         """,
         "media_features": """
             WITH m AS (SELECT range AS id FROM range(300)),

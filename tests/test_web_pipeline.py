@@ -155,3 +155,54 @@ def test_repetition_features_adds_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a b c\nd e f")], ["doc_id", "text"])
     plan = repetition_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    """WARC writer/parser (spark/warc.py): record fields and payload bytes
+    survive both the plain and per-record-gzip-member layouts; non-response
+    records are preserved by the iterator (filtering is the reader's job);
+    truncation raises."""
+    import pytest as _pytest
+
+    from gos2_spark.spark.warc import build_warc, build_warc_record, iter_warc_records
+
+    recs = [
+        ("https://x.example/1", "2024-01-01T00:00:00Z", b"<p>one</p>"),
+        ("https://x.example/2", "2024-06-15T12:34:56Z", b"\x00binary\xffbytes"),
+    ]
+    for gz in (False, True):
+        got = list(iter_warc_records(build_warc(recs, gzip_members=gz)))
+        assert [r["headers"]["WARC-Target-URI"] for r in got] == [u for u, _, _ in recs]
+        assert [r["payload"] for r in got] == [p for _, _, p in recs]
+        assert all(r["headers"]["WARC-Type"] == "response" for r in got)
+    # warcinfo record flows through the iterator
+    info = build_warc_record("urn:x", "2024-01-01T00:00:00Z", b"meta", rec_type="warcinfo")
+    got = list(iter_warc_records(info + build_warc_record(*recs[0])))
+    assert [r["headers"]["WARC-Type"] for r in got] == ["warcinfo", "response"]
+    with _pytest.raises(ValueError):
+        list(iter_warc_records(build_warc_record(*recs[0])[:30]))
+
+
+def test_warc_segments_distributed_parity(spark):
+    """read_warc_segments == local parse of every segment: same rows, and
+    non-response records are dropped by the Spark reader only."""
+    from gos2_spark.spark.warc import (
+        iter_warc_records, read_warc_segments, synth_warc_segments,
+    )
+
+    segs = synth_warc_segments(spark, 3, 7)
+    got = {
+        (r["url"], r["warc_ts"].isoformat(), bytes(r["html"]))
+        for r in read_warc_segments(segs).collect()
+    }
+    want = set()
+    for row in segs.collect():
+        for rec in iter_warc_records(bytes(row["payload"])):
+            h = rec["headers"]
+            import datetime as dt
+
+            ts = dt.datetime.strptime(
+                h["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+            )
+            want.add((h["WARC-Target-URI"], ts.isoformat(), rec["payload"]))
+    assert got == want and len(got) == 21
