@@ -1443,6 +1443,37 @@ def _q_trajectory_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric discrete Hausdorff distance between per-user trajectories
+    (spark/trajectory.py): the filter-refine 'refine' stage of trajectory
+    similarity — one broadcast point-pair join + two max-of-min aggregation
+    branches, all native codegen. Composes the engine's haversine
+    (latlng.go:32-40 op order) into a set-to-set metric the reference has
+    only the single-point primitives for (edgeutil.go:108-127). Users are
+    prefiltered (user_id < 8 => 28 pairs) standing in for the covering-cell
+    candidate prefilter used at scale."""
+    from gos2_spark.spark.trajectory import trajectory_hausdorff
+
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        F.col("event_id").alias("pt_id"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    h = trajectory_hausdorff(pts, key_col="user_id")
+    return h.select(
+        "key_a",
+        "key_b",
+        "n_a",
+        "n_b",
+        F.round("h_ab", 9).alias("h_ab"),
+        F.round("h_ba", 9).alias("h_ba"),
+        F.round("h_sym", 9).alias("h_sym"),
+    ).orderBy("key_a", "key_b")
+
+
 def _q_adaptive_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive density tiling (spark/density.py): variable-resolution tile
     set over the customer points — every tile holds <= 8 points or sits at
@@ -2631,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
+        "trajectory_hausdorff": _q_trajectory_hausdorff,
     }
 
 
@@ -4403,5 +4435,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(redacted) AS BIGINT) AS chars_redacted,
                    CAST(sum(scrubbed_len) AS BIGINT) AS scrubbed_chars
             FROM s GROUP BY lang ORDER BY lang
+        """,
+        # max-of-min nested aggregation replaying the engine's exact
+        # haversine op order over the same deterministic point derivation.
+        "trajectory_hausdorff": """
+            WITH pts AS (
+              SELECT user_id, event_id AS pt_id,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng
+              FROM events WHERE user_id < 8
+            ),
+            pairs AS (
+              SELECT a.user_id AS key_a, b.user_id AS key_b,
+                     a.pt_id AS aid, b.pt_id AS bid,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(b.lat) - radians(a.lat))), 2)
+                         + power(sin(0.5 * (radians(b.lng) - radians(a.lng))), 2)
+                           * cos(radians(a.lat)) * cos(radians(b.lat))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(b.lat) - radians(a.lat))), 2)
+                         + power(sin(0.5 * (radians(b.lng) - radians(a.lng))), 2)
+                           * cos(radians(a.lat)) * cos(radians(b.lat))))))
+                       AS dist
+              FROM pts a JOIN pts b ON a.user_id < b.user_id
+            ),
+            hab AS (
+              SELECT key_a, key_b, max(mind) AS h_ab FROM (
+                SELECT key_a, key_b, aid, min(dist) AS mind
+                FROM pairs GROUP BY key_a, key_b, aid
+              ) GROUP BY key_a, key_b
+            ),
+            hba AS (
+              SELECT key_a, key_b, max(mind) AS h_ba FROM (
+                SELECT key_a, key_b, bid, min(dist) AS mind
+                FROM pairs GROUP BY key_a, key_b, bid
+              ) GROUP BY key_a, key_b
+            ),
+            sizes AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY user_id
+            )
+            SELECT hab.key_a, hab.key_b, sa.n AS n_a, sb.n AS n_b,
+                   round(h_ab, 9) AS h_ab, round(h_ba, 9) AS h_ba,
+                   round(greatest(h_ab, h_ba), 9) AS h_sym
+            FROM hab JOIN hba USING (key_a, key_b)
+            JOIN sizes sa ON sa.user_id = hab.key_a
+            JOIN sizes sb ON sb.user_id = hab.key_b
+            ORDER BY key_a, key_b
         """,
     }
