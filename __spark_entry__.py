@@ -1474,6 +1474,37 @@ def _q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+def _q_trajectory_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory shape profile (spark/trajectory.py): ordered
+    path length, net first-to-last displacement, sinuosity ratio,
+    spherical centroid (normalized 3-vector mean — the point-set analogue
+    of the reference's TrueCentroid family, loop.go:215) and angular
+    dispersion. One lag/first/last window projection + one user-keyed
+    aggregation, all native codegen."""
+    from gos2_spark.spark.trajectory import trajectory_profile
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pt_id"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    prof = trajectory_profile(pts, key_col="user_id", order_cols=("ts", "pt_id"))
+    return prof.select(
+        "user_id",
+        "n_pts",
+        F.round("path_rad", 9).alias("path_rad"),
+        F.round("net_rad", 9).alias("net_rad"),
+        F.round("sinuosity", 6).alias("sinuosity"),
+        F.round("centroid_lat", 9).alias("centroid_lat"),
+        F.round("centroid_lng", 9).alias("centroid_lng"),
+        F.round("spread_rad", 9).alias("spread_rad"),
+    ).orderBy("user_id")
+
+
 def _q_adaptive_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive density tiling (spark/density.py): variable-resolution tile
     set over the customer points — every tile holds <= 8 points or sits at
@@ -2663,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
         "trajectory_hausdorff": _q_trajectory_hausdorff,
+        "trajectory_profiles": _q_trajectory_profiles,
     }
 
 
@@ -4481,5 +4513,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.user_id = hab.key_a
             JOIN sizes sb ON sb.user_id = hab.key_b
             ORDER BY key_a, key_b
+        """,
+        # lag/first/last window + 3-vector mean replay of the profile
+        # aggregation (same haversine op order; centroid via atan2 of the
+        # averaged unit vectors, dispersion via arccos of their norm).
+        "trajectory_profiles": """
+            WITH pts AS (
+              SELECT user_id, ts, event_id,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng
+              FROM events
+            ),
+            enriched AS (
+              SELECT user_id, lat, lng,
+                     cos(radians(lng)) * cos(radians(lat)) AS px,
+                     sin(radians(lng)) * cos(radians(lat)) AS py,
+                     sin(radians(lat)) AS pz,
+                     lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+                     first_value(lat) OVER wf AS lat0,
+                     first_value(lng) OVER wf AS lng0,
+                     last_value(lat) OVER wf AS lat1,
+                     last_value(lng) OVER wf AS lng1
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+            ),
+            agg AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_pts,
+                     coalesce(sum(CASE WHEN plat IS NULL THEN NULL ELSE
+                       2 * atan2(sqrt(
+                             power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                           + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                             * cos(radians(plat)) * cos(radians(lat))),
+                           sqrt(greatest(0.0, 1.0 - (
+                             power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                           + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                             * cos(radians(plat)) * cos(radians(lat))))))
+                       END), 0.0) AS path_rad,
+                     avg(px) AS mx, avg(py) AS my, avg(pz) AS mz,
+                     any_value(lat0) AS lat0, any_value(lng0) AS lng0,
+                     any_value(lat1) AS lat1, any_value(lng1) AS lng1
+              FROM enriched GROUP BY user_id
+            ),
+            final AS (
+              SELECT user_id, n_pts, path_rad,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(lat1) - radians(lat0))), 2)
+                         + power(sin(0.5 * (radians(lng1) - radians(lng0))), 2)
+                           * cos(radians(lat0)) * cos(radians(lat1))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(lat1) - radians(lat0))), 2)
+                         + power(sin(0.5 * (radians(lng1) - radians(lng0))), 2)
+                           * cos(radians(lat0)) * cos(radians(lat1))))))
+                       AS net_rad,
+                     degrees(atan2(mz, sqrt(mx * mx + my * my))) AS centroid_lat,
+                     degrees(atan2(my, mx)) AS centroid_lng,
+                     acos(least(1.0, sqrt(mx * mx + my * my + mz * mz)))
+                       AS spread_rad
+              FROM agg
+            )
+            SELECT user_id, n_pts,
+                   round(path_rad, 9) AS path_rad,
+                   round(net_rad, 9) AS net_rad,
+                   round(CASE WHEN net_rad > 0.0 THEN path_rad / net_rad END, 6)
+                     AS sinuosity,
+                   round(centroid_lat, 9) AS centroid_lat,
+                   round(centroid_lng, 9) AS centroid_lng,
+                   round(spread_rad, 9) AS spread_rad
+            FROM final ORDER BY user_id
         """,
     }

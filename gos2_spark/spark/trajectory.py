@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .functions import haversine_rad
 
-__all__ = ["directed_hausdorff", "trajectory_hausdorff"]
+__all__ = ["directed_hausdorff", "trajectory_hausdorff", "trajectory_profile"]
 
 
 def _pair_distances(points: DataFrame, key_col: str, broadcast_right: bool) -> DataFrame:
@@ -110,4 +110,76 @@ def trajectory_hausdorff(
     h_sym: Column = F.greatest(F.col("h_ab"), F.col("h_ba"))
     return out.select(
         "key_a", "key_b", "n_a", "n_b", "h_ab", "h_ba", h_sym.alias("h_sym")
+    )
+
+
+def trajectory_profile(
+    points: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "pt_id"),
+) -> DataFrame:
+    """Per-key trajectory shape profile, one user-keyed shuffle, all
+    native codegen:
+
+    - ``path_rad``: ordered great-circle path length (window lag +
+      haversine, same plan as the length query),
+    - ``net_rad``: first-to-last-point great-circle displacement,
+    - ``sinuosity``: path/net ratio (NULL for net == 0),
+    - ``centroid_lat/lng``: spherical centroid — the normalized mean of
+      the unit position vectors (the point-set analogue of the
+      reference's ``TrueCentroid``, `loop.go` / `point.go` centroid
+      family: sum 3-vectors, renormalize),
+    - ``spread_rad``: angular dispersion ``arccos(|mean vector|)``
+      (0 = all points coincide, pi/2 = fully dispersed ring).
+
+    Everything reduces to sums/first/last over one window partition, so
+    the whole profile is a single aggregation after the lag projection —
+    scale-safe for billions of points as long as no single key is
+    pathological (cap with ``capped_sample_per_key`` upstream if so).
+    """
+    from pyspark.sql import Window
+
+    rlat, rlng = F.radians("lat"), F.radians("lng")
+    px = (F.cos(rlng) * F.cos(rlat)).alias("px")
+    py = (F.sin(rlng) * F.cos(rlat)).alias("py")
+    pz = F.sin(rlat).alias("pz")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    leg = haversine_rad(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    enriched = points.select(
+        key_col, "lat", "lng", px, py, pz,
+        leg.alias("leg"),
+        F.first("lat").over(wfull).alias("lat0"),
+        F.first("lng").over(wfull).alias("lng0"),
+        F.last("lat").over(wfull).alias("lat1"),
+        F.last("lng").over(wfull).alias("lng1"),
+    )
+    agg = enriched.groupBy(key_col).agg(
+        F.count("*").alias("n_pts"),
+        F.sum("leg").alias("path_rad"),
+        F.avg("px").alias("mx"),
+        F.avg("py").alias("my"),
+        F.avg("pz").alias("mz"),
+        F.first("lat0").alias("lat0"),
+        F.first("lng0").alias("lng0"),
+        F.first("lat1").alias("lat1"),
+        F.first("lng1").alias("lng1"),
+    )
+    net = haversine_rad(F.col("lat0"), F.col("lng0"), F.col("lat1"), F.col("lng1"))
+    rlen = F.sqrt(
+        F.col("mx") * F.col("mx") + F.col("my") * F.col("my") + F.col("mz") * F.col("mz")
+    )
+    return agg.select(
+        key_col,
+        "n_pts",
+        F.coalesce(F.col("path_rad"), F.lit(0.0)).alias("path_rad"),
+        net.alias("net_rad"),
+        F.when(net > 0.0, F.col("path_rad") / net).alias("sinuosity"),
+        F.degrees(
+            F.atan2(F.col("mz"), F.sqrt(F.col("mx") * F.col("mx") + F.col("my") * F.col("my")))
+        ).alias("centroid_lat"),
+        F.degrees(F.atan2(F.col("my"), F.col("mx"))).alias("centroid_lng"),
+        F.acos(F.least(F.lit(1.0), rlen)).alias("spread_rad"),
     )

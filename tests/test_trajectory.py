@@ -107,3 +107,67 @@ def test_subset_direction_is_zero(spark):
     assert r["h_ab"] == 0.0
     assert r["h_ba"] > 0.0
     assert r["h_sym"] == r["h_ba"]
+
+
+def _np_profile(pts):
+    """numpy replay of trajectory_profile for one ordered (n,2) array."""
+    lat, lng = pts[:, 0], pts[:, 1]
+    legs = _haversine(lat[:-1], lng[:-1], lat[1:], lng[1:])
+    path = float(legs.sum()) if len(legs) else 0.0
+    net = float(_haversine(lat[0], lng[0], lat[-1], lng[-1]))
+    rlat, rlng = np.radians(lat), np.radians(lng)
+    v = np.column_stack(
+        [np.cos(rlng) * np.cos(rlat), np.sin(rlng) * np.cos(rlat), np.sin(rlat)]
+    )
+    m = v.mean(axis=0)
+    clat = np.degrees(np.arctan2(m[2], np.hypot(m[0], m[1])))
+    clng = np.degrees(np.arctan2(m[1], m[0]))
+    spread = float(np.arccos(min(1.0, np.linalg.norm(m))))
+    return path, net, (path / net if net > 0 else None), clat, clng, spread
+
+
+def test_profile_matches_numpy(spark):
+    from gos2_spark.spark.trajectory import trajectory_profile
+
+    rng = np.random.default_rng(11)
+    rows, sets = [], {}
+    for key in range(4):
+        pts = _synth_points(rng, 10 + 7 * key)
+        sets[key] = pts
+        for i, (la, ln) in enumerate(pts):
+            rows.append((key, i, i, float(la), float(ln)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, pt_id long, lat double, lng double"
+    )
+    got = {r["user_id"]: r for r in trajectory_profile(df).collect()}
+    for key, pts in sets.items():
+        path, net, sin, clat, clng, spread = _np_profile(pts)
+        r = got[key]
+        assert r["n_pts"] == len(pts)
+        assert r["path_rad"] == pytest.approx(path, abs=1e-10)
+        assert r["net_rad"] == pytest.approx(net, abs=1e-12)
+        assert r["sinuosity"] == pytest.approx(sin, rel=1e-9)
+        assert r["centroid_lat"] == pytest.approx(clat, abs=1e-10)
+        assert r["centroid_lng"] == pytest.approx(clng, abs=1e-10)
+        assert r["spread_rad"] == pytest.approx(spread, abs=1e-10)
+
+
+def test_profile_single_point_and_coincident(spark):
+    from gos2_spark.spark.trajectory import trajectory_profile
+
+    rows = [
+        (0, 0, 0, 40.0, -74.0),                # single point
+        (1, 0, 0, 10.0, 20.0), (1, 1, 1, 10.0, 20.0),  # coincident pair
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, pt_id long, lat double, lng double"
+    )
+    got = {r["user_id"]: r for r in trajectory_profile(df).collect()}
+    for key in (0, 1):
+        r = got[key]
+        assert r["path_rad"] == 0.0
+        assert r["net_rad"] == 0.0
+        assert r["sinuosity"] is None
+        assert r["spread_rad"] == pytest.approx(0.0, abs=1e-7)
+    assert got[0]["centroid_lat"] == pytest.approx(40.0, abs=1e-9)
+    assert got[1]["centroid_lng"] == pytest.approx(20.0, abs=1e-9)
