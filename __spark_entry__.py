@@ -2608,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries to the front; the remaining window slots are filled with
     # previously-green entries (flagship joins first).  All entries remain
     # oracle-checked locally via tools/oracle_check.py regardless of position.
+    # Queries added late in round 3 (trajectory_hausdorff/profiles) sit at the
+    # tail, outside the round-3 window — rotate them forward in round 4.
     return {
         # --- 26 queries that sat past position 50 in rounds 1-2 ---
         "adaptive_density_tiles": _q_adaptive_density,

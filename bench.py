@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "webmercator_tiles",
     "geohash_counts",
+    "trajectory_hausdorff",
+    "trajectory_profiles",
 ]
 
 
