@@ -1683,6 +1683,24 @@ def _q_spatial_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.orderBy("key")
 
 
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (spark/clustering.py): eps-graph from the
+    cell-blocked distance self-join, core points by degree count,
+    clusters = pointer-doubling components over the core-core subgraph,
+    borders deterministically adopt the MIN core-neighbor label. The
+    oracle rebuilds the identical eps-graph (same float-op order) and
+    replays core/border/noise with a recursive closure over core edges."""
+    from gos2_spark.spark.clustering import dbscan
+
+    pts = _cust_points(spark, sf_dir)
+    res = dbscan(pts, eps_deg=3.0, min_pts=4, point_key="key")
+    # noise carries NULL in the library; the value-compare wants a concrete
+    # sentinel (NULL -> NaN dtype drift in the pandas bridge)
+    return res.select(
+        "key", "role", F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster")
+    ).orderBy("key")
+
+
 def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution: EXACT per-lang char/token percentiles
     (Spark's percentile aggregate and DuckDB's quantile_cont share type-7
@@ -2608,8 +2626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries to the front; the remaining window slots are filled with
     # previously-green entries (flagship joins first).  All entries remain
     # oracle-checked locally via tools/oracle_check.py regardless of position.
-    # Queries added late in round 3 (trajectory_hausdorff/profiles) sit at the
-    # tail, outside the round-3 window — rotate them forward in round 4.
+    # Queries added late in round 3 (trajectory_hausdorff/profiles,
+    # dbscan_clusters) sit at the tail, outside the round-3 window — rotate
+    # them forward in round 4.
     return {
         # --- 26 queries that sat past position 50 in rounds 1-2 ---
         "adaptive_density_tiles": _q_adaptive_density,
@@ -2697,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_lengths": _q_trajectory_lengths,
         "trajectory_hausdorff": _q_trajectory_hausdorff,
         "trajectory_profiles": _q_trajectory_profiles,
+        "dbscan_clusters": _q_dbscan_clusters,
     }
 
 
@@ -4586,5 +4606,59 @@ def oracle_sql() -> dict[str, str]:
                    round(centroid_lng, 9) AS centroid_lng,
                    round(spread_rad, 9) AS spread_rad
             FROM final ORDER BY user_id
+        """,
+        # DBSCAN replay: identical eps-edge float formula as the engine's
+        # distance_join refine, degree-counted cores, recursive closure
+        # over core-core edges, min-label border adoption:
+        "dbscan_clusters": f"""
+            WITH RECURSIVE pts AS ({_CUST_LATLNG_SQL}),
+            v AS (
+              SELECT key,
+                     cos(radians(lng)) * cos(radians(lat)) AS x,
+                     sin(radians(lng)) * cos(radians(lat)) AS y,
+                     sin(radians(lat)) AS z
+              FROM pts
+            ),
+            e AS (
+              SELECT a.key AS src, b.key AS dst
+              FROM v a JOIN v b ON a.key != b.key
+              WHERE atan2(sqrt(
+                        (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                      + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                      + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                      a.x * b.x + a.y * b.y + a.z * b.z)
+                    <= {math.radians(3.0)!r}
+            ),
+            deg AS (SELECT src AS key, count(*) AS n FROM e GROUP BY 1),
+            core AS (
+              SELECT p.key FROM pts p LEFT JOIN deg USING (key)
+              WHERE coalesce(n, 0) >= 3
+            ),
+            ce AS (
+              SELECT src, dst FROM e
+              WHERE src IN (SELECT key FROM core)
+                AND dst IN (SELECT key FROM core)
+            ),
+            reach(a, b) AS (
+              SELECT key, key FROM core
+              UNION
+              SELECT r.a, ce.dst FROM reach r JOIN ce ON r.b = ce.src
+            ),
+            comp AS (SELECT a AS key, min(b) AS cluster FROM reach GROUP BY a),
+            border AS (
+              SELECT e.src AS key, min(comp.cluster) AS cluster
+              FROM e JOIN comp ON e.dst = comp.key
+              WHERE e.src NOT IN (SELECT key FROM core)
+              GROUP BY e.src
+            )
+            SELECT key, 'core' AS role, cluster FROM comp
+            UNION ALL
+            SELECT key, 'border' AS role, cluster FROM border
+            UNION ALL
+            SELECT p.key, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster
+            FROM pts p
+            WHERE p.key NOT IN (SELECT key FROM comp)
+              AND p.key NOT IN (SELECT key FROM border)
+            ORDER BY key
         """,
     }

@@ -1,0 +1,93 @@
+"""Distributed DBSCAN over spherical points, as a composition plan.
+
+Density-based clustering (Ester et al., KDD'96) re-expressed in the
+engine's existing distributed primitives — no new kernels:
+
+1. the eps-neighborhood graph comes from the cell-blocked within-radius
+   self-join (``spark.joins.distance_join``: level-L 3x3 neighborhood
+   blocking + exact angle refine, the reference's atan2(|a x b|, a.b)
+   metric, r3/vector.go:96-98);
+2. core points are a degree count over that edge list (a point is core
+   iff its closed eps-neighborhood has >= min_pts members, i.e. open
+   degree >= min_pts - 1);
+3. clusters are connected components over the core-core subgraph
+   (``pipeline.graph.connected_components``: neighbor-min + pointer
+   doubling, O(log D) rounds);
+4. border points (non-core with a core neighbor) deterministically adopt
+   the MIN cluster label among their core neighbors — classic DBSCAN
+   leaves border ties order-dependent; a distributed engine must not.
+   Everything else is noise.
+
+Scale shape: every step is a bounded-fanout hash join or map-side
+combined aggregation on the (already skew-handled) eps-edge list; the
+only iteration is the component loop, O(log diameter) shuffles. Nothing
+funnels through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dbscan"]
+
+
+def dbscan(
+    points: DataFrame,
+    eps_deg: float,
+    min_pts: int,
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """DBSCAN over a point table carrying leaf cell ids.
+
+    ``points``: (point_key, lat, lng, cell_col) — cell_col must hold LEAF
+    cell ids (the engine-wide convention; see ``distance_join``).
+    Returns (key, role, cluster): role in {'core','border','noise'},
+    cluster = MIN core key of the cluster (NULL for noise).
+    """
+    from ..pipeline.graph import connected_components
+    from .joins import distance_join
+
+    keys = points.select(F.col(point_key).alias("key"))
+    pairs = distance_join(
+        points, eps_deg, point_key=point_key, cell_col=cell_col
+    ).select("key_a", "key_b")
+    sym = pairs.union(
+        pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b"))
+    )
+    deg = sym.groupBy(F.col("key_a").alias("key")).agg(
+        F.count("*").alias("n_nbrs")
+    )
+    # isolated points never reach the edge list: left-join, degree 0
+    core = (
+        keys.join(deg, "key", "left")
+        .where(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= min_pts - 1)
+        .select("key")
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("key").alias("key_a")), "key_a", "semi")
+        .join(core.select(F.col("key").alias("key_b")), "key_b", "semi")
+    )
+    comps = connected_components(core, core_edges)  # (key, component)
+
+    core_lab = comps.select(
+        F.col("key").alias("ckey"), F.col("component").alias("cluster")
+    )
+    # border: non-core with >= 1 core neighbor; adopt MIN neighbor cluster
+    border = (
+        sym.join(core.select(F.col("key").alias("key_a")), "key_a", "anti")
+        .join(core_lab, sym["key_b"] == core_lab["ckey"])
+        .groupBy(F.col("key_a").alias("key"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out_core = core_lab.select(
+        F.col("ckey").alias("key"), F.lit("core").alias("role"), "cluster"
+    )
+    out_border = border.select("key", F.lit("border").alias("role"), "cluster")
+    out_noise = (
+        keys.join(core, "key", "anti")
+        .join(border.select("key"), "key", "anti")
+        .select("key", F.lit("noise").alias("role"), F.lit(None).cast("long").alias("cluster"))
+    )
+    return out_core.unionByName(out_border).unionByName(out_noise)
