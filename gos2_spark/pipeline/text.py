@@ -307,3 +307,84 @@ def tfidf_top_terms(
         .where(F.col("rk") <= top_k)
         .select("key", "rk", "term", "tf", "df", tfidf.alias("tfidf"))
     )
+
+
+def char_entropy(text_col: Column, alphabet: str = "abcdefghijklmnopqrstuvwxyz") -> Column:
+    """Shannon entropy (nats) of a document's character distribution over a
+    FIXED alphabet — the classic char-level quality gate (gibberish and
+    keyword-stuffed pages sit at the entropy extremes).
+
+    Deliberately formulated as H = ln(N) - (1/N) * sum_i c_i*ln(c_i) with an
+    EXPLICIT left-to-right per-letter expression chain instead of an
+    explode+groupBy: per-letter counts are exact integers and the float
+    summation order is fixed (alphabet order), so the value is reproducible
+    bit-for-bit in any engine — and the whole thing is one codegen
+    projection per row with zero shuffles, which is exactly what a
+    10^12-page quality scan wants. Characters outside the alphabet are
+    ignored (N counts alphabet hits only). Empty-alphabet docs -> 0.0.
+    """
+    low = F.lower(text_col)
+    counts = [
+        (F.length(low) - F.length(F.replace(low, F.lit(ch), F.lit(""))))
+        for ch in alphabet
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    s = None
+    for c in counts:
+        term = F.when(
+            c > 0, c.cast("double") * F.log(c.cast("double"))
+        ).otherwise(F.lit(0.0))
+        s = term if s is None else s + term
+    total_d = total.cast("double")
+    return F.when(
+        total > 0, F.log(total_d) - s / total_d
+    ).otherwise(F.lit(0.0))
+
+
+def zipf_top_tokens(
+    docs: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus-level Zipf table: the top_k lowercased alpha tokens with
+    global rank, occurrence count, and cumulative corpus share —
+    (rank, token, n_occurrences, cum_frac).
+
+    All ranking inputs are exact integers (ties break on token asc) and the
+    cumulative sum runs over BIGINTs, so the output is engine-reproducible
+    with no float-order hazard; cum_frac is a single exact-int division per
+    row. Scale shape: explode -> map-side-combined token count (ONE
+    data-sized shuffle, O(vocab) rows out), a DISTRIBUTED top-k via
+    orderBy().limit() (TakeOrderedAndProject — per-partition heaps, never a
+    single-partition window over the 10^8-term vocab), then rank/cum
+    windows over just the k surviving rows plus a single-row corpus total
+    broadcast back.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("_total"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("_cum", F.sum("n_occurrences").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "n_occurrences",
+            F.round(F.col("_cum").cast("double") / F.col("_total").cast("double"), 9).alias(
+                "cum_frac"
+            ),
+        )
+    )

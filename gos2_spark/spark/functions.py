@@ -354,6 +354,64 @@ def haversine_rad(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Col
     return 2.0 * F.atan2(F.sqrt(x), F.sqrt(F.greatest(F.lit(0.0), 1.0 - x)))
 
 
+def initial_bearing_rad(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column
+) -> Column:
+    """[SQL] Initial great-circle bearing (forward azimuth) from p1 to p2,
+    radians in [0, 2pi). Standard atan2 formulation; the reference exposes
+    only the xyz primitives this reduces to (Vector.Angle, s2.go) — this is
+    the lat/lng-native composition a trajectory pipeline shuffles on.
+    Native codegen, DuckDB-mirrorable (same float-op order)."""
+    import math
+
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlng = F.radians(lng2) - F.radians(lng1)
+    y = F.sin(dlng) * F.cos(rlat2)
+    x = F.cos(rlat1) * F.sin(rlat2) - F.sin(rlat1) * F.cos(rlat2) * F.cos(dlng)
+    b = F.atan2(y, x)
+    return F.when(b < 0.0, b + (2.0 * math.pi)).otherwise(b)
+
+
+def spherical_midpoint(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column
+) -> Column:
+    """[SQL] Great-circle midpoint of two lat/lng-degree points as a
+    struct(mid_lat, mid_lng) in degrees. Computed as latlng(a_xyz + b_xyz)
+    — the atan2 form is scale-invariant so the vector sum needs NO
+    normalization (latlng.go:87-92 LatLngFromPoint uses the same atan2
+    shape). Antipodal pairs degrade to atan2(0, 0) = 0 deterministically.
+    Pure per-row codegen; no shuffle, no UDF."""
+    rlat1, rlng1 = F.radians(lat1), F.radians(lng1)
+    rlat2, rlng2 = F.radians(lat2), F.radians(lng2)
+    sx = F.cos(rlng1) * F.cos(rlat1) + F.cos(rlng2) * F.cos(rlat2)
+    sy = F.sin(rlng1) * F.cos(rlat1) + F.sin(rlng2) * F.cos(rlat2)
+    sz = F.sin(rlat1) + F.sin(rlat2)
+    mid_lat = F.degrees(F.atan2(sz, F.sqrt(sx * sx + sy * sy)))
+    mid_lng = F.degrees(F.atan2(sy, sx))
+    return F.struct(mid_lat.alias("mid_lat"), mid_lng.alias("mid_lng"))
+
+
+def nearest_center(
+    lat: Column, lng: Column, centers: list[tuple[str, float, float]]
+) -> Column:
+    """[SQL] 1-NN classification against a small literal center list:
+    struct(dist_rad, name) per center -> array_min (lexicographic struct
+    compare == min distance, name tiebreak). The center table rides in the
+    plan as literals — the degenerate broadcast form a 10^12-row nearest-
+    POI classify takes: zero shuffle, zero join, whole-stage codegen.
+    Returns struct(dist, name)."""
+    arr = F.array(
+        *[
+            F.struct(
+                haversine_rad(lat, lng, F.lit(cla), F.lit(clng)).alias("dist"),
+                F.lit(name).alias("name"),
+            )
+            for name, cla, clng in centers
+        ]
+    )
+    return F.array_min(arr)
+
+
 def cap_contains(
     center_lat: float, center_lng: float, radius_deg: float, lat: Column, lng: Column
 ) -> Column:

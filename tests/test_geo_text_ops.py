@@ -1,0 +1,174 @@
+"""Round-3 additions: bearing / midpoint / 1-NN classify / char entropy /
+Zipf table. Each op is a native codegen expression (or a bounded top-k
+plan); tests pin the math against independent pure-python references."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _bearing_py(lat1, lng1, lat2, lng2):
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlng = math.radians(lng2) - math.radians(lng1)
+    y = math.sin(dlng) * math.cos(rlat2)
+    x = math.cos(rlat1) * math.sin(rlat2) - math.sin(rlat1) * math.cos(rlat2) * math.cos(dlng)
+    b = math.atan2(y, x)
+    return b + 2 * math.pi if b < 0 else b
+
+
+class TestBearing:
+    CASES = [
+        # due north / east / south / west from the equator
+        ((0.0, 0.0, 10.0, 0.0), 0.0),
+        ((0.0, 0.0, 0.0, 10.0), math.pi / 2),
+        ((10.0, 0.0, 0.0, 0.0), math.pi),
+        ((0.0, 10.0, 0.0, 0.0), 3 * math.pi / 2),
+    ]
+
+    def test_cardinal_directions(self, spark):
+        from gos2_spark.spark.functions import initial_bearing_rad
+
+        rows = [Row(i=i, a=c[0][0], b=c[0][1], c=c[0][2], d=c[0][3])
+                for i, c in enumerate(self.CASES)]
+        df = spark.createDataFrame(rows)
+        got = {
+            r["i"]: r["brg"]
+            for r in df.select(
+                "i",
+                initial_bearing_rad(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("brg"),
+            ).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == pytest.approx(want, abs=1e-12)
+
+    def test_matches_python_reference(self, spark):
+        from gos2_spark.spark.functions import initial_bearing_rad
+
+        pts = [
+            (40.7128, -74.0060, 51.5074, -0.1278),
+            (35.6762, 139.6503, -33.8688, 151.2093),
+            (-23.5505, -46.6333, 6.5244, 3.3792),
+            (89.0, 10.0, -89.0, -170.0),
+        ]
+        df = spark.createDataFrame(
+            [Row(i=i, a=a, b=b, c=c, d=d) for i, (a, b, c, d) in enumerate(pts)]
+        )
+        got = {
+            r["i"]: r["brg"]
+            for r in df.select(
+                "i",
+                initial_bearing_rad(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("brg"),
+            ).collect()
+        }
+        for i, (a, b, c, d) in enumerate(pts):
+            assert got[i] == pytest.approx(_bearing_py(a, b, c, d), abs=1e-12)
+            assert 0.0 <= got[i] < 2 * math.pi
+
+
+class TestSphericalMidpoint:
+    def test_equator_midpoint(self, spark):
+        from gos2_spark.spark.functions import spherical_midpoint
+
+        df = spark.createDataFrame([Row(a=0.0, b=10.0, c=0.0, d=30.0)])
+        m = df.select(
+            spherical_midpoint(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+        ).collect()[0]["m"]
+        assert m["mid_lat"] == pytest.approx(0.0, abs=1e-12)
+        assert m["mid_lng"] == pytest.approx(20.0, abs=1e-12)
+
+    def test_midpoint_is_equidistant(self, spark):
+        from gos2_spark.spark.functions import haversine_rad, spherical_midpoint
+
+        pts = [
+            (40.7128, -74.0060, 51.5074, -0.1278),
+            (-33.8688, 151.2093, 35.6762, 139.6503),
+            (10.0, 179.5, 12.0, -179.0),  # antimeridian crossing
+        ]
+        df = spark.createDataFrame(
+            [Row(i=i, a=a, b=b, c=c, d=d) for i, (a, b, c, d) in enumerate(pts)]
+        )
+        m = df.select(
+            "i", "a", "b", "c", "d",
+            spherical_midpoint(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m"),
+        )
+        out = m.select(
+            "i",
+            haversine_rad(F.col("a"), F.col("b"), F.col("m.mid_lat"), F.col("m.mid_lng")).alias("d1"),
+            haversine_rad(F.col("c"), F.col("d"), F.col("m.mid_lat"), F.col("m.mid_lng")).alias("d2"),
+            haversine_rad(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("full"),
+        ).collect()
+        for r in out:
+            assert r["d1"] == pytest.approx(r["d2"], abs=1e-9)
+            assert r["d1"] + r["d2"] == pytest.approx(r["full"], rel=1e-9)
+
+
+class TestNearestCenter:
+    def test_picks_closest_and_tiebreaks_by_name(self, spark):
+        from gos2_spark.spark.functions import nearest_center
+
+        centers = [("alpha", 0.0, 0.0), ("beta", 0.0, 90.0)]
+        df = spark.createDataFrame(
+            [Row(lat=1.0, lng=2.0), Row(lat=0.0, lng=45.0), Row(lat=-5.0, lng=80.0)]
+        )
+        out = df.select(
+            nearest_center(F.col("lat"), F.col("lng"), centers).alias("nn")
+        ).collect()
+        assert out[0]["nn"]["name"] == "alpha"
+        # exact tie at lng=45 on the equator -> lexicographically first name
+        assert out[1]["nn"]["name"] == "alpha"
+        assert out[2]["nn"]["name"] == "beta"
+
+
+class TestCharEntropy:
+    def _entropy_py(self, text):
+        import collections
+
+        counts = collections.Counter(c for c in text.lower() if c.isalpha() and c.isascii())
+        n = sum(counts.values())
+        if n == 0:
+            return 0.0
+        return math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+
+    def test_known_values(self, spark):
+        from gos2_spark.pipeline.text import char_entropy
+
+        texts = ["", "aaaa", "ab", "abcd", "Hello, World!", "the quick brown fox"]
+        df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+        got = {
+            r["i"]: r["h"]
+            for r in df.select("i", char_entropy(F.col("text")).alias("h")).collect()
+        }
+        assert got[0] == 0.0
+        assert got[1] == 0.0  # single-symbol distribution
+        assert got[2] == pytest.approx(math.log(2), abs=1e-12)
+        assert got[3] == pytest.approx(math.log(4), abs=1e-12)
+        for i, t in enumerate(texts):
+            assert got[i] == pytest.approx(self._entropy_py(t), abs=1e-12)
+
+
+class TestZipf:
+    def test_rank_and_cumshare(self, spark):
+        from gos2_spark.pipeline.text import zipf_top_tokens
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a a a b b c"),
+                Row(doc_id=1, text="a b. C!"),
+                Row(doc_id=2, text="d"),
+            ]
+        )
+        out = zipf_top_tokens(docs, top_k=3).orderBy("rank").collect()
+        # counts: a=4 b=3 c=2 d=1, total=10
+        assert [(r["rank"], r["token"], r["n_occurrences"]) for r in out] == [
+            (1, "a", 4), (2, "b", 3), (3, "c", 2),
+        ]
+        assert [r["cum_frac"] for r in out] == [0.4, 0.7, 0.9]
+
+    def test_tie_breaks_on_token(self, spark):
+        from gos2_spark.pipeline.text import zipf_top_tokens
+
+        docs = spark.createDataFrame([Row(doc_id=0, text="z y x z y x")])
+        out = zipf_top_tokens(docs, top_k=3).orderBy("rank").collect()
+        assert [r["token"] for r in out] == ["x", "y", "z"]
