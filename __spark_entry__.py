@@ -218,6 +218,30 @@ def _langs_list_sql() -> str:
     return "[" + ", ".join(f"'{x}'" for x in LANGS) + "]"
 
 
+def _entropy_oracle_sql() -> str:
+    """DuckDB twin of pipeline.text.char_entropy: same fixed alphabet,
+    same left-to-right float fold, per-doc at round-9."""
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    cnt_cols = ", ".join(
+        f"(length(t) - length(replace(t, '{ch}', ''))) AS c_{ch}" for ch in alphabet
+    )
+    total = " + ".join(f"c_{ch}" for ch in alphabet)
+    s = " + ".join(
+        f"(CASE WHEN c_{ch} > 0 THEN c_{ch} * ln(c_{ch}) ELSE 0.0 END)"
+        for ch in alphabet
+    )
+    return f"""
+        WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+        cnts AS (SELECT doc_id, {cnt_cols} FROM low),
+        agg AS (SELECT doc_id, ({total}) AS total, ({s}) AS s FROM cnts)
+        SELECT doc_id,
+               round(CASE WHEN total > 0
+                          THEN ln(CAST(total AS DOUBLE)) - s / CAST(total AS DOUBLE)
+                          ELSE 0.0 END, 9) AS entropy
+        FROM agg ORDER BY doc_id
+    """
+
+
 def _hav_sql(qlat: float, qlng: float, lat: str = "lat", lng: str = "lng") -> str:
     """DuckDB haversine to a literal center, same float-op order as
     spark.functions.haversine_rad(lat, lng, lit(qlat), lit(qlng))."""
@@ -1677,6 +1701,158 @@ def _q_geo_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(top, "cell_l4").orderBy("cell_l4")
 
 
+def _messy_url_parts(d):
+    """Deterministic messy-URL synthesis shared by the URL-pipeline queries."""
+    k = (d % 20).cast("string")
+    m = (d % 125).cast("string")
+    base = F.concat(F.lit("https://site"), k, F.lit(".example/p/"), m)
+    return k, m, base
+
+
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization gate (pipeline/web.py url_canonicalize): four
+    deterministic messiness variants per doc (uppercase host + default
+    port + fragment, tracking params, trailing slash) must all collapse
+    back to the clean base URL. Per-host rollup reports raw count,
+    distinct canonical count, and the number of rows whose canonical form
+    equals the known base — the oracle replays the full regexp chain
+    (RE2-compatible, no lookaround) in SQL."""
+    from gos2_spark.pipeline.web import url_canonicalize, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    messy = (
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"), k, F.lit(".EXAMPLE:443/p/"), m, F.lit("#ref")
+            ),
+        )
+        .when(d % 4 == 2, F.concat(base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(d % 4 == 3, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    rows = docs.select(base.alias("base"), messy.alias("messy"))
+    canon = rows.select(
+        "base", url_canonicalize(F.col("messy")).alias("canon")
+    )
+    return (
+        canon.groupBy(url_host(F.col("canon")).alias("host"))
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("canon").alias("n_canonical"),
+            F.sum((F.col("canon") == F.col("base")).cast("long")).alias(
+                "n_roundtrip_ok"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph construction (pipeline/web.py extract_links):
+    anchors are regexp-extracted from synthetic html in the JVM, relative
+    links (no host) drop, and edges aggregate to (src_host, dst_host,
+    n_links) — the exact edge table pipeline/graph.py PageRank consumes.
+    One explode + one map-side-combined groupBy."""
+    from gos2_spark.pipeline.web import extract_links, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/p/"),
+        m,
+        F.lit('">x</a> <a href="/local">l</a> <a href="https://site'),
+        ((d * 11) % 20).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    links = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("href"),
+    )
+    edges = links.select(
+        "src_host", url_host(F.col("href")).alias("dst_host")
+    ).where(F.col("dst_host") != "")
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def _q_robots_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style crawl gate (pipeline/web.py robots_gate): a tiny
+    (host, path_prefix) disallow table is broadcast and applied as a
+    nested-loop ANTI join ('*' host = global rule) — the page table never
+    shuffles. Output compares per-host totals vs kept vs blocked."""
+    from gos2_spark.pipeline.web import robots_gate, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, _base = _messy_url_parts(d)
+    pth = F.element_at(
+        F.array(
+            F.lit("/p/"), F.lit("/admin/"), F.lit("/tmp/"), F.lit("/q/"),
+            F.lit("/admin/logs/"),
+        ),
+        (d % 5 + 1).cast("int"),
+    )
+    url = F.concat(F.lit("https://site"), k, F.lit(".example"), pth, m)
+    pages = docs.select(url.alias("url"))
+    rules = spark.createDataFrame(
+        [("*", "/admin"), ("site3.example", "/tmp"), ("site7.example", "/q")],
+        "host string, path_prefix string",
+    )
+    kept = robots_gate(pages, rules)
+    tot = pages.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count("*").alias("n_total")
+    )
+    nk = kept.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count("*").alias("n_kept")
+    )
+    return (
+        tot.join(nk, "host", "left")
+        .select(
+            "host",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_blocked"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy (pipeline/text.py
+    char_entropy): the fixed-alphabet left-to-right formulation makes the
+    float summation order deterministic, so a per-row oracle gates every
+    document's value at round-9 — one codegen projection, zero shuffles."""
+    from gos2_spark.pipeline.text import char_entropy
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(char_entropy(F.col("text")), 9).alias("entropy")
+    ).orderBy("doc_id")
+
+
+def _q_zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf table (pipeline/text.py zipf_top_tokens): distributed
+    top-k via TakeOrderedAndProject over the map-side-combined vocab
+    aggregate; rank/cumulative-share are exact-integer so the table is
+    engine-reproducible."""
+    from gos2_spark.pipeline.text import zipf_top_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    return zipf_top_tokens(docs, top_k=50).orderBy("rank")
+
+
 def _q_adaptive_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive density tiling (spark/density.py): variable-resolution tile
     set over the customer points — every tile holds <= 8 points or sits at
@@ -2842,6 +3018,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_bearings": _q_trajectory_bearings,
         "gc_midpoints": _q_gc_midpoints,
         "geo_language_mix": _q_geo_language_mix,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "host_link_graph": _q_host_link_graph,
+        "robots_url_gate": _q_robots_url_gate,
+        "char_entropy_stats": _q_char_entropy,
+        "zipf_top_tokens": _q_zipf_top_tokens,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -4608,6 +4789,124 @@ def oracle_sql() -> dict[str, str]:
                    r.lang AS top_lang, r.n AS top_n
             FROM tot t JOIN ranked r ON r.cell_l4 = t.cell_l4 AND r.rk = 1
             ORDER BY t.cell_l4
+        """,
+        "url_canonical_dedup": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     'https://site' || (doc_id % 20)::VARCHAR || '.example/p/'
+                       || (doc_id % 125)::VARCHAR AS base,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 1 THEN 'HTTPS://SITE' || (doc_id % 20)::VARCHAR
+                                   || '.EXAMPLE:443/p/' || (doc_id % 125)::VARCHAR || '#ref'
+                       WHEN 2 THEN 'https://site' || (doc_id % 20)::VARCHAR || '.example/p/'
+                                   || (doc_id % 125)::VARCHAR || '?utm_source=feed&utm_medium=rss'
+                       WHEN 3 THEN 'https://site' || (doc_id % 20)::VARCHAR || '.example/p/'
+                                   || (doc_id % 125)::VARCHAR || '/'
+                       ELSE 'https://site' || (doc_id % 20)::VARCHAR || '.example/p/'
+                            || (doc_id % 125)::VARCHAR
+                     END AS messy
+              FROM documents
+            ),
+            c1 AS (SELECT doc_id, base, regexp_replace(messy, '#.*$', '') AS u FROM raw),
+            c2 AS (SELECT doc_id, base,
+                          lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1))
+                            || regexp_replace(u, '^[^/?#]*//[^/?#]*', '') AS u
+                   FROM c1),
+            c3 AS (SELECT doc_id, base,
+                          regexp_replace(
+                            regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\\1\\2'),
+                            '^(http://[^/:?#]+):80([/?#].*)?$', '\\1\\2') AS u
+                   FROM c2),
+            c4 AS (SELECT doc_id, base,
+                          regexp_replace(u, '(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+                   FROM c3),
+            c5 AS (SELECT doc_id, base,
+                          regexp_replace(replace(u, '?&', '?'), '[?&]+$', '') AS u
+                   FROM c4),
+            canon AS (SELECT doc_id, base, regexp_replace(u, '/+$', '') AS canon FROM c5)
+            SELECT lower(regexp_extract(canon,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host,
+                   count(*) AS n_raw,
+                   CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+                   CAST(sum(CASE WHEN canon = base THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_roundtrip_ok
+            FROM canon GROUP BY host ORDER BY host
+        """,
+        "host_link_graph": """
+            WITH pages AS (
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS src_host,
+                     '<html><body><a href="https://site' || ((doc_id * 7) % 20)::VARCHAR
+                       || '.example/p/' || (doc_id % 125)::VARCHAR
+                       || '">x</a> <a href="/local">l</a> <a href="https://site'
+                       || ((doc_id * 11) % 20)::VARCHAR
+                       || '.example/q">y</a></body></html>' AS html
+              FROM documents
+            ),
+            links AS (
+              SELECT src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM pages
+            ),
+            edges AS (
+              SELECT src_host,
+                     lower(regexp_extract(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS dst_host
+              FROM links
+            )
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM edges WHERE dst_host <> ''
+            GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        "robots_url_gate": """
+            WITH pages AS (
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS host,
+                     (CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/p/' WHEN 1 THEN '/admin/' WHEN 2 THEN '/tmp/'
+                        WHEN 3 THEN '/q/' ELSE '/admin/logs/' END)
+                       || (doc_id % 125)::VARCHAR AS path
+              FROM documents
+            ),
+            rules(rhost, prefix) AS (
+              VALUES ('*', '/admin'), ('site3.example', '/tmp'), ('site7.example', '/q')
+            ),
+            flagged AS (
+              SELECT host,
+                     CASE WHEN EXISTS (
+                       SELECT 1 FROM rules r
+                       WHERE (r.rhost = '*' OR r.rhost = pages.host)
+                         AND starts_with(pages.path, r.prefix)
+                     ) THEN 1 ELSE 0 END AS blocked
+              FROM pages
+            )
+            SELECT host, count(*) AS n_total,
+                   CAST(sum(1 - blocked) AS BIGINT) AS n_kept,
+                   CAST(sum(blocked) AS BIGINT) AS n_blocked
+            FROM flagged GROUP BY host ORDER BY host
+        """,
+        "char_entropy_stats": _entropy_oracle_sql(),
+        "zipf_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT token, count(*) AS n_occurrences
+              FROM toks WHERE token <> '' GROUP BY token
+            ),
+            ranked AS (
+              SELECT token, n_occurrences,
+                     CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+                     sum(n_occurrences) OVER (
+                       ORDER BY n_occurrences DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM counts
+            )
+            SELECT rank, token, n_occurrences,
+                   round(CAST(cum AS DOUBLE)
+                         / CAST((SELECT sum(n_occurrences) FROM counts) AS DOUBLE),
+                         9) AS cum_frac
+            FROM ranked WHERE rank <= 50 ORDER BY rank
         """,
         # Single-window reference plan for the engine's two-level skew-safe
         # rank — results must be IDENTICAL.

@@ -94,3 +94,63 @@ def domain_quality_prior(
     elif broadcast is False:
         prior = prior.hint("shuffle_hash")
     return parts.join(prior, "domain", "left")
+
+
+def url_canonicalize(url_col: Column) -> Column:
+    """Canonical URL form (engine-defined, deterministic): drop the
+    fragment, lowercase the scheme://host[:port] head, strip default
+    :80/:443 ports, remove tracking query params (utm_*, fbclid, gclid),
+    tidy dangling '?'/'&' separators, and strip trailing slashes.
+
+    Crawl dedup keyed on raw URLs under-merges badly (fragments and
+    tracking params fan one page out into dozens of keys); canonicalizing
+    first is the standard CCNet/RefinedWeb pre-dedup step. Every rule is a
+    single regexp/replace in whole-stage codegen — RE2-compatible patterns
+    only (no lookaround), so a SQL oracle can mirror the chain verbatim.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, r"^([^/?#]*//[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[^/?#]*//[^/?#]*", "")
+    u = F.concat(head, rest)
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.replace(u, F.lit("?&"), F.lit("?"))
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def extract_links(html_text_col: Column) -> Column:
+    """All href target strings in an HTML text column (array<string>).
+
+    One JVM-side regexp_extract_all per row — the link-graph extraction
+    that feeds host-graph construction and PageRank (pipeline/graph.py).
+    Callers with binary html decode first (pages.extract_text's decode).
+    """
+    return F.regexp_extract_all(html_text_col, F.lit(r'href="([^"]*)"'), 1)
+
+
+def url_path(url_col: Column) -> Column:
+    """URL path component ('' when absent; query/fragment excluded)."""
+    return F.regexp_extract(url_col, _HOST_RE + r"(?::\d+)?([^?#]*)", 2)
+
+
+def robots_gate(
+    pages: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose URL path starts with a disallowed prefix for their
+    host — a robots.txt-style crawl gate. ``rules`` is a tiny
+    (host, path_prefix) table where host '*' matches every host.
+
+    Shape at scale: the rules table is O(10^2..10^4) rows, so this is a
+    broadcast nested-loop ANTI join with the prefix predicate evaluated in
+    codegen — no shuffle of the page table at all. The host/path columns
+    are computed once in the same projection.
+    """
+    p = pages.withColumns(
+        {"_host": url_host(F.col(url_col)), "_path": url_path(F.col(url_col))}
+    )
+    cond = (
+        (rules["host"] == F.lit("*")) | (rules["host"] == p["_host"])
+    ) & p["_path"].startswith(rules["path_prefix"])
+    return p.join(F.broadcast(rules), cond, "left_anti").drop("_host", "_path")

@@ -172,3 +172,79 @@ class TestZipf:
         docs = spark.createDataFrame([Row(doc_id=0, text="z y x z y x")])
         out = zipf_top_tokens(docs, top_k=3).orderBy("rank").collect()
         assert [r["token"] for r in out] == ["x", "y", "z"]
+
+
+class TestUrlCanonicalize:
+    CASES = [
+        ("HTTPS://Example.COM:443/a/b#frag", "https://example.com/a/b"),
+        ("http://Example.com:80/x", "http://example.com/x"),
+        ("https://a.com/p?utm_source=x&utm_medium=y", "https://a.com/p"),
+        ("https://a.com/p?id=1&utm_source=x", "https://a.com/p?id=1"),
+        ("https://a.com/p?utm_source=x&id=1", "https://a.com/p?id=1"),
+        ("https://a.com/p/", "https://a.com/p"),
+        ("https://a.com/", "https://a.com"),
+        ("https://a.com/p?fbclid=abc", "https://a.com/p"),
+        ("https://a.com:8080/p", "https://a.com:8080/p"),  # non-default port kept
+        ("https://a.com/p?gclid=1&keep=2&utm_x=3", "https://a.com/p?keep=2"),
+    ]
+
+    def test_cases(self, spark):
+        from pyspark.sql import Row
+
+        from gos2_spark.pipeline.web import url_canonicalize
+
+        df = spark.createDataFrame(
+            [Row(i=i, url=raw) for i, (raw, _) in enumerate(self.CASES)]
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", url_canonicalize(F.col("url")).alias("c")).collect()
+        }
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, f"{raw!r} -> {got[i]!r}, want {want!r}"
+
+    def test_idempotent(self, spark):
+        from pyspark.sql import Row
+
+        from gos2_spark.pipeline.web import url_canonicalize
+
+        df = spark.createDataFrame(
+            [Row(i=i, url=want) for i, (_, want) in enumerate(self.CASES)]
+        )
+        got = df.select("i", url_canonicalize(F.col("url")).alias("c")).collect()
+        for r in got:
+            assert r["c"] == self.CASES[r["i"]][1]
+
+
+class TestLinksAndRobots:
+    def test_extract_links(self, spark):
+        from pyspark.sql import Row
+
+        from gos2_spark.pipeline.web import extract_links
+
+        html = '<a href="https://x.com/a">1</a><p></p><a href="/rel">2</a>'
+        df = spark.createDataFrame([Row(html=html), Row(html="<p>none</p>")])
+        out = [r["l"] for r in df.select(extract_links(F.col("html")).alias("l")).collect()]
+        assert out[0] == ["https://x.com/a", "/rel"]
+        assert out[1] == []
+
+    def test_robots_gate(self, spark):
+        from pyspark.sql import Row
+
+        from gos2_spark.pipeline.web import robots_gate
+
+        pages = spark.createDataFrame(
+            [
+                Row(url="https://a.com/admin/x"),      # blocked by '*'
+                Row(url="https://a.com/public"),       # kept
+                Row(url="https://b.com/tmp/1"),        # blocked host rule
+                Row(url="https://c.com/tmp/1"),        # kept (rule is b.com only)
+            ]
+        )
+        rules = spark.createDataFrame(
+            [("*", "/admin"), ("b.com", "/tmp")], "host string, path_prefix string"
+        )
+        kept = sorted(r["url"] for r in robots_gate(pages, rules).collect())
+        assert kept == ["https://a.com/public", "https://c.com/tmp/1"]
+        # original columns survive untouched
+        assert robots_gate(pages, rules).columns == ["url"]
