@@ -1842,6 +1842,75 @@ def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_spatiotemporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup over (day, level-5 cell): Spark's rollup() emits the
+    grouping-sets expand plan — per-(day, cell) counts, per-day subtotals,
+    and a grand total in ONE aggregation pass (partials reused across
+    grouping sets, a single shuffle). Cell keys come from the pure-SQL
+    Hilbert encode + parent bit arithmetic (cellid.go:168-171,503-509);
+    the oracle replays the encode and GROUP BY ROLLUP in DuckDB."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    cells = add_cellid_sql(pts, "lat", "lng", "cell_id").withColumn(
+        "cell_l5", s2_parent_sql(F.col("cell_id"), 5)
+    )
+    rolled = cells.rollup("day", "cell_l5").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    # string sentinels for the subtotal rows: NULLable BIGINT round-trips
+    # through arrow/pandas as float64 and would lose exactness in compares
+    return rolled.select(
+        F.coalesce(F.col("day"), F.lit("__total__")).alias("day"),
+        F.coalesce(F.col("cell_l5").cast("string"), F.lit("__total__")).alias(
+            "cell"
+        ),
+        "n_events",
+        "n_users",
+    ).orderBy("day", "cell")
+
+
+def _q_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical Douglas-Peucker simplification
+    (spark/trajectory.py simplify_trajectories): per-user polylines are
+    reduced to the minimal vertex subset within a 0.02 rad corridor, via
+    one applyInPandas shuffle with the reference-parity segment metric
+    (edgeutil.go:77-106) vectorized inside. Data-dependent recursion has
+    no SQL form — driver check is rows-only; value-level correctness is
+    pinned by property tests against an independent pure-python DP."""
+    from gos2_spark.spark.trajectory import simplify_trajectories
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pt_id"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    kept = simplify_trajectories(pts, tolerance_rad=0.02, key_col="user_id")
+    raw = pts.groupBy("user_id").agg(F.count("*").alias("n_before"))
+    s = kept.groupBy("user_id").agg(
+        F.count("*").alias("n_after"),
+        F.sum("pt_id").alias("kept_id_sum"),
+    )
+    return (
+        raw.join(s, "user_id")
+        .select("user_id", "n_before", "n_after", "kept_id_sum")
+        .orderBy("user_id")
+    )
+
+
 def _q_zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf table (pipeline/text.py zipf_top_tokens): distributed
     top-k via TakeOrderedAndProject over the map-side-combined vocab
@@ -3023,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_url_gate": _q_robots_url_gate,
         "char_entropy_stats": _q_char_entropy,
         "zipf_top_tokens": _q_zipf_top_tokens,
+        "spatiotemporal_rollup": _q_spatiotemporal_rollup,
+        "trajectory_simplify": _q_trajectory_simplify,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -4884,6 +4955,29 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged GROUP BY host ORDER BY host
         """,
         "char_entropy_stats": _entropy_oracle_sql(),
+        "spatiotemporal_rollup": f"""
+            WITH {_cellid_cte_duckdb(
+                "SELECT event_id AS key, "
+                "-60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat, "
+                "-170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng "
+                "FROM events"
+            )},
+            enriched AS (
+              SELECT strftime(e.ts, '%Y-%m-%d') AS day,
+                     ((c.cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
+                     e.user_id
+              FROM cells c JOIN events e ON e.event_id = c.key
+            ),
+            rolled AS (
+              SELECT day, cell_l5, count(*) AS n_events,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM enriched GROUP BY ROLLUP(day, cell_l5)
+            )
+            SELECT coalesce(day, '__total__') AS day,
+                   coalesce(CAST(cell_l5 AS VARCHAR), '__total__') AS cell,
+                   n_events, n_users
+            FROM rolled ORDER BY day, cell
+        """,
         "zipf_top_tokens": """
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

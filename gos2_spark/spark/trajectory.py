@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from .functions import haversine_rad
 
-__all__ = ["directed_hausdorff", "trajectory_hausdorff", "trajectory_profile"]
+__all__ = [
+    "directed_hausdorff",
+    "trajectory_hausdorff",
+    "trajectory_profile",
+    "simplify_trajectories",
+]
 
 
 def _pair_distances(points: DataFrame, key_col: str, broadcast_right: bool) -> DataFrame:
@@ -183,3 +188,81 @@ def trajectory_profile(
         F.degrees(F.atan2(F.col("my"), F.col("mx"))).alias("centroid_lng"),
         F.acos(F.least(F.lit(1.0), rlen)).alias("spread_rad"),
     )
+
+
+def _dp_keep_mask(xyz, tolerance_rad: float):
+    """Iterative Douglas-Peucker over unit xyz points (numpy, stack-based —
+    no recursion limits). Reuses the reference-parity segment metric
+    kernels.predicates.distance_to_edges (edgeutil.go:77-106), so 'deviation'
+    is the true great-circle point-to-arc distance, not a planar chord.
+    Ties: the FIRST point attaining the max deviation splits (deterministic
+    regardless of partitioning). Returns a bool keep-mask; endpoints always
+    kept; closed/duplicate-endpoint inputs degrade gracefully (interior
+    points farther than tolerance from the degenerate segment still split)."""
+    import numpy as np
+
+    from ..kernels.predicates import distance_to_edges
+
+    n = len(xyz)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        interior = xyz[lo + 1 : hi]
+        d = distance_to_edges(interior, xyz[lo], xyz[hi])
+        imax = int(np.argmax(d))
+        if d[imax] > tolerance_rad:
+            split = lo + 1 + imax
+            keep[split] = True
+            # push right first so the left span pops next (pure style; the
+            # result is order-independent)
+            stack.append((split, hi))
+            stack.append((lo, split))
+    return keep
+
+
+def simplify_trajectories(
+    points: DataFrame,
+    tolerance_rad: float,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "pt_id"),
+) -> DataFrame:
+    """Spherical Douglas-Peucker polyline simplification per trajectory:
+    keep the minimal vertex subset such that every dropped vertex lies
+    within ``tolerance_rad`` (great-circle radians) of the simplified
+    chain. Returns the kept rows (key, pt_id, lat, lng) — the standard
+    pre-aggregation step before trajectory storage/rendering at scale.
+
+    Execution shape: ONE applyInPandas over the key partitioning — the
+    only shuffle — with the whole divide-and-conquer running vectorized
+    numpy per trajectory (Arrow-batched, never per-row Python). DP is
+    inherently sequential per polyline but trivially parallel across the
+    billions of polylines a fleet corpus has, which is exactly what the
+    per-key grouping gives; pathological single keys are bounded upstream
+    with capped_sample_per_key. Not SQL-expressible (data-dependent
+    recursion) — correctness is pinned by property tests
+    (tests/test_geo_text_ops.py): endpoints kept, dropped-vertex deviation
+    <= tolerance against an independent pure-python DP, monotone in
+    tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    order_list = list(order_cols)
+    out_schema = points.select(key_col, "pt_id", "lat", "lng").schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list, kind="mergesort")
+        if len(pdf) <= 2:
+            return pdf[[key_col, "pt_id", "lat", "lng"]]
+        rlat = np.radians(pdf["lat"].to_numpy())
+        rlng = np.radians(pdf["lng"].to_numpy())
+        xyz = np.column_stack(
+            (np.cos(rlng) * np.cos(rlat), np.sin(rlng) * np.cos(rlat), np.sin(rlat))
+        )
+        keep = _dp_keep_mask(xyz, tolerance_rad)
+        return pdf.loc[keep, [key_col, "pt_id", "lat", "lng"]]
+
+    return points.groupBy(key_col).applyInPandas(fn, schema=out_schema)

@@ -248,3 +248,130 @@ class TestLinksAndRobots:
         assert kept == ["https://a.com/public", "https://c.com/tmp/1"]
         # original columns survive untouched
         assert robots_gate(pages, rules).columns == ["url"]
+
+
+def _ref_arc_dist(p, a, b):
+    """Independent point-to-geodesic-segment distance (projection form,
+    different formulas from kernels.predicates.distance_to_edges)."""
+    import numpy as np
+
+    p, a, b = (np.asarray(v, dtype=float) for v in (p, a, b))
+    ang = lambda u, v: math.atan2(np.linalg.norm(np.cross(u, v)), float(u @ v))
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n)
+    if nn < 1e-12:
+        return ang(p, a)
+    n = n / nn
+    c = p - (p @ n) * n
+    cn = np.linalg.norm(c)
+    if cn > 1e-12:
+        c = c / cn
+        if abs(ang(a, c) + ang(c, b) - ang(a, b)) < 1e-9:
+            return ang(p, c)
+    return min(ang(p, a), ang(p, b))
+
+
+def _ref_dp(xyz, tol):
+    """Independent recursive Douglas-Peucker using _ref_arc_dist."""
+    n = len(xyz)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        dists = [_ref_arc_dist(xyz[i], xyz[lo], xyz[hi]) for i in range(lo + 1, hi)]
+        imax = max(range(len(dists)), key=lambda i: dists[i])
+        if dists[imax] > tol:
+            split = lo + 1 + imax
+            keep[split] = True
+            rec(lo, split)
+            rec(split, hi)
+
+    rec(0, n - 1)
+    return keep
+
+
+def _latlng_xyz(lat, lng):
+    rlat, rlng = math.radians(lat), math.radians(lng)
+    return (
+        math.cos(rlng) * math.cos(rlat),
+        math.sin(rlng) * math.cos(rlat),
+        math.sin(rlat),
+    )
+
+
+class TestSimplifyTrajectories:
+    def _run(self, spark, pts, tol, parts=4):
+        from gos2_spark.spark.trajectory import simplify_trajectories
+
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=i, pt_id=i, lat=la, lng=ln) for u, i, la, ln in pts]
+        ).repartition(parts)
+        out = simplify_trajectories(df, tolerance_rad=tol, key_col="user_id")
+        return sorted((r["user_id"], r["pt_id"]) for r in out.collect())
+
+    def test_collinear_keeps_endpoints_only(self, spark):
+        pts = [(1, i, 0.0, float(i)) for i in range(10)]  # equator great circle
+        assert self._run(spark, pts, 1e-9) == [(1, 0), (1, 9)]
+
+    def test_detour_kept_below_tolerance_dropped_above(self, spark):
+        pts = [(1, 0, 0.0, 0.0), (1, 1, 5.0, 10.0), (1, 2, 0.0, 20.0)]
+        lo = self._run(spark, pts, 0.01)   # 5 deg detour >> 0.01 rad
+        hi = self._run(spark, pts, 0.2)    # 0.2 rad ~ 11.5 deg > deviation
+        assert lo == [(1, 0), (1, 1), (1, 2)]
+        assert hi == [(1, 0), (1, 2)]
+
+    def test_matches_independent_dp_and_tolerance_bound(self, spark):
+        import random
+
+        random.seed(7)
+        users = {}
+        rows = []
+        for u in range(5):
+            lat, lng = random.uniform(-50, 50), random.uniform(-150, 150)
+            traj = []
+            for i in range(40):
+                lat += random.uniform(-1.5, 1.5)
+                lng += random.uniform(0.5, 2.5)
+                traj.append((lat, lng))
+                rows.append((u, i, lat, lng))
+            users[u] = traj
+        tol = 0.01
+        got = self._run(spark, rows, tol)
+        by_user = {}
+        for u, i in got:
+            by_user.setdefault(u, []).append(i)
+        for u, traj in users.items():
+            xyz = [_latlng_xyz(la, ln) for la, ln in traj]
+            want = [i for i, k in enumerate(_ref_dp(xyz, tol)) if k]
+            assert by_user[u] == want, f"user {u}"
+            # every dropped vertex within tol of the simplified chain
+            kept = by_user[u]
+            for i in range(len(traj)):
+                if i in kept:
+                    continue
+                lo = max(k for k in kept if k < i)
+                hi = min(k for k in kept if k > i)
+                assert _ref_arc_dist(xyz[i], xyz[lo], xyz[hi]) <= tol + 1e-12
+
+    def test_larger_tolerance_is_subset(self, spark):
+        import random
+
+        random.seed(11)
+        rows = []
+        lat = lng = 0.0
+        for i in range(60):
+            lat += random.uniform(-2, 2)
+            lng += random.uniform(0.5, 2)
+            rows.append((1, i, lat, lng))
+        small = {i for _, i in self._run(spark, rows, 0.005)}
+        large = {i for _, i in self._run(spark, rows, 0.05)}
+        assert large <= small
+        assert {0, 59} <= large
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(u, i, math.sin(i / 3.0) * 20.0, i * 2.0) for u in (1, 2) for i in range(25)]
+        assert self._run(spark, rows, 0.01, parts=1) == self._run(
+            spark, rows, 0.01, parts=8
+        )
