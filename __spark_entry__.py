@@ -1911,6 +1911,55 @@ def _q_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (spark/temporal.py asof_join): every event is
+    enriched with the tier of the most recent profile update (a sparse
+    per-user timeline derived from every 17th event) at or before its
+    timestamp. The union + last(ignorenulls) running-window plan does ONE
+    user-keyed shuffle — no inequality-join blowup. The oracle is DuckDB's
+    native ASOF LEFT JOIN, an entirely independent implementation.
+    Unmatched rows surface as tier = -1 (sentinel keeps the column
+    non-null int64 end to end)."""
+    from gos2_spark.spark.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.where(F.col("event_id") % 17 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("event_id") % 5).alias("tier"))
+    )
+    j = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["tier"])
+    return j.select(
+        "event_id", F.coalesce(F.col("tier"), F.lit(-1)).alias("tier")
+    ).orderBy("event_id")
+
+
+def _q_gc_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct geodesy (spark/functions.py gc_destination): move each
+    customer point a key-derived distance along a key-derived bearing;
+    per-row oracle re-derives the destination AND closes the loop with a
+    haversine distance-error column (identical float sequence in both
+    engines, so the error rounds to zero everywhere)."""
+    from gos2_spark.spark.functions import gc_destination, haversine_rad
+
+    pts = _cust_points(spark, sf_dir)
+    brg = F.radians(F.col("key") % 360)
+    dist = (F.col("key") % 5) * 0.01 + 0.03
+    d = gc_destination(F.col("lat"), F.col("lng"), brg, dist)
+    out = pts.select("key", "lat", "lng", d.alias("d"), dist.alias("dist"))
+    chk = haversine_rad(
+        F.col("lat"), F.col("lng"), F.col("d.dst_lat"), F.col("d.dst_lng")
+    )
+    return out.select(
+        "key",
+        F.round("d.dst_lat", 9).alias("dst_lat"),
+        F.round("d.dst_lng", 9).alias("dst_lng"),
+        # abs(): -0.0 vs 0.0 would desync repr-sorted row alignment
+        F.round(F.abs(chk - F.col("dist")), 9).alias("dist_err"),
+    ).orderBy("key")
+
+
 def _q_zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf table (pipeline/text.py zipf_top_tokens): distributed
     top-k via TakeOrderedAndProject over the map-side-combined vocab
@@ -3094,6 +3143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_top_tokens": _q_zipf_top_tokens,
         "spatiotemporal_rollup": _q_spatiotemporal_rollup,
         "trajectory_simplify": _q_trajectory_simplify,
+        "asof_profile_join": _q_asof_profile_join,
+        "gc_destination": _q_gc_destination,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -4977,6 +5028,60 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(cell_l5 AS VARCHAR), '__total__') AS cell,
                    n_events, n_users
             FROM rolled ORDER BY day, cell
+        """,
+        # independent implementation check: DuckDB's native ASOF JOIN vs
+        # the engine's union + carry-forward-window plan
+        "asof_profile_join": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events),
+            r AS (
+              SELECT user_id, ts, max(event_id % 5) AS tier
+              FROM events WHERE event_id % 17 = 0 GROUP BY user_id, ts
+            )
+            SELECT l.event_id, coalesce(r.tier, -1) AS tier
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "gc_destination": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL}),
+            p AS (
+              SELECT key, lat, lng,
+                     radians(key % 360) AS brg,
+                     (key % 5) * 0.01 + 0.03 AS dist
+              FROM pts
+            ),
+            s AS (
+              SELECT *,
+                     sin(radians(lat)) * cos(dist)
+                       + cos(radians(lat)) * sin(dist) * cos(brg) AS sin_lat2
+              FROM p
+            ),
+            d0 AS (
+              SELECT key, lat, lng, dist,
+                     degrees(asin(greatest(-1.0, least(1.0, sin_lat2)))) AS dst_lat,
+                     degrees(radians(lng) + atan2(
+                       sin(brg) * sin(dist) * cos(radians(lat)),
+                       cos(dist) - sin(radians(lat)) * sin_lat2)) AS lng2d
+              FROM s
+            ),
+            d AS (
+              SELECT key, lat, lng, dist, dst_lat,
+                     lng2d - 360.0 * floor((lng2d + 180.0) / 360.0) AS dst_lng
+              FROM d0
+            ),
+            x AS (
+              SELECT *,
+                     power(sin(0.5 * (radians(dst_lat) - radians(lat))), 2)
+                       + power(sin(0.5 * (radians(dst_lng) - radians(lng))), 2)
+                         * cos(radians(lat)) * cos(radians(dst_lat)) AS hx
+              FROM d
+            )
+            SELECT key,
+                   round(dst_lat, 9) AS dst_lat,
+                   round(dst_lng, 9) AS dst_lng,
+                   round(abs(2 * atan2(sqrt(hx), sqrt(greatest(0.0, 1.0 - hx))) - dist), 9)
+                     AS dist_err
+            FROM x ORDER BY key
         """,
         "zipf_top_tokens": """
             WITH toks AS (

@@ -89,6 +89,18 @@ BENCH_QUERIES = [
     "geohash_counts",
     "trajectory_hausdorff",
     "trajectory_profiles",
+    "dbscan_clusters",
+    "nearest_city_classify",
+    "trajectory_bearings",
+    "gc_midpoints",
+    "geo_language_mix",
+    "url_canonical_dedup",
+    "host_link_graph",
+    "robots_url_gate",
+    "char_entropy_stats",
+    "zipf_top_tokens",
+    "spatiotemporal_rollup",
+    "trajectory_simplify",
 ]
 
 

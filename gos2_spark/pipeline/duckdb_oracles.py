@@ -378,13 +378,24 @@ def _token(cell: str) -> str:
 def edge_neighbors_l8_oracle_sql(points_cte: str, level: int = 8) -> str:
     """Oracle for the EdgeNeighbors op (cellid.go:210-220) at ``level``:
     4 edge-adjacent same-level cells per distinct occupied cell.
+    Output (token, nbr_token); see edge_neighbors_cte_sql for the body."""
+    return f"""
+        WITH {edge_neighbors_cte_sql(points_cte, level)}
+        SELECT {_token('cell_l')} AS token, {_token('nbr')} AS nbr_token
+        FROM nb_all ORDER BY token, nbr_token
+    """
+
+
+def edge_neighbors_cte_sql(points_cte: str, level: int = 8) -> str:
+    """Composable WITH-body ending in ``nb_all(cell_l, nbr)`` — the 4
+    edge-adjacent level-L cells of every distinct occupied level-L cell.
 
     Works from each point's own leaf (face,i,j) — any leaf inside a cell
     yields the same level-L neighbors after the final parent-at-L, so no
     inverse-Hilbert decode is needed. In-range offsets re-encode on the
     same face; out-of-range offsets go through the exact
     cellIDFromFaceIJWrap float path (uv projection -> xyz -> new face/uv
-    -> st -> ij, cellid.go:440-469). Output (token, nbr_token)."""
+    -> st -> ij, cellid.go:440-469)."""
     size = 1 << (30 - level)
     lsb = 1 << (2 * (30 - level))
     parent = lambda c: f"(({c}) & -{lsb}) | {lsb}"  # noqa: E731
@@ -488,12 +499,9 @@ def edge_neighbors_l8_oracle_sql(points_cte: str, level: int = 8) -> str:
             f"SELECT cell_l, {parent(_biased_leaf())} AS nbr FROM {wrap_final}"
         )
     all_cte = ",\n".join(pieces)
-    return f"""
-        WITH {points_cte},
+    return f"""{points_cte},
         {all_cte},
         nb_all AS ({" UNION ALL ".join(unions)})
-        SELECT {_token('cell_l')} AS token, {_token('nbr')} AS nbr_token
-        FROM nb_all ORDER BY token, nbr_token
     """
 
 

@@ -391,6 +391,30 @@ def spherical_midpoint(
     return F.struct(mid_lat.alias("mid_lat"), mid_lng.alias("mid_lng"))
 
 
+def gc_destination(
+    lat: Column, lng: Column, bearing_rad: Column, dist_rad: Column
+) -> Column:
+    """[SQL] Great-circle destination point: travel ``dist_rad`` radians
+    from (lat, lng) along initial bearing ``bearing_rad``. The inverse of
+    initial_bearing_rad (standard direct-geodesy formula on the unit
+    sphere). Returns struct(dst_lat, dst_lng) in degrees, longitude
+    normalized to [-180, 180). Native codegen, DuckDB-mirrorable."""
+    rlat, rlng = F.radians(lat), F.radians(lng)
+    sin_lat2 = F.sin(rlat) * F.cos(dist_rad) + F.cos(rlat) * F.sin(dist_rad) * F.cos(
+        bearing_rad
+    )
+    lat2 = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), sin_lat2)))
+    lng2 = rlng + F.atan2(
+        F.sin(bearing_rad) * F.sin(dist_rad) * F.cos(rlat),
+        F.cos(dist_rad) - F.sin(rlat) * sin_lat2,
+    )
+    lng2d = F.degrees(lng2)
+    dst_lng = lng2d - 360.0 * F.floor((lng2d + 180.0) / 360.0)
+    return F.struct(
+        F.degrees(lat2).alias("dst_lat"), dst_lng.alias("dst_lng")
+    )
+
+
 def nearest_center(
     lat: Column, lng: Column, centers: list[tuple[str, float, float]]
 ) -> Column:

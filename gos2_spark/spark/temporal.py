@@ -1,0 +1,74 @@
+"""Temporal joins: scalable as-of join (point-in-time lookup).
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The naive formulation —
+an inequality join ``l.ts >= r.ts`` plus a per-left-row max — degenerates
+into a per-key cross product that explodes quadratically on hot keys. This
+module implements the scalable pattern instead: tag both sides, UNION them,
+and carry the latest right-side values forward with one
+``last(ignorenulls)`` running window per key — ONE shuffle on the key,
+zero UDFs, linear in rows, and immune to key skew beyond ordinary window
+sort cost. This is the shape a 10^12-row event-to-dimension point-in-time
+enrichment needs (e.g. joining every crawl event to the profile/config
+version active at that instant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` in the same key group (backward as-of; ties at
+    equal ts match, i.e. inclusive). Right rows with duplicate (key, ts)
+    must be pre-deduplicated by the caller — the union-window otherwise
+    picks the physically-last one, which is not a stable contract.
+
+    Returns all left columns plus ``value_cols`` (NULL when no earlier
+    right row exists).
+
+    Plan: unionByName with a side tag; right rows carry their values in ONE
+    struct column so a) NULLs inside right values survive (the
+    ignorenulls skip applies to the struct, never the payload fields) and
+    b) the carry-forward is a single ``last(_payload, ignorenulls=True)``
+    window expression over
+    ``(key) ORDER BY (ts, side) ROWS UNBOUNDED PRECEDING..CURRENT`` —
+    right rows sort before left rows at equal ts so equal-ts matches are
+    inclusive. Filter back to left rows. One exchange, one sort.
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != ts_col]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        *keys,
+        ts_col,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_payload"),
+    ).withColumn("_side", F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_carry", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.where(F.col("_side") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col("_carry").getField(c))
+    return out.drop("_side", "_payload", "_carry")

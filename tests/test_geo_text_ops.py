@@ -375,3 +375,124 @@ class TestSimplifyTrajectories:
         assert self._run(spark, rows, 0.01, parts=1) == self._run(
             spark, rows, 0.01, parts=8
         )
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [Row(k=1, ts=t, eid=i) for i, t in enumerate([5, 10, 15, 20])]
+            + [Row(k=2, ts=t, eid=100 + i) for i, t in enumerate([1, 9])]
+        )
+        right = spark.createDataFrame(
+            [Row(k=1, ts=10, v="a"), Row(k=1, ts=18, v="b"), Row(k=2, ts=50, v="z")]
+        )
+        return left, right
+
+    def test_backward_inclusive(self, spark):
+        from gos2_spark.spark.temporal import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["eid"]: r["v"]
+            for r in asof_join(left, right, on="k", ts_col="ts").collect()
+        }
+        # ts=5: no update yet; ts=10: equal-ts inclusive; ts=15: still 'a';
+        # ts=20: 'b'; key 2 has no update before either event
+        assert out == {0: None, 1: "a", 2: "a", 3: "b", 100: None, 101: None}
+
+    def test_null_payload_value_survives(self, spark):
+        from gos2_spark.spark.temporal import asof_join
+
+        left = spark.createDataFrame([Row(k=1, ts=10, eid=0), Row(k=1, ts=30, eid=1)])
+        right = spark.createDataFrame(
+            [Row(k=1, ts=5, v="x"), Row(k=1, ts=20, v=None)]
+        )
+        out = {
+            r["eid"]: r["v"]
+            for r in asof_join(left, right, on="k", ts_col="ts").collect()
+        }
+        # the ts=20 update really sets v to NULL; carry-forward must not
+        # skip back to 'x'
+        assert out == {0: "x", 1: None}
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from gos2_spark.spark.temporal import asof_join
+
+        rng = np.random.default_rng(3)
+        lpd = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 300),
+                "ts": rng.integers(0, 1000, 300),
+                "eid": np.arange(300),
+            }
+        )
+        rpd = (
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 5, 40),
+                    "ts": rng.integers(0, 1000, 40),
+                }
+            )
+            .drop_duplicates(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        rpd["val"] = np.arange(len(rpd))
+        want = pd.merge_asof(
+            lpd.sort_values("ts", kind="mergesort"),
+            rpd.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward",
+        ).set_index("eid")["val"].to_dict()
+        out = asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on="k", ts_col="ts",
+        ).collect()
+        got = {r["eid"]: r["val"] for r in out}
+        for eid, w in want.items():
+            g = got[eid]
+            assert (g is None and pd.isna(w)) or g == w, f"eid {eid}: {g} != {w}"
+
+    def test_collision_raises(self, spark):
+        from gos2_spark.spark.temporal import asof_join
+
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError):
+            asof_join(left.withColumnRenamed("eid", "v"), right, on="k", ts_col="ts")
+
+
+class TestGcDestination:
+    def test_roundtrip_bearing_and_distance(self, spark):
+        from gos2_spark.spark.functions import (
+            gc_destination, haversine_rad, initial_bearing_rad,
+        )
+
+        rows = [
+            Row(i=0, lat=40.7128, lng=-74.0060, brg=1.0, dist=0.05),
+            Row(i=1, lat=-33.8688, lng=151.2093, brg=4.5, dist=0.2),
+            Row(i=2, lat=0.0, lng=179.9, brg=math.pi / 2, dist=0.1),  # wraps
+            Row(i=3, lat=80.0, lng=10.0, brg=0.0, dist=0.3),  # over the pole region
+        ]
+        df = spark.createDataFrame(rows)
+        d = gc_destination(F.col("lat"), F.col("lng"), F.col("brg"), F.col("dist"))
+        out = df.select(
+            "i", "brg", "dist",
+            haversine_rad(F.col("lat"), F.col("lng"), d["dst_lat"], d["dst_lng"]).alias("hd"),
+            initial_bearing_rad(F.col("lat"), F.col("lng"), d["dst_lat"], d["dst_lng"]).alias("hb"),
+            d["dst_lng"].alias("dst_lng"),
+        ).collect()
+        for r in out:
+            assert r["hd"] == pytest.approx(r["dist"], rel=1e-9)
+            werr = abs(r["hb"] - r["brg"])
+            assert min(werr, 2 * math.pi - werr) < 1e-9  # bearing wraps at 2pi
+            assert -180.0 <= r["dst_lng"] < 180.0
+
+    def test_due_east_on_equator(self, spark):
+        from gos2_spark.spark.functions import gc_destination
+
+        df = spark.createDataFrame([Row(lat=0.0, lng=0.0)])
+        d = gc_destination(F.col("lat"), F.col("lng"), F.lit(math.pi / 2), F.lit(0.5))
+        r = df.select(d.alias("d")).collect()[0]["d"]
+        assert r["dst_lat"] == pytest.approx(0.0, abs=1e-12)
+        assert r["dst_lng"] == pytest.approx(math.degrees(0.5), abs=1e-9)
