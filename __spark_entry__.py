@@ -1676,12 +1676,25 @@ def _q_geo_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cellid.go:168-171), then one (cell, lang) hash agg + a window pick of
     the dominant language with deterministic (count desc, lang) tiebreak.
     The oracle replays the FULL Hilbert encode in SQL plus the same parent
-    bit arithmetic, so this gates the whole indexing path end-to-end."""
+    bit arithmetic, so this gates the whole indexing path end-to-end.
+
+    Plan shape: pure-codegen encode (add_cellid_sql — no Python stage at
+    all), ONE (cell, lang) hash agg, then ONE cell-keyed window pass that
+    produces rank, per-cell totals, and lang counts together (a groupBy +
+    join formulation costs an extra exchange and a join)."""
     from pyspark.sql import Window
 
+    from gos2_spark.spark.functions import add_cellid_sql
     from gos2_spark.spark.pages import LANGS, s2_parent_sql
 
-    pts = _cust_points(spark, sf_dir)
+    c = _load(spark, sf_dir, "customer")
+    lat = (-60.0 + (F.col("c_custkey") * 7 % 120)
+           + (F.col("c_custkey") % 97) / 97.0).alias("lat")
+    lng = (-170.0 + (F.col("c_custkey") * 13 % 340)
+           + (F.col("c_custkey") % 89) / 89.0).alias("lng")
+    pts = add_cellid_sql(
+        c.select(F.col("c_custkey").alias("key"), lat, lng), "lat", "lng", "cell_id"
+    )
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]), (F.col("key") % 6 + 1).cast("int")
     )
@@ -1689,16 +1702,21 @@ def _q_geo_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2_parent_sql(F.col("cell_id"), 4).alias("cell_l4"), lang.alias("lang")
     )
     per = cells.groupBy("cell_l4", "lang").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("cell_l4").orderBy(F.desc("n"), "lang")
-    top = (
-        per.withColumn("rk", F.row_number().over(w))
+    w = Window.partitionBy("cell_l4")
+    wr = w.orderBy(F.desc("n"), "lang")
+    return (
+        per.select(
+            "cell_l4",
+            F.row_number().over(wr).alias("rk"),
+            F.sum("n").over(w).alias("n_points"),
+            F.count("*").over(w).alias("n_langs"),
+            F.col("lang").alias("top_lang"),
+            F.col("n").alias("top_n"),
+        )
         .where(F.col("rk") == 1)
-        .select("cell_l4", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+        .drop("rk")
+        .orderBy("cell_l4")
     )
-    tot = per.groupBy("cell_l4").agg(
-        F.sum("n").alias("n_points"), F.count("*").alias("n_langs")
-    )
-    return tot.join(top, "cell_l4").orderBy("cell_l4")
 
 
 def _messy_url_parts(d):

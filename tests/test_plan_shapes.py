@@ -96,3 +96,69 @@ def test_bloom_gate_broadcast_only_probe(spark):
     assert not re.search(r"Exchange hashpartitioning\(word_idx", plan), (
         plan[:1500]
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "url_canonical_dedup",
+        "host_link_graph",
+        "robots_url_gate",
+        "char_entropy_stats",
+        "zipf_top_tokens",
+        "asof_profile_join",
+        "gc_destination",
+        "gc_midpoints",
+        "trajectory_bearings",
+        "nearest_city_classify",
+        "geo_language_mix",
+        "spatiotemporal_rollup",
+    ],
+)
+def test_round3_queries_pure_catalyst(spark, name):
+    """The round-3 webtext/geodesy queries claim pure-Catalyst execution
+    (native regexp/trig/window codegen, no Python worker anywhere)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_char_entropy_single_projection(spark):
+    """char_entropy is ONE codegen projection: the only exchange in the
+    query is the final presentation orderBy."""
+    assert _exchanges(_plan(spark, "char_entropy_stats")) <= 1
+
+
+def test_gc_destination_single_projection(spark):
+    assert _exchanges(_plan(spark, "gc_destination")) <= 1
+
+
+def test_zipf_uses_distributed_topk(spark):
+    """The Zipf table must take the TakeOrderedAndProject path (per-
+    partition heaps), never a single-partition window over the full
+    vocabulary."""
+    plan = _plan(spark, "zipf_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_robots_gate_is_broadcast_nested_loop(spark):
+    """The disallow table rides as a broadcast nested-loop anti join; the
+    page table must not shuffle for the gate itself."""
+    plan = _plan(spark, "robots_url_gate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_simplify_is_single_pandas_stage(spark):
+    """Douglas-Peucker runs as exactly one grouped pandas stage (the
+    per-trajectory kernel); everything around it is native."""
+    plan = _plan(spark, "trajectory_simplify")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_asof_join_bounded_exchanges(spark):
+    """asof join: right-side prep agg + ONE key window + presentation
+    sort — no inequality-join blowup, no extra shuffles."""
+    plan = _plan(spark, "asof_profile_join")
+    assert _exchanges(plan) <= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
