@@ -218,6 +218,51 @@ def _langs_list_sql() -> str:
     return "[" + ", ".join(f"'{x}'" for x in LANGS) + "]"
 
 
+def _hits_oracle_sql(iterations: int = 2) -> str:
+    """DuckDB twin of pipeline.graph.hits over the synthetic 64-node
+    domain graph: each round is a join-agg CTE pair with the same L1
+    normalization (scalar-subquery totals)."""
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 11 + 5) % 64 AS dst
+          FROM customer
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes)
+    """
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        a{i}r AS (
+          SELECT e.dst AS node, sum({prev_h}.hub) AS auth
+          FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY 1
+        ),
+        a{i} AS (
+          SELECT node, auth / (SELECT sum(auth) FROM a{i}r) AS auth FROM a{i}r
+        ),
+        h{i}r AS (
+          SELECT e.src AS node, sum(a{i}.auth) AS hub
+          FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1
+        ),
+        h{i} AS (
+          SELECT node, hub / (SELECT sum(hub) FROM h{i}r) AS hub FROM h{i}r
+        )
+    """
+        prev_h = f"h{i}"
+    n = iterations
+    sql += f"""
+        SELECT nodes.node,
+               round(coalesce(h{n}.hub, 0.0), 6) AS hub,
+               round(coalesce(a{n}.auth, 0.0), 6) AS authority
+        FROM nodes
+        LEFT JOIN h{n} ON nodes.node = h{n}.node
+        LEFT JOIN a{n} ON nodes.node = a{n}.node
+        ORDER BY nodes.node
+    """
+    return sql
+
+
 def _entropy_oracle_sql() -> str:
     """DuckDB twin of pipeline.text.char_entropy: same fixed alphabet,
     same left-to-right float fold, per-doc at round-9."""
@@ -1978,6 +2023,55 @@ def _q_gc_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+def _q_interval_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join (spark/temporal.py interval_join): every 23rd
+    event opens a 2-hour per-user window; all same-user events inside it
+    are matched via the bucket-explode EQUI join + codegen BETWEEN refine
+    — never an inequality nested loop. The oracle runs the naive
+    inequality join directly in DuckDB (fine at sf scale), so the bucket
+    decomposition is value-checked against the declarative definition."""
+    from gos2_spark.spark.temporal import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    wins = ev.where(F.col("event_id") % 23 == 0).select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    j = interval_join(left, wins, on="user_id", bucket_seconds=3600)
+    return (
+        j.groupBy("win_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("event_sum"),
+        )
+        .orderBy("win_id")
+    )
+
+
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the synthetic 64-node domain graph
+    (pipeline/graph.py hits): 2 unrolled rounds of hub/authority power
+    iteration, L1-normalized via broadcast single-row totals; the oracle
+    replays the rounds as chained CTEs. Complements domain_pagerank as
+    the second link-analysis primitive."""
+    from gos2_spark.pipeline.graph import hits
+
+    c = _load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 64).alias("src"),
+        ((F.col("c_custkey") * 11 + 5) % 64).alias("dst"),
+    )
+    out = hits(edges, iterations=2)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("node")
+
+
 def _q_zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf table (pipeline/text.py zipf_top_tokens): distributed
     top-k via TakeOrderedAndProject over the map-side-combined vocab
@@ -3163,6 +3257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_simplify": _q_trajectory_simplify,
         "asof_profile_join": _q_asof_profile_join,
         "gc_destination": _q_gc_destination,
+        "interval_window_join": _q_interval_window_join,
+        "hits_scores": _q_hits_scores,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -5101,6 +5197,25 @@ def oracle_sql() -> dict[str, str]:
                      AS dist_err
             FROM x ORDER BY key
         """,
+        # the oracle runs the NAIVE inequality range join the engine's
+        # bucket decomposition must be equivalent to
+        "interval_window_join": """
+            WITH w AS (
+              SELECT event_id AS win_id, user_id,
+                     ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 23 = 0
+            ),
+            m AS (
+              SELECT w.win_id, e.event_id
+              FROM w JOIN events e
+                ON e.user_id = w.user_id
+               AND e.ts >= w.start_ts AND e.ts <= w.end_ts
+            )
+            SELECT win_id, count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS event_sum
+            FROM m GROUP BY win_id ORDER BY win_id
+        """,
+        "hits_scores": _hits_oracle_sql(2),
         "zipf_top_tokens": """
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -206,3 +206,67 @@ def pagerank(
         )
         ranks = materialize(ranks)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize=None,
+) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` HITS rounds
+    (Kleinberg's hubs-and-authorities — the classic link-analysis
+    complement to PageRank for crawl frontier/quality scoring).
+
+    Each half-step is one hash join + one map-side-combined aggregation
+    over the distinct edge table; scores are L1-normalized via a
+    broadcast single-row total (no driver collect), so per-iteration
+    cost is two bounded shuffles. Same per-iteration materialize
+    discipline as :func:`pagerank` to keep lineage O(1)."""
+    if materialize is None:
+        materialize = _default_materialize(edges.sparkSession)
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = materialize(nodes)
+    edges = materialize(edges)
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("_t"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        auth = materialize(_l1(a_raw, "auth"))
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+        hubs = materialize(_l1(h_raw, "hub"))
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("authority"),
+        )
+    )
+    return out

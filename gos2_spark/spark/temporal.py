@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -72,3 +72,39 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(c, F.col("_carry").getField(c))
     return out.drop("_side", "_payload", "_carry")
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str] | None = None,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """All (left row, interval) pairs with
+    ``start_ts <= left.ts <= end_ts`` (plus optional key equality) —
+    a temporal range join.
+
+    The naive formulation is a pure inequality join, which Catalyst
+    executes as a (broadcast) nested-loop / per-key cross product — at
+    10^12 events that's quadratic. This instead EQUI-joins on a time
+    bucket: each interval explodes into the ``bucket_seconds``-wide
+    buckets it covers, each left row maps to its single bucket, and a
+    codegen BETWEEN refines. Every qualifying pair appears exactly once
+    (a left row's bucket is covered at most once per interval). Pick
+    ``bucket_seconds`` near the typical interval length: exploded-row
+    cost is O(intervals x ceil(interval_len / bucket_seconds)).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    lb = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    l_tag = left.withColumn("_bucket", lb)
+    s = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+    e = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds).cast("long")
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(s, e)))
+    joined = l_tag.join(iv, ["_bucket", *keys])
+    refine = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) <= F.col(end_col)
+    )
+    return joined.where(refine).drop("_bucket")

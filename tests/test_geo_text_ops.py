@@ -496,3 +496,85 @@ class TestGcDestination:
         r = df.select(d.alias("d")).collect()[0]["d"]
         assert r["dst_lat"] == pytest.approx(0.0, abs=1e-12)
         assert r["dst_lng"] == pytest.approx(math.degrees(0.5), abs=1e-9)
+
+
+class TestIntervalJoin:
+    def test_matches_brute_force_and_bucket_invariance(self, spark):
+        import datetime as dt
+        import random
+
+        random.seed(5)
+        base = dt.datetime(2024, 1, 1)
+        evs = [
+            Row(k=random.randint(0, 3), ts=base + dt.timedelta(seconds=random.randint(0, 200_000)), eid=i)
+            for i in range(300)
+        ]
+        wins = [
+            Row(
+                k=random.randint(0, 3),
+                wid=j,
+                start_ts=(s := base + dt.timedelta(seconds=random.randint(0, 150_000))),
+                end_ts=s + dt.timedelta(seconds=random.randint(0, 30_000)),
+            )
+            for j in range(25)
+        ]
+        left = spark.createDataFrame(evs)
+        iv = spark.createDataFrame(wins)
+        brute = {
+            (e.eid, w.wid)
+            for e in evs
+            for w in wins
+            if e.k == w.k and w.start_ts <= e.ts <= w.end_ts
+        }
+        from gos2_spark.spark.temporal import interval_join
+
+        for bucket in (600, 3600, 86400):
+            got = {
+                (r["eid"], r["wid"])
+                for r in interval_join(
+                    left, iv, on="k", ts_col="ts", bucket_seconds=bucket
+                ).collect()
+            }
+            assert got == brute, f"bucket={bucket}"
+
+    def test_boundaries_inclusive(self, spark):
+        import datetime as dt
+
+        from gos2_spark.spark.temporal import interval_join
+
+        t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [Row(ts=t0, eid=0), Row(ts=t0 + dt.timedelta(hours=2), eid=1),
+             Row(ts=t0 + dt.timedelta(hours=2, seconds=1), eid=2)]
+        )
+        iv = spark.createDataFrame(
+            [Row(wid=9, start_ts=t0, end_ts=t0 + dt.timedelta(hours=2))]
+        )
+        got = sorted(r["eid"] for r in interval_join(left, iv).collect())
+        assert got == [0, 1]
+
+
+class TestHits:
+    def test_star_graph(self, spark):
+        from gos2_spark.pipeline.graph import hits
+
+        # hub 0 points at 1..3; node 9 isolated-ish (one self-contained edge pair)
+        edges = spark.createDataFrame(
+            [Row(src=0, dst=1), Row(src=0, dst=2), Row(src=0, dst=3)]
+        )
+        out = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, 2).collect()}
+        assert out[0][0] == pytest.approx(1.0)      # the only hub
+        assert out[0][1] == 0.0                      # no in-links
+        for v in (1, 2, 3):
+            assert out[v][0] == 0.0
+            assert out[v][1] == pytest.approx(1 / 3)
+
+    def test_l1_normalized(self, spark):
+        from gos2_spark.pipeline.graph import hits
+
+        edges = spark.createDataFrame(
+            [Row(src=i % 7, dst=(i * 3 + 1) % 7) for i in range(20)]
+        )
+        rows = hits(edges, 3).collect()
+        assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-12)
+        assert sum(r["authority"] for r in rows) == pytest.approx(1.0, abs=1e-12)
