@@ -2072,6 +2072,26 @@ def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 0.9
+    (pipeline/dedup.py jaccard_join, PPJoin-style rare-first prefix
+    filtering with no global rank materialization): the zero-false-
+    negative complement to the MinHash/SimHash approximate dedup paths.
+    The oracle is the brute-force O(n^2) list_intersect join in DuckDB,
+    so the prefix filter's completeness is value-checked, not assumed."""
+    from gos2_spark.pipeline.dedup import jaccard_join
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = jaccard_join(docs, threshold=0.9)
+    return out.select(
+        "key_a",
+        "key_b",
+        F.col("inter").alias("n_inter"),
+        F.col("union").alias("n_union"),
+        F.round("jaccard", 9).alias("jaccard"),
+    ).orderBy("key_a", "key_b")
+
+
 def _q_zipf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf table (pipeline/text.py zipf_top_tokens): distributed
     top-k via TakeOrderedAndProject over the map-side-combined vocab
@@ -3259,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_destination": _q_gc_destination,
         "interval_window_join": _q_interval_window_join,
         "hits_scores": _q_hits_scores,
+        "jaccard_similarity_join": _q_jaccard_similarity_join,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -5216,6 +5237,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY win_id ORDER BY win_id
         """,
         "hits_scores": _hits_oracle_sql(2),
+        # brute-force O(n^2) reference: the engine's prefix filter must
+        # lose NO qualifying pair
+        "jaccard_similarity_join": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> len(t) > 0)) AS s
+              FROM documents WHERE doc_id < 300
+            ),
+            p AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                     len(list_intersect(a.s, b.s)) AS n_inter,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                       AS n_union
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0
+            )
+            SELECT key_a, key_b, n_inter, n_union,
+                   round(n_inter::DOUBLE / n_union::DOUBLE, 9) AS jaccard
+            FROM p WHERE n_inter::DOUBLE / n_union::DOUBLE >= 0.9
+            ORDER BY key_a, key_b
+        """,
         "zipf_top_tokens": """
             WITH toks AS (
               SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token

@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "zipf_top_tokens",
     "spatiotemporal_rollup",
     "trajectory_simplify",
+    "asof_profile_join",
+    "gc_destination",
+    "interval_window_join",
+    "hits_scores",
+    "jaccard_similarity_join",
 ]
 
 

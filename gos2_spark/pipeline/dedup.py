@@ -509,3 +509,85 @@ def line_dedup(
         F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+def jaccard_join(
+    docs: DataFrame,
+    threshold: float,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join: all document pairs whose distinct-
+    token Jaccard >= ``threshold`` — (key_a, key_b, inter, union, jaccard).
+    The exact complement to the MinHash/SimHash approximate paths above:
+    use those to dedup at corpus scale, this to verify/calibrate them or
+    to run moderate-cardinality joins with zero false negatives/positives.
+
+    Scale shape (PPJoin-style prefix filtering, Xiao et al. WWW'08):
+    a pair with Jaccard >= t must share at least one token among each
+    doc's first ``L - ceil(t*L) + 1`` tokens under a GLOBAL token order.
+    We order by (document frequency asc, token) — rare-first, so prefix
+    buckets are the SMALLEST buckets — and crucially need no global rank
+    materialization: ordering happens inside a per-document window, and
+    candidate generation is an equi-join on the prefix token. Verification
+    is one (pair, token) join + exact integer |A∩B| / |A∪B|. Every stage
+    is a keyed shuffle; nothing is all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: F.length(t) > 0,
+                )
+            )
+        ).alias("token"),
+    )
+    sizes = toks.groupBy("key").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    ordered = toks.join(dfreq, "token").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("key").orderBy("df", "token")
+        ),
+    )
+    with_sz = ordered.join(sizes, "key")
+    prefix = with_sz.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("key", "token")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .where(F.col("a.key") < F.col("b.key"))
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("key").alias("key_a"), "token")
+    tb = toks.select(F.col("key").alias("key_b"), "token")
+    inter = (
+        cand.join(ta, "key_a")
+        .join(tb, ["key_b", "token"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("union"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

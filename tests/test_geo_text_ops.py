@@ -578,3 +578,49 @@ class TestHits:
         rows = hits(edges, 3).collect()
         assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-12)
         assert sum(r["authority"] for r in rows) == pytest.approx(1.0, abs=1e-12)
+
+
+class TestJaccardJoin:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        from gos2_spark.pipeline.dedup import jaccard_join
+
+        random.seed(13)
+        # alphabetic-only words: the engine tokenizer splits on [^a-z]+
+        vocab = [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40)]
+        docs = []
+        base = random.sample(vocab, 12)
+        for i in range(30):
+            if i % 3 == 0:  # near-dup cluster around `base`
+                toks = base.copy()
+                for _ in range(random.randint(0, 2)):
+                    toks[random.randrange(len(toks))] = random.choice(vocab)
+            else:
+                toks = random.sample(vocab, random.randint(3, 15))
+            docs.append((i, " ".join(toks)))
+        sets = {i: set(t.split()) for i, t in docs}
+
+        for thr in (0.4, 0.7, 0.9):
+            want = {
+                (a, b): round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 9)
+                for a, b in itertools.combinations(sorted(sets), 2)
+                if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= thr
+            }
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                (r["key_a"], r["key_b"]): round(r["jaccard"], 9)
+                for r in jaccard_join(df, thr).collect()
+            }
+            assert got == want, f"threshold {thr}"
+
+    def test_exact_duplicates_found(self, spark):
+        from gos2_spark.pipeline.dedup import jaccard_join
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "unrelated words here")],
+            "doc_id long, text string",
+        )
+        out = jaccard_join(df, 1.0).collect()
+        assert [(r["key_a"], r["key_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]
