@@ -2072,6 +2072,70 @@ def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_cell_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial top-k: the 3 highest-value events per level-5 cell — the
+    per-tile 'best results' primitive (map rendering, per-region
+    exemplars). Pure-SQL Hilbert encode for the cell key, ONE cell-keyed
+    window with deterministic (value desc, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        "value",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    cells = add_cellid_sql(pts, "lat", "lng", "cell_id").withColumn(
+        "cell_l5", s2_parent_sql(F.col("cell_id"), 5)
+    )
+    w = Window.partitionBy("cell_l5").orderBy(F.desc("value"), "event_id")
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("cell_l5", F.col("rk").cast("int").alias("rk"), "event_id",
+                F.round("value", 6).alias("value"))
+        .orderBy("cell_l5", "rk")
+    )
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet-style LM-quality signal):
+    corpus unigram frequencies become per-token log-probabilities, and
+    each document is scored by its mean token log-prob. Plan: ONE
+    map-side-combined vocab count, joined back to the exploded tokens
+    (AQE broadcasts the vocab when small), ONE doc-keyed agg."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    lp = F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum(lp) / F.count("*")).alias("avg_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tok", F.round("avg_lp", 6).alias("avg_logprob")
+    ).orderBy("doc_id")
+
+
 def _q_jaccard_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join at Jaccard >= 0.9
     (pipeline/dedup.py jaccard_join, PPJoin-style rare-first prefix
@@ -3280,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_window_join": _q_interval_window_join,
         "hits_scores": _q_hits_scores,
         "jaccard_similarity_join": _q_jaccard_similarity_join,
+        "cell_top_events": _q_cell_top_events,
+        "unigram_logprob": _q_unigram_logprob,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -5237,6 +5303,46 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY win_id ORDER BY win_id
         """,
         "hits_scores": _hits_oracle_sql(2),
+        "cell_top_events": f"""
+            WITH {_cellid_cte_duckdb(
+                "SELECT event_id AS key, "
+                "-60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat, "
+                "-170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng "
+                "FROM events"
+            )},
+            j AS (
+              SELECT ((c.cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5,
+                     e.event_id, e.value
+              FROM cells c JOIN events e ON e.event_id = c.key
+            ),
+            r AS (
+              SELECT cell_l5,
+                     CAST(row_number() OVER (
+                       PARTITION BY cell_l5 ORDER BY value DESC, event_id
+                     ) AS INT) AS rk,
+                     event_id, round(value, 6) AS value
+              FROM j
+            )
+            SELECT cell_l5, rk, event_id, value
+            FROM r WHERE rk <= 3 ORDER BY cell_l5, rk
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+              FROM documents
+            ),
+            tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            counts AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+            j AS (
+              SELECT tk.doc_id, ln(CAST(counts.c AS DOUBLE) / tot.t) AS lp
+              FROM tk JOIN counts USING (token), tot
+            )
+            SELECT doc_id, count(*) AS n_tok,
+                   round(sum(lp) / count(*), 6) AS avg_logprob
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
         # brute-force O(n^2) reference: the engine's prefix filter must
         # lose NO qualifying pair
         "jaccard_similarity_join": """

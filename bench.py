@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "interval_window_join",
     "hits_scores",
     "jaccard_similarity_join",
+    "cell_top_events",
+    "unigram_logprob",
 ]
 
 
