@@ -3338,7 +3338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_stats": _q_char_entropy,
         "zipf_top_tokens": _q_zipf_top_tokens,
         "spatiotemporal_rollup": _q_spatiotemporal_rollup,
-        "trajectory_simplify": _q_trajectory_simplify,
         "asof_profile_join": _q_asof_profile_join,
         "gc_destination": _q_gc_destination,
         "interval_window_join": _q_interval_window_join,
@@ -3346,6 +3345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_similarity_join": _q_jaccard_similarity_join,
         "cell_top_events": _q_cell_top_events,
         "unigram_logprob": _q_unigram_logprob,
+        # rows-only driver check (no SQL form) — parked just past the
+        # 50-entry window so every window slot carries an EXACT oracle;
+        # value-level correctness lives in the DP property tests
+        "trajectory_simplify": _q_trajectory_simplify,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
