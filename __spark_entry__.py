@@ -3281,6 +3281,128 @@ def _q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gps_speed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS noise gate (trajectory cleaning): per-user ordered legs get a
+    speed = great-circle-distance / elapsed-time, and physically
+    impossible legs (teleports: speed above a rad/s ceiling, or
+    non-increasing timestamps) are flagged. The standard pre-filter
+    before any trajectory analytics at crawl scale. Elapsed time is
+    microsecond INTEGER arithmetic (timestampdiff on the NTZ epoch,
+    matching DuckDB epoch_us with no session-timezone dependence) so
+    agree bit-for-bit; distance is the engine haversine
+    (latlng.go:32-40 op order). One user-keyed window shuffle, pure
+    codegen."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import haversine_rad
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    legs = pts.select(
+        "user_id",
+        haversine_rad(
+            F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+        ).alias("leg"),
+        (us - F.lag(us).over(w)).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    speed = F.col("leg") / (F.col("dt_us").cast("double") / 1e6)
+    flagged = (F.col("dt_us") <= 0) | (speed > 0.004)
+    return (
+        legs.select("user_id", speed.alias("speed"), flagged.alias("bad"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.sum(F.col("bad").cast("long")).alias("n_flagged"),
+            F.round(F.max("speed"), 9).alias("max_speed_rps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (mobility OLAP): per (user, day)
+    the first and last event become a trip; trips aggregate into flows
+    between level-4 S2 cells. Day keys are integer microsecond division
+    (timezone-free), cell keys the pure-SQL Hilbert encode. Plan: ONE
+    map-side-combinable min_by/max_by aggregation per (user, day) —
+    never a row_number window over the raw events — then the cell
+    projection and one (o_cell, d_cell) agg."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(us / 86_400_000_000).alias("day_idx"),
+        F.struct(us.alias("us"), F.col("event_id").alias("eid")).alias("ord"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    trips = pts.groupBy("user_id", "day_idx").agg(
+        F.min_by("lat", "ord").alias("olat"),
+        F.min_by("lng", "ord").alias("olng"),
+        F.max_by("lat", "ord").alias("dlat"),
+        F.max_by("lng", "ord").alias("dlng"),
+    )
+    o = add_cellid_sql(trips, "olat", "olng", "o_leaf")
+    od = add_cellid_sql(o, "dlat", "dlng", "d_leaf").select(
+        "user_id",
+        s2_parent_sql(F.col("o_leaf"), 4).alias("o_cell4"),
+        s2_parent_sql(F.col("d_leaf"), 4).alias("d_cell4"),
+    )
+    return (
+        od.groupBy("o_cell4", "d_cell4")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("o_cell4", "d_cell4")
+    )
+
+
+def _q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal encounter detection (spark/temporal.py
+    colocation_join): pairs of events from different users within 900 s
+    AND 0.3 rad — the contact-tracing / convoy-mining primitive. The
+    engine meets candidates on a time-bucket EQUI join (home ± 1 probe
+    explode, each pair produced exactly once); the oracle runs the naive
+    O(n^2) inequality join in DuckDB, so the bucket decomposition's
+    completeness is value-checked. Users are subset (user_id < 75) to
+    bound the oracle's quadratic replay."""
+    from gos2_spark.spark.temporal import colocation_join
+
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id") < 75)
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    out = colocation_join(pts, window_seconds=900, radius_rad=0.3)
+    return out.select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        "dt_us",
+        F.round("dist_rad", 9).alias("dist_rad"),
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3402,6 +3524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
+        # --- round-3 third-session batch (never driver-checked; rotate
+        # --- into the window at the start of round 4) ---
+        "gps_speed_outliers": _q_gps_speed_outliers,
+        "od_matrix": _q_od_matrix,
+        "colocation_pairs": _q_colocation_pairs,
     }
 
 
@@ -5708,5 +5835,116 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.key NOT IN (SELECT key FROM comp)
               AND p.key NOT IN (SELECT key FROM border)
             ORDER BY key
+        """,
+        "gps_speed_outliers": f"""
+            WITH pts AS ({_EVENTS_LATLNG_SQL}),
+            lagged AS (
+              SELECT user_id,
+                     lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us,
+                     lat, lng
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            legs AS (
+              SELECT user_id, dt_us,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                         + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                           * cos(radians(plat)) * cos(radians(lat))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                         + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                           * cos(radians(plat)) * cos(radians(lat))))))
+                       AS leg
+              FROM lagged WHERE dt_us IS NOT NULL
+            ),
+            sp AS (
+              SELECT user_id,
+                     leg / (CAST(dt_us AS DOUBLE) / 1e6) AS speed,
+                     (dt_us <= 0 OR leg / (CAST(dt_us AS DOUBLE) / 1e6) > 0.004)
+                       AS bad
+              FROM legs
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_legs,
+                   CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_flagged,
+                   round(max(speed), 9) AS max_speed_rps
+            FROM sp GROUP BY user_id ORDER BY user_id
+        """,
+        "od_matrix": f"""
+            WITH {_cellid_cte_duckdb(f'''
+              WITH epts AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts) // 86400000000 AS day_idx, lat, lng
+                FROM ({_EVENTS_LATLNG_SQL})
+              ),
+              rn AS (
+                SELECT user_id, day_idx, lat, lng,
+                       row_number() OVER (PARTITION BY user_id, day_idx
+                                          ORDER BY us, event_id) AS ra,
+                       row_number() OVER (PARTITION BY user_id, day_idx
+                                          ORDER BY us DESC, event_id DESC) AS rd
+                FROM epts
+              ),
+              trips AS (
+                SELECT o.user_id, o.day_idx,
+                       o.lat AS olat, o.lng AS olng,
+                       d.lat AS dlat, d.lng AS dlng
+                FROM (SELECT * FROM rn WHERE ra = 1) o
+                JOIN (SELECT * FROM rn WHERE rd = 1) d
+                  USING (user_id, day_idx)
+              )
+              SELECT (user_id * 100000 + day_idx % 100000) * 2 AS key,
+                     olat AS lat, olng AS lng FROM trips
+              UNION ALL
+              SELECT (user_id * 100000 + day_idx % 100000) * 2 + 1 AS key,
+                     dlat AS lat, dlng AS lng FROM trips
+            ''')},
+            c4 AS (
+              SELECT key,
+                     ((cell_id & -{1 << 52}) | {1 << 52}) AS cell4
+              FROM cells
+            ),
+            od AS (
+              SELECT (o.key // 2) // 100000 AS user_id,
+                     o.cell4 AS o_cell4, d.cell4 AS d_cell4
+              FROM (SELECT * FROM c4 WHERE key % 2 = 0) o
+              JOIN (SELECT * FROM c4 WHERE key % 2 = 1) d
+                ON d.key = o.key + 1
+            )
+            SELECT o_cell4, d_cell4,
+                   CAST(count(*) AS BIGINT) AS n_trips,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM od GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "colocation_pairs": f"""
+            WITH pts AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, lat, lng
+              FROM ({_EVENTS_LATLNG_SQL}) WHERE user_id < 75
+            ),
+            pairs AS (
+              SELECT a.event_id AS id_a, b.event_id AS id_b,
+                     a.user_id AS key_a, b.user_id AS key_b,
+                     b.us - a.us AS dt_us,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(b.lat) - radians(a.lat))), 2)
+                         + power(sin(0.5 * (radians(b.lng) - radians(a.lng))), 2)
+                           * cos(radians(a.lat)) * cos(radians(b.lat))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(b.lat) - radians(a.lat))), 2)
+                         + power(sin(0.5 * (radians(b.lng) - radians(a.lng))), 2)
+                           * cos(radians(a.lat)) * cos(radians(b.lat))))))
+                       AS dist
+              FROM pts a JOIN pts b
+                ON b.event_id > a.event_id
+               AND a.user_id != b.user_id
+               AND abs(b.us - a.us) <= 900000000
+            )
+            SELECT id_a, id_b, key_a, key_b, dt_us,
+                   round(dist, 9) AS dist_rad
+            FROM pairs WHERE dist <= 0.3
+            ORDER BY id_a, id_b
         """,
     }

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "colocation_join"]
 
 
 def asof_join(
@@ -108,3 +108,91 @@ def interval_join(
         F.col(ts_col) <= F.col(end_col)
     )
     return joined.where(refine).drop("_bucket")
+
+
+def colocation_join(
+    points: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    window_seconds: int = 900,
+    radius_rad: float = 0.1,
+) -> DataFrame:
+    """Encounter (co-location) detection: every unordered pair of events
+    from DIFFERENT keys within ``window_seconds`` in time AND within
+    ``radius_rad`` great-circle distance. The spatiotemporal analogue of
+    the within-radius distance join — contact tracing, convoy mining,
+    check-in coincidence.
+
+    Plan: EQUI-join on a ``window_seconds``-wide time bucket, never an
+    inequality nested loop. The probe side explodes each event into its
+    home bucket ± 1 (any pair with |dt| <= window differs by at most one
+    bucket); the build side keeps its single home bucket, so an unordered
+    pair meets on exactly one (probe, home) combination and the
+    ``id_a < id_b`` canonical filter keeps exactly one orientation —
+    no post-join distinct needed. Refine is pure codegen: |dt| via
+    microsecond integers (timestampdiff on the NTZ epoch — timezone-free
+    on TIMESTAMP_NTZ sources) and the engine haversine
+    (latlng.go:32-40 op order). For workloads dense in time, compose the
+    bucket with a covering-cell key (see spark/joins.py distance_join) so
+    the equi key becomes (time_bucket, cell).
+
+    Output: key_a/id_a/key_b/id_b, dt_us (signed b-a), dist_rad.
+    """
+    from .functions import haversine_rad
+
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    b = F.floor(us / (window_seconds * 1_000_000)).cast("long")
+    base = points.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+        F.col(lat_col).alias("_lat"),
+        F.col(lng_col).alias("_lng"),
+        b.alias("_home"),
+    )
+    probe = base.select(
+        F.col("_k").alias("key_a"),
+        F.col("_id").alias("id_a"),
+        F.col("_us").alias("us_a"),
+        F.col("_lat").alias("lat_a"),
+        F.col("_lng").alias("lng_a"),
+        F.explode(
+            F.array(F.col("_home") - 1, F.col("_home"), F.col("_home") + 1)
+        ).alias("_bucket"),
+    )
+    build = base.select(
+        F.col("_k").alias("key_b"),
+        F.col("_id").alias("id_b"),
+        F.col("_us").alias("us_b"),
+        F.col("_lat").alias("lat_b"),
+        F.col("_lng").alias("lng_b"),
+        F.col("_home").alias("_bucket"),
+    )
+    pairs = probe.join(build, "_bucket").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("key_a") != F.col("key_b"))
+        & (
+            F.abs(F.col("us_b") - F.col("us_a"))
+            <= F.lit(window_seconds * 1_000_000)
+        )
+    )
+    dist = haversine_rad(
+        F.col("lat_a"), F.col("lng_a"), F.col("lat_b"), F.col("lng_b")
+    )
+    return (
+        pairs.withColumn("dist_rad", dist)
+        .where(F.col("dist_rad") <= radius_rad)
+        .select(
+            "key_a",
+            "id_a",
+            "key_b",
+            "id_b",
+            (F.col("us_b") - F.col("us_a")).alias("dt_us"),
+            "dist_rad",
+        )
+    )

@@ -624,3 +624,113 @@ class TestJaccardJoin:
         )
         out = jaccard_join(df, 1.0).collect()
         assert [(r["key_a"], r["key_b"], r["jaccard"]) for r in out] == [(0, 1, 1.0)]
+
+
+class TestColocationJoin:
+    """Brute-force parity for the spatiotemporal encounter join: the
+    time-bucket EQUI decomposition must reproduce the naive O(n^2)
+    definition exactly (each qualifying pair once, canonical order)."""
+
+    def _points(self, spark, n=240, keys=8, seed=7):
+        import datetime
+
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        epoch = datetime.datetime(2024, 3, 1)
+        rows = [
+            Row(
+                user_id=int(rng.integers(0, keys)),
+                event_id=i,
+                ts=epoch + datetime.timedelta(seconds=float(rng.uniform(0, 7200))),
+                lat=float(rng.uniform(-10, 10)),
+                lng=float(rng.uniform(-10, 10)),
+            )
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(rows)
+
+    @staticmethod
+    def _brute(rows, window_s, radius):
+        out = set()
+        for a in rows:
+            for b in rows:
+                if a.event_id >= b.event_id or a.user_id == b.user_id:
+                    continue
+                dt = abs((b.ts - a.ts).total_seconds())
+                if dt > window_s:
+                    continue
+                h = (
+                    math.sin(0.5 * (math.radians(b.lat) - math.radians(a.lat))) ** 2
+                    + math.sin(0.5 * (math.radians(b.lng) - math.radians(a.lng))) ** 2
+                    * math.cos(math.radians(a.lat)) * math.cos(math.radians(b.lat))
+                )
+                d = 2 * math.atan2(math.sqrt(h), math.sqrt(max(0.0, 1.0 - h)))
+                if d <= radius:
+                    out.add((a.event_id, b.event_id))
+        return out
+
+    @pytest.mark.parametrize("window_s,radius", [(900, 0.05), (600, 0.2)])
+    def test_matches_brute_force(self, spark, window_s, radius):
+        from gos2_spark.spark.temporal import colocation_join
+
+        rows, df = self._points(spark)
+        got = colocation_join(
+            df, window_seconds=window_s, radius_rad=radius
+        ).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in got]
+        assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+        assert set(pairs) == self._brute(rows, window_s, radius)
+        for r in got:
+            assert r["id_a"] < r["id_b"] and r["key_a"] != r["key_b"]
+            assert abs(r["dt_us"]) <= window_s * 1_000_000
+            assert r["dist_rad"] <= radius
+
+    def test_window_boundary_inclusive(self, spark):
+        import datetime
+
+        from gos2_spark.spark.temporal import colocation_join
+
+        epoch = datetime.datetime(2024, 3, 1)
+        df = spark.createDataFrame(
+            [
+                Row(user_id=1, event_id=0, ts=epoch, lat=0.0, lng=0.0),
+                # exactly at the window edge: must match (<=)
+                Row(
+                    user_id=2,
+                    event_id=1,
+                    ts=epoch + datetime.timedelta(seconds=900),
+                    lat=0.0,
+                    lng=0.0,
+                ),
+                # one microsecond past: must not
+                Row(
+                    user_id=3,
+                    event_id=2,
+                    ts=epoch + datetime.timedelta(seconds=900, microseconds=1),
+                    lat=0.0,
+                    lng=0.0,
+                ),
+            ]
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in colocation_join(
+                df, window_seconds=900, radius_rad=0.01
+            ).collect()
+        }
+        assert got == {(0, 1), (1, 2)}
+
+    def test_equi_join_not_nested_loop(self, spark):
+        from gos2_spark.spark.temporal import colocation_join
+
+        _, df = self._points(spark, n=50)
+        plan = (
+            colocation_join(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -41,6 +41,9 @@ def _exchanges(plan):
         "hll_distinct",
         "bloom_delta_gate",
         "bloom_semi_join",
+        "gps_speed_outliers",
+        "od_matrix",
+        "colocation_pairs",
     ],
 )
 def test_no_python_stage(spark, name):
