@@ -3403,6 +3403,130 @@ def _q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over the
+    synthetic 64-node link graph (pipeline/graph.py triangle_count):
+    degree-ordered orientation bounds the wedge join at O(m^1.5) even on
+    hub-heavy graphs. The oracle is the NAIVE canonical 3-way self-join
+    in DuckDB — fully independent of the engine's orientation scheme, so
+    the optimization is value-checked, not assumed."""
+    from gos2_spark.pipeline.graph import triangle_count
+
+    c = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = c.select((k % 64).alias("src"), ((k * 11 + 5) % 64).alias("dst")).union(
+        c.select((k % 64).alias("src"), ((k * 7 + 3) % 64).alias("dst"))
+    )
+    out = triangle_count(edges)
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round("clustering_coeff", 9).alias("clustering_coeff"),
+    ).orderBy("node")
+
+
+def _q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (pipeline/retrieval.py inverted_index): per-term
+    document frequency, collection frequency, and the bounded posting-list
+    head (top-5 docs by tf desc, doc asc, rendered key:tf). One map-side-
+    combined (term, doc) agg + one term-keyed agg; top-40 terms leave via
+    a distributed TakeOrderedAndProject, never a vocab-wide window."""
+    from gos2_spark.pipeline.retrieval import inverted_index
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = inverted_index(docs, head_k=5)
+    return idx.orderBy(F.desc("df"), "token").limit(40).select(
+        "token", "df", "cf", "postings_head"
+    )
+
+
+_BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "hash join table"),
+    (3, "fast scan filter vector"),
+]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (pipeline/retrieval.py bm25_topk) for three
+    broadcast literal queries. Per-(doc, term) contributions snap to a
+    1e-9 integer grid BEFORE the per-document sum, so the score is an
+    exact bigint — rank order is invariant to float summation order and
+    the DuckDB oracle replays it bit-for-bit."""
+    from gos2_spark.pipeline.retrieval import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = bm25_topk(docs, _BM25_QUERIES, k=10)
+    return out.select(
+        "query_id", "rank", F.col("key").alias("doc_id"), "score_e9"
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_oracle_sql() -> str:
+    """Replay bm25_topk with the engine's exact float-op order: constants
+    embedded as reprs of the same Python arithmetic the Column tree uses
+    (k1+1, 1-b) so both engines evaluate identical IEEE expressions."""
+    k1, b = 1.2, 0.75
+    num_c = repr(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in _BM25_QUERIES
+        for t in sorted(set(text.split()))
+    )
+    terms = sorted({t for _, text in _BM25_QUERIES for t in text.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS key, t AS token
+          FROM documents, LATERAL unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> len(x) > 0)) AS u(t)
+        ),
+        dl AS (SELECT key, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+        ),
+        q(query_id, token) AS (VALUES {vals}),
+        tf AS (
+          SELECT key, token, count(*) AS tf FROM toks
+          WHERE token IN ({in_list}) GROUP BY 1, 2
+        ),
+        dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT q.query_id, tf.key,
+                 CAST(round(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                             + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * ((CAST(tf AS DOUBLE) * {num_c})
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * ({one_minus_b}
+                                  + (0.75 * CAST(dl AS DOUBLE))
+                                    / (CAST(total_tokens AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE)))))
+                   * 1e9, 0) AS BIGINT) AS c
+          FROM tf
+          JOIN dft USING (token)
+          JOIN q USING (token)
+          JOIN dl USING (key), stats
+        ),
+        scores AS (
+          SELECT query_id, key, CAST(sum(c) AS BIGINT) AS score_e9
+          FROM contrib GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_e9 DESC, key) AS INT) AS rank,
+                 key AS doc_id, score_e9
+          FROM scores
+        )
+        SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3529,6 +3653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gps_speed_outliers": _q_gps_speed_outliers,
         "od_matrix": _q_od_matrix,
         "colocation_pairs": _q_colocation_pairs,
+        "triangle_counts": _q_triangle_counts,
+        "inverted_index_stats": _q_inverted_index_stats,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -5947,4 +6074,67 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE dist <= 0.3
             ORDER BY id_a, id_b
         """,
+        "triangle_counts": """
+            WITH raw AS (
+              SELECT c_custkey % 64 AS s, (c_custkey * 11 + 5) % 64 AS d
+              FROM customer
+              UNION ALL
+              SELECT c_custkey % 64, (c_custkey * 7 + 3) % 64 FROM customer
+            ),
+            und AS (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s != d
+            ),
+            deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b FROM und
+              ) GROUP BY 1
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT node, count(*) AS t FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY 1
+            )
+            SELECT node,
+                   CAST(degree AS BIGINT) AS degree,
+                   CAST(coalesce(t, 0) AS BIGINT) AS n_triangles,
+                   round(CASE WHEN degree >= 2 THEN
+                       (2.0 * CAST(coalesce(t, 0) AS DOUBLE))
+                       / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))
+                     ELSE 0.0 END, 9) AS clustering_coeff
+            FROM deg LEFT JOIN corners USING (node)
+            ORDER BY node
+        """,
+        "inverted_index_stats": """
+            WITH toks AS (
+              SELECT doc_id AS key, t AS token
+              FROM documents, LATERAL unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> len(x) > 0)) AS u(t)
+            ),
+            tf AS (
+              SELECT token, key, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT token,
+                     CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS cf,
+                     array_to_string(list_slice(
+                       list(key::VARCHAR || ':' || tf::VARCHAR
+                            ORDER BY tf DESC, key ASC), 1, 5), ',')
+                       AS postings_head
+              FROM tf GROUP BY token
+            )
+            SELECT token, df, cf, postings_head
+            FROM agg ORDER BY df DESC, token LIMIT 40
+        """,
+        "bm25_topk": _bm25_oracle_sql(),
     }

@@ -270,3 +270,83 @@ def hits(
         )
     )
     return out
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering_coeff): exact per-node
+    triangle counts over the UNDIRECTED simple graph induced by ``edges``
+    (self-loops dropped, direction and duplicates collapsed), plus the
+    local clustering coefficient 2T / (d(d-1)).
+
+    Plan — the degree-ordered orientation algorithm (the MapReduce
+    triangle-counting standard; also how GraphX bounds it):
+
+    1. canonicalize to undirected distinct edges (one exchange);
+    2. orient every edge from its lower endpoint to its higher endpoint
+       under the TOTAL order (degree, node) — the oriented out-degree is
+       then O(sqrt(m)) even for a star graph, so the wedge self-join
+       below never explodes on hubs (a hot page with 10^7 inlinks
+       produces zero wedges from its own fan-in, instead of 10^14);
+    3. wedges = oriented ⋈ oriented on the common lower endpoint with a
+       struct-ordered (deg, node) tiebreak so each unordered neighbor
+       pair appears once;
+    4. triangles = wedges semi-matched against the oriented edge set on
+       the (v, w) closing edge — every triangle is found exactly once;
+    5. per-node counts via a 3-way explode of the triangle corners.
+
+    The clustering coefficient divides by the UNDIRECTED degree, so
+    isolated-direction duplicates in the input never inflate it.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    oriented = ranked.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("vkey"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("vkey").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("vkey").alias("k2")
+    )
+    wedges = e1.join(e2, "u").where(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
+    corner_counts = (
+        tris.select(F.explode(F.array("u", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return deg.join(corner_counts, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+            / (d * (d - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

@@ -371,3 +371,77 @@ def test_tfidf_top_terms_matches_model(spark):
                 (k, rk, w, c, d, round(c * (math.log((n + 1) / (d + 1)) + 1), 6))
             )
     assert got == want
+
+
+def _brute_triangles(edges):
+    """Reference: per-node triangle counts by direct enumeration."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    nbrs = {n: set() for n in nodes}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    t = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            t[a] += 1
+            t[b] += 1
+            t[c] += 1
+    return {n: (len(nbrs[n]), t[n]) for n in nodes}
+
+
+def test_triangle_count_k4_complete(spark):
+    """K4: every node sits in C(3,2)=3 triangles, coefficient exactly 1."""
+    from gos2_spark.pipeline.graph import triangle_count
+
+    import itertools
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r["degree"] == 3
+        assert r["n_triangles"] == 3
+        assert r["clustering_coeff"] == 1.0
+
+
+def test_triangle_count_star_has_none(spark):
+    """A star (hub + leaves) has zero triangles; the degree-ordered
+    orientation must also produce zero WEDGES from the hub's fan-in."""
+    from gos2_spark.pipeline.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    rows = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert all(r["n_triangles"] == 0 for r in rows.values())
+    assert rows[0]["degree"] == 8 and rows[0]["clustering_coeff"] == 0.0
+    assert all(rows[i]["clustering_coeff"] == 0.0 for i in range(1, 9))
+
+
+def test_triangle_count_random_matches_brute_force(spark):
+    """Random multigraph with duplicate/reversed/self-loop edges: the
+    engine must collapse to the simple undirected graph and match the
+    O(n^3) enumeration exactly."""
+    import numpy as np
+
+    from gos2_spark.pipeline.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 30, (400, 2))]
+    want = _brute_triangles(raw)
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r for r in triangle_count(edges).collect()}
+    assert set(got) == set(want)
+    for n, (deg, tri) in want.items():
+        assert got[n]["degree"] == deg, n
+        assert got[n]["n_triangles"] == tri, n
+        if deg >= 2:
+            assert got[n]["clustering_coeff"] == pytest.approx(
+                2.0 * tri / (deg * (deg - 1)), abs=1e-12
+            )

@@ -44,6 +44,9 @@ def _exchanges(plan):
         "gps_speed_outliers",
         "od_matrix",
         "colocation_pairs",
+        "triangle_counts",
+        "inverted_index_stats",
+        "bm25_topk",
     ],
 )
 def test_no_python_stage(spark, name):
