@@ -3527,6 +3527,97 @@ def _bm25_oracle_sql() -> str:
     """
 
 
+def _q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (pipeline/web.py extract_anchor_pairs): how
+    the web DESCRIBES each target host — the classic anchor-text indexing
+    signal. Synthetic html carries each doc's first two words as the
+    anchor of an absolute link (plus a relative link that must drop);
+    the engine regex-parses (href, anchor) pairs in codegen, explodes
+    anchor terms, and ranks the top-3 terms per target host. The oracle
+    re-derives the truth from the construction arithmetic — the engine
+    must earn it by actually parsing the html."""
+    from pyspark.sql import Window
+
+    from gos2_spark.pipeline.web import extract_anchor_pairs, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    anchor = F.concat_ws(" ", F.slice(words, 1, 2))
+    html = F.concat(
+        F.lit('<p><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit('.example/p">'),
+        anchor,
+        F.lit('</a> and <a href="/relative">skip me</a></p>'),
+    )
+    pairs = docs.select(html.alias("html")).select(
+        F.explode(extract_anchor_pairs(F.col("html"))).alias("pr")
+    )
+    toks = pairs.select(
+        url_host(F.col("pr.href")).alias("dst_host"),
+        F.explode(
+            F.filter(
+                F.split(F.col("pr.anchor"), " "), lambda t: F.length(t) > 0
+            )
+        ).alias("term"),
+    ).where(F.col("dst_host") != "")
+    counts = toks.groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("dst_host", F.col("rk").cast("int").alias("rk"), "term", "n")
+        .orderBy("dst_host", "rk")
+    )
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring with add-one smoothing — the 2-gram
+    upgrade of unigram_logprob (the CCNet/KenLM-style LM-quality signal):
+    lp(w1 w2) = ln((c(w1,w2)+1)/(c(w1)+V)). Adjacent pairs come from ONE
+    arrays_zip of two slices (no window shuffle); corpus bigram/unigram
+    tables are map-side-combined; AQE broadcasts them when small."""
+    docs = _load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    d = docs.select("doc_id", arr.alias("w")).where(F.size("w") >= 2)
+    n = F.size("w")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n - 1).alias("w1"),
+                F.slice("w", 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = d.select(F.explode("w").alias("w1"))
+    c1 = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    v = c1.agg(F.count("*").alias("v"))
+    lp = F.log(
+        (F.col("c2").cast("double") + 1.0)
+        / (F.col("c1").cast("double") + F.col("v").cast("double"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3656,6 +3747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "inverted_index_stats": _q_inverted_index_stats,
         "bm25_topk": _q_bm25_topk,
+        "anchor_text_terms": _q_anchor_text_terms,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -6137,4 +6230,58 @@ def oracle_sql() -> dict[str, str]:
             FROM agg ORDER BY df DESC, token LIMIT 40
         """,
         "bm25_topk": _bm25_oracle_sql(),
+        "anchor_text_terms": """
+            WITH words AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> len(x) > 0) AS w
+              FROM documents
+            ),
+            toks AS (
+              SELECT 'site' || ((doc_id * 7) % 20)::VARCHAR || '.example'
+                       AS dst_host,
+                     t AS term
+              FROM words, LATERAL unnest(list_slice(w, 1, 2)) AS u(t)
+            ),
+            counts AS (
+              SELECT dst_host, term, count(*) AS n FROM toks GROUP BY 1, 2
+            )
+            SELECT dst_host,
+                   CAST(row_number() OVER (
+                       PARTITION BY dst_host ORDER BY n DESC, term) AS INT)
+                     AS rk,
+                   term, CAST(n AS BIGINT) AS n
+            FROM counts
+            QUALIFY rk <= 3
+            ORDER BY dst_host, rk
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+              SELECT doc_id, list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> len(x) > 0) AS l
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM w, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+              WHERE len(l) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+            uni AS (
+              SELECT unnest(l) AS w1 FROM w WHERE len(l) >= 2
+            ),
+            c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM c1),
+            lp AS (
+              SELECT doc_id,
+                     ln((CAST(c2 AS DOUBLE) + 1.0)
+                        / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) AS lp
+              FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(lp) / count(*), 6) AS avg_logprob
+            FROM lp GROUP BY doc_id ORDER BY doc_id
+        """,
     }

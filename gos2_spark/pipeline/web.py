@@ -130,6 +130,24 @@ def extract_links(html_text_col: Column) -> Column:
     return F.regexp_extract_all(html_text_col, F.lit(r'href="([^"]*)"'), 1)
 
 
+def extract_anchor_pairs(html_text_col: Column) -> Column:
+    """(href, anchor-text) pairs for every ``<a href="...">text</a>`` in an
+    HTML text column — array<struct<href, anchor>>.
+
+    Anchor text is how the linking page DESCRIBES the target, so
+    aggregating it per target host is the classic relevance signal
+    (anchor-text indexing) and a strong quality/topic prior for crawl
+    frontiers. Two aligned ``regexp_extract_all`` calls over the SAME
+    pattern (group 1 = href, group 2 = anchor) zip into pairs — matches
+    come from one regex so the arrays align by construction; still one
+    codegen projection, no Python."""
+    pat = F.lit(r'<a href="([^"]*)"[^>]*>([^<]*)</a>')
+    return F.arrays_zip(
+        F.regexp_extract_all(html_text_col, pat, 1).alias("href"),
+        F.regexp_extract_all(html_text_col, pat, 2).alias("anchor"),
+    )
+
+
 def url_path(url_col: Column) -> Column:
     """URL path component ('' when absent; query/fragment excluded)."""
     return F.regexp_extract(url_col, _HOST_RE + r"(?::\d+)?([^?#]*)", 2)

@@ -47,6 +47,8 @@ def _exchanges(plan):
         "triangle_counts",
         "inverted_index_stats",
         "bm25_topk",
+        "anchor_text_terms",
+        "bigram_logprob",
     ],
 )
 def test_no_python_stage(spark, name):

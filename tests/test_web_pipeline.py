@@ -206,3 +206,43 @@ def test_warc_segments_distributed_parity(spark):
             )
             want.add((h["WARC-Target-URI"], ts.isoformat(), rec["payload"]))
     assert got == want and len(got) == 21
+
+
+def test_extract_anchor_pairs_aligned_and_ordered(spark):
+    """(href, anchor) pairs stay aligned through the double extract_all;
+    empty anchors and relative hrefs survive as data (caller filters)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from gos2_spark.pipeline.web import extract_anchor_pairs
+
+    html = (
+        '<a href="https://a.example/x">first link</a> noise '
+        '<a href="/rel">second</a><a href="https://b.example">'
+        "</a>"
+    )
+    rows = (
+        spark.createDataFrame([Row(html=html)])
+        .select(F.explode(extract_anchor_pairs(F.col("html"))).alias("p"))
+        .select("p.href", "p.anchor")
+        .collect()
+    )
+    assert [(r["href"], r["anchor"]) for r in rows] == [
+        ("https://a.example/x", "first link"),
+        ("/rel", "second"),
+        ("https://b.example", ""),
+    ]
+
+
+def test_extract_anchor_pairs_no_links(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from gos2_spark.pipeline.web import extract_anchor_pairs
+
+    out = (
+        spark.createDataFrame([Row(html="<p>plain text, no anchors</p>")])
+        .select(F.size(extract_anchor_pairs(F.col("html"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert out == 0
