@@ -3618,6 +3618,65 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NF_FEATURES = [
+    (0, [(40.7, -74.0), (42.0, -70.0), (38.5, -71.0)]),   # nyc triangle
+    (1, [(51.5, -0.1), (53.0, 4.0), (49.0, 2.5)]),        # london triangle
+    (2, [(35.7, 139.7), (37.5, 143.0), (33.0, 141.5)]),   # tokyo triangle
+]
+
+
+def _q_nearest_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-feature join (spark/joins.py nearest_feature_join): every
+    customer point classified to its closest polygon boundary (exact
+    min-over-edges DistanceToEdge, argmin over features; ties to lowest
+    id) — the ClosestEdgeQuery-against-a-collection primitive. One Arrow
+    round-trip, zero shuffles. The oracle replays every edge distance
+    with the identical SQL formula and the same <=-chain argmin."""
+    from gos2_spark.spark.joins import nearest_feature_join
+
+    pts = _cust_points(spark, sf_dir)
+    out = nearest_feature_join(pts, _NF_FEATURES)
+    return out.select(
+        "key",
+        "nearest_fid",
+        F.round("nearest_dist_rad", 9).alias("nearest_dist_rad"),
+    ).orderBy("key")
+
+
+def _nearest_feature_oracle_sql() -> str:
+    """Brute-force replay of nearest_feature_join: per-feature least()
+    over the same _seg_dist_sql formulas (closing edge included), argmin
+    via a <=-chain so ties break to the lowest feature id exactly like
+    np.argmin."""
+    ds = []
+    for _, way in _NF_FEATURES:
+        w = [_xyz(*p) for p in way]
+        segs = [_seg_dist_sql(a, b) for a, b in zip(w[:-1], w[1:])]
+        segs.append(_seg_dist_sql(w[-1], w[0]))
+        ds.append("least(" + ", ".join(segs) + ")")
+    fid = (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 "
+        "WHEN d1 <= d2 THEN 1 ELSE 2 END"
+    )
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        xyz AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        d AS (
+          SELECT key, {ds[0]} AS d0, {ds[1]} AS d1, {ds[2]} AS d2 FROM xyz
+        )
+        SELECT key,
+               CAST({fid} AS BIGINT) AS nearest_fid,
+               round(least(d0, d1, d2), 9) AS nearest_dist_rad
+        FROM d ORDER BY key
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3749,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "anchor_text_terms": _q_anchor_text_terms,
         "bigram_logprob": _q_bigram_logprob,
+        "nearest_feature_join": _q_nearest_feature,
     }
 
 
@@ -6284,4 +6344,5 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(lp) / count(*), 6) AS avg_logprob
             FROM lp GROUP BY doc_id ORDER BY doc_id
         """,
+        "nearest_feature_join": _nearest_feature_oracle_sql(),
     }

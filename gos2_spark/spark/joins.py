@@ -1173,3 +1173,85 @@ def tileset_from_wkt(
         loops = [_parse_ring(r) for r in _rings("(" + body)]
         tiles[tid] = loops[0] if len(loops) == 1 else Polygon(loops)
     return TileSet(tiles, max_cells=max_cells, workers=workers)
+
+
+def nearest_feature_join(
+    points: DataFrame,
+    features: list,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    closed: bool = True,
+) -> DataFrame:
+    """Nearest-feature classification: for every point, the closest member
+    of a small feature set (polygon boundaries or polylines) by exact
+    great-circle distance-to-edge — the engine analogue of a
+    ClosestEdgeQuery against a feature collection (edgeutil.go:77-106 per
+    segment, min over segments, argmin over features).
+
+    ``features`` is ``[(feature_id, [(lat, lng), ...]), ...]``; with
+    ``closed=True`` each waypoint list is treated as a ring (a closing
+    edge is appended). Ties break to the list's lowest-index feature.
+
+    Scale shape: features are dimension-sized and ride the UDF closure
+    (broadcast), so the whole join is ONE Arrow round-trip over two
+    double columns — no shuffle, output inherits the scan partitioning.
+    For feature sets too large for a closure, compose the covering-cell
+    prefilter of :func:`route_proximity_join` per feature first; the
+    refine here is exact, so any superset prefilter is correct.
+
+    Adds ``nearest_fid`` (long) and ``nearest_dist_rad`` (double).
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def _xyz(lat, lng):
+        return (
+            math.cos(math.radians(lng)) * math.cos(math.radians(lat)),
+            math.sin(math.radians(lng)) * math.cos(math.radians(lat)),
+            math.sin(math.radians(lat)),
+        )
+
+    feats = []
+    for fid, way in features:
+        w = [_xyz(la, ln) for la, ln in way]
+        segs = list(zip(w[:-1], w[1:]))
+        if closed and len(w) >= 3:
+            segs.append((w[-1], w[0]))
+        if not segs:
+            raise ValueError(f"feature {fid} needs at least 2 waypoints")
+        feats.append((int(fid), segs))
+
+    @_pudf("nearest_fid long, nearest_dist_rad double")
+    def s2_nearest_feature(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+        from ..kernels import predicates as PR
+        from ..kernels import projection as PJ
+
+        x, y, z = PJ.latlng_to_xyz(
+            np.radians(lat.to_numpy(np.float64)),
+            np.radians(lng.to_numpy(np.float64)),
+        )
+        pts = np.stack([x, y, z], axis=1)
+        per_feat = []
+        for _, segs in feats:
+            d = None
+            for a, b in segs:
+                di = PR.distance_to_edges(pts, np.array(a), np.array(b))
+                d = di if d is None else np.minimum(d, di)
+            per_feat.append(d)
+        D = np.stack(per_feat, axis=0)
+        arg = np.argmin(D, axis=0)
+        fids = np.array([fid for fid, _ in feats], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "nearest_fid": fids[arg],
+                "nearest_dist_rad": D[arg, np.arange(D.shape[1])],
+            }
+        )
+
+    nf = s2_nearest_feature(F.col(lat_col), F.col(lng_col))
+    return points.withColumn("_nf", nf).select(
+        "*",
+        F.col("_nf.nearest_fid").alias("nearest_fid"),
+        F.col("_nf.nearest_dist_rad").alias("nearest_dist_rad"),
+    ).drop("_nf")

@@ -683,3 +683,72 @@ def test_route_proximity_join_antimeridian(spark):
     d = PR.distance_to_edges(P, w[0], w[1])
     want = {i for i in range(len(lat)) if d[i] <= math.radians(radius)}
     assert got == want and len(want) > 10
+
+
+class TestNearestFeatureJoin:
+    FEATS = [
+        (0, [(10.0, 10.0), (12.0, 14.0), (8.0, 13.0)]),
+        (1, [(-20.0, 40.0), (-18.0, 44.0), (-23.0, 43.0)]),
+    ]
+
+    def _pts(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(key=i, lat=float(la), lng=float(ln)) for i, (la, ln) in enumerate(rows)]
+        )
+
+    def test_vertex_point_classifies_with_zero_distance(self, spark):
+        from gos2_spark.spark.joins import nearest_feature_join
+
+        pts = self._pts(spark, [(10.0, 10.0), (-20.0, 40.0), (0.0, 25.0)])
+        got = {r["key"]: r for r in nearest_feature_join(pts, self.FEATS).collect()}
+        assert got[0]["nearest_fid"] == 0 and got[0]["nearest_dist_rad"] < 1e-12
+        assert got[1]["nearest_fid"] == 1 and got[1]["nearest_dist_rad"] < 1e-12
+        assert got[2]["nearest_dist_rad"] > 0.1
+
+    def test_tie_breaks_to_lowest_fid(self, spark):
+        from gos2_spark.spark.joins import nearest_feature_join
+
+        same = [(5, self.FEATS[0][1]), (3, self.FEATS[0][1])]
+        pts = self._pts(spark, [(11.0, 12.0)])
+        row = nearest_feature_join(pts, same).collect()[0]
+        # identical geometry -> exact tie -> first feature in list order wins
+        assert row["nearest_fid"] == 5
+
+    def test_closed_ring_adds_closing_edge(self, spark):
+        from gos2_spark.spark.joins import nearest_feature_join
+
+        # a point near the midpoint of the closing edge (last -> first
+        # vertex) must be strictly closer when the ring is closed
+        feats = [(0, self.FEATS[0][1])]
+        pts = self._pts(spark, [(9.0, 11.4)])
+        d_closed = nearest_feature_join(pts, feats, closed=True).collect()[0][
+            "nearest_dist_rad"
+        ]
+        d_open = nearest_feature_join(pts, feats, closed=False).collect()[0][
+            "nearest_dist_rad"
+        ]
+        assert d_closed < d_open
+
+    def test_single_open_feature_matches_route_distance(self, spark):
+        """Consistency with the already-oracled polyline kernel: one open
+        feature == route_distance_udf over the same waypoints."""
+        from pyspark.sql import functions as F
+
+        from gos2_spark.spark.functions import route_distance_udf
+        from gos2_spark.spark.joins import nearest_feature_join
+
+        way = [(0.0, 0.0), (5.0, 5.0), (10.0, 3.0)]
+        pts = self._pts(spark, [(2.0, 1.0), (7.0, 7.0), (-3.0, 4.0)])
+        nf = {
+            r["key"]: r["nearest_dist_rad"]
+            for r in nearest_feature_join(pts, [(0, way)], closed=False).collect()
+        }
+        rd = {
+            r["key"]: r["d"]
+            for r in pts.select(
+                "key", route_distance_udf(way)(F.col("lat"), F.col("lng")).alias("d")
+            ).collect()
+        }
+        assert nf == rd
