@@ -3677,6 +3677,110 @@ def _nearest_feature_oracle_sql() -> str:
     """
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word pairs by pointwise mutual
+    information, min pair count 5. Ranking uses the RATIONAL value
+    (c12 * N) / (c1 * c2) — integer-derived IEEE division is correctly
+    rounded, so cross-engine ORDER BY is exact (the tfidf_top_terms
+    trick); only the reported ln() is rounded. Distributed top-k via
+    TakeOrderedAndProject, never a vocab-wide window."""
+    docs = _load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    d = docs.select(arr.alias("w")).where(F.size("w") >= 2)
+    n = F.size("w")
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n - 1).alias("w1"),
+                F.slice("w", 2, n - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = d.select(F.explode("w").alias("t"))
+    c1 = uni.groupBy("t").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n_tok"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    j = (
+        c2.join(
+            F.broadcast(c1.select(F.col("t").alias("w1"), F.col("c").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("t").alias("w2"), F.col("c").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c12") >= 5)
+    )
+    r = (F.col("c12") * F.col("n_tok")).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            r.alias("_r"),
+            F.round(F.log(r), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("_r"), "w1", "w2")
+        .limit(20)
+        .drop("_r")
+    )
+
+
+def _q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation via Spark's NATIVE
+    F.window(6h, 2h): each event lands in exactly 3 epoch-aligned
+    windows; per (event_type, window) count + value sum. The same
+    expression drives Structured Streaming windowed aggs — this pins the
+    batch semantics (window assignment, alignment, inclusive start /
+    exclusive end) against a DuckDB replay of the window arithmetic.
+    Window starts are reported as NTZ-epoch microseconds (timezone-free)."""
+    ev = _load(spark, sf_dir, "events")
+    win = F.window("ts", "6 hours", "2 hours")
+    out = ev.groupBy(F.col("event_type"), win.alias("win")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    ws = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+    )
+    return out.select(
+        "event_type", ws.alias("win_start_us"), "n_events", "value_sum"
+    ).orderBy("event_type", "win_start_us")
+
+
+def _q_cap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounding cap (spark/aggregates.py cap_bound_per_key): the
+    distributed CapBound analogue — centroid axis + max-angle radius in
+    two map-side-combined aggregations. Complements the wrap-aware rect
+    bound aggregate (nation_bounding_rects). The oracle replays the
+    3-vector mean, the normalization-free atan2 angle, and the max in
+    SQL; means are float-sum-order sensitive, so reported values round
+    to 6 (the established centroid practice)."""
+    from gos2_spark.spark.aggregates import cap_bound_per_key
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    out = cap_bound_per_key(pts, key_col="user_id")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_pts",
+        F.round("axis_lat", 6).alias("axis_lat"),
+        F.round("axis_lng", 6).alias("axis_lng"),
+        F.round("radius_rad", 6).alias("radius_rad"),
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3809,6 +3913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_terms": _q_anchor_text_terms,
         "bigram_logprob": _q_bigram_logprob,
         "nearest_feature_join": _q_nearest_feature,
+        "pmi_collocations": _q_pmi_collocations,
+        "hopping_window_counts": _q_hopping_window_counts,
+        "cap_bounds_per_user": _q_cap_bounds,
     }
 
 
@@ -6345,4 +6452,83 @@ def oracle_sql() -> dict[str, str]:
             FROM lp GROUP BY doc_id ORDER BY doc_id
         """,
         "nearest_feature_join": _nearest_feature_oracle_sql(),
+        "pmi_collocations": """
+            WITH w AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> len(x) > 0) AS l
+              FROM documents
+            ),
+            wf AS (SELECT l FROM w WHERE len(l) >= 2),
+            bg AS (
+              SELECT l[i] AS w1, l[i + 1] AS w2
+              FROM wf, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            ),
+            uni AS (SELECT unnest(l) AS t FROM wf),
+            c1 AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+            tot AS (SELECT count(*) AS n_tok FROM uni),
+            c2 AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+              HAVING count(*) >= 5
+            ),
+            j AS (
+              SELECT w1, w2, c12,
+                     CAST(c12 * n_tok AS DOUBLE)
+                       / CAST(ca.c * cb.c AS DOUBLE) AS r
+              FROM c2
+              JOIN c1 ca ON ca.t = c2.w1
+              JOIN c1 cb ON cb.t = c2.w2, tot
+            )
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS n_pair,
+                   round(ln(r), 6) AS pmi
+            FROM j ORDER BY r DESC, w1, w2 LIMIT 20
+        """,
+        "hopping_window_counts": """
+            WITH e AS (
+              SELECT event_type, epoch_us(ts) AS us, value FROM events
+            ),
+            x AS (
+              SELECT event_type, us, value,
+                     ((us // 7200000000) - j) * 7200000000 AS ws
+              FROM e, LATERAL unnest([0, 1, 2]) AS t(j)
+            )
+            SELECT event_type, ws AS win_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM x
+            WHERE us >= ws AND us < ws + 21600000000
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cap_bounds_per_user": f"""
+            WITH pts AS ({_EVENTS_LATLNG_SQL}),
+            xyz AS (
+              SELECT user_id,
+                     cos(radians(lng)) * cos(radians(lat)) AS px,
+                     sin(radians(lng)) * cos(radians(lat)) AS py,
+                     sin(radians(lat)) AS pz
+              FROM pts
+            ),
+            m AS (
+              SELECT user_id, count(*) AS n_pts,
+                     avg(px) AS mx, avg(py) AS my, avg(pz) AS mz
+              FROM xyz GROUP BY 1
+            ),
+            a AS (
+              SELECT xyz.user_id, n_pts, mx, my, mz,
+                     atan2(sqrt(
+                         (my * pz - mz * py) * (my * pz - mz * py)
+                       + (mz * px - mx * pz) * (mz * px - mx * pz)
+                       + (mx * py - my * px) * (mx * py - my * px)),
+                       mx * px + my * py + mz * pz) AS ang
+              FROM xyz JOIN m USING (user_id)
+            )
+            SELECT user_id,
+                   CAST(first(n_pts) AS BIGINT) AS n_pts,
+                   round(degrees(atan2(first(mz),
+                         sqrt(first(mx) * first(mx)
+                            + first(my) * first(my)))), 6) AS axis_lat,
+                   round(degrees(atan2(first(my), first(mx))), 6) AS axis_lng,
+                   round(max(ang), 6) AS radius_rad
+            FROM a GROUP BY user_id ORDER BY user_id
+        """,
     }

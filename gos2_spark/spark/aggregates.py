@@ -207,3 +207,76 @@ def cell_pyramid(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def cap_bound_per_key(
+    points: DataFrame,
+    key_col: str = "key",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-key bounding spherical cap — the distributed analogue of the
+    reference's CapBound region bound (cap.go), complementing the
+    wrap-aware rect bound aggregate: axis = the group's mean position
+    vector (TrueCentroid direction, loop.go:215 family), radius = the
+    max angle from the axis to any member point.
+
+    The centroid-axis cap is within a small constant of the minimum
+    enclosing cap and is computable in TWO map-side-combined
+    aggregations: (1) per-key 3-vector means; (2) joined back (AQE
+    broadcasts the O(keys) mean table when small) for the per-point
+    angle ``atan2(|m x p|, m . p)`` — normalization of the mean cancels
+    inside atan2, so no renormalize step exists to disagree about. Max
+    is order-independent, so the only float-order sensitivity is the
+    mean itself (report rounded).
+
+    Output: key, n_pts, axis_lat, axis_lng (degrees), radius_rad.
+    """
+    rlat, rlng = F.radians(lat_col), F.radians(lng_col)
+    proj = points.select(
+        F.col(key_col).alias("key"),
+        (F.cos(rlng) * F.cos(rlat)).alias("px"),
+        (F.sin(rlng) * F.cos(rlat)).alias("py"),
+        F.sin(rlat).alias("pz"),
+    )
+    means = proj.groupBy("key").agg(
+        F.count("*").alias("n_pts"),
+        F.avg("px").alias("mx"),
+        F.avg("py").alias("my"),
+        F.avg("pz").alias("mz"),
+    )
+    j = proj.join(means, "key")
+    cx = F.col("my") * F.col("pz") - F.col("mz") * F.col("py")
+    cy = F.col("mz") * F.col("px") - F.col("mx") * F.col("pz")
+    cz = F.col("mx") * F.col("py") - F.col("my") * F.col("px")
+    dot = (
+        F.col("mx") * F.col("px")
+        + F.col("my") * F.col("py")
+        + F.col("mz") * F.col("pz")
+    )
+    ang = F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
+    axis_lat = F.degrees(
+        F.atan2(
+            F.col("mz"),
+            F.sqrt(F.col("mx") * F.col("mx") + F.col("my") * F.col("my")),
+        )
+    )
+    axis_lng = F.degrees(F.atan2(F.col("my"), F.col("mx")))
+    return (
+        j.select("key", "n_pts", "mx", "my", "mz", ang.alias("ang"))
+        .groupBy("key")
+        .agg(
+            F.first("n_pts").alias("n_pts"),
+            F.first("mx").alias("mx"),
+            F.first("my").alias("my"),
+            F.first("mz").alias("mz"),
+            F.max("ang").alias("radius_rad"),
+        )
+        .select(
+            "key",
+            "n_pts",
+            axis_lat.alias("axis_lat"),
+            axis_lng.alias("axis_lng"),
+            "radius_rad",
+        )
+    )

@@ -255,3 +255,60 @@ def test_cell_pyramid_rollup_invariants(spark):
             p = int(H.to_signed(H.parent(u, lvl))[0])
             rolled[p] = rolled.get(p, 0) + cnt
         assert rolled == by_level[lvl], lvl
+
+
+class TestCapBoundPerKey:
+    def test_contains_all_points_and_tight_on_circle(self, spark):
+        """Cap invariants: every member point is within radius of the
+        axis; for points on a small circle around a center the axis
+        recovers the center and the radius the circle's angular radius."""
+        import math
+
+        import numpy as np
+        from pyspark.sql import Row
+
+        from gos2_spark.spark.aggregates import cap_bound_per_key
+
+        clat, clng, r = 35.0, 120.0, 0.05  # radians radius
+        rows = []
+        for i in range(40):
+            t = 2 * math.pi * i / 40
+            # small-circle offsets in the local tangent plane
+            rows.append(
+                Row(
+                    key=1,
+                    lat=clat + math.degrees(r) * math.cos(t),
+                    lng=clng
+                    + math.degrees(r) * math.sin(t) / math.cos(math.radians(clat)),
+                )
+            )
+        rows.append(Row(key=2, lat=10.0, lng=10.0))  # singleton group
+        out = {
+            r_["key"]: r_
+            for r_ in cap_bound_per_key(spark.createDataFrame(rows)).collect()
+        }
+        g = out[1]
+        assert g["n_pts"] == 40
+        # The lat/lng-parameterized ring is not a true spherical circle;
+        # its centroid sits ~r^2*tan(lat)/2 rad poleward of the center
+        # (~0.04 deg here), so allow that bias.
+        assert abs(g["axis_lat"] - clat) < 0.06
+        assert abs(g["axis_lng"] - clng) < 0.01
+        # tangent-plane circle -> spherical radius within a few percent
+        assert 0.9 * r < g["radius_rad"] < 1.1 * r
+        # every point within the cap
+        ax = np.array([
+            math.cos(math.radians(g["axis_lng"])) * math.cos(math.radians(g["axis_lat"])),
+            math.sin(math.radians(g["axis_lng"])) * math.cos(math.radians(g["axis_lat"])),
+            math.sin(math.radians(g["axis_lat"])),
+        ])
+        for row in rows[:40]:
+            p = np.array([
+                math.cos(math.radians(row.lng)) * math.cos(math.radians(row.lat)),
+                math.sin(math.radians(row.lng)) * math.cos(math.radians(row.lat)),
+                math.sin(math.radians(row.lat)),
+            ])
+            assert math.acos(min(1.0, float(ax @ p))) <= g["radius_rad"] + 1e-9
+        s = out[2]
+        assert s["n_pts"] == 1 and s["radius_rad"] < 1e-7
+        assert abs(s["axis_lat"] - 10.0) < 1e-6 and abs(s["axis_lng"] - 10.0) < 1e-6
