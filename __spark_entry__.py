@@ -3781,6 +3781,159 @@ def _q_cap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_link_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the host link graph (pipeline/graph.py
+    bfs_hops): shortest hop distance from two seed hosts via
+    level-synchronous frontier expansion — one frontier-keyed shuffle join
+    plus one visited anti-join per round, O(diameter) rounds, lineage
+    truncated per round. The oracle replays it as a depth-capped recursive
+    CTE with min-hop aggregation (equivalent because the cap exceeds the
+    graph's eccentricity)."""
+    from gos2_spark.pipeline.graph import bfs_hops
+    from gos2_spark.pipeline.web import extract_links, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/p/"),
+        m,
+        F.lit('">x</a> <a href="/local">l</a> <a href="https://site'),
+        ((d * 11) % 20).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    links = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("href"),
+    )
+    edges = links.select(
+        "src_host", url_host(F.col("href")).alias("dst_host")
+    ).where(F.col("dst_host") != "")
+    seeds = spark.createDataFrame(
+        [("site0.example",), ("site1.example",)], "host string"
+    )
+    out = bfs_hops(
+        edges, seeds, src_col="src_host", dst_col="dst_host",
+        node_col="host", max_hops=8,
+    )
+    return out.select("host", F.col("hops").cast("long").alias("hops")).orderBy(
+        "host"
+    )
+
+
+def _cities_values_sql() -> str:
+    """VALUES rows for the 6 synthetic-corpus cities (name, lat, lng)."""
+    from gos2_spark.spark.pages import CITIES
+
+    return ", ".join(f"('{n}', {la!r}, {ln!r})" for n, la, ln, _w in CITIES)
+
+
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view -> click -> purchase): per user, the
+    first view, the first click strictly after it, and the first purchase
+    strictly after that. Three chained min-aggregations, ALL keyed on
+    user_id — on a bucketed events table every step reuses one
+    co-partitioning, and each step's input is pre-filtered to one event
+    type so the joins shrink monotonically. Timestamps compare as exact
+    microsecond integers (the NTZ-epoch arithmetic shared with the other
+    temporal queries); absent steps surface as -1 sentinels, never NULL
+    BIGINTs."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select("user_id", "event_type", us.alias("us"))
+    t1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1_us"))
+    )
+    t2 = (
+        e.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("us") > F.col("t1_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2_us"))
+    )
+    t3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("us") > F.col("t2_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3_us"))
+    )
+    steps = (
+        F.lit(1)
+        + F.col("t2_us").isNotNull().cast("int")
+        + F.col("t3_us").isNotNull().cast("int")
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1_us",
+            steps.cast("long").alias("steps"),
+            F.coalesce("t2_us", F.lit(-1)).alias("t2_us"),
+            F.coalesce("t3_us", F.lit(-1)).alias("t3_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation: estimate a field
+    value at each of the 6 synthetic-corpus city locations from all event
+    points within 0.5 rad, weight 1/(1e-3 + d)^2 with the engine's
+    haversine (latlng.go:32-40 op order). Query sites are a broadcast
+    literal explode — the degenerate form a 10^12-point IDW takes after a
+    covering-cell prefilter (route_proximity's 5x5 trick) bounds each
+    site's candidate set; zero shuffles before the final per-site rollup.
+    n_pts gates the distance filter exactly; the weighted mean is reported
+    rounded (float-sum-order, the established centroid practice)."""
+    from gos2_spark.spark.functions import haversine_rad
+    from gos2_spark.spark.pages import CITIES
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "value",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    cities = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("city"),
+                F.lit(la).alias("clat"),
+                F.lit(ln).alias("clng"),
+            )
+            for n, la, ln, _w in CITIES
+        ]
+    )
+    x = pts.select("value", "lat", "lng", F.explode(cities).alias("c"))
+    d = haversine_rad(
+        F.col("lat"), F.col("lng"), F.col("c.clat"), F.col("c.clng")
+    )
+    w = 1.0 / ((d + F.lit(1e-3)) * (d + F.lit(1e-3)))
+    y = x.where(d < 0.5).select(
+        F.col("c.city").alias("city"),
+        w.alias("w"),
+        (w * F.col("value")).alias("wv"),
+    )
+    return (
+        y.groupBy("city")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.round(F.sum("wv") / F.sum("w"), 6).alias("idw_value"),
+        )
+        .orderBy("city")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -3916,6 +4069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "hopping_window_counts": _q_hopping_window_counts,
         "cap_bounds_per_user": _q_cap_bounds,
+        "link_bfs_hops": _q_link_bfs_hops,
+        "funnel_steps": _q_funnel_steps,
+        "idw_interpolation": _q_idw_interpolation,
     }
 
 
@@ -6530,5 +6686,91 @@ def oracle_sql() -> dict[str, str]:
                    round(degrees(atan2(first(my), first(mx))), 6) AS axis_lng,
                    round(max(ang), 6) AS radius_rad
             FROM a GROUP BY user_id ORDER BY user_id
+        """,
+        "link_bfs_hops": """
+            WITH RECURSIVE pages AS (
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS src_host,
+                     '<html><body><a href="https://site' || ((doc_id * 7) % 20)::VARCHAR
+                       || '.example/p/' || (doc_id % 125)::VARCHAR
+                       || '">x</a> <a href="/local">l</a> <a href="https://site'
+                       || ((doc_id * 11) % 20)::VARCHAR
+                       || '.example/q">y</a></body></html>' AS html
+              FROM documents
+            ),
+            links AS (
+              SELECT src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM pages
+            ),
+            edges AS (
+              SELECT DISTINCT src_host,
+                     lower(regexp_extract(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS dst_host
+              FROM links
+              WHERE lower(regexp_extract(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) <> ''
+            ),
+            walk(host, d) AS (
+              SELECT host, 0 FROM (VALUES ('site0.example'), ('site1.example')) s(host)
+              UNION
+              SELECT e.dst_host, walk.d + 1
+              FROM walk JOIN edges e ON e.src_host = walk.host
+              WHERE walk.d < 8
+            )
+            SELECT host, CAST(min(d) AS BIGINT) AS hops
+            FROM walk GROUP BY host ORDER BY host
+        """,
+        "funnel_steps": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ),
+            t1 AS (
+              SELECT user_id, min(us) AS t1_us FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT e.user_id, min(us) AS t2_us FROM e JOIN t1 USING (user_id)
+              WHERE event_type = 'click' AND us > t1_us GROUP BY 1
+            ),
+            t3 AS (
+              SELECT e.user_id, min(us) AS t3_us FROM e JOIN t2 USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1
+            )
+            SELECT t1.user_id, t1_us,
+                   CAST(1 + (t2_us IS NOT NULL)::INT
+                          + (t3_us IS NOT NULL)::INT AS BIGINT) AS steps,
+                   coalesce(t2_us, -1) AS t2_us,
+                   coalesce(t3_us, -1) AS t3_us
+            FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+            ORDER BY user_id
+        """,
+        "idw_interpolation": f"""
+            WITH pts AS (
+              SELECT value,
+                     -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat,
+                     -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng
+              FROM events
+            ),
+            cities(city, clat, clng) AS (VALUES {_cities_values_sql()}),
+            h AS (
+              SELECT city, value,
+                     power(sin((radians(clat) - radians(lat)) * 0.5), 2)
+                   + power(sin((radians(clng) - radians(lng)) * 0.5), 2)
+                     * cos(radians(lat)) * cos(radians(clat)) AS x
+              FROM pts, cities
+            ),
+            d AS (
+              SELECT city, value,
+                     2.0 * atan2(sqrt(x), sqrt(greatest(0.0, 1.0 - x))) AS dist
+              FROM h
+            ),
+            w AS (
+              SELECT city, value,
+                     1.0 / ((dist + 1e-3) * (dist + 1e-3)) AS w
+              FROM d WHERE dist < 0.5
+            )
+            SELECT city, CAST(count(*) AS BIGINT) AS n_pts,
+                   round(sum(w * value) / sum(w), 6) AS idw_value
+            FROM w GROUP BY city ORDER BY city
         """,
     }

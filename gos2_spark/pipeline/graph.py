@@ -350,3 +350,71 @@ def triangle_count(
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 20,
+    materialize=None,
+) -> DataFrame:
+    """(node, hops): multi-source BFS shortest hop distance over a directed
+    edge table — crawl-frontier depth, link-distance-from-seeds quality
+    signals, reachability gating.
+
+    Level-synchronous frontier expansion: round ``h`` joins the current
+    frontier against the edge table (ONE shuffle join keyed on the source
+    column) and anti-joins the visited set to keep only first-time nodes,
+    which become both the ``hops = h`` output rows and the next frontier.
+    Hop labels are final the round a node is first reached (BFS invariant),
+    so no min-agg or re-labelling round is needed.
+
+    Scale shape (10^9 nodes, 10^11 edges):
+
+    * the per-round cost is O(edges out of the frontier), not O(graph) —
+      the anti-join against visited keys keeps every explored node out of
+      all later rounds;
+    * parallel edges are collapsed once up front (``distinct`` on the
+      projected edge pair) so a hot page linked 10^4 times costs one row
+      per round, not 10^4;
+    * every round materializes only the (bounded) frontier and the visited
+      set — lineage stays O(1) deep via the same reliable-checkpoint-or-
+      localCheckpoint policy as ``connected_components``;
+    * termination is a fixpoint test on the materialized frontier (empty ->
+      done), one cheap driver scalar per round, same as the CC fixpoint.
+
+    The fixed ``max_hops`` cap makes the computation statically unrollable,
+    so a recursive-CTE oracle capped at the same depth replays it exactly.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    dist = mat(
+        sources.select(F.col(node_col).alias(node_col))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    frontier = dist.select(node_col)
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier[node_col] == e["_s"])
+            .select(F.col("_d").alias(node_col))
+            .distinct()
+        )
+        new = mat(
+            reached.join(dist, node_col, "left_anti").withColumn(
+                "hops", F.lit(h).cast("int")
+            )
+        )
+        if new.isEmpty():
+            break
+        dist = mat(dist.union(new))
+        frontier = new.select(node_col)
+    return dist

@@ -445,3 +445,50 @@ def test_triangle_count_random_matches_brute_force(spark):
             assert got[n]["clustering_coeff"] == pytest.approx(
                 2.0 * tri / (deg * (deg - 1)), abs=1e-12
             )
+
+
+def test_bfs_hops_matches_reference_bfs(spark):
+    """Directed graph with a cycle, a diamond, an unreachable node, and
+    two sources: engine hops == collections.deque BFS."""
+    from collections import deque
+
+    from gos2_spark.pipeline.graph import bfs_hops
+
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # cycle back to a source
+        (1, 3), (2, 3), (3, 4),          # diamond into a tail
+        (5, 6), (6, 7),                  # second source's chain
+        (4, 5),                          # bridge: 5 reachable both ways
+        (8, 9),                          # 8, 9 unreachable from sources
+        (0, 1), (0, 1),                  # parallel edges collapse
+    ]
+    sources = [0, 5]
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    ref = {s: 0 for s in sources}
+    q = deque(sources)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    s_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r["node"]: r["hops"] for r in bfs_hops(e_df, s_df).collect()
+    }
+    assert got == ref
+    assert 8 not in got and 9 not in got
+
+
+def test_bfs_hops_max_hops_cap(spark):
+    from gos2_spark.pipeline.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(10)]
+    e_df = spark.createDataFrame(chain, "src long, dst long")
+    s_df = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e_df, s_df, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
