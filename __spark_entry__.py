@@ -3463,7 +3463,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(k: int = 10) -> str:
     """Replay bm25_topk with the engine's exact float-op order: constants
     embedded as reprs of the same Python arithmetic the Column tree uses
     (k1+1, 1-b) so both engines evaluate identical IEEE expressions."""
@@ -3523,7 +3523,7 @@ def _bm25_oracle_sql() -> str:
                  key AS doc_id, score_e9
           FROM scores
         )
-        SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        SELECT * FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
 
 
@@ -3824,6 +3824,70 @@ def _q_link_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_EDGES_CTE = """
+            pages AS (
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS src_host,
+                     '<html><body><a href="https://site' || ((doc_id * 7) % 20)::VARCHAR
+                       || '.example/p/' || (doc_id % 125)::VARCHAR
+                       || '">x</a> <a href="/local">l</a> <a href="https://site'
+                       || ((doc_id * 11) % 20)::VARCHAR
+                       || '.example/q">y</a></body></html>' AS html
+              FROM documents
+            ),
+            links AS (
+              SELECT src_host,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+              FROM pages
+            ),
+            edges AS (
+              SELECT DISTINCT src_host,
+                     lower(regexp_extract(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS dst_host
+              FROM links
+              WHERE lower(regexp_extract(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) <> ''
+            )
+"""
+
+
+def _sssp_oracle_sql(rounds: int = 8) -> str:
+    """Unroll pipeline/graph.py sssp_relax as chained min-plus CTEs over
+    the weighted host link graph (weights = 1 + (3*len(src)+len(dst)) % 7,
+    pure integers)."""
+    parts = [
+        "WITH",
+        _LINK_EDGES_CTE + ",",
+        """
+            we AS (
+              SELECT src_host, dst_host,
+                     1 + (3 * length(src_host) + length(dst_host)) % 7 AS w
+              FROM edges
+            ),
+            r0 AS (
+              SELECT host, CAST(0 AS BIGINT) AS cost
+              FROM (VALUES ('site0.example'), ('site1.example')) s(host)
+            )
+        """,
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+            r{i} AS (
+              SELECT host, min(cost) AS cost FROM (
+                SELECT host, cost FROM r{i - 1}
+                UNION ALL
+                SELECT we.dst_host AS host, r{i - 1}.cost + we.w AS cost
+                FROM r{i - 1} JOIN we ON we.src_host = r{i - 1}.host
+              ) GROUP BY host
+            )
+        """
+        )
+    parts.append(
+        f"SELECT host, CAST(cost AS BIGINT) AS cost FROM r{rounds} ORDER BY host"
+    )
+    return "\n".join(parts)
+
+
 def _cities_values_sql() -> str:
     """VALUES rows for the 6 synthetic-corpus cities (name, lat, lng)."""
     from gos2_spark.spark.pages import CITIES
@@ -3931,6 +3995,197 @@ def _q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("wv") / F.sum("w"), 6).alias("idw_value"),
         )
         .orderBy("city")
+    )
+
+
+def _q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time: slope/intercept from
+    sufficient statistics (n, Σx, Σx², Σy, Σxy) in ONE map-side-combined
+    aggregation — the closed-form regression a 100 TB per-domain trend
+    scan takes, no second pass, no window. x = integer hours since epoch,
+    so n/Σx/Σx² and the variance denominator are EXACT BIGINTs; only
+    Σy/Σxy are float-sum-order sensitive (reported values round to 6, the
+    established practice)."""
+    ev = _load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 3600000000"
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    slope = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    intercept = (F.col("sy") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("user_id")
+
+
+def _link_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct host link edges with a deterministic integer weight
+    (1 + (3*len(src) + len(dst)) % 7) — the SSSP cost fixture."""
+    from gos2_spark.pipeline.web import extract_links, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/p/"),
+        m,
+        F.lit('">x</a> <a href="/local">l</a> <a href="https://site'),
+        ((d * 11) % 20).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    links = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("href"),
+    )
+    edges = (
+        links.select("src_host", url_host(F.col("href")).alias("dst_host"))
+        .where(F.col("dst_host") != "")
+        .distinct()
+    )
+    w = 1 + (
+        3 * F.length("src_host") + F.length("dst_host")
+    ).cast("long") % 7
+    return edges.withColumn("w", w)
+
+
+def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the host link graph (pipeline/graph.py
+    sssp_relax): 8 Bellman-Ford min-plus sweeps from two seed hosts, one
+    keyed edge join + one min-agg per sweep, integer costs throughout so
+    every value compares exactly. The oracle unrolls the same 8 sweeps as
+    chained CTEs."""
+    from gos2_spark.pipeline.graph import sssp_relax
+
+    edges = _link_weighted_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [("site0.example",), ("site1.example",)], "host string"
+    )
+    out = sssp_relax(
+        edges, seeds, src_col="src_host", dst_col="dst_host",
+        weight_col="w", node_col="host", rounds=8,
+    )
+    return out.select("host", F.col("cost").cast("long").alias("cost")).orderBy(
+        "host"
+    )
+
+
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranks fused with embedding cosine
+    ranks by reciprocal-rank fusion, score = Σ 1/(60 + rank). Both
+    candidate lists are top-20 per query; the fused score is a FIXED
+    two-term expression of integer ranks (never a float aggregation), so
+    both engines compute bit-identical doubles and the fused order is
+    exact. Scale shape: each branch is the already-proven retrieval plan;
+    the fusion itself is one (query, key)-keyed outer join over k-bounded
+    rows."""
+    from pyspark.sql.window import Window
+
+    from gos2_spark.pipeline.retrieval import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+
+    text = bm25_topk(docs, _BM25_QUERIES, k=20).select(
+        "query_id", F.col("key").alias("doc_id"), F.col("rank").alias("r_text")
+    )
+    qv = emb.where(F.col("vec_id").isin([q for q, _ in _BM25_QUERIES])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_emb"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), dot.alias("s"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    vec = (
+        scored.withColumn("r_vec", F.row_number().over(wv))
+        .where(F.col("r_vec") <= 20)
+        .select("query_id", "doc_id", "r_vec")
+    )
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(60.0) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60.0) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+        F.coalesce("r_text", F.lit(-1)).alias("r_text"),
+        F.coalesce("r_vec", F.lit(-1)).alias("r_vec"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "fused_rank", "doc_id",
+            F.round("rrf", 9).alias("rrf_score"), "r_text", "r_vec",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: MinHash-LSH groups -> keep the
+    longest document per cluster (tie: min doc_id) — the 'keep best'
+    policy a curation pipeline applies after grouping. One group-keyed
+    window over the (bounded) group table; all outputs exact integers."""
+    from pyspark.sql.window import Window
+
+    from gos2_spark.pipeline.dedup import minhash_dedup_groups
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    groups = minhash_dedup_groups(docs, threshold=0.8)
+    j = groups.join(
+        docs.select(F.col("doc_id").alias("key"), "n_chars"), "key"
+    )
+    w = Window.partitionBy("group_key").orderBy(
+        F.desc("n_chars"), F.asc("key")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("group_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.when(F.col("rn") == 1, F.col("key"))).alias(
+                "canonical_key"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "canonical_chars"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("group_key")
     )
 
 
@@ -4072,6 +4327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_bfs_hops": _q_link_bfs_hops,
         "funnel_steps": _q_funnel_steps,
         "idw_interpolation": _q_idw_interpolation,
+        "value_trend_ols": _q_value_trend_ols,
+        "weighted_sssp": _q_weighted_sssp,
+        "hybrid_rrf_retrieval": _q_hybrid_rrf,
+        "dedup_canonical_pick": _q_dedup_canonical,
     }
 
 
@@ -6772,5 +7031,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT city, CAST(count(*) AS BIGINT) AS n_pts,
                    round(sum(w * value) / sum(w), 6) AS idw_value
             FROM w GROUP BY city ORDER BY city
+        """,
+        "value_trend_ols": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS x, value AS y
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     sum(y) AS sy,
+                     sum(CAST(x AS DOUBLE) * y) AS sxy
+              FROM e GROUP BY 1
+            ),
+            sl AS (
+              SELECT user_id, n, sx, sy,
+                     CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0.0
+                          THEN 0.0
+                          ELSE (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                     END AS slope
+              FROM s
+            )
+            SELECT user_id, n AS n_events,
+                   round(slope, 6) AS slope_per_hour,
+                   round((sy - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM sl ORDER BY user_id
+        """,
+        "weighted_sssp": _sssp_oracle_sql(8),
+        "hybrid_rrf_retrieval": f"""
+            WITH txt AS (
+              SELECT query_id, doc_id, CAST(rank AS BIGINT) AS r_text
+              FROM ({_bm25_oracle_sql(20)})
+            ),
+            qv AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings
+              WHERE vec_id IN ({", ".join(str(q) for q, _ in _BM25_QUERIES)})
+            ),
+            scored AS (
+              SELECT qv.query_id, e.vec_id AS doc_id,
+                     list_sum(list_transform(list_zip(
+                         list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                         qv.qe), p -> p[1] * p[2])) AS s
+              FROM embeddings e, qv WHERE e.vec_id <> qv.query_id
+            ),
+            vec AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (
+                         PARTITION BY query_id ORDER BY s DESC, doc_id
+                     ) AS BIGINT) AS r_vec
+              FROM scored
+              QUALIFY r_vec <= 20
+            ),
+            fused AS (
+              SELECT coalesce(t.query_id, v.query_id) AS query_id,
+                     coalesce(t.doc_id, v.doc_id) AS doc_id,
+                     coalesce(1.0 / (60.0 + t.r_text), 0.0)
+                       + coalesce(1.0 / (60.0 + v.r_vec), 0.0) AS rrf,
+                     coalesce(t.r_text, -1) AS r_text,
+                     coalesce(v.r_vec, -1) AS r_vec
+              FROM txt t FULL OUTER JOIN vec v
+                ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY rrf DESC, doc_id
+                   ) AS BIGINT) AS fused_rank,
+                   doc_id, round(rrf, 9) AS rrf_score, r_text, r_vec
+            FROM fused
+            QUALIFY fused_rank <= 10
+            ORDER BY query_id, fused_rank
+        """,
+        "dedup_canonical_pick": f"""
+            WITH groups AS ({_DO.minhash_groups_oracle_sql(500, 0.8)}),
+            j AS (
+              SELECT g.key, g.group_key, d.n_chars
+              FROM groups g JOIN documents d ON d.doc_id = g.key
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY group_key ORDER BY n_chars DESC, key ASC
+              ) AS rn
+              FROM j
+            )
+            SELECT group_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(CASE WHEN rn = 1 THEN key END) AS canonical_key,
+                   min(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM r GROUP BY group_key ORDER BY group_key
         """,
     }

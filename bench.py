@@ -108,6 +108,21 @@ BENCH_QUERIES = [
     "jaccard_similarity_join",
     "cell_top_events",
     "unigram_logprob",
+    "gps_speed_outliers",
+    "od_matrix",
+    "colocation_pairs",
+    "triangle_counts",
+    "inverted_index_stats",
+    "bm25_topk",
+    "anchor_text_terms",
+    "bigram_logprob",
+    "nearest_feature_join",
+    "pmi_collocations",
+    "hopping_window_counts",
+    "cap_bounds_per_user",
+    "link_bfs_hops",
+    "funnel_steps",
+    "idw_interpolation",
 ]
 
 

@@ -418,3 +418,55 @@ def bfs_hops(
         dist = mat(dist.union(new))
         frontier = new.select(node_col)
     return dist
+
+
+def sssp_relax(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    rounds: int = 8,
+    materialize=None,
+) -> DataFrame:
+    """(node, cost): multi-source shortest path cost after ``rounds``
+    Bellman-Ford relaxation sweeps — weighted link distance, crawl cost
+    budgeting, latency-bounded reachability.
+
+    Each sweep is min-plus: candidate costs flow along every edge out of
+    the current table (ONE shuffle join keyed on the source), then a
+    map-side-combined min-agg merges candidates with the standing costs.
+    After ``k`` sweeps every node whose shortest path uses <= k edges holds
+    its final cost; with ``rounds >= longest shortest-path edge count`` the
+    result is the exact SSSP fixpoint (negative edges are rejected).
+
+    Scale shape: per round one edge join + one min groupBy, both keyed —
+    co-partitionable end to end; the cost table is bounded by reached
+    nodes; lineage truncates per round (same policy as
+    ``connected_components``). The FIXED round count keeps the whole
+    computation a statically unrollable DAG, so a chained-CTE oracle
+    replays it exactly — and with integer weights every cost compares
+    exactly cross-engine.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).alias("_w"),
+    ).where(F.col("_w") >= 0)
+    dist = mat(
+        sources.select(F.col(node_col).alias(node_col))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        cand = dist.join(e, dist[node_col] == e["_s"]).select(
+            F.col("_d").alias(node_col),
+            (F.col("cost") + F.col("_w")).cast("long").alias("cost"),
+        )
+        dist = mat(
+            dist.union(cand).groupBy(node_col).agg(F.min("cost").alias("cost"))
+        )
+    return dist

@@ -492,3 +492,49 @@ def test_bfs_hops_max_hops_cap(spark):
     s_df = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["hops"] for r in bfs_hops(e_df, s_df, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_relax_matches_dijkstra(spark):
+    """Weighted digraph with a cheap long path beating an expensive short
+    one, a cycle, and an unreachable node: engine == heapq Dijkstra."""
+    import heapq
+
+    from gos2_spark.pipeline.graph import sssp_relax
+
+    edges = [
+        (0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1),   # 0->1 via 2,3 costs 3
+        (1, 4, 2), (4, 0, 5),                           # cycle back
+        (5, 6, 7),                                      # unreachable island
+        (0, 2, 4),                                      # parallel edge, worse
+    ]
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    ref = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        c, u = heapq.heappop(pq)
+        if c > ref.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            if c + w < ref.get(v, 1 << 60):
+                ref[v] = c + w
+                heapq.heappush(pq, (c + w, v))
+
+    e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["cost"] for r in sssp_relax(e_df, s_df, rounds=6).collect()}
+    assert got == ref
+
+
+def test_sssp_relax_round_cap_partial(spark):
+    from gos2_spark.pipeline.graph import sssp_relax
+
+    chain = [(i, i + 1, 1) for i in range(10)]
+    e_df = spark.createDataFrame(chain, "src long, dst long, w long")
+    s_df = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in sssp_relax(e_df, s_df, rounds=4).collect()
+    }
+    assert got == {i: i for i in range(5)}
