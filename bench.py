@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "link_bfs_hops",
     "funnel_steps",
     "idw_interpolation",
+    "value_trend_ols",
+    "weighted_sssp",
+    "hybrid_rrf_retrieval",
+    "dedup_canonical_pick",
 ]
 
 
