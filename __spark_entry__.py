@@ -2762,6 +2762,60 @@ def _hotspot_oracle_sql() -> str:
     """
 
 
+def _morans_oracle_sql() -> str:
+    """Moran's I from integer sufficient statistics: the same exact SQL
+    edge-neighbor arithmetic as the hotspot oracle produces the directed
+    occupied-pair table; every aggregate is a BIGINT, and the final float
+    expression mirrors the engine's op order term for term."""
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (SELECT {tok} AS token, count(*) AS n FROM cells GROUP BY 1),
+        pj AS (
+          SELECT c1.n AS xi, c2.n AS xj
+          FROM pairs p
+          JOIN cnt c1 ON c1.token = p.token
+          JOIN cnt c2 ON c2.token = p.nbr_token
+        ),
+        ps AS (
+          SELECT count(*) AS w_pairs,
+                 CAST(sum(xi) AS BIGINT) AS pi,
+                 CAST(sum(xj) AS BIGINT) AS pjs,
+                 CAST(sum(xi * xj) AS BIGINT) AS pxy
+          FROM pj
+        ),
+        cs AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM cnt
+        ),
+        c AS (
+          SELECT *,
+                 CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE) AS xb
+          FROM cs, ps
+        )
+        SELECT n_cells, w_pairs,
+               round(xb, 9) AS mean_count,
+               round(
+                 (CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+                 * (CAST(pxy AS DOUBLE)
+                    - xb * CAST(pi AS DOUBLE)
+                    - xb * CAST(pjs AS DOUBLE)
+                    + CAST(w_pairs AS DOUBLE) * xb * xb)
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(n_cells AS DOUBLE) * xb * xb), 9) AS morans_i
+        FROM c
+    """
+
+
 def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation (pipeline/sketch.py): token
     counts estimated from a depth-4 x width-2048 sketch for the top-10
@@ -4189,6 +4243,102 @@ def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation (Moran's I) of per-cell point counts
+    on the level-5 grid with 4-edge-neighbor weights (occupied cells
+    only). The statistic decomposes into INTEGER sufficient statistics —
+    N, Σx, Σx² over cells and W, Σxᵢ, Σxⱼ, Σxᵢxⱼ over directed occupied
+    neighbor pairs — so both engines aggregate exact BIGINTs and only the
+    final fixed-order float expression differs from zero error: the
+    result is bit-identical cross-engine (no float-sum-order exposure at
+    all). Scale shape: one cell agg + one bounded 4x neighbor explode +
+    one co-partitioned join, then two 1-row reductions."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_edge_neighbors
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    pairs = counts.select(
+        F.col("n").alias("xi"),
+        F.explode(s2_edge_neighbors(F.col("cell"))).alias("cj"),
+    )
+    pj = pairs.join(
+        counts.select(F.col("cell").alias("cj"), F.col("n").alias("xj")), "cj"
+    )
+    ps = pj.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum("xi").alias("pi"),
+        F.sum("xj").alias("pj"),
+        F.sum(F.col("xi") * F.col("xj")).alias("pxy"),
+    )
+    cs = counts.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    j = cs.crossJoin(ps)
+    xb = F.col("sx").cast("double") / F.col("n_cells").cast("double")
+    num = (
+        F.col("pxy").cast("double")
+        - xb * F.col("pi").cast("double")
+        - xb * F.col("pj").cast("double")
+        + F.col("w_pairs").cast("double") * xb * xb
+    )
+    den = F.col("sxx").cast("double") - F.col("n_cells").cast(
+        "double"
+    ) * xb * xb
+    morans = (
+        F.col("n_cells").cast("double") / F.col("w_pairs").cast("double")
+    ) * num / den
+    return j.select(
+        "n_cells",
+        "w_pairs",
+        F.round(xb, 9).alias("mean_count"),
+        F.round(morans, 9).alias("morans_i"),
+    )
+
+
+def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value in
+    time order (α = 1/8, exact binary): the representative ORDERED
+    STATEFUL fold, computed as sort_array(collect_list) + a sequential
+    F.aggregate lambda — one user-keyed shuffle, fold entirely JVM-side.
+    α and 1-α are exact powers of two and the fold order is pinned, so
+    both engines produce bit-identical doubles. Scale note: per-key state
+    is the user's event list (bounded); for monster keys EWMA composes
+    associatively as affine maps (m, b) — the documented tree-reduction
+    path, not used here because it changes float order."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    g = (
+        ev.select("user_id", us.alias("us"), "event_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("arr"),
+        )
+    )
+    rest = F.slice(F.col("arr"), 2, F.size("arr") - 1)
+    init = F.element_at("arr", 1).getField("value")
+    fold = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: acc * F.lit(0.875) + x.getField("value") * F.lit(0.125),
+    )
+    return g.select(
+        "user_id", "n_events", F.round(fold, 6).alias("ewma")
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -4331,6 +4481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sssp": _q_weighted_sssp,
         "hybrid_rrf_retrieval": _q_hybrid_rrf,
         "dedup_canonical_pick": _q_dedup_canonical,
+        "morans_i_cells": _q_morans_i,
+        "ewma_user_value": _q_ewma_user_value,
     }
 
 
@@ -7124,5 +7276,20 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM r GROUP BY group_key ORDER BY group_key
+        """,
+        "morans_i_cells": _morans_oracle_sql(),
+        "ewma_user_value": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+            ),
+            g AS (
+              SELECT user_id, count(*) AS n_events,
+                     list(CAST(value AS DOUBLE) ORDER BY us, event_id) AS vals
+              FROM e GROUP BY 1
+            )
+            SELECT user_id, n_events,
+                   round(list_reduce(vals,
+                         (acc, x) -> acc * 8.75e-1 + x * 1.25e-1), 6) AS ewma
+            FROM g ORDER BY user_id
         """,
     }

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "weighted_sssp",
     "hybrid_rrf_retrieval",
     "dedup_canonical_pick",
+    "morans_i_cells",
+    "ewma_user_value",
 ]
 
 
