@@ -4339,6 +4339,147 @@ def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_gistar_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per occupied level-5 cell
+    (spark/spatialstats.py getis_ord_gistar): binary self+4-edge-neighbor
+    weights on the gos2 grid (EdgeNeighbors, cellid.go:210-220). Every
+    sufficient statistic — per-cell neighbor count/sum, global N, Σx,
+    Σx² — is an exact BIGINT; the z-score is ONE fixed-order double
+    expression, so both engines agree bit-for-bit. Scale shape: one
+    bounded 4x explode + one co-partitioned join + keyed agg + a 1-row
+    broadcast of the global moments."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.spatialstats import getis_ord_gistar
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    out = getis_ord_gistar(counts, cell_col="cell", count_col="n")
+    return out.select(
+        s2_token(F.col("cell")).alias("token"),
+        "x_count",
+        "w_i",
+        "local_sum",
+        F.round("gi_star", 9).alias("gi_star"),
+    ).orderBy("token")
+
+
+def _gistar_oracle_sql() -> str:
+    """Gi* from the same exact SQL neighbor arithmetic as the Moran's I
+    oracle: BIGINT sufficient statistics, one mirrored final float
+    expression."""
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (SELECT {tok} AS token, count(*) AS n FROM cells GROUP BY 1),
+        nj AS (
+          SELECT p.token, count(*) AS w_nbrs,
+                 CAST(sum(c2.n) AS BIGINT) AS nbr_sum
+          FROM pairs p JOIN cnt c2 ON c2.token = p.nbr_token
+          GROUP BY 1
+        ),
+        per AS (
+          SELECT c.token, CAST(c.n AS BIGINT) AS x_count,
+                 CAST(COALESCE(nj.w_nbrs, 0) + 1 AS BIGINT) AS w_i,
+                 CAST(COALESCE(nj.nbr_sum, 0) + c.n AS BIGINT) AS local_sum
+          FROM cnt c LEFT JOIN nj ON nj.token = c.token
+        ),
+        g AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM cnt
+        )
+        SELECT token, x_count, w_i, local_sum,
+               round(
+                 (CAST(local_sum AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                    * CAST(w_i AS DOUBLE))
+                 / (sqrt(CAST(sxx AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                    * sqrt((CAST(n_cells AS DOUBLE) * CAST(w_i AS DOUBLE)
+                            - CAST(w_i AS DOUBLE) * CAST(w_i AS DOUBLE))
+                           / (CAST(n_cells AS DOUBLE) - 1.0))), 9
+               ) AS gi_star
+        FROM per, g ORDER BY token
+    """
+
+
+_RIPLEY_RADII = (0.01, 0.03, 0.08)  # radians: ~64 / 191 / 510 km
+
+
+def _q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern function (spark/spatialstats.py ripley_k)
+    at three angular radii over the customer point set. Pair counting is
+    the cell-blocked within-radius join (3x3 neighborhood explode + hash
+    join + codegen angle filter, joins.py distance_join), never an
+    all-pairs product; the oracle IS the O(n²) cross join, so the
+    blocking scheme is value-checked against naive enumeration. Pair
+    counts are exact BIGINTs; K is one final fixed-order double."""
+    from gos2_spark.spark.spatialstats import ripley_k
+
+    pts = _cust_points(spark, sf_dir)
+    out = ripley_k(pts, _RIPLEY_RADII, point_key="key")
+    return out.select(
+        F.round("r_rad", 9).alias("r_rad"),
+        "n_points",
+        "n_pairs",
+        F.round("k_hat", 9).alias("k_hat"),
+        F.round("csr_pi_r2", 9).alias("csr_pi_r2"),
+    ).orderBy("r_rad")
+
+
+def _ripley_oracle_sql() -> str:
+    selects = []
+    for r in _RIPLEY_RADII:
+        selects.append(f"""
+          SELECT {r!r} AS r_raw,
+                 (SELECT count(*) FROM pts) AS n_points,
+                 (SELECT count(*) FROM pairs WHERE d <= {r!r}) AS n_pairs
+        """)
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        v AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        pairs AS (
+          SELECT atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z) AS d
+          FROM v a JOIN v b ON a.key < b.key
+        ),
+        rows_ AS ({union})
+        SELECT round(r_raw, 9) AS r_rad,
+               CAST(n_points AS BIGINT) AS n_points,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(4.0 * pi() * (2.0 * CAST(n_pairs AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE)
+                        * (CAST(n_points AS DOUBLE) - 1.0)), 9) AS k_hat,
+               round(pi() * r_raw * r_raw, 9) AS csr_pi_r2
+        FROM rows_ ORDER BY r_raw
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -4483,6 +4624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_pick": _q_dedup_canonical,
         "morans_i_cells": _q_morans_i,
         "ewma_user_value": _q_ewma_user_value,
+        "gistar_hotspots": _q_gistar_cells,
+        "ripley_k_function": _q_ripley_k,
     }
 
 
@@ -7278,6 +7421,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY group_key ORDER BY group_key
         """,
         "morans_i_cells": _morans_oracle_sql(),
+        "gistar_hotspots": _gistar_oracle_sql(),
+        "ripley_k_function": _ripley_oracle_sql(),
         "ewma_user_value": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events

@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "dedup_canonical_pick",
     "morans_i_cells",
     "ewma_user_value",
+    "gistar_hotspots",
+    "ripley_k_function",
 ]
 
 
