@@ -4480,6 +4480,140 @@ def _ripley_oracle_sql() -> str:
     """
 
 
+def _lpa_edges(c: DataFrame) -> DataFrame:
+    """Synthetic 96-node community graph: 12 blocks of 8 densely wired
+    intra-block plus sparse cross-block bridges — the planted-partition
+    shape LPA is built to recover."""
+    k = F.col("c_custkey")
+    v = (k % 96).alias("src")
+    intra = c.select(
+        v, ((k % 96) - ((k % 96) % 8) + ((k * 11 + 3) % 8)).alias("dst")
+    )
+    bridge = c.where(k % 17 == 0).select(v, ((k * 13) % 96).alias("dst"))
+    return intra.union(bridge)
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (pipeline/graph.py
+    label_propagation): 3 rounds of mode-of-neighbors with min-label
+    tie-break over a planted 12-block community graph. Every round is a
+    pure function of the previous labeling (no async order dependence),
+    so the chained-CTE oracle replays it exactly; labels, votes and
+    community sizes are all BIGINTs."""
+    from gos2_spark.pipeline.graph import label_propagation
+
+    c = _load(spark, sf_dir, "customer")
+    out = label_propagation(_lpa_edges(c), rounds=3)
+    return out.orderBy("node")
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    parts = [
+        """
+        WITH raw AS (
+          SELECT c_custkey % 96 AS a,
+                 (c_custkey % 96) - ((c_custkey % 96) % 8)
+                   + ((c_custkey * 11 + 3) % 8) AS b
+          FROM customer
+          UNION ALL
+          SELECT c_custkey % 96, (c_custkey * 13) % 96
+          FROM customer WHERE c_custkey % 17 = 0
+        ),
+        e0 AS (SELECT DISTINCT a AS s, b AS d FROM raw WHERE a <> b),
+        e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        l0 AS (SELECT node, node AS label FROM n)
+        """
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+            v{i} AS (
+              SELECT e.d AS node, l.label, count(*) AS c
+              FROM e JOIN l{i - 1} l ON l.node = e.s GROUP BY 1, 2
+            ),
+            b{i} AS (
+              SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM v{i}
+              ) WHERE rn = 1
+            ),
+            l{i} AS (
+              SELECT l.node, COALESCE(b.label, l.label) AS label
+              FROM l{i - 1} l LEFT JOIN b{i} b ON b.node = l.node
+            )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT l.node, l.label,
+               CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+                 AS community_size
+        FROM l{rounds} l ORDER BY l.node
+        """
+    )
+    return "\n".join(parts)
+
+
+def _kcore_edges(o: DataFrame) -> DataFrame:
+    """Sparse irregular graph from the orders table (avg degree ~4.5):
+    low-degree fringes peel away, a dense core survives."""
+    return o.where(F.col("o_orderkey") % 20 < 3).select(
+        (F.col("o_custkey") % 997).alias("src"),
+        (F.col("o_orderkey") % 997).alias("dst"),
+    )
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core extraction by iterative peeling (pipeline/graph.py kcore):
+    6 fixed rounds of drop-degree<3 over the surviving subgraph. Peeling
+    is monotone, so fixed rounds are statically unrollable and the
+    chained-CTE oracle replays every intermediate active set exactly;
+    degrees are exact BIGINTs."""
+    from gos2_spark.pipeline.graph import kcore
+
+    o = _load(spark, sf_dir, "orders")
+    return kcore(_kcore_edges(o), k=3, rounds=6).orderBy("node")
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    parts = [
+        """
+        WITH raw AS (
+          SELECT o_custkey % 997 AS a, o_orderkey % 997 AS b
+          FROM orders WHERE o_orderkey % 20 < 3
+        ),
+        e0 AS (SELECT DISTINCT a AS s, b AS d FROM raw WHERE a <> b),
+        e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        a0 AS (SELECT DISTINCT s AS node FROM e)
+        """
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+            d{i} AS (
+              SELECT e.s AS node, count(*) AS deg
+              FROM e
+              JOIN a{i - 1} x ON x.node = e.s
+              JOIN a{i - 1} y ON y.node = e.d
+              GROUP BY 1
+            ),
+            a{i} AS (SELECT node FROM d{i} WHERE deg >= {k})
+        """
+        )
+    parts.append(
+        f"""
+        SELECT e.s AS node, CAST(count(*) AS BIGINT) AS core_deg
+        FROM e
+        JOIN a{rounds} x ON x.node = e.s
+        JOIN a{rounds} y ON y.node = e.d
+        GROUP BY 1 ORDER BY node
+        """
+    )
+    return "\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -4626,6 +4760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": _q_ewma_user_value,
         "gistar_hotspots": _q_gistar_cells,
         "ripley_k_function": _q_ripley_k,
+        "label_propagation": _q_label_propagation,
+        "kcore_peel": _q_kcore,
     }
 
 
@@ -7423,6 +7559,8 @@ def oracle_sql() -> dict[str, str]:
         "morans_i_cells": _morans_oracle_sql(),
         "gistar_hotspots": _gistar_oracle_sql(),
         "ripley_k_function": _ripley_oracle_sql(),
+        "label_propagation": _lpa_oracle_sql(3),
+        "kcore_peel": _kcore_oracle_sql(3, 6),
         "ewma_user_value": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events

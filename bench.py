@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
+    "label_propagation",
+    "kcore_peel",
 ]
 
 

@@ -470,3 +470,111 @@ def sssp_relax(
             dist.union(cand).groupBy(node_col).agg(F.min("cost").alias("cost"))
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    materialize=None,
+) -> DataFrame:
+    """(node, label, community_size): synchronous label-propagation
+    community detection over an undirected view of the edge table —
+    topic/host-cluster discovery on link graphs, near-dup family grouping
+    on similarity graphs.
+
+    Labels start as the node id; each round every node adopts the MODE of
+    its neighbors' labels, ties broken by the smallest label, nodes with
+    no surviving neighbor keep their own. Synchronous updates + the
+    total-order tie-break make every round a pure function of the
+    previous labeling — fully deterministic, so a fixed ``rounds`` makes
+    the whole computation a statically unrollable DAG that a chained-CTE
+    oracle replays exactly (classic async LPA is order-dependent and
+    therefore unverifiable; this is the deterministic variant).
+
+    Scale shape (10^9 nodes, 10^11 edges): per round ONE shuffle join
+    (labels onto edge sources) + one map-side-combined (node, label)
+    count + one keyed max-by rank — all co-partitionable on the node key;
+    lineage truncates per round via ``materialize``. The rank uses a
+    two-column max-struct agg, not a window, so a hub node's votes
+    aggregate tree-wise instead of funneling one partition.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    e0 = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(F.col(src_col) != F.col(dst_col))
+    e = mat(e0.union(e0.select(F.col("_d"), F.col("_s"))).distinct())
+    nodes = e.select(F.col("_s").alias("node")).distinct()
+    labels = mat(nodes.withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        msgs = labels.join(e, labels["node"] == e["_s"]).select(
+            F.col("_d").alias("node"), "label"
+        )
+        votes = msgs.groupBy("node", "label").agg(F.count("*").alias("_c"))
+        # mode with min-label tie-break == max over (count, -label):
+        # aggregate a struct instead of ranking a window
+        best = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias(
+                "_b"
+            )
+        ).select("node", (-F.col("_b._nl")).alias("_new"))
+        labels = mat(
+            labels.join(best, "node", "left").select(
+                "node", F.coalesce("_new", "label").alias("label")
+            )
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select("node", "label", "community_size")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize=None,
+) -> DataFrame:
+    """(node, core_deg): iterative k-core peeling over an undirected view
+    of the edge table — the standard dense-subgraph extractor (spam-farm
+    and link-ring detection on host graphs, keeping only well-embedded
+    nodes of a similarity graph).
+
+    Each round recomputes degrees within the surviving subgraph (both
+    endpoints still active) and drops nodes with degree < ``k``. A FIXED
+    round count keeps the computation statically unrollable for the
+    chained-CTE oracle; with ``rounds`` >= the peel depth the result is
+    the exact k-core (peeling converges monotonically — once stable,
+    further rounds are no-ops).
+
+    Scale shape: per round two semi-joins of the edge table against the
+    (shrinking) active set plus one map-side-combined degree count, all
+    keyed on node ids; the active set only shrinks, so per-round cost is
+    bounded by the surviving subgraph, and lineage truncates per round.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    e0 = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(F.col(src_col) != F.col(dst_col))
+    e = mat(e0.union(e0.select(F.col("_d"), F.col("_s"))).distinct())
+    active = e.select(F.col("_s").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        ea = e.join(
+            active.select(F.col("node").alias("_s")), "_s", "left_semi"
+        ).join(active.select(F.col("node").alias("_d")), "_d", "left_semi")
+        deg = ea.groupBy(F.col("_s").alias("node")).agg(
+            F.count("*").alias("core_deg")
+        )
+        active = mat(
+            deg.where(F.col("core_deg") >= k).select("node")
+        )
+    ea = e.join(
+        active.select(F.col("node").alias("_s")), "_s", "left_semi"
+    ).join(active.select(F.col("node").alias("_d")), "_d", "left_semi")
+    return ea.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )

@@ -538,3 +538,58 @@ def test_sssp_relax_round_cap_partial(spark):
         for r in sssp_relax(e_df, s_df, rounds=4).collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+def test_label_propagation_recovers_planted_blocks(spark):
+    """Two cliques joined by one bridge edge: LPA converges to exactly
+    two communities, each labeled by its minimum member id."""
+    from gos2_spark.pipeline.graph import label_propagation
+
+    clique_a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    clique_b = [(10 + i, 10 + j) for i in range(5) for j in range(5) if i < j]
+    edges = clique_a + clique_b + [(4, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(e, rounds=4).collect()}
+    assert set(got) == set(range(5)) | set(range(10, 15))
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[10 + i] for i in range(5)}) == 1
+    assert {got[0]} != {got[10]}
+    sizes = {
+        r["node"]: r["community_size"]
+        for r in label_propagation(e, rounds=4).collect()
+    }
+    assert all(v == 5 for v in sizes.values())
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A node with two equal-vote neighbor labels adopts the smaller."""
+    from gos2_spark.pipeline.graph import label_propagation
+
+    # node 2 sees labels {1, 3} with one vote each in round 1
+    e = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, rounds=1).collect()
+    }
+    assert got[2] == 1
+
+
+def test_kcore_peels_fringe_cascade(spark):
+    """A 4-clique with a pendant chain: the chain peels away over
+    multiple rounds (cascade), the clique survives as the 3-core."""
+    from gos2_spark.pipeline.graph import kcore
+
+    clique = [(i, j) for i in range(4) for j in range(4) if i < j]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in kcore(e, k=3, rounds=5).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == 3 for v in got.values())
+
+
+def test_kcore_empty_when_no_core(spark):
+    from gos2_spark.pipeline.graph import kcore
+
+    chain = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    assert kcore(e, k=3, rounds=4).count() == 0
