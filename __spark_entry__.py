@@ -4614,6 +4614,64 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
     return "\n".join(parts)
 
 
+def _q_vincenty_rhumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 Vincenty inverse geodesic + rhumb-line distance/bearing
+    (spark/geodesy.py) from 500 customer points to the 6 corpus cities.
+    The iterative formula is a FIXED 6-round unroll defined once as an
+    ordered (column, sql_expr) chain and executed as the SAME text in
+    both engines (withColumn(F.expr) vs generated CTE chain): one op
+    order, so the only cross-engine divergence is <=4 ULP of libm
+    last-bit rounding, absorbed exactly by the micrometer rounding here.
+    Plan: broadcast cross join + pure codegen expressions, zero
+    shuffles, zero Python."""
+    from gos2_spark.spark.geodesy import apply_steps, rhumb_steps, vincenty_steps
+    from gos2_spark.spark.pages import CITIES
+
+    pts = _cust_points(spark, sf_dir).where(F.col("key") < 500)
+    cities = spark.createDataFrame(
+        [(n, la, ln) for n, la, ln, _w in CITIES],
+        "city string, lat2 double, lng2 double",
+    )
+    base = pts.select(
+        "key", F.col("lat").alias("lat1"), F.col("lng").alias("lng1")
+    ).crossJoin(F.broadcast(cities))
+    out = apply_steps(base, vincenty_steps(6) + rhumb_steps())
+    return out.select(
+        "key",
+        "city",
+        F.round("vincenty_m", 6).alias("vincenty_m"),
+        F.round("rhumb_m", 6).alias("rhumb_m"),
+        F.round("rhumb_brg_deg", 9).alias("rhumb_brg_deg"),
+    ).orderBy("key", "city")
+
+
+def _vincenty_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import (
+        duckdb_steps_cte,
+        rhumb_steps,
+        vincenty_steps,
+    )
+
+    base = f"""
+        pts AS (SELECT * FROM ({_CUST_LATLNG_SQL}) WHERE key < 500),
+        cities(city, clat, clng) AS (VALUES {_cities_values_sql()}),
+        g0 AS (
+          SELECT key, city, lat AS lat1, lng AS lng1,
+                 clat AS lat2, clng AS lng2
+          FROM pts, cities
+        )
+    """
+    body, last = duckdb_steps_cte(base, vincenty_steps(6) + rhumb_steps())
+    return f"""
+        WITH {body}
+        SELECT key, city,
+               round(vincenty_m, 6) AS vincenty_m,
+               round(rhumb_m, 6) AS rhumb_m,
+               round(rhumb_brg_deg, 9) AS rhumb_brg_deg
+        FROM {last} ORDER BY key, city
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -4682,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-entry window so every window slot carries an EXACT oracle;
         # value-level correctness lives in the DP property tests
         "trajectory_simplify": _q_trajectory_simplify,
+        "vincenty_rhumb": _q_vincenty_rhumb,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -7575,4 +7634,5 @@ def oracle_sql() -> dict[str, str]:
                          (acc, x) -> acc * 8.75e-1 + x * 1.25e-1), 6) AS ewma
             FROM g ORDER BY user_id
         """,
+        "vincenty_rhumb": _vincenty_oracle_sql(),
     }
