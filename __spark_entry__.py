@@ -4672,6 +4672,61 @@ def _vincenty_oracle_sql() -> str:
     """
 
 
+_DIRECT_AZ_SQL = "CAST((key * 37) % 360 AS DOUBLE) + 0.5"
+_DIRECT_DIST_SQL = "1000.0 + CAST(key % 997 AS DOUBLE) * 3000.0"
+
+
+def _q_vincenty_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 Vincenty DIRECT problem (spark/geodesy.py
+    vincenty_direct_steps): walk a per-key deterministic azimuth/distance
+    from each customer point and return the ellipsoidal destination.
+    Same shared-step-chain parity form as vincenty_rhumb: one op order in
+    both engines, <=4 ULP residual, absorbed by rounding to 1e-9 deg.
+    Plan: pure codegen projection, zero shuffles, zero Python."""
+    from gos2_spark.spark.geodesy import apply_steps, vincenty_direct_steps
+
+    pts = _cust_points(spark, sf_dir).where(F.col("key") < 2000)
+    base = pts.select(
+        "key",
+        F.col("lat").alias("lat1"),
+        F.col("lng").alias("lng1"),
+        F.expr(_DIRECT_AZ_SQL).alias("az_deg"),
+        F.expr(_DIRECT_DIST_SQL).alias("dist_m"),
+    )
+    out = apply_steps(base, vincenty_direct_steps(6))
+    return out.select(
+        "key",
+        F.round("az_deg", 1).alias("az_deg"),
+        F.round("dist_m", 1).alias("dist_m"),
+        F.round("dest_lat", 9).alias("dest_lat"),
+        F.round("dest_lng", 9).alias("dest_lng"),
+    ).orderBy("key")
+
+
+def _vincenty_direct_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte, vincenty_direct_steps
+
+    base = f"""
+        pts AS (SELECT * FROM ({_CUST_LATLNG_SQL}) WHERE key < 2000),
+        g0 AS (
+          SELECT key, lat AS lat1, lng AS lng1,
+                 {_DIRECT_AZ_SQL} AS az_deg,
+                 {_DIRECT_DIST_SQL} AS dist_m
+          FROM pts
+        )
+    """
+    body, last = duckdb_steps_cte(base, vincenty_direct_steps(6))
+    return f"""
+        WITH {body}
+        SELECT key,
+               round(az_deg, 1) AS az_deg,
+               round(dist_m, 1) AS dist_m,
+               round(dest_lat, 9) AS dest_lat,
+               round(dest_lng, 9) AS dest_lng
+        FROM {last} ORDER BY key
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the FIRST
     # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
@@ -4741,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-level correctness lives in the DP property tests
         "trajectory_simplify": _q_trajectory_simplify,
         "vincenty_rhumb": _q_vincenty_rhumb,
+        "vincenty_direct": _q_vincenty_direct,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -7635,4 +7691,5 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY user_id
         """,
         "vincenty_rhumb": _vincenty_oracle_sql(),
+        "vincenty_direct": _vincenty_direct_oracle_sql(),
     }

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_retrieval",
     "dedup_canonical_pick",
     "morans_i_cells",
+    "vincenty_rhumb",
+    "vincenty_direct",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",

@@ -116,6 +116,98 @@ def vincenty_steps(iters: int = 6) -> list[tuple[str, str]]:
     return steps
 
 
+def vincenty_direct_steps(iters: int = 6) -> list[tuple[str, str]]:
+    """(name, sql_expr) chain: lat1/lng1 deg, az_deg, dist_m ->
+    dest_lat/dest_lng (degrees, lng normalized to (-180, 180]).
+
+    Vincenty's DIRECT problem (same 1975 paper): walk ``dist_m`` meters
+    from (lat1, lng1) along initial azimuth ``az_deg`` on the WGS84
+    ellipsoid. The sigma iteration converges quadratically; a fixed
+    ``iters``-round unroll reaches full double precision for any
+    sub-antipodal distance and keeps one deterministic op order.
+    """
+    f = repr(_F)
+    a = repr(_A)
+    b = repr(_B)
+    steps = [
+        ("du1", f"atan((1.0 - {f}) * tan(radians(lat1)))"),
+        ("dsinu1", "sin(du1)"),
+        ("dcosu1", "cos(du1)"),
+        ("alp1", "radians(az_deg)"),
+        ("sinal1", "sin(alp1)"),
+        ("cosal1", "cos(alp1)"),
+        ("dsig1", "atan2(tan(du1), cosal1)"),
+        ("dsinalp", "dcosu1 * sinal1"),
+        ("dcos2alp", "1.0 - dsinalp * dsinalp"),
+        ("dusq", f"dcos2alp * ({a} * {a} - {b} * {b}) / ({b} * {b})"),
+        (
+            "dbiga",
+            "1.0 + dusq / 16384.0"
+            " * (4096.0 + dusq * (-768.0 + dusq * (320.0 - 175.0 * dusq)))",
+        ),
+        (
+            "dbigb",
+            "dusq / 1024.0"
+            " * (256.0 + dusq * (-128.0 + dusq * (74.0 - 47.0 * dusq)))",
+        ),
+        ("sg0", f"dist_m / ({b} * dbiga)"),
+    ]
+    i = 0
+    prev = "sg0"
+    for i in range(1, iters + 1):
+        steps += [
+            (f"c2sm{i}", f"cos(2.0 * dsig1 + {prev})"),
+            (f"ssg{i}", f"sin({prev})"),
+            (f"csg{i}", f"cos({prev})"),
+            (
+                f"dl{i}",
+                f"dbigb * ssg{i} * (c2sm{i} + dbigb / 4.0"
+                f" * (csg{i} * (-1.0 + 2.0 * c2sm{i} * c2sm{i})"
+                f" - dbigb / 6.0 * c2sm{i}"
+                f" * (-3.0 + 4.0 * ssg{i} * ssg{i})"
+                f" * (-3.0 + 4.0 * c2sm{i} * c2sm{i})))",
+            ),
+            (f"sg{i}", f"sg0 + dl{i}"),
+        ]
+        prev = f"sg{i}"
+    n = i
+    steps += [
+        ("fss", f"sin(sg{n})"),
+        ("fcs", f"cos(sg{n})"),
+        ("fc2sm", f"cos(2.0 * dsig1 + sg{n})"),
+        (
+            "dest_lat",
+            f"degrees(atan2(dsinu1 * fcs + dcosu1 * fss * cosal1,"
+            f" (1.0 - {f}) * sqrt(dsinalp * dsinalp"
+            f" + (dsinu1 * fss - dcosu1 * fcs * cosal1)"
+            f" * (dsinu1 * fss - dcosu1 * fcs * cosal1))))",
+        ),
+        (
+            "dlamb",
+            "atan2(fss * sinal1, dcosu1 * fcs - dsinu1 * fss * cosal1)",
+        ),
+        (
+            "dcc",
+            f"{f} / 16.0 * dcos2alp"
+            f" * (4.0 + {f} * (4.0 - 3.0 * dcos2alp))",
+        ),
+        (
+            "dbigl",
+            f"dlamb - (1.0 - dcc) * {f} * dsinalp"
+            f" * (sg{n} + dcc * fss * (fc2sm"
+            f" + dcc * fcs * (2.0 * fc2sm * fc2sm - 1.0)))",
+        ),
+        ("rawlng", "lng1 + degrees(dbigl)"),
+        (
+            "dest_lng",
+            "CASE WHEN rawlng > 180.0 THEN rawlng - 360.0"
+            " WHEN rawlng <= -180.0 THEN rawlng + 360.0"
+            " ELSE rawlng END",
+        ),
+    ]
+    return steps
+
+
 def rhumb_steps() -> list[tuple[str, str]]:
     """(name, sql_expr) chain: lat/lng deg -> rhumb_m, rhumb_brg_deg.
 

@@ -136,6 +136,37 @@ def test_spark_duckdb_bit_identical(spark):
             )
 
 
+def test_direct_inverse_roundtrip():
+    """Walk (az, s) from P1 with the DIRECT chain, then measure P1->P2
+    with the INVERSE chain: distance must come back to sub-micrometer."""
+    from gos2_spark.spark.geodesy import vincenty_direct_steps
+
+    starts = [
+        (33.9425, -118.4081, 65.0, 3_982_949.0),
+        (0.0, 0.0, 90.0, 1_113_194.9),
+        (52.5, 13.4, 210.0, 50_000.0),
+        (10.0, 179.5, 90.0, 200_000.0),  # dateline-crossing destination
+        (-33.8688, 151.2093, 45.3, 2_160_508.8),
+    ]
+    vals = ", ".join(f"({a!r}, {b!r}, {c!r}, {d!r})" for a, b, c, d in starts)
+    base = f"g0(lat1, lng1, az_deg, dist_m) AS (VALUES {vals})"
+    body, last = duckdb_steps_cte(base, vincenty_direct_steps(6))
+    import duckdb as _dd
+
+    dest = _dd.sql(
+        f"WITH {body} SELECT lat1, lng1, dest_lat, dest_lng, dist_m FROM {last}"
+    ).fetchall()
+    dest = [tuple(float(v) for v in row) for row in dest]
+    back = _duck(
+        [(la1, lo1, la2, lo2) for la1, lo1, la2, lo2, _s in dest],
+        vincenty_steps(6),
+        ["vincenty_m"],
+    )
+    for (_, _, la2, lo2, s), (d,) in zip(dest, back):
+        assert -90.0 <= la2 <= 90.0 and -180.0 < lo2 <= 180.0
+        assert d == pytest.approx(s, abs=1e-6)
+
+
 def test_helper_wrappers(spark):
     df = spark.createDataFrame(CASES, "lat1 double, lng1 double, lat2 double, lng2 double")
     v = vincenty_distance(df).columns
