@@ -4672,6 +4672,195 @@ def _vincenty_oracle_sql() -> str:
     """
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events stream: users are
+    cohorted by the Monday-start week of their FIRST event; each later
+    active week increments (cohort_week, week_offset). Classic web
+    analytics rollup as two map-side-combinable aggregations plus one
+    broadcastable join of per-user firsts — no window over the raw
+    stream, so it scales as a pair of keyed shuffles on (user) then
+    (cohort, offset). retention_rate = active / cohort size, one double
+    division in a pinned order."""
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.countDistinct("user_id").alias("cohort_users")
+    )
+    act = (
+        ev.distinct()
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        act.join(sizes, "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_RETENTION_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    first AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, count(DISTINCT user_id) AS cohort_users
+      FROM first GROUP BY cohort_wk
+    ),
+    act AS (
+      SELECT f.cohort_wk,
+             CAST(datediff('day', f.cohort_wk, e.wk) // 7 AS INT)
+               AS week_offset,
+             count(DISTINCT e.user_id) AS active_users
+      FROM (SELECT DISTINCT user_id, wk FROM ev) e
+      JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(a.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           a.week_offset, a.active_users, s.cohort_users,
+           round(CAST(a.active_users AS DOUBLE)
+                 / CAST(s.cohort_users AS DOUBLE), 6) AS retention_rate
+    FROM act a JOIN sizes s USING (cohort_wk)
+    ORDER BY cohort_week, week_offset
+"""
+
+
+def _q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level + trend) of
+    event value in time order, alpha=1/4 gamma=1/8 (exact binary
+    coefficients): the PAIR-STATE ordered fold, big sibling of
+    ewma_user_value. State (l, b) advances as one struct through a
+    sequential F.aggregate lambda over sort_array(collect_list) — one
+    user-keyed shuffle, fold entirely JVM-side; identical fold text runs
+    as a DuckDB list_reduce over struct accumulators, so doubles match
+    bit-for-bit. forecast_1 = l + b (one-step-ahead)."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    g = (
+        ev.select("user_id", us.alias("us"), "event_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("arr"),
+        )
+    )
+    sts = F.transform(
+        "arr",
+        lambda e: F.struct(
+            e.getField("value").alias("l"), F.lit(0.0).alias("b")
+        ),
+    ).alias("sts")
+    a, na, gm, ngm = (
+        F.lit(0.25), F.lit(0.75), F.lit(0.125), F.lit(0.875)
+    )
+
+    def step(acc, x):
+        lv = acc.getField("l")
+        bv = acc.getField("b")
+        xv = x.getField("l")
+        l_new = xv * a + (lv + bv) * na
+        b_new = (xv * a + (lv + bv) * na - lv) * gm + bv * ngm
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(
+        F.slice(sts, 2, F.size("arr") - 1), F.element_at(sts, 1), step
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(st.getField("l"), 6).alias("level"),
+        F.round(st.getField("b"), 6).alias("trend"),
+        F.round(st.getField("l") + st.getField("b"), 6).alias("forecast_1"),
+    ).orderBy("user_id")
+
+
+_HOLT_ORACLE = """
+    -- pair state rides as a 2-element DOUBLE list [l, b]: DuckDB 1.0's
+    -- STRUCT-result lambdas rebind later fields to already-computed
+    -- earlier fields (observed: {'l': acc.l+1, 'b': acc.l*10} yields
+    -- b = 10 * NEW l), while LIST-result lambdas see only the old
+    -- accumulator — the semantics Spark's F.aggregate struct fold has.
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS us, event_id, CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_events,
+             list([value, CAST(0.0 AS DOUBLE)]
+                  ORDER BY us, event_id) AS sts
+      FROM e GROUP BY 1
+    ),
+    r AS (
+      SELECT user_id, n_events,
+             list_reduce(sts, (acc, x) ->
+               [x[1] * 2.5e-1 + (acc[1] + acc[2]) * 7.5e-1,
+                (x[1] * 2.5e-1 + (acc[1] + acc[2]) * 7.5e-1 - acc[1])
+                * 1.25e-1 + acc[2] * 8.75e-1]) AS st
+      FROM g
+    )
+    SELECT user_id, n_events,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast_1
+    FROM r ORDER BY user_id
+"""
+
+
+def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein title-similarity self-join (pipeline/dedup.py
+    edit_distance_pairs): prefix + length-difference blocking (the length
+    gap is a true Levenshtein lower bound), threshold-banded JVM
+    levenshtein(l, r, k) so over-distance candidates never finish the DP.
+    Oracle mirrors the blocking exactly; ASCII corpus keeps Spark's
+    code-point semantics equal to DuckDB's byte semantics."""
+    from gos2_spark.pipeline.dedup import edit_distance_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs).orderBy("key_a", "key_b")
+
+
+_EDIT_DISTANCE_ORACLE = """
+    WITH t AS (
+      SELECT doc_id AS key,
+             lower(substr(text, 1, 12)) AS title,
+             substr(lower(substr(text, 1, 12)), 1, 2) AS blk
+      FROM documents
+    ),
+    ok AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 5000),
+    d AS (SELECT t.* FROM t JOIN ok USING (blk))
+    SELECT a.key AS key_a, b.key AS key_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.key < b.key
+     AND abs(length(a.title) - length(b.title)) <= 4
+    WHERE levenshtein(a.title, b.title) <= 4
+    ORDER BY key_a, key_b
+"""
+
+
 _DIRECT_AZ_SQL = "CAST((key * 37) % 360 AS DOUBLE) + 0.5"
 _DIRECT_DIST_SQL = "1000.0 + CAST(key % 997 AS DOUBLE) * 3000.0"
 
@@ -4797,6 +4986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_simplify": _q_trajectory_simplify,
         "vincenty_rhumb": _q_vincenty_rhumb,
         "vincenty_direct": _q_vincenty_direct,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "cohort_retention": _q_cohort_retention,
+        "holt_smoothing": _q_holt_smoothing,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -7692,4 +7884,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vincenty_rhumb": _vincenty_oracle_sql(),
         "vincenty_direct": _vincenty_direct_oracle_sql(),
+        "edit_distance_pairs": _EDIT_DISTANCE_ORACLE,
+        "cohort_retention": _COHORT_RETENTION_ORACLE,
+        "holt_smoothing": _HOLT_ORACLE,
     }

@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "morans_i_cells",
     "vincenty_rhumb",
     "vincenty_direct",
+    "edit_distance_pairs",
+    "cohort_retention",
+    "holt_smoothing",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",

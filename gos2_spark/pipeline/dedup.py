@@ -591,3 +591,75 @@ def jaccard_join(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    title_len: int = 12,
+    prefix_len: int = 2,
+    max_dist: int = 4,
+    bucket_cap: int | None = 5000,
+) -> DataFrame:
+    """Levenshtein similarity self-join over a normalized title prefix:
+    pairs (key_a, key_b, edit_dist) with edit_dist <= ``max_dist`` on
+    ``lower(substring(text, 1, title_len))``.
+
+    Blocking makes the join scale: candidates share the first
+    ``prefix_len`` characters AND differ in title length by at most
+    ``max_dist`` (a true Levenshtein lower bound, so the length predicate
+    loses nothing). The distance itself runs JVM-side via the
+    threshold-banded ``levenshtein(l, r, max_dist)`` (Ukkonen band, cost
+    O(len * max_dist) instead of O(len^2), returns -1 past the bound so
+    over-distance candidates exit without completing the DP).
+    Prefix blocking intentionally trades recall for scale on edits inside
+    the first ``prefix_len`` chars — the standard title-dedup contract;
+    compose with :func:`simhash_candidates` when full-text recall
+    matters. ``bucket_cap`` drops degenerate blocks (> cap rows sharing a
+    prefix, i.e. boilerplate titles) from the quadratic join, same
+    contract as ``simhash_candidates``; cap=None disables.
+
+    Caveat: Spark's levenshtein counts Unicode code points while DuckDB's
+    counts bytes — identical on ASCII titles, so normalize non-ASCII out
+    before comparing engines.
+    """
+    t = docs.select(
+        F.col(key_col).alias("key"),
+        F.lower(F.substring(text_col, 1, title_len)).alias("title"),
+    ).withColumn("blk", F.substring("title", 1, prefix_len))
+    if bucket_cap is not None:
+        over = (
+            t.groupBy("blk")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") > bucket_cap)
+        )
+        n_over = over.limit(1).count()
+        if n_over:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "edit_distance_pairs: dropping over-full prefix blocks "
+                "(cap=%d) from the candidate join; boilerplate titles "
+                "belong in exact dedup.", bucket_cap,
+            )
+            t = t.join(F.broadcast(over.select("blk")), "blk", "left_anti")
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") < F.col("b.key"))
+            & (
+                F.abs(F.length("a.title") - F.length("b.title"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            dist.alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") >= 0)
+    )
