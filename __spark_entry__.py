@@ -4672,6 +4672,350 @@ def _vincenty_oracle_sql() -> str:
     """
 
 
+def _q_convex_hull_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation inclusive convex hull of the customer point cloud
+    (spark/hull.py): two-level monotone chain — partial hull per
+    (nation, salt) slice, then hull-of-hulls — so stage-2 group size is
+    O(salt * hull_size) however big one nation's cloud gets. Vertex set
+    is a pure function of cross-product SIGNS (multiply/subtract only),
+    so the O(n^3) all-sides SQL edge test in the oracle reproduces it
+    bit-for-bit; both sides keep exactly-collinear boundary points."""
+    from gos2_spark.spark.hull import convex_hull_vertices
+
+    c = _load(spark, sf_dir, "customer")
+    pts = _cust_points(spark, sf_dir).join(
+        c.select(F.col("c_custkey").alias("key"),
+                 F.col("c_nationkey").cast("long").alias("nation_key")),
+        "key",
+    )
+    hull = convex_hull_vertices(
+        pts, key_col="nation_key", id_col="key", x_col="lng", y_col="lat"
+    )
+    return hull.select(
+        "nation_key",
+        "key",
+        F.round("lat", 9).alias("lat"),
+        F.round("lng", 9).alias("lng"),
+    ).orderBy("nation_key", "key")
+
+
+_CONVEX_HULL_ORACLE = """
+    WITH p AS (
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nk,
+             -60.0 + (c_custkey * 7 % 120) + (c_custkey % 97) / 97.0 AS y,
+             -170.0 + (c_custkey * 13 % 340) + (c_custkey % 89) / 89.0 AS x
+      FROM customer
+    ),
+    edges AS (
+      -- (a, b) is a CCW hull edge iff every other point c sits on the
+      -- left of (or exactly ON) the directed line a->b; every boundary
+      -- point is the source of at least one such edge (inclusive hull)
+      SELECT a.nk, a.id AS ia
+      FROM p a
+      JOIN p b ON b.nk = a.nk AND b.id <> a.id
+      JOIN p c ON c.nk = a.nk AND c.id <> a.id AND c.id <> b.id
+      GROUP BY a.nk, a.id, b.id
+      HAVING min((b.x - a.x) * (c.y - a.y)
+                 - (b.y - a.y) * (c.x - a.x)) >= 0
+    ),
+    v AS (SELECT DISTINCT nk, ia AS id FROM edges)
+    SELECT v.nk AS nation_key, v.id AS key,
+           round(p.y, 9) AS lat, round(p.x, 9) AS lng
+    FROM v JOIN p ON p.nk = v.nk AND p.id = v.id
+    ORDER BY nation_key, key
+"""
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier screen: median / MAD / count beyond
+    3 * MAD, all computed from ONE sorted value array with explicit
+    element arithmetic (array_sort + element_at; even-count median =
+    (a + b) * 0.5) instead of engine-specific percentile interpolation —
+    so both engines execute the identical float expressions and the
+    outlier count has zero boundary exposure. One user-keyed shuffle;
+    the per-key array is the same bounded-group contract as
+    ewma/holt."""
+    ev = _load(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list("value")).alias("arr"),
+    )
+    n = F.col("n_events")
+
+    def med_of(arr):
+        return F.when(
+            n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2).cast("int") + 1)
+            )
+            * F.lit(0.5)
+        )
+
+    med = med_of(F.col("arr"))
+    g = g.withColumn("med", med)
+    dev = F.array_sort(
+        F.transform("arr", lambda v: F.abs(v - F.col("med")))
+    )
+    g = g.withColumn("mad", med_of(dev))
+    n_out = F.size(
+        F.filter(
+            "arr",
+            lambda v: F.abs(v - F.col("med")) > F.lit(3.0) * F.col("mad"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        n_out.alias("n_outliers"),
+    ).orderBy("user_id")
+
+
+_MAD_ORACLE = """
+    WITH g AS (
+      SELECT user_id, count(*) AS n_events,
+             list_sort(list(CAST(value AS DOUBLE))) AS arr
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN n_events % 2 = 1
+                  THEN arr[CAST((n_events + 1) // 2 AS INT)]
+                  ELSE (arr[CAST(n_events // 2 AS INT)]
+                        + arr[CAST(n_events // 2 AS INT) + 1]) * 5e-1
+             END AS med
+      FROM g
+    ),
+    d AS (
+      SELECT *, list_sort(list_transform(arr, v -> abs(v - med))) AS dev
+      FROM m
+    ),
+    md AS (
+      SELECT *,
+             CASE WHEN n_events % 2 = 1
+                  THEN dev[CAST((n_events + 1) // 2 AS INT)]
+                  ELSE (dev[CAST(n_events // 2 AS INT)]
+                        + dev[CAST(n_events // 2 AS INT) + 1]) * 5e-1
+             END AS mad
+      FROM d
+    )
+    SELECT user_id, n_events,
+           round(med, 6) AS median_value,
+           round(mad, 6) AS mad,
+           CAST(len(list_filter(arr, v -> abs(v - med) > 3e0 * mad))
+                AS INT) AS n_outliers
+    FROM md ORDER BY user_id
+"""
+
+
+# burst_viterbi constants: exponential gap rates (events/hour) for the
+# baseline and burst states, their logs embedded as exact double literals
+# so the whole DP is +-*/ and comparisons only — bit-identical cross-engine.
+_BURST_L0, _BURST_L1, _BURST_GAMMA = 0.25, 4.0, 1.0
+_BURST_LN0 = math.log(_BURST_L0)
+_BURST_LN1 = math.log(_BURST_L1)
+
+
+def _q_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state burst detection (Kleinberg '02, 2-level automaton) over
+    per-user inter-event gaps: exact Viterbi min-cost DP as an ordered
+    fold. State rides as (c0, c1, k0, k1) — cost of the best path ending
+    in baseline/burst + burst-step count along each — through one
+    sequential F.aggregate; gap costs are lambda*g - ln(lambda) with
+    ln(lambda) precomputed as a double literal, transitions pay gamma
+    only on 0->1, ties break toward baseline by <=. One user-keyed
+    window for gaps + one keyed shuffle for the fold; every double is
+    bit-identical cross-engine (arithmetic only, no runtime
+    transcendentals)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .withColumn(
+            "gap_h",
+            (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(3.6e9),
+        )
+        .where(F.col("gap_h").isNotNull())
+    )
+    g = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "gap_h"))
+        ).alias("arr"),
+    )
+    l0, l1 = F.lit(_BURST_L0), F.lit(_BURST_L1)
+    ln0, ln1 = F.lit(_BURST_LN0), F.lit(_BURST_LN1)
+    gam = F.lit(_BURST_GAMMA)
+
+    def step(acc, x):
+        c0, c1 = acc.getField("c0"), acc.getField("c1")
+        k0, k1 = acc.getField("k0"), acc.getField("k1")
+        gp = x.getField("gap_h")
+        nc0 = F.least(c0, c1) + (l0 * gp - ln0)
+        nc1 = F.least(c0 + gam, c1) + (l1 * gp - ln1)
+        nk0 = F.when(c0 <= c1, k0).otherwise(k1)
+        nk1 = F.when(c0 + gam <= c1, k0).otherwise(k1) + F.lit(1.0)
+        return F.struct(
+            nc0.alias("c0"), nc1.alias("c1"), nk0.alias("k0"), nk1.alias("k1")
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("c0"), F.lit(1e30).alias("c1"),
+        F.lit(0.0).alias("k0"), F.lit(0.0).alias("k1"),
+    )
+    st = F.aggregate("arr", init, step)
+    c0, c1 = st.getField("c0"), st.getField("c1")
+    best = F.least(c0, c1)
+    kbest = F.when(c0 <= c1, st.getField("k0")).otherwise(st.getField("k1"))
+    return g.select(
+        "user_id",
+        "n_gaps",
+        F.round(best, 6).alias("best_cost"),
+        kbest.cast("int").alias("n_burst_steps"),
+    ).orderBy("user_id")
+
+
+def _burst_oracle_sql() -> str:
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        ),
+        gp AS (
+          SELECT user_id, us, event_id,
+                 CAST(us - lag(us) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                 ) AS DOUBLE) / 3.6e9 AS gap_h
+          FROM e
+        ),
+        g AS (
+          SELECT user_id, count(*) AS n_gaps,
+                 list_concat(
+                   [[0.0e0, 1.0e30, 0.0e0, 0.0e0]],
+                   list([gap_h, 0.0e0, 0.0e0, 0.0e0]
+                        ORDER BY us, event_id)
+                 ) AS arr
+          FROM gp WHERE gap_h IS NOT NULL GROUP BY user_id
+        ),
+        r AS (
+          SELECT user_id, n_gaps,
+                 list_reduce(arr, (acc, x) -> [
+                   least(acc[1], acc[2])
+                     + ({_BURST_L0!r} * x[1] - {_BURST_LN0!r}),
+                   least(acc[1] + {_BURST_GAMMA!r}, acc[2])
+                     + ({_BURST_L1!r} * x[1] - {_BURST_LN1!r}),
+                   CASE WHEN acc[1] <= acc[2] THEN acc[3] ELSE acc[4] END,
+                   CASE WHEN acc[1] + {_BURST_GAMMA!r} <= acc[2]
+                        THEN acc[3] ELSE acc[4] END + 1.0e0
+                 ]) AS st
+          FROM g
+        )
+        SELECT user_id, n_gaps,
+               round(least(st[1], st[2]), 6) AS best_cost,
+               CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4] END
+                    AS INT) AS n_burst_steps
+        FROM r ORDER BY user_id
+    """
+
+
+def _q_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff-style space-time scan statistic over (level-5 cell, day)
+    windows: observed count n vs the independence baseline
+    mu = n_cell * n_day / N, scored with the Poisson log-likelihood ratio
+    n*ln(n/mu) + (N-n)*ln((N-n)/(N-mu)) for n > mu (0 otherwise). The
+    hot-spot detector a monitoring pipeline runs after tiling. Plan: one
+    pure-codegen cell encode, THREE map-side-combined aggs (cell-day,
+    cell, day) joined back cheaply (cell/day margins are tiny), LLR as a
+    fixed-order float expression over exact BIGINT counts — cross-engine
+    exposure is two ln calls, absorbed by round(6)."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    ).select(s2_parent_sql(F.col("cell_id"), 5).alias("cell_l5"), "day")
+    nd = pts.groupBy("cell_l5", "day").agg(F.count("*").alias("n"))
+    nc = pts.groupBy("cell_l5").agg(F.count("*").alias("n_cell"))
+    nday = pts.groupBy("day").agg(F.count("*").alias("n_day"))
+    ntot = pts.count()
+    j = nd.join(nc, "cell_l5").join(F.broadcast(nday), "day")
+    mu = (
+        F.col("n_cell").cast("double")
+        * F.col("n_day").cast("double")
+        / F.lit(float(ntot))
+    )
+    n = F.col("n").cast("double")
+    big_n = F.lit(float(ntot))
+    llr = F.when(
+        n > mu,
+        n * F.log(n / mu) + (big_n - n) * F.log((big_n - n) / (big_n - mu)),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            "cell_l5",
+            "day",
+            "n",
+            F.round(mu, 6).alias("mu"),
+            F.round(llr, 6).alias("llr"),
+        )
+        .where(F.col("n") >= 3)
+        .orderBy("cell_l5", "day")
+    )
+
+
+def _spacetime_scan_oracle_sql() -> str:
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        {_cellid_cte_duckdb("SELECT event_id AS key, lat, lng FROM pts0")},
+        pc AS (
+          SELECT c.cell_id, strftime(date_trunc('day', e.ts), '%Y-%m-%d')
+                   AS day
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        lv AS (
+          SELECT ((cell_id & -{1 << 50}) | {1 << 50}) AS cell_l5, day
+          FROM pc
+        ),
+        nd AS (SELECT cell_l5, day, count(*) AS n FROM lv GROUP BY 1, 2),
+        nc AS (SELECT cell_l5, count(*) AS n_cell FROM lv GROUP BY 1),
+        nday AS (SELECT day, count(*) AS n_day FROM lv GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS big_n FROM lv)
+        SELECT nd.cell_l5, nd.day, nd.n,
+               round(CAST(n_cell AS DOUBLE) * CAST(n_day AS DOUBLE) / big_n,
+                     6) AS mu,
+               round(CASE WHEN CAST(n AS DOUBLE)
+                          > CAST(n_cell AS DOUBLE) * CAST(n_day AS DOUBLE)
+                            / big_n
+                     THEN CAST(n AS DOUBLE)
+                          * ln(CAST(n AS DOUBLE)
+                               / (CAST(n_cell AS DOUBLE)
+                                  * CAST(n_day AS DOUBLE) / big_n))
+                          + (big_n - CAST(n AS DOUBLE))
+                          * ln((big_n - CAST(n AS DOUBLE))
+                               / (big_n - CAST(n_cell AS DOUBLE)
+                                  * CAST(n_day AS DOUBLE) / big_n))
+                     ELSE 0.0e0 END, 6) AS llr
+        FROM nd JOIN nc USING (cell_l5) JOIN nday USING (day), nt
+        WHERE nd.n >= 3
+        ORDER BY cell_l5, day
+    """
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix over the events stream: users are
     cohorted by the Monday-start week of their FIRST event; each later
@@ -4989,6 +5333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "cohort_retention": _q_cohort_retention,
         "holt_smoothing": _q_holt_smoothing,
+        "convex_hull_nations": _q_convex_hull_nations,
+        "mad_outliers": _q_mad_outliers,
+        "spacetime_scan_llr": _q_spacetime_scan,
+        "burst_viterbi": _q_burst_viterbi,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -7887,4 +8235,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _EDIT_DISTANCE_ORACLE,
         "cohort_retention": _COHORT_RETENTION_ORACLE,
         "holt_smoothing": _HOLT_ORACLE,
+        "convex_hull_nations": _CONVEX_HULL_ORACLE,
+        "mad_outliers": _MAD_ORACLE,
+        "spacetime_scan_llr": _spacetime_scan_oracle_sql(),
+        "burst_viterbi": _burst_oracle_sql(),
     }

@@ -25,17 +25,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _reset_huge_stats(df: DataFrame, bit_limit: int = 128) -> DataFrame:
+    """Clamp runaway size estimates on a checkpointed DataFrame.
+
+    ``Dataset.checkpoint``/``localCheckpoint`` copy the source plan's
+    COMPUTED sizeInBytes onto the new LogicalRDD
+    (LogicalRDD.rewriteStatsAndConstraints). In an iterative algorithm
+    whose round plan references the previous round's result k times, that
+    estimate is raised to the k-th power every round — pure join-size
+    products, no data behind them — until Catalyst's stats visitor
+    literally overflows BigInteger ("BigInteger would overflow supported
+    range", seen in DBSCAN's component loop at sf0.1). Real sizes
+    (checkpoint of a scanned/materialized relation) are tiny and useful
+    for broadcast decisions, so keep them; only when the estimate is an
+    astronomical product (> ``bit_limit`` bits ~ 3e38 bytes, beyond any
+    physical meaning) rebuild the frame from the already-materialized
+    internal RDD, which resets stats to the neutral default and stops the
+    compounding."""
+    try:
+        jqe = df._jdf.queryExecution()
+        size = int(str(jqe.optimizedPlan().stats().sizeInBytes()))
+        if size.bit_length() <= bit_limit:
+            return df
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jqe.toRdd(), df._jdf.schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # connect mode / API drift: keep the plain checkpoint
+        return df
+
+
 def _default_materialize(spark):
     """Per-round lineage truncation for iterative algorithms: RELIABLE
     checkpoint when the SparkContext has a checkpoint dir configured (the
     cluster deployment path — executor loss replays from storage), else
-    localCheckpoint (fine on local[*] where executor == driver)."""
+    localCheckpoint (fine on local[*] where executor == driver). Either
+    way the result's stats are clamped (see ``_reset_huge_stats``) so
+    per-round estimates cannot compound across rounds."""
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _mat(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+        ck = df.checkpoint(eager=True) if reliable else df.localCheckpoint(
             eager=True
         )
+        return _reset_huge_stats(ck)
 
     return _mat
 

@@ -46,13 +46,22 @@ def dbscan(
     Returns (key, role, cluster): role in {'core','border','noise'},
     cluster = MIN core key of the cluster (NULL for noise).
     """
-    from ..pipeline.graph import connected_components
+    from ..pipeline.graph import _default_materialize, connected_components
     from .joins import distance_join
 
     keys = points.select(F.col(point_key).alias("key"))
-    pairs = distance_join(
-        points, eps_deg, point_key=point_key, cell_col=cell_col
-    ).select("key_a", "key_b")
+    # Materialize the eps-graph ONCE at the composition boundary: the
+    # distance-join plan is deep and data-dependent (skew splitting adds
+    # branches), and it is referenced by sym/deg/core_edges/border — left
+    # un-truncated, Catalyst's size-product stats estimate over the
+    # 6x-duplicated tree overflows BigInteger at scale (seen at sf0.1)
+    # and every consumer would re-run the join besides.
+    mat = _default_materialize(points.sparkSession)
+    pairs = mat(
+        distance_join(
+            points, eps_deg, point_key=point_key, cell_col=cell_col
+        ).select("key_a", "key_b")
+    )
     sym = pairs.union(
         pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b"))
     )
