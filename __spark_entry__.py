@@ -4925,6 +4925,272 @@ def _burst_oracle_sql() -> str:
     """
 
 
+def _q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection per user: the classic Page test
+    as an arithmetic-only ordered fold. State (s_hi, s_lo, n_alarm):
+    s_hi' = greatest(0, s_hi + (x - mu - k)), s_lo' = greatest(0,
+    s_lo + (mu - k - x)); an alarm fires when either side crosses h and
+    that side resets. mu is the per-user mean from exact sufficient
+    statistics (sum/count, one pinned division); k (slack) and h
+    (threshold) are binary-exact constants. Same fold machinery as
+    holt/burst: one keyed shuffle, JVM-side lambda, bit-identical
+    cross-engine (no transcendentals at all)."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    g = (
+        ev.select("user_id", us.alias("us"), "event_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sv"),
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "value"))
+            ).alias("arr"),
+        )
+        .withColumn("mu", F.col("sv") / F.col("n_events").cast("double"))
+    )
+    k, h = F.lit(4.0), F.lit(48.0)
+
+    def step(acc, x):
+        sh = acc.getField("sh")
+        sl = acc.getField("sl")
+        na = acc.getField("na")
+        xv = x.getField("value")
+        mu = acc.getField("mu")
+        nh = F.greatest(F.lit(0.0), sh + (xv - mu - k))
+        nl = F.greatest(F.lit(0.0), sl + (mu - k - xv))
+        fired = (nh > h) | (nl > h)
+        return F.struct(
+            F.when(nh > h, F.lit(0.0)).otherwise(nh).alias("sh"),
+            F.when(nl > h, F.lit(0.0)).otherwise(nl).alias("sl"),
+            F.when(fired, na + F.lit(1.0)).otherwise(na).alias("na"),
+            mu.alias("mu"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("sh"), F.lit(0.0).alias("sl"),
+        F.lit(0.0).alias("na"), F.col("mu").alias("mu"),
+    )
+    st = F.aggregate("arr", init, step)
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round("mu", 6).alias("mu"),
+        F.round(st.getField("sh"), 6).alias("cusum_hi"),
+        F.round(st.getField("sl"), 6).alias("cusum_lo"),
+        st.getField("na").cast("int").alias("n_alarms"),
+    ).orderBy("user_id")
+
+
+_CUSUM_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_events, sum(value) AS sv,
+             list([value, 0.0e0] ORDER BY us, event_id) AS arr
+      FROM e GROUP BY user_id
+    ),
+    m AS (
+      SELECT *, sv / CAST(n_events AS DOUBLE) AS mu,
+             -- state rides as [sh, sl, na, mu]; prepended init sentinel
+             list_concat([[0.0e0, 0.0e0, 0.0e0,
+                           sv / CAST(n_events AS DOUBLE)]],
+                         list_transform(arr, x -> [x[1], 0.0e0, 0.0e0,
+                                                   0.0e0])) AS sts
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, n_events, mu,
+             list_reduce(sts, (acc, x) -> [
+               CASE WHEN greatest(0.0e0, acc[1] + (x[1] - acc[4] - 4.0e0))
+                         > 4.8e1
+                    THEN 0.0e0
+                    ELSE greatest(0.0e0, acc[1] + (x[1] - acc[4] - 4.0e0))
+               END,
+               CASE WHEN greatest(0.0e0, acc[2] + (acc[4] - 4.0e0 - x[1]))
+                         > 4.8e1
+                    THEN 0.0e0
+                    ELSE greatest(0.0e0, acc[2] + (acc[4] - 4.0e0 - x[1]))
+               END,
+               CASE WHEN greatest(0.0e0, acc[1] + (x[1] - acc[4] - 4.0e0))
+                         > 4.8e1
+                      OR greatest(0.0e0, acc[2] + (acc[4] - 4.0e0 - x[1]))
+                         > 4.8e1
+                    THEN acc[3] + 1.0e0 ELSE acc[3] END,
+               acc[4]
+             ]) AS st
+      FROM m
+    )
+    SELECT user_id, n_events, round(mu, 6) AS mu,
+           round(st[1], 6) AS cusum_hi,
+           round(st[2], 6) AS cusum_lo,
+           CAST(st[3] AS INT) AS n_alarms
+    FROM r ORDER BY user_id
+"""
+
+
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level event-type Markov chain: per-user time-ordered
+    bigrams of event_type aggregated into a transition matrix with
+    row-stochastic probabilities. One user-keyed window (lag) + one
+    (from, to) agg + a broadcastable row-margin join; probability is one
+    pinned division of exact BIGINTs. The click-path model a web
+    analytics pipeline fits after sessionization."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    bi = (
+        ev.select("user_id", us.alias("us"), "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+    )
+    cnt = bi.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.round(
+                F.col("n").cast("double") / F.col("n_from").cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_MARKOV_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS prev
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM cnt GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(t.n_from AS BIGINT) AS n_from,
+           round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+    FROM cnt c JOIN tot t USING (from_type)
+    ORDER BY from_type, to_type
+"""
+
+
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust trend: the EXACT median of all pairwise
+    slopes (value_j - value_i) / (hour_j - hour_i), i < j, distinct
+    hours. Pairs come from one in-group array self-product (flatten of a
+    transform over the sorted array — no join, group-local), the median
+    from explicit sorted-array arithmetic like mad_outliers. The robust
+    complement to value_trend_ols: breakdown point 29%, immune to the
+    outliers OLS chases. Integer-hour x keeps every denominator exact."""
+    ev = _load(spark, sf_dir, "events")
+    hour = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3600000000)
+    ).cast("long")
+    g = ev.select(
+        "user_id", hour.alias("h"), "event_id", "value"
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("h", "event_id", "value"))
+        ).alias("arr"),
+    )
+    # all i<j slope pairs with distinct hours, group-local (no shuffle)
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.col("arr"),
+                lambda a, i: F.filter(
+                    F.transform(
+                        F.slice(
+                            F.col("arr"), i + 2, F.size("arr") - i - 1
+                        ),
+                        lambda b: F.when(
+                            b.getField("h") != a.getField("h"),
+                            (b.getField("value") - a.getField("value"))
+                            / (b.getField("h") - a.getField("h")).cast(
+                                "double"
+                            ),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+            )
+        )
+    )
+    g = g.withColumn("sl", slopes).withColumn("m", F.size("sl"))
+    m = F.col("m")
+    med = F.when(
+        m % 2 == 1, F.element_at("sl", ((m + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("sl", (m / 2).cast("int"))
+            + F.element_at("sl", (m / 2).cast("int") + 1)
+        )
+        * F.lit(0.5)
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.col("m").alias("n_pairs"),
+        F.round(med, 6).alias("theil_sen_slope"),
+    ).where(m > 0).orderBy("user_id")
+
+
+_THEIL_SEN_ORACLE = """
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) // 3600000000 AS h, epoch_us(ts) AS us,
+             event_id, CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_events,
+             list([CAST(h AS DOUBLE), value] ORDER BY h, event_id, value)
+               AS arr
+      FROM e GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, n_events,
+             list_sort(flatten(list_transform(arr, (a, i) ->
+               list_transform(
+                 list_filter(arr[i + 1:], b -> b[1] <> a[1]),
+                 b -> (b[2] - a[2]) / (b[1] - a[1])
+               )))) AS sl
+      FROM g
+    ),
+    m AS (SELECT *, len(sl) AS np FROM s)
+    SELECT user_id, n_events, CAST(np AS INT) AS n_pairs,
+           round(CASE WHEN np % 2 = 1
+                      THEN sl[CAST((np + 1) // 2 AS INT)]
+                      ELSE (sl[CAST(np // 2 AS INT)]
+                            + sl[CAST(np // 2 AS INT) + 1]) * 5e-1
+                 END, 6) AS theil_sen_slope
+    FROM m WHERE np > 0 ORDER BY user_id
+"""
+
+
 def _q_spacetime_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kulldorff-style space-time scan statistic over (level-5 cell, day)
     windows: observed count n vs the independence baseline
@@ -5337,6 +5603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "spacetime_scan_llr": _q_spacetime_scan,
         "burst_viterbi": _q_burst_viterbi,
+        "cusum_changepoints": _q_cusum_changepoints,
+        "markov_transitions": _q_markov_transitions,
+        "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
         # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
@@ -8239,4 +8508,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_ORACLE,
         "spacetime_scan_llr": _spacetime_scan_oracle_sql(),
         "burst_viterbi": _burst_oracle_sql(),
+        "cusum_changepoints": _CUSUM_ORACLE,
+        "markov_transitions": _MARKOV_ORACLE,
+        "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "cohort_retention",
     "holt_smoothing",
+    "convex_hull_nations",
+    "mad_outliers",
+    "spacetime_scan_llr",
+    "burst_viterbi",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
