@@ -88,11 +88,23 @@ def minhash_lsh_candidates(
     rows/band = num_perm // bands; two docs collide if any band's row-slice
     hashes equal. Returns (key_a, key_b, est_jaccard) where est_jaccard is
     the fraction of equal signature positions.
+
+    The signature projection is the CPU hot spot (num_perm modmul passes
+    over every shingle — ~10^5 ops per kilobyte of text), so it must not
+    inherit a narrow scan layout: when the input exposes fewer partitions
+    than the cluster has slots (one fat parquet file, a coalesced
+    upstream), the text is first redistributed round-robin; already-wide
+    inputs skip the exchange (shuffling 100 TB of raw text for no
+    parallelism gain would dominate the job).
     """
     rows_per_band = num_perm // bands
-    sig = docs.select(
-        F.col(key_col).alias("key"),
-        minhash_signature(shingle_hashes(F.col(text_col), shingle_n), num_perm).alias("sig"),
+    narrow = docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("_txt"))
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < max(2, slots // 2):
+        narrow = narrow.repartition(slots)
+    sig = narrow.select(
+        "key",
+        minhash_signature(shingle_hashes(F.col("_txt"), shingle_n), num_perm).alias("sig"),
     )
     banded = sig.select(
         "key",

