@@ -265,4 +265,13 @@ def simplify_trajectories(
         keep = _dp_keep_mask(xyz, tolerance_rad)
         return pdf.loc[keep, [key_col, "pt_id", "lat", "lng"]]
 
-    return points.groupBy(key_col).applyInPandas(fn, schema=out_schema)
+    # Pin the pre-DP exchange with a USER repartition on the group key:
+    # AQE coalesces shuffles by BYTE size, and trajectory rows are tiny,
+    # so the CPU-heavy Python DP stage otherwise collapses onto 1-2
+    # partitions and runs thousands of groups sequentially (measured 2
+    # post-AQE partitions / 11.4s at sf0.1; pinned: full-width / ~1s).
+    # Explicit repartitioning is exempt from AQE coalescing, and the
+    # groupBy reuses it (same hash partitioning), adding no exchange.
+    slots = points.sparkSession.sparkContext.defaultParallelism
+    pinned = points.repartition(slots, F.col(key_col))
+    return pinned.groupBy(key_col).applyInPandas(fn, schema=out_schema)
