@@ -4925,6 +4925,68 @@ def _burst_oracle_sql() -> str:
     """
 
 
+def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (pipeline/text.py rake_keywords): maximal
+    stopword-free runs scored by degree/frequency, phrase score as a
+    position-ordered fold-sum (one op order -> exact cross-engine
+    ranking), top-5 per document. One explode + one cumsum window + two
+    map-side aggs + one doc-keyed rank window, zero UDFs."""
+    from gos2_spark.pipeline.text import rake_keywords
+
+    docs = _load(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_k=5).orderBy("doc_id", "rank")
+
+
+def _rake_oracle_sql() -> str:
+    from gos2_spark.pipeline.text import LANG_PROFILES
+
+    stop = ", ".join(f"'{s}'" for s in LANG_PROFILES["en"])
+    return f"""
+        WITH tk AS (
+          -- DuckDB 1.0 has no WITH ORDINALITY; index via list_transform
+          SELECT doc_id AS key, u.s.tok AS tok, u.s.pos AS pos
+          FROM documents,
+               unnest(list_transform(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 (tok, i) -> {{'tok': tok, 'pos': i}})) AS u(s)
+          WHERE u.s.tok <> ''
+        ),
+        r AS (
+          SELECT *, sum(CASE WHEN tok IN ({stop}) THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY key ORDER BY pos) AS rid
+          FROM tk
+        ),
+        pw AS (SELECT * FROM r WHERE tok NOT IN ({stop})),
+        plen AS (SELECT key, rid, count(*) AS wlen FROM pw GROUP BY 1, 2),
+        ws AS (
+          SELECT pw.key, tok, count(*) AS freq,
+                 CAST(sum(wlen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS wscore
+          FROM pw JOIN plen USING (key, rid) GROUP BY 1, 2
+        ),
+        phr AS (
+          SELECT pw.key, pw.rid,
+                 string_agg(pw.tok, ' ' ORDER BY pw.pos) AS phrase,
+                 list_reduce(list(ws.wscore ORDER BY pw.pos),
+                             (a, b) -> a + b) AS pscore
+          FROM pw JOIN ws ON ws.key = pw.key AND ws.tok = pw.tok
+          GROUP BY 1, 2
+        ),
+        ded AS (
+          SELECT key, phrase, count(*) AS n_occur, min(pscore) AS score
+          FROM phr GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY key ORDER BY score DESC, phrase) AS rank
+          FROM ded
+        )
+        SELECT key AS doc_id, CAST(rank AS INT) AS rank, phrase, n_occur,
+               round(score, 6) AS score
+        FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+    """
+
+
 def _q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change detection per user: the classic Page test
     as an arithmetic-only ordered fold. State (s_hi, s_lo, n_alarm):
@@ -5604,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacetime_scan_llr": _q_spacetime_scan,
         "burst_viterbi": _q_burst_viterbi,
         "cusum_changepoints": _q_cusum_changepoints,
+        "rake_keywords": _q_rake_keywords,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -8509,6 +8572,7 @@ def oracle_sql() -> dict[str, str]:
         "spacetime_scan_llr": _spacetime_scan_oracle_sql(),
         "burst_viterbi": _burst_oracle_sql(),
         "cusum_changepoints": _CUSUM_ORACLE,
+        "rake_keywords": _rake_oracle_sql(),
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

@@ -388,3 +388,86 @@ def zipf_top_tokens(
             ),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document, fully
+    native: candidate phrases are maximal stopword-free token runs,
+    word score = degree/frequency within the document, phrase score =
+    position-ordered fold-sum of member word scores (one op order, so
+    cross-engine ranking is exact), top_k phrases per doc by
+    (score desc, phrase asc).
+
+    Plan: one posexplode + one cumulative-sum window assigns run ids,
+    then two map-side-combinable aggs (per-run length, per-word
+    freq/degree) and one doc-keyed window for the final rank — no UDFs,
+    no joins wider than the token table. ``stopwords`` defaults to the
+    engine's tiny deterministic English profile (LANG_PROFILES['en']);
+    production runs pass a real list.
+    """
+    from pyspark.sql import Window
+
+    stop = stopwords if stopwords is not None else LANG_PROFILES["en"]
+    key = F.col(key_col)
+    toks = docs.select(
+        key.alias("key"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("key").orderBy("pos")
+    toks = toks.withColumn(
+        "rid",
+        F.sum(F.col("tok").isin(stop).cast("int")).over(w),
+    ).where(~F.col("tok").isin(stop))
+    plen = toks.groupBy("key", "rid").agg(F.count("*").alias("wlen"))
+    ws = (
+        toks.join(plen, ["key", "rid"])
+        .groupBy("key", "tok")
+        .agg(F.count("*").alias("freq"), F.sum("wlen").alias("deg"))
+        .withColumn(
+            "wscore",
+            F.col("deg").cast("double") / F.col("freq").cast("double"),
+        )
+    )
+    phr = (
+        toks.join(ws.select("key", "tok", "wscore"), ["key", "tok"])
+        .groupBy("key", "rid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "tok", "wscore"))
+            ).alias("arr")
+        )
+        .select(
+            "key",
+            F.concat_ws(
+                " ", F.transform("arr", lambda x: x.getField("tok"))
+            ).alias("phrase"),
+            F.aggregate(
+                "arr",
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("wscore"),
+            ).alias("pscore"),
+        )
+    )
+    ded = phr.groupBy("key", "phrase").agg(
+        F.count("*").alias("n_occur"), F.min("pscore").alias("score")
+    )
+    rk = Window.partitionBy("key").orderBy(F.desc("score"), "phrase")
+    return (
+        ded.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("key").alias(key_col),
+            "rank",
+            "phrase",
+            "n_occur",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -93,6 +93,11 @@ def convex_hull_vertices(
         y_col,
         (F.col(id_col) % F.lit(n_salt)).alias("_salt"),
     )
+    # user repartition pins stage-1 width against AQE byte-size
+    # coalescing (the chain is CPU-bound Python, not byte-bound; same
+    # rationale as trajectory.simplify_trajectories)
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    pts = pts.repartition(slots, F.col(key_col), F.col("_salt"))
     partial = pts.groupBy(key_col, "_salt").applyInPandas(
         lambda pdf: chain(pdf), schema=schema
     )
