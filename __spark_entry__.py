@@ -4925,6 +4925,125 @@ def _burst_oracle_sql() -> str:
     """
 
 
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split gate every
+    training-data pipeline needs: bucket = pmod(xxhash64(key), 100),
+    80/10/10, so membership is a pure function of the key (stable across
+    runs, machines, and row order; no sampling state). Reported per
+    source stratum with exact counts and one pinned-division fraction.
+    The oracle replays Spark's xxhash64 bit-for-bit in pure SQL
+    (pipeline/duckdb_oracles.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.xxhash64(F.col("doc_id").cast("string")), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    g = docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = g.groupBy("source").agg(F.sum("n_docs").alias("n_total"))
+    return (
+        g.join(tot, "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("frac"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _stratified_split_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    h = f"({xxh64_list_sql('[CAST(doc_id AS VARCHAR)]')})[1]"
+    return f"""
+        WITH b AS (
+          SELECT source, n_chars,
+                 (({h}) % 100 + 100) % 100 AS bucket
+          FROM documents
+        ),
+        s AS (
+          SELECT source,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+          FROM b GROUP BY 1, 2
+        ),
+        t AS (SELECT source, sum(n_docs) AS n_total FROM s GROUP BY 1)
+        SELECT s.source, s.split, s.n_docs, s.n_chars,
+               round(CAST(s.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+                 AS frac
+        FROM s JOIN t USING (source)
+        ORDER BY source, split
+    """
+
+
+def _q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per calendar day (plus
+    same-day actives) — the rolling engagement metric, computed exactly:
+    the (user, day) table joins a BROADCAST day spine on a 7-day window,
+    one countDistinct per day. Sliding-window distinct cannot be
+    decomposed into per-day partials (distinct is not additive), so the
+    exact form re-counts per window; the documented sketch swap-in at
+    100 TB is HLL partials merged across the window."""
+    ev = _load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    d = days.select(F.col("day").alias("asof"))
+    j = ud.join(
+        F.broadcast(d),
+        (F.col("day") <= F.col("asof"))
+        & (F.col("day") >= F.date_sub(F.col("asof"), 6)),
+    )
+    roll = j.groupBy("asof").agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
+    daily = ud.groupBy(F.col("day").alias("asof")).agg(
+        F.countDistinct("user_id").alias("active_1d")
+    )
+    return (
+        roll.join(daily, "asof")
+        .select(
+            F.date_format("asof", "yyyy-MM-dd").alias("day"),
+            "active_1d",
+            "active_7d",
+        )
+        .orderBy("day")
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day AS dref FROM ud),
+    roll AS (
+      SELECT d.dref, count(DISTINCT u.user_id) AS active_7d
+      FROM days d JOIN ud u
+        ON u.day <= d.dref AND u.day >= d.dref - INTERVAL 6 DAY
+      GROUP BY 1
+    ),
+    daily AS (
+      SELECT day AS dref, count(DISTINCT user_id) AS active_1d
+      FROM ud GROUP BY 1
+    )
+    SELECT strftime(r.dref, '%Y-%m-%d') AS day, d.active_1d, r.active_7d
+    FROM roll r JOIN daily d USING (dref)
+    ORDER BY day
+"""
+
+
 def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (pipeline/text.py rake_keywords): maximal
     stopword-free runs scored by degree/frequency, phrase score as a
@@ -5667,6 +5786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_viterbi": _q_burst_viterbi,
         "cusum_changepoints": _q_cusum_changepoints,
         "rake_keywords": _q_rake_keywords,
+        "stratified_split": _q_stratified_split,
+        "rolling_active_users": _q_rolling_active_users,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -8573,6 +8694,8 @@ def oracle_sql() -> dict[str, str]:
         "burst_viterbi": _burst_oracle_sql(),
         "cusum_changepoints": _CUSUM_ORACLE,
         "rake_keywords": _rake_oracle_sql(),
+        "stratified_split": _stratified_split_oracle_sql(),
+        "rolling_active_users": _ROLLING_ACTIVE_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "mad_outliers",
     "spacetime_scan_llr",
     "burst_viterbi",
+    "cusum_changepoints",
+    "markov_transitions",
+    "theil_sen_slope",
+    "rake_keywords",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
