@@ -4925,6 +4925,155 @@ def _burst_oracle_sql() -> str:
     """
 
 
+_LOS_STEPS = [
+    ("t", "CAST(i AS DOUBLE) / 17.0"),
+    ("dlng0", "lngb - lnga"),
+    (
+        "dlng",
+        "CASE WHEN dlng0 > 180.0 THEN dlng0 - 360.0"
+        " WHEN dlng0 < -180.0 THEN dlng0 + 360.0 ELSE dlng0 END",
+    ),
+    ("lat", "lata + (latb - lata) * t"),
+    ("lngr", "lnga + dlng * t"),
+    (
+        "lng",
+        "CASE WHEN lngr > 180.0 THEN lngr - 360.0"
+        " WHEN lngr <= -180.0 THEN lngr + 360.0 ELSE lngr END",
+    ),
+]
+_LOS_ELEV_SQL = (
+    "CAST(((cell_l8 % 9973) + 9973) % 9973 AS DOUBLE) * 5e-2"
+)
+
+
+def _q_line_of_sight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain line-of-sight between customer-point pairs over a
+    synthetic elevation field keyed to level-8 cells (elevation = pure
+    bit/mod arithmetic of the cell id, 0..498 m): sample 16 interior
+    points along each sight line (exact rational t = i/17, linear
+    lat/lng path with dateline wrap — arithmetic only, bit-identical
+    cross-engine), look up terrain at each sample through the SAME
+    Hilbert encode both engines share, and report visibility against the
+    endpoint-to-endpoint sight line at +10 m masts. One codegen
+    projection builds all samples (explode of a literal range), one
+    encode, two aggs. The viewshed primitive, driver-checkable because
+    the 'terrain' is a deterministic function of the engine's own cell
+    ids."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.geodesy import apply_steps
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    a = pts.where(F.col("key") < 50).select(
+        F.col("key").alias("k"),
+        F.col("lat").alias("lata"),
+        F.col("lng").alias("lnga"),
+    )
+    b = pts.where(
+        (F.col("key") >= 500) & (F.col("key") < 550)
+    ).select(
+        (F.col("key") - 500).alias("k"),
+        F.col("lat").alias("latb"),
+        F.col("lng").alias("lngb"),
+    )
+    base = a.join(b, "k").select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(17))).alias("i")
+    )
+    sampled = apply_steps(base, _LOS_STEPS)
+    cells = add_cellid_sql(
+        sampled.select("k", "i", "t", "lat", "lng"), "lat", "lng", "cell_id"
+    ).select(
+        "k",
+        "i",
+        "t",
+        s2_parent_sql(F.col("cell_id"), 8).alias("cell_l8"),
+    )
+    elev = cells.withColumn("elev", F.expr(_LOS_ELEV_SQL))
+    ends = elev.groupBy("k").agg(
+        F.min(F.when(F.col("i") == 0, F.col("elev"))).alias("elev_a"),
+        F.min(F.when(F.col("i") == 17, F.col("elev"))).alias("elev_b"),
+    )
+    mid = (
+        elev.where((F.col("i") >= 1) & (F.col("i") <= 16))
+        .join(ends, "k")
+        .select(
+            "k",
+            (
+                F.col("elev")
+                - (
+                    (F.col("elev_a") + F.lit(10.0))
+                    + (
+                        (F.col("elev_b") + F.lit(10.0))
+                        - (F.col("elev_a") + F.lit(10.0))
+                    )
+                    * F.col("t")
+                )
+            ).alias("obs"),
+        )
+    )
+    return (
+        mid.groupBy("k")
+        .agg(F.max("obs").alias("max_obs"))
+        .select(
+            F.col("k").alias("key_a"),
+            (F.col("k") + 500).alias("key_b"),
+            (F.col("max_obs") <= 0.0).alias("visible"),
+            F.round("max_obs", 6).alias("max_obstruction_m"),
+        )
+        .orderBy("key_a")
+    )
+
+
+def _line_of_sight_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte
+
+    base = f"""
+        lospts AS ({_CUST_LATLNG_SQL}),
+        pa AS (SELECT key AS k, lat AS lata, lng AS lnga FROM lospts
+               WHERE key < 50),
+        pb AS (SELECT key - 500 AS k, lat AS latb, lng AS lngb FROM lospts
+               WHERE key >= 500 AND key < 550),
+        g0 AS (
+          SELECT pa.*, pb.latb, pb.lngb, u.i
+          FROM pa JOIN pb USING (k),
+               unnest(generate_series(0, 17)) AS u(i)
+        )
+    """
+    body, last = duckdb_steps_cte(base, _LOS_STEPS)
+    return f"""
+        WITH {body},
+        {_cellid_cte_duckdb(
+            f"SELECT k * 100 + i AS key, lat, lng FROM {last}"
+        )},
+        lv AS (
+          SELECT key // 100 AS k, key % 100 AS i,
+                 CAST(key % 100 AS DOUBLE) / 17.0 AS t,
+                 ((cell_id & -{1 << 44}) | {1 << 44}) AS cell_l8
+          FROM cells
+        ),
+        el AS (SELECT *, {_LOS_ELEV_SQL} AS elev FROM lv),
+        ends AS (
+          SELECT k,
+                 min(CASE WHEN i = 0 THEN elev END) AS elev_a,
+                 min(CASE WHEN i = 17 THEN elev END) AS elev_b
+          FROM el GROUP BY 1
+        ),
+        mid AS (
+          SELECT el.k,
+                 el.elev - ((ends.elev_a + 10.0)
+                            + ((ends.elev_b + 10.0)
+                               - (ends.elev_a + 10.0)) * el.t) AS obs
+          FROM el JOIN ends USING (k)
+          WHERE el.i BETWEEN 1 AND 16
+        )
+        SELECT k AS key_a, k + 500 AS key_b,
+               max(obs) <= 0.0 AS visible,
+               round(max(obs), 6) AS max_obstruction_m
+        FROM mid GROUP BY k
+        ORDER BY key_a
+    """
+
+
 def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the split gate every
     training-data pipeline needs: bucket = pmod(xxhash64(key), 100),
@@ -5788,6 +5937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q_rake_keywords,
         "stratified_split": _q_stratified_split,
         "rolling_active_users": _q_rolling_active_users,
+        "line_of_sight": _q_line_of_sight,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -8696,6 +8846,7 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _rake_oracle_sql(),
         "stratified_split": _stratified_split_oracle_sql(),
         "rolling_active_users": _ROLLING_ACTIVE_ORACLE,
+        "line_of_sight": _line_of_sight_oracle_sql(),
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }
