@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "markov_transitions",
     "theil_sen_slope",
     "rake_keywords",
+    "stratified_split",
+    "rolling_active_users",
+    "line_of_sight",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
