@@ -5193,6 +5193,100 @@ _ROLLING_ACTIVE_ORACLE = """
 """
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a sequence of crawl
+    snapshots: four deterministic snapshot versions of the documents
+    table (presence rule doc_id % (v+3) != 0, content amended when
+    (doc_id + v) % 4 == 0) collapse into validity intervals — one row per
+    (key, unbroken run of consecutive versions with identical content),
+    carrying valid_from/valid_to/n_versions/is_current. One explode +
+    one key-ordered window (change-flag cumsum) + one agg: the standard
+    warehouse history build, scaling as a single key-keyed shuffle."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    snaps = docs.select(
+        F.col("doc_id").alias("key"),
+        "text",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("v"),
+    ).where(F.col("key") % (F.col("v") + 3) != 0)
+    content = F.md5(
+        F.when(
+            (F.col("key") + F.col("v")) % 4 == 0,
+            F.concat(F.col("text"), F.lit(" rev"), F.col("v").cast("string")),
+        ).otherwise(F.col("text"))
+    )
+    s = snaps.select("key", "v", content.alias("h"))
+    w = Window.partitionBy("key").orderBy("v")
+    flagged = s.select(
+        "key",
+        "v",
+        "h",
+        F.when(
+            (F.lag("h").over(w) == F.col("h"))
+            & (F.lag("v").over(w) == F.col("v") - 1),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    ).withColumn("run", F.sum("chg").over(w))
+    return (
+        flagged.groupBy("key", "run")
+        .agg(
+            F.min("v").alias("valid_from"),
+            F.max("v").alias("valid_to"),
+            F.count("*").alias("n_versions"),
+            F.min("h").alias("content_hash"),
+        )
+        .select(
+            "key",
+            "valid_from",
+            "valid_to",
+            "n_versions",
+            (F.col("valid_to") == 4).alias("is_current"),
+            "content_hash",
+        )
+        .orderBy("key", "valid_from")
+    )
+
+
+_SCD2_ORACLE = """
+    WITH snaps AS (
+      SELECT doc_id AS key, text, u.v
+      FROM documents, unnest(generate_series(1, 4)) AS u(v)
+      WHERE doc_id % (u.v + 3) != 0
+    ),
+    s AS (
+      SELECT key, v,
+             md5(CASE WHEN (key + v) % 4 = 0
+                      THEN text || ' rev' || CAST(v AS VARCHAR)
+                      ELSE text END) AS h
+      FROM snaps
+    ),
+    f AS (
+      SELECT key, v, h,
+             CASE WHEN lag(h) OVER w = h
+                       AND lag(v) OVER w = v - 1
+                  THEN 0 ELSE 1 END AS chg
+      FROM s WINDOW w AS (PARTITION BY key ORDER BY v)
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY key ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM f
+    )
+    SELECT key,
+           min(v) AS valid_from,
+           max(v) AS valid_to,
+           count(*) AS n_versions,
+           max(v) = 4 AS is_current,
+           min(h) AS content_hash
+    FROM r GROUP BY key, run
+    ORDER BY key, valid_from
+"""
+
+
 def _q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (pipeline/text.py rake_keywords): maximal
     stopword-free runs scored by degree/frequency, phrase score as a
@@ -5938,6 +6032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _q_stratified_split,
         "rolling_active_users": _q_rolling_active_users,
         "line_of_sight": _q_line_of_sight,
+        "scd2_history": _q_scd2_history,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -8847,6 +8942,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_split": _stratified_split_oracle_sql(),
         "rolling_active_users": _ROLLING_ACTIVE_ORACLE,
         "line_of_sight": _line_of_sight_oracle_sql(),
+        "scd2_history": _SCD2_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }
