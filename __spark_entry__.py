@@ -5193,6 +5193,144 @@ _ROLLING_ACTIVE_ORACLE = """
 """
 
 
+# map-match roads: 6 meridian great circles at these longitudes; the
+# circle's unit normal is (-sin lng0, cos lng0, 0), so point-to-road
+# angular distance is |asin(p . n)| — constants embedded as exact double
+# literals so both engines run identical expressions.
+_MM_ROADS = [0.0, 30.0, 60.0, 90.0, 120.0, 150.0]
+_MM_GAMMA = 0.0625  # road-switch penalty, binary-exact
+
+
+def _mm_emission_sqls() -> list[str]:
+    out = []
+    for lng0 in _MM_ROADS:
+        s = repr(math.sin(math.radians(lng0)))
+        c = repr(math.cos(math.radians(lng0)))
+        dot = f"(-({s}) * mmx + ({c}) * mmy)"
+        out.append(
+            f"abs(asin(greatest(-1.0, least(1.0, {dot}))))"
+        )
+    return out
+
+
+def _q_map_match_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (Newson-Krumm shape) of per-user GPS tracks onto
+    a broadcast set of 6 great-circle 'roads': emission cost = angular
+    distance |asin(p.n)| to each road (computed natively per event, 6
+    codegen columns), transition cost = binary-exact switch penalty, and
+    the Viterbi min-cost DP runs as the engine's ordered-fold machinery
+    with a 6-wide cost vector as state: c_j' = least(c_j, min_all +
+    gamma) + e_j. Output: matched final road (deterministic strict-<
+    argmin), final cost, and the stay-vs-switch margin. One user-keyed
+    shuffle; the only transcendental is asin on identical expression
+    text."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = F.col("event_id")
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    base = ev.select(
+        "user_id", us.alias("us"), "event_id",
+        F.radians(lat).alias("rlat"), F.radians(lng).alias("rlng"),
+    ).select(
+        "user_id", "us", "event_id",
+        (F.cos("rlng") * F.cos("rlat")).alias("mmx"),
+        (F.sin("rlng") * F.cos("rlat")).alias("mmy"),
+    )
+    ems = [F.expr(s).alias(f"e{k}") for k, s in enumerate(_mm_emission_sqls())]
+    base = base.select("user_id", "us", "event_id", *ems)
+    g = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("us", "event_id", *[f"e{k}" for k in range(6)])
+            )
+        ).alias("arr"),
+    )
+    k6 = range(6)
+    sts = F.transform(
+        "arr",
+        lambda x: F.struct(
+            *[x.getField(f"e{k}").alias(f"c{k}") for k in k6]
+        ),
+    ).alias("sts")
+    gam = F.lit(_MM_GAMMA)
+
+    def step(acc, x):
+        m = F.least(*[acc.getField(f"c{k}") for k in k6])
+        return F.struct(
+            *[
+                (
+                    F.least(acc.getField(f"c{k}"), m + gam)
+                    + x.getField(f"c{k}")
+                ).alias(f"c{k}")
+                for k in k6
+            ]
+        )
+
+    st = F.aggregate(
+        F.slice(sts, 2, F.size("arr") - 1), F.element_at(sts, 1), step
+    )
+    cs = [st.getField(f"c{k}") for k in k6]
+    best = F.least(*cs)
+    # deterministic argmin: first index achieving the minimum
+    road = F.lit(5)
+    for k in reversed(range(5)):
+        road = F.when(cs[k] == best, F.lit(k)).otherwise(road)
+    return g.select(
+        "user_id",
+        "n_events",
+        road.alias("matched_road"),
+        F.round(best, 6).alias("viterbi_cost"),
+    ).orderBy("user_id")
+
+
+def _map_match_oracle_sql() -> str:
+    ems = _mm_emission_sqls()
+    em_list = ", ".join(ems)
+    upd = ", ".join(
+        f"least(acc[{k + 1}], least(acc[1], acc[2], acc[3], acc[4],"
+        f" acc[5], acc[6]) + {_MM_GAMMA!r}) + x[{k + 1}]"
+        for k in range(6)
+    )
+    best = "least(st[1], st[2], st[3], st[4], st[5], st[6])"
+    road = "CASE " + " ".join(
+        f"WHEN st[{k + 1}] = {best} THEN {k}" for k in range(6)
+    ) + " END"
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 radians(-60.0 + (event_id * 11 % 120)
+                         + (event_id % 83) / 83.0) AS rlat,
+                 radians(-170.0 + (event_id * 17 % 340)
+                         + (event_id % 79) / 79.0) AS rlng
+          FROM events
+        ),
+        p AS (
+          SELECT user_id, us, event_id,
+                 cos(rlng) * cos(rlat) AS mmx,
+                 sin(rlng) * cos(rlat) AS mmy
+          FROM e
+        ),
+        g AS (
+          SELECT user_id, count(*) AS n_events,
+                 list([{em_list}] ORDER BY us, event_id) AS sts
+          FROM p GROUP BY user_id
+        ),
+        r AS (
+          SELECT user_id, n_events,
+                 list_reduce(sts, (acc, x) -> [{upd}]) AS st
+          FROM g
+        )
+        SELECT user_id, n_events,
+               CAST({road} AS INT) AS matched_road,
+               round({best}, 6) AS viterbi_cost
+        FROM r ORDER BY user_id
+    """
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension history from a sequence of crawl
     snapshots: four deterministic snapshot versions of the documents
@@ -6033,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _q_rolling_active_users,
         "line_of_sight": _q_line_of_sight,
         "scd2_history": _q_scd2_history,
+        "map_match_viterbi": _q_map_match_viterbi,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -8943,6 +9082,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": _ROLLING_ACTIVE_ORACLE,
         "line_of_sight": _line_of_sight_oracle_sql(),
         "scd2_history": _SCD2_ORACLE,
+        "map_match_viterbi": _map_match_oracle_sql(),
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }
