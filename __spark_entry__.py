@@ -5193,6 +5193,77 @@ _ROLLING_ACTIVE_ORACLE = """
 """
 
 
+_TTL_US = 21_600_000_000  # 6 hours
+
+
+def _q_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TTL dedup / rate gate: per user, keep an event only if
+    >= 6h of event time passed since the last KEPT event — the batch
+    form of spark/streaming.py streaming_ttl_dedup (same integer
+    comparisons, so batch and stream agree exactly; restart-parity
+    pytest pins it). State (last_kept_us, n_kept) rides the ordered fold
+    as pure BIGINTs — zero float exposure anywhere."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    g = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id"))
+            ).alias("arr"),
+        )
+    )
+    sts = F.transform(
+        "arr",
+        lambda x: F.struct(
+            x.getField("us").alias("l"), F.lit(1).cast("long").alias("n")
+        ),
+    ).alias("sts")
+    ttl = F.lit(_TTL_US).cast("long")
+
+    def step(acc, x):
+        keep = (x.getField("l") - acc.getField("l")) >= ttl
+        return F.struct(
+            F.when(keep, x.getField("l")).otherwise(acc.getField("l")).alias("l"),
+            F.when(keep, acc.getField("n") + 1).otherwise(acc.getField("n")).alias("n"),
+        )
+
+    st = F.aggregate(
+        F.slice(sts, 2, F.size("arr") - 1), F.element_at(sts, 1), step
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        st.getField("n").alias("n_kept"),
+        st.getField("l").alias("last_kept_us"),
+    ).orderBy("user_id")
+
+
+_TTL_DEDUP_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT user_id, count(*) AS n_events,
+             list([us, CAST(1 AS BIGINT)] ORDER BY us, event_id) AS sts
+      FROM e GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n_events,
+             list_reduce(sts, (acc, x) ->
+               CASE WHEN x[1] - acc[1] >= {_TTL_US}
+                    THEN [x[1], acc[2] + 1] ELSE acc END) AS st
+      FROM g
+    )
+    SELECT user_id, n_events, st[2] AS n_kept, st[1] AS last_kept_us
+    FROM r ORDER BY user_id
+"""
+
+
 # map-match roads: 6 meridian great circles at these longitudes; the
 # circle's unit normal is (-sin lng0, cos lng0, 0), so point-to-road
 # angular distance is |asin(p . n)| — constants embedded as exact double
@@ -6172,6 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_of_sight": _q_line_of_sight,
         "scd2_history": _q_scd2_history,
         "map_match_viterbi": _q_map_match_viterbi,
+        "ttl_dedup": _q_ttl_dedup,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -9083,6 +9155,7 @@ def oracle_sql() -> dict[str, str]:
         "line_of_sight": _line_of_sight_oracle_sql(),
         "scd2_history": _SCD2_ORACLE,
         "map_match_viterbi": _map_match_oracle_sql(),
+        "ttl_dedup": _TTL_DEDUP_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

@@ -204,3 +204,60 @@ def streaming_geofence_transitions(
     return labeled.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, "last int", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ttl_dedup(
+    events_stream: DataFrame,
+    ttl_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Stateful streaming rate-gate / TTL dedup: per key, emit an event
+    only if at least ``ttl_us`` microseconds of EVENT TIME passed since
+    the last emitted event of that key. State is one int64 per key (the
+    last kept event-time), checkpointed by the state store and restored
+    across restarts — the same bounded-state contract as
+    ``streaming_geofence_transitions``. Within a micro-batch rows sort by
+    (ts, seq); cross-batch order is the source's responsibility.
+
+    Semantically identical to the batch ordered fold the ``ttl_dedup``
+    driver query runs (pure integer comparisons, so batch and stream
+    agree exactly) — pytest pins the parity including a mid-stream
+    restart.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_fields = {f.name: f.dataType.simpleString() for f in events_stream.schema}
+    out_schema = (
+        f"{user_col} {in_fields[user_col]}, {seq_col} {in_fields[seq_col]}, "
+        "kept_us long"
+    )
+    us_expr = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    labeled = events_stream.select(
+        F.col(user_col), F.col(seq_col), F.expr(us_expr).alias("_us")
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["_us", seq_col])
+        last = state.get[0] if state.exists else None
+        recs = []
+        for eid, us in zip(pdf[seq_col], pdf["_us"]):
+            us = int(us)
+            if last is None or us - last >= ttl_us:
+                recs.append((key[0], eid, us))
+                last = us
+        if last is not None:
+            state.update((int(last),))
+        if recs:
+            yield pd.DataFrame(recs, columns=[user_col, seq_col, "kept_us"])
+
+    return labeled.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, "last long", "append", GroupStateTimeout.NoTimeout
+    )

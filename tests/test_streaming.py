@@ -231,3 +231,59 @@ def test_streaming_geofence_string_keys(spark, tmp_path):
     }
     names = tiles.tile_ids()
     assert got == {("alice", "ev-2", names.index("a"), names.index("b"))}
+
+
+def test_streaming_ttl_dedup_matches_batch_across_restart(spark, tmp_path):
+    """TTL dedup: drain phase 1, stop, add phase-2 files, restart from
+    the same checkpoint — the kept-event set must equal the batch fold
+    over the full history, which only holds if last-kept state survived
+    the restart (events inside the TTL of a phase-1 keeper must stay
+    suppressed in phase 2)."""
+    from pyspark.sql import functions as F
+
+    from gos2_spark.spark.streaming import streaming_ttl_dedup
+
+    ttl_us = 3_600_000_000  # 1h
+    # user 1: keeps t=0h; 0.5h suppressed; 1.5h kept (phase 1);
+    #         phase 2: 1.9h suppressed (inside TTL of 1.5h), 3h kept.
+    # user 2: keeps t=0h in phase 1; phase 2: 0.5h suppressed, 1h kept.
+    h = 3600
+    p1 = [(1, 0 * h, 10), (1, h // 2, 11), (1, 3 * h // 2, 12),
+          (2, 0 * h, 20)]
+    p2 = [(1, 19 * h // 10, 13), (1, 3 * h, 14),
+          (2, h // 2, 21), (2, h, 22)]
+    schema = "user_id long, tsec long, event_id long"
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_seconds(F.col("tsec"))
+        ).drop("tsec").write.mode("append").parquet(src)
+
+    def drain():
+        sch = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = (
+            streaming_ttl_dedup(stream, ttl_us)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write(p1)
+    drain()
+    write(p2)
+    drain()
+
+    kept = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert kept == {(1, 10), (1, 12), (1, 14), (2, 20), (2, 22)}
