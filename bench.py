@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "stratified_split",
     "rolling_active_users",
     "line_of_sight",
+    "scd2_history",
+    "map_match_viterbi",
+    "ttl_dedup",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
