@@ -5193,6 +5193,104 @@ _ROLLING_ACTIVE_ORACLE = """
 """
 
 
+def _q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: KL(P_source || P_corpus) per source over
+    whitespace-token unigram distributions with add-one smoothing on the
+    corpus vocabulary. Counts are exact BIGINTs; each probability is one
+    pinned division; the divergence sum runs as a TOKEN-ORDERED fold
+    (sort_array + sequential aggregate), so there is no float-sum-order
+    exposure and both engines produce identical doubles up to ln's last
+    bit, absorbed by round(9). The distribution-shift gate a training
+    pipeline runs when a new crawl slice lands."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("cc"))
+    vocab = corpus.count()
+    totals = per.groupBy("source").agg(F.sum("c").alias("n_src"))
+    n_corpus = toks.count()
+    # union support: every (source, vocab token) pair via the corpus
+    # vocab (smoothing gives mass to tokens the source never used)
+    grid = totals.crossJoin(F.broadcast(corpus))
+    j = grid.join(per, ["source", "tok"], "left").select(
+        "source",
+        "tok",
+        "n_src",
+        "cc",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    v = F.lit(float(vocab))
+    p = (F.col("c").cast("double") + 1.0) / (
+        F.col("n_src").cast("double") + v
+    )
+    q = (F.col("cc").cast("double") + 1.0) / (F.lit(float(n_corpus)) + v)
+    term = p * F.log(p / q)
+    g = j.select("source", "tok", term.alias("term")).groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("tok", "term"))).alias("arr")
+    )
+    kl = F.aggregate(
+        "arr", F.lit(0.0), lambda acc, x: acc + x.getField("term")
+    )
+    return (
+        g.join(totals, "source")
+        .select(
+            "source",
+            F.col("n_src").alias("n_tokens"),
+            F.lit(vocab).cast("long").alias("vocab"),
+            F.round(kl, 9).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+_CORPUS_KL_ORACLE = """
+    WITH toks AS (
+      SELECT source, u.tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    per AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT tok, count(*) AS cc FROM toks GROUP BY 1),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM corpus),
+    nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    totals AS (SELECT source, sum(c) AS n_src FROM per GROUP BY 1),
+    grid AS (SELECT t.source, t.n_src, c.tok, c.cc FROM totals t, corpus c),
+    j AS (
+      SELECT g.source, g.tok, g.n_src, g.cc,
+             coalesce(p.c, 0) AS c
+      FROM grid g LEFT JOIN per p
+        ON p.source = g.source AND p.tok = g.tok
+    ),
+    terms AS (
+      SELECT source, tok,
+             ((CAST(c AS DOUBLE) + 1.0)
+              / (CAST(n_src AS DOUBLE) + (SELECT v FROM nv)))
+             * ln(((CAST(c AS DOUBLE) + 1.0)
+                   / (CAST(n_src AS DOUBLE) + (SELECT v FROM nv)))
+                  / ((CAST(cc AS DOUBLE) + 1.0)
+                     / ((SELECT n FROM nc) + (SELECT v FROM nv)))) AS term
+      FROM j
+    ),
+    folded AS (
+      SELECT source,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(term ORDER BY tok)),
+               (a, b) -> a + b) AS kl
+      FROM terms GROUP BY source
+    )
+    SELECT f.source, CAST(t.n_src AS BIGINT) AS n_tokens,
+           CAST((SELECT v FROM nv) AS BIGINT) AS vocab,
+           round(f.kl, 9) AS kl_vs_corpus
+    FROM folded f JOIN totals t USING (source)
+    ORDER BY source
+"""
+
+
 _TTL_US = 21_600_000_000  # 6 hours
 
 
@@ -6244,6 +6342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "map_match_viterbi": _q_map_match_viterbi,
         "ttl_dedup": _q_ttl_dedup,
+        "corpus_kl_drift": _q_corpus_kl_drift,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -9156,6 +9255,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE,
         "map_match_viterbi": _map_match_oracle_sql(),
         "ttl_dedup": _TTL_DEDUP_ORACLE,
+        "corpus_kl_drift": _CORPUS_KL_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }
