@@ -5193,6 +5193,105 @@ _ROLLING_ACTIVE_ORACLE = """
 """
 
 
+# NOAA solar-position step chain over (lat, lng, doy, hh, mi, ss):
+# fractional year -> equation of time -> declination -> true solar time
+# -> hour angle -> solar elevation. Pure arithmetic + trig on shared
+# expression text (same parity form as geodesy.py).
+_SOLAR_STEPS = [
+    (
+        "gam",
+        "2.0 * pi() / 365.0"
+        " * (CAST(doy AS DOUBLE) - 1.0"
+        " + (CAST(hh AS DOUBLE) - 12.0) / 24.0)",
+    ),
+    (
+        "eqtime",
+        "229.18 * (7.5e-5 + 1.868e-3 * cos(gam) - 3.2077e-2 * sin(gam)"
+        " - 1.4615e-2 * cos(2.0 * gam) - 4.0849e-2 * sin(2.0 * gam))",
+    ),
+    (
+        "decl",
+        "6.918e-3 - 3.99912e-1 * cos(gam) + 7.0257e-2 * sin(gam)"
+        " - 6.758e-3 * cos(2.0 * gam) + 9.07e-4 * sin(2.0 * gam)"
+        " - 2.697e-3 * cos(3.0 * gam) + 1.48e-3 * sin(3.0 * gam)",
+    ),
+    ("toff", "eqtime + 4.0 * lng"),
+    (
+        "tst",
+        "CAST(hh AS DOUBLE) * 60.0 + CAST(mi AS DOUBLE)"
+        " + CAST(ss AS DOUBLE) / 60.0 + toff",
+    ),
+    ("ha", "radians(tst / 4.0 - 180.0)"),
+    (
+        "cosz",
+        "sin(radians(lat)) * sin(decl)"
+        " + cos(radians(lat)) * cos(decl) * cos(ha)",
+    ),
+    (
+        "elev_deg",
+        "90.0 - degrees(acos(greatest(-1.0, least(1.0, cosz))))",
+    ),
+]
+
+
+def _q_solar_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solar elevation per event (NOAA general solar position equations,
+    implemented as the engine's shared Spark/DuckDB step-chain form like
+    geodesy.py): fractional year -> equation of time -> declination ->
+    true solar time -> hour angle -> elevation at the event's
+    deterministic lat/lng and UTC timestamp. The day/night labeler a
+    corpus pipeline uses for diurnal features — reported as the rounded
+    elevation (no boolean threshold, so libm last-bit noise cannot flip
+    an output). Pure codegen, zero shuffles."""
+    from gos2_spark.spark.geodesy import apply_steps
+
+    ev = _load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    base = ev.select(
+        "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        F.dayofyear("ts").alias("doy"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+    )
+    out = apply_steps(base, _SOLAR_STEPS)
+    return out.select(
+        "event_id",
+        "doy",
+        F.round("eqtime", 9).alias("eqtime_min"),
+        F.round(F.degrees("decl"), 9).alias("decl_deg"),
+        F.round("elev_deg", 9).alias("solar_elev_deg"),
+    ).orderBy("event_id")
+
+
+def _solar_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte
+
+    base = """
+        g0 AS (
+          SELECT event_id,
+                 -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0
+                   AS lat,
+                 -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0
+                   AS lng,
+                 CAST(dayofyear(ts) AS INT) AS doy,
+                 hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss
+          FROM events WHERE event_id < 2000
+        )
+    """
+    body, last = duckdb_steps_cte(base, _SOLAR_STEPS)
+    return f"""
+        WITH {body}
+        SELECT event_id, doy,
+               round(eqtime, 9) AS eqtime_min,
+               round(degrees(decl), 9) AS decl_deg,
+               round(elev_deg, 9) AS solar_elev_deg
+        FROM {last} ORDER BY event_id
+    """
+
+
 def _q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor: KL(P_source || P_corpus) per source over
     whitespace-token unigram distributions with add-one smoothing on the
@@ -6343,6 +6442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match_viterbi": _q_map_match_viterbi,
         "ttl_dedup": _q_ttl_dedup,
         "corpus_kl_drift": _q_corpus_kl_drift,
+        "solar_position": _q_solar_position,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -9256,6 +9356,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match_viterbi": _map_match_oracle_sql(),
         "ttl_dedup": _TTL_DEDUP_ORACLE,
         "corpus_kl_drift": _CORPUS_KL_ORACLE,
+        "solar_position": _solar_oracle_sql(),
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "scd2_history",
     "map_match_viterbi",
     "ttl_dedup",
+    "corpus_kl_drift",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",

@@ -173,3 +173,32 @@ def test_helper_wrappers(spark):
     assert v == ["lat1", "lng1", "lat2", "lng2", "vincenty_m"]
     r = rhumb_line(df).columns
     assert r == ["lat1", "lng1", "lat2", "lng2", "rhumb_m", "rhumb_brg_deg"]
+
+
+def test_solar_position_physical_sanity():
+    """NOAA solar chain vs closed-form solstice/equinox geometry:
+    noon elevation ~= 90 - |lat - decl| with decl 0 (equinox) /
+    +-23.44 (solstices)."""
+    import duckdb as _dd
+
+    import __spark_entry__ as e
+
+    rows = [
+        (0.0, 0.0, 80, 12, 7, 0),  # equator, equinox, solar noon
+        (0.0, 0.0, 80, 0, 7, 0),  # equator, equinox, midnight
+        (51.5, 0.0, 172, 12, 2, 0),  # London, summer solstice noon
+        (51.5, 0.0, 355, 12, 0, 0),  # London, winter solstice noon
+    ]
+    vals = ", ".join(
+        f"({a!r}, {b!r}, {c}, {d}, {m}, {s})" for a, b, c, d, m, s in rows
+    )
+    base = f"g0(lat, lng, doy, hh, mi, ss) AS (VALUES {vals})"
+    body, last = duckdb_steps_cte(base, e._SOLAR_STEPS)
+    out = [
+        r[0]
+        for r in _dd.sql(f"WITH {body} SELECT elev_deg FROM {last}").fetchall()
+    ]
+    assert out[0] == pytest.approx(90.0, abs=1.0)
+    assert out[1] == pytest.approx(-90.0, abs=1.0)
+    assert out[2] == pytest.approx(90.0 - 51.5 + 23.44, abs=0.6)
+    assert out[3] == pytest.approx(90.0 - 51.5 - 23.44, abs=0.6)
