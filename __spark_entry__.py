@@ -5234,6 +5234,84 @@ _SOLAR_STEPS = [
 ]
 
 
+def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence graph: part pairs appearing in the
+    same order, with support and lift = n_ab * N / (n_a * n_b). The
+    bipartite-projection op (basket -> item-item edges); the self-join is
+    bounded by per-basket fanout (max 13 items here, so <= 78 pairs per
+    order — never quadratic in the catalog). Counts exact BIGINTs; lift
+    is one pinned rational expression rounded to 9."""
+    li = _load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+    deg = op.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n_part")
+    )
+    n_orders_total = op.select("l_orderkey").distinct().count()
+    da = deg.select(
+        F.col("part").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    db = deg.select(
+        F.col("part").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    lift = (
+        F.col("n_orders").cast("double") * F.lit(float(n_orders_total))
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "n_a",
+            "n_b",
+            F.round(lift, 9).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+_COPURCHASE_ORACLE = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (SELECT l_partkey AS part, count(*) AS n_part FROM op GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM op
+    )
+    SELECT p.part_a, p.part_b, p.n_orders,
+           da.n_part AS n_a, db.n_part AS n_b,
+           round((CAST(p.n_orders AS DOUBLE) * (SELECT n FROM tot))
+                 / (CAST(da.n_part AS DOUBLE) * CAST(db.n_part AS DOUBLE)),
+                 9) AS lift
+    FROM pairs p
+    JOIN deg da ON da.part = p.part_a
+    JOIN deg db ON db.part = p.part_b
+    ORDER BY part_a, part_b
+"""
+
+
 def _q_solar_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solar elevation per event (NOAA general solar position equations,
     implemented as the engine's shared Spark/DuckDB step-chain form like
@@ -6443,6 +6521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_dedup": _q_ttl_dedup,
         "corpus_kl_drift": _q_corpus_kl_drift,
         "solar_position": _q_solar_position,
+        "copurchase_pairs": _q_copurchase_pairs,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -9357,6 +9436,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_dedup": _TTL_DEDUP_ORACLE,
         "corpus_kl_drift": _CORPUS_KL_ORACLE,
         "solar_position": _solar_oracle_sql(),
+        "copurchase_pairs": _COPURCHASE_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }
