@@ -5234,6 +5234,71 @@ _SOLAR_STEPS = [
 ]
 
 
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the maintenance op an Iceberg-style
+    table needs): within each partition, files ordered by (size desc,
+    id) are packed next-fit into target-size output bins via a running
+    cumulative sum — bin = floor((cumsum - size) / target) — so the plan
+    is a pure window computation, deterministic, and embarrassingly
+    parallel across partitions. Documents stand in as files (n_chars =
+    bytes, source = partition). Output: per (partition, bin) file count,
+    bytes, and fill ratio (one pinned division)."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    target = 4096
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("bytes"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = docs.select(
+        "source", "doc_id", F.col("n_chars").alias("bytes")
+    ).withColumn("cum", F.sum("bytes").over(w))
+    binned = f.select(
+        "source",
+        "bytes",
+        ((F.col("cum") - F.col("bytes")) / F.lit(target))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(F.count("*").alias("n_files"), F.sum("bytes").alias("bin_bytes"))
+        .select(
+            "source",
+            "bin",
+            "n_files",
+            "bin_bytes",
+            F.round(
+                F.col("bin_bytes").cast("double") / F.lit(float(target)), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+_COMPACTION_ORACLE = """
+    WITH f AS (
+      SELECT source, doc_id, n_chars AS bytes,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ),
+    b AS (
+      SELECT source, bytes,
+             CAST((cum - bytes) // 4096 AS BIGINT) AS bin
+      FROM f
+    )
+    SELECT source, bin, count(*) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+           round(CAST(sum(bytes) AS DOUBLE) / 4096.0, 6) AS fill_ratio
+    FROM b GROUP BY 1, 2
+    ORDER BY source, bin
+"""
+
+
 def _q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence graph: part pairs appearing in the
     same order, with support and lift = n_ab * N / (n_a * n_b). The
@@ -6522,6 +6587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kl_drift": _q_corpus_kl_drift,
         "solar_position": _q_solar_position,
         "copurchase_pairs": _q_copurchase_pairs,
+        "compaction_plan": _q_compaction_plan,
         "markov_transitions": _q_markov_transitions,
         "theil_sen_slope": _q_theil_sen,
         # --- previously driver-green (rounds 1-2); flagship coverage next so
@@ -9437,6 +9503,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_kl_drift": _CORPUS_KL_ORACLE,
         "solar_position": _solar_oracle_sql(),
         "copurchase_pairs": _COPURCHASE_ORACLE,
+        "compaction_plan": _COMPACTION_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
     }

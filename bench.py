@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "map_match_viterbi",
     "ttl_dedup",
     "corpus_kl_drift",
+    "solar_position",
+    "copurchase_pairs",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
