@@ -170,3 +170,62 @@ def test_asof_join_bounded_exchanges(spark):
     plan = _plan(spark, "asof_profile_join")
     assert _exchanges(plan) <= 3
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "vincenty_rhumb",
+        "vincenty_direct",
+        "solar_position",
+        "line_of_sight",
+        "mad_outliers",
+        "holt_smoothing",
+        "burst_viterbi",
+        "cusum_changepoints",
+        "theil_sen_slope",
+        "ttl_dedup",
+        "map_match_viterbi",
+        "markov_transitions",
+        "cohort_retention",
+        "edit_distance_pairs",
+        "stratified_split",
+        "rolling_active_users",
+        "scd2_history",
+        "compaction_plan",
+        "copurchase_pairs",
+        "corpus_kl_drift",
+        "rake_keywords",
+        "spacetime_scan_llr",
+        "cusum_changepoints",
+    ],
+)
+def test_late_round3_queries_pure_catalyst(spark, name):
+    """Every late-round-3 analytics query claims zero Python stages —
+    folds run as JVM higher-order functions, geodesy/solar/LOS as
+    codegen expression chains."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("vincenty_direct", 0),  # pure projection + sort only
+        ("solar_position", 0),
+        ("holt_smoothing", 1),  # one user-keyed agg
+        ("burst_viterbi", 1),
+        ("ttl_dedup", 1),
+        ("mad_outliers", 1),
+        ("theil_sen_slope", 1),
+    ],
+)
+def test_fold_queries_single_keyed_exchange(spark, name, max_exchanges):
+    """The ordered-fold family is ONE keyed shuffle (plus the final
+    presentation sort, which is a range exchange and excluded by
+    counting only hash exchanges here)."""
+    plan = _plan(spark, name)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= max_exchanges, (name, n, plan[:1200])
