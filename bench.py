@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "corpus_kl_drift",
     "solar_position",
     "copurchase_pairs",
+    "compaction_plan",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
