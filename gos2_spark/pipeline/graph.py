@@ -85,22 +85,27 @@ def connected_components(
 ) -> DataFrame:
     """(key, component): min-node label per connected component.
 
-    Alternates two label-shrinking steps until a joint fixpoint:
+    Hash-to-min rounds (Rastogi et al.), ONE materialization each, fusing
+    three label-shrinking steps in a single plan:
 
-    1. **neighbor-min round** — every node adopts the min label in its
-       closed neighborhood (one join + one map-side-combined agg);
-    2. **pointer doubling to stability** — labels form parent pointers
-       (label(u) <= u), so repeated ``label := label(label)`` self-joins
-       halve every chain's height (path halving).
+    1. **neighbor-min** — every node sees the min label across its graph
+       edges (the only step that moves information across the graph);
+    2. **stale-pointer chase** — one in-plan ``label := label(label)``
+       hop through the previous round's mapping (free shortcuts);
+    3. **fragment broadcast** — the min candidate grouped by each node's
+       chased root spreads a discovery made at ANY boundary node to the
+       WHOLE fragment within the same round, so fragments merge along
+       every boundary every round and the distinct-label count drops
+       geometrically.
 
-    Plain min-label propagation spreads one hop per round — a diameter-D
-    chain needs D shuffles (at web scale, unbounded). The doubling step
-    collapses the chain the neighbor round just built, so each outer
-    round shortens label chains geometrically and convergence is
-    O(log D) rounds in practice (the hash-to-min bound).
+    Step 3 is what makes wide flat graphs converge: without it the
+    minimum enters a fragment one graph hop per round (the old
+    neighbor-min + pointer-doubling schedule silently exhausted its
+    budget on the sf0.1 eps-graph and split 23 true components into 29).
 
-    At the joint fixpoint labels are equal across every edge and
-    root-stable, hence exactly the component minimum.
+    At the fixpoint labels are equal across every edge and root-stable,
+    hence exactly the component minimum; a non-converged exit logs a
+    warning instead of passing silently.
 
     ``edges`` is an UNDIRECTED pair list (symmetrized internally and
     materialized once so upstream candidate generation never re-runs).
@@ -119,6 +124,19 @@ def connected_components(
             )
         )
     )
+    # Right-size the edge table the rounds re-scan ~2x per round: an
+    # upstream union of wide inputs can leave a TINY edge set spread over
+    # 64+ partitions, and O(rounds) stages then pay per-task scheduling
+    # on every scan. A narrow coalesce (no shuffle, no re-checkpoint)
+    # caps partitions at ~1 per 100k edges; big graphs keep full width.
+    try:
+        parts = sym.rdd.getNumPartitions()
+        if parts > 8:
+            tgt = max(2, min(parts, int(sym.count() // 100_000) + 1))
+            if tgt < parts:
+                sym = sym.coalesce(tgt)
+    except Exception:
+        pass
     labels = mat(
         nodes.select(F.col(node_col).alias("key")).withColumn(
             "label", F.col("key")
@@ -130,17 +148,14 @@ def connected_components(
         changed = m.where(F.col("_changed")).limit(1).count() > 0
         return m.drop("_changed"), changed
 
-    # In-plan pointer doubling: from the checkpointed label mapping M
-    # (a LEAF — key -> label, label <= key) build M^(2^k) by composing the
-    # mapping with itself k times INSIDE one plan. Each composition is a
-    # join of two copies of the previous mapping on label == key; all
-    # leaves are the same materialized table, so the plan executes
-    # 2^k - 1 cheap equi-joins and collapses every label chain by a
-    # factor 2^k with ZERO intermediate materializations. A round is then
-    # nbr-min + one M^(2^k) lookup + ONE checkpoint — the old schedule
-    # materialized every single doubling step (measured 69 checkpoints on
-    # the sf0.1 eps-graph; this one converges in 4).
-    hops = 3
+    # One stale-pointer chase step (label of label, through the OLD
+    # checkpointed mapping) rides each round in-plan. More in-plan
+    # doubling (M^8) was measured SLOWER end-to-end: the fragment
+    # broadcast below already spreads discoveries fragment-wide per
+    # round, so extra chase joins only add shuffle stages (hops=3: 7
+    # joins/round, 7.5s on the sf0.1 eps-graph; hops=1: 5.6s; the round
+    # count barely moves).
+    hops = 1
 
     def _pow_mapping(m: DataFrame) -> DataFrame:
         for _ in range(hops):

@@ -905,10 +905,25 @@ def distance_join(
             (F.sin(rl)).alias(f"z{suffix}"),
         ]
 
-    a = points_a.select(
+    # Pre-join projection (trig xyz + the A-side 9x neighborhood explode)
+    # runs BEFORE any exchange, so it inherits the scan layout: a single
+    # fat parquet file pins the whole projection to one core. Rebalance
+    # only when the scan is narrower than the cluster (an exchange of the
+    # slim point rows is cheap; forcing one on an already-wide 100 TB
+    # table would not be).
+    slots = points_a.sparkSession.sparkContext.defaultParallelism
+
+    def _widen(df: DataFrame) -> DataFrame:
+        if df.rdd.getNumPartitions() < max(2, slots // 2):
+            return df.repartition(slots)
+        return df
+
+    wa = _widen(points_a)
+    wb = wa if self_join else (points_b if broadcast_b else _widen(points_b))
+    a = wa.select(
         F.col(point_key).alias("key_a"), *_xyz_cols("a"), blk,
     )
-    b = points_b.select(
+    b = wb.select(
         F.col(b_key).alias("key_b"), *_xyz_cols("b"),
         s2_parent_sql(F.col(cell_col), level).alias("_blk"),
     )
