@@ -5435,6 +5435,80 @@ def _solar_oracle_sql() -> str:
     """
 
 
+def _q_user_tile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility-profile similarity: users' visited level-5 tile SETS
+    compared with the exact PPJoin set-similarity join (pipeline/dedup.py
+    jaccard_join) — the geo composition of the webtext machinery: cells
+    come from the pure-SQL Hilbert encode, tile sets become token sets,
+    and the rare-first prefix filter prunes candidate pairs with zero
+    false negatives. Output pairs with exact integer intersection/union
+    and one pinned-division jaccard."""
+    from gos2_spark.pipeline.dedup import jaccard_join
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "user_id",
+            "event_id",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    ).select(
+        "user_id", s2_parent_sql(F.col("cell_id"), 5).alias("cell_l5")
+    )
+    # jaccard_join tokenizes on [^a-z]+, so numeric cell ids are mapped
+    # injectively onto letters (digit/sign alphabet -> a..k); set
+    # cardinalities — hence jaccard — are unchanged by any injection
+    tile_tok = F.translate(
+        F.col("cell_l5").cast("string"), "0123456789-", "abcdefghijk"
+    )
+    profiles = pts.groupBy("user_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_set(tile_tok))).alias("tiles")
+    )
+    out = jaccard_join(
+        profiles, threshold=0.2, key_col="user_id", text_col="tiles"
+    )
+    return out.select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        "inter",
+        "union",
+        F.round("jaccard", 9).alias("jaccard"),
+    ).orderBy("user_a", "user_b")
+
+
+def _user_tile_similarity_oracle_sql() -> str:
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        {_cellid_cte_duckdb("SELECT event_id AS key, lat, lng FROM pts0")},
+        pc AS (
+          SELECT e.user_id, ((c.cell_id & -{1 << 50}) | {1 << 50}) AS cell
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        prof AS (
+          SELECT user_id, list_sort(list(DISTINCT cell)) AS cs
+          FROM pc GROUP BY 1
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               len(list_intersect(a.cs, b.cs)) AS inter,
+               len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))
+                 AS "union",
+               round(CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE)
+                     / CAST(len(a.cs) + len(b.cs)
+                            - len(list_intersect(a.cs, b.cs)) AS DOUBLE),
+                     9) AS jaccard
+        FROM prof a JOIN prof b ON a.user_id < b.user_id
+        WHERE CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE)
+              / CAST(len(a.cs) + len(b.cs)
+                     - len(list_intersect(a.cs, b.cs)) AS DOUBLE) >= 0.2
+        ORDER BY user_a, user_b
+    """
+
+
 def _q_corpus_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift monitor: KL(P_source || P_corpus) per source over
     whitespace-token unigram distributions with add-one smoothing on the
@@ -6585,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match_viterbi": _q_map_match_viterbi,
         "ttl_dedup": _q_ttl_dedup,
         "corpus_kl_drift": _q_corpus_kl_drift,
+        "user_tile_similarity": _q_user_tile_similarity,
         "solar_position": _q_solar_position,
         "copurchase_pairs": _q_copurchase_pairs,
         "compaction_plan": _q_compaction_plan,
@@ -9501,6 +9576,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match_viterbi": _map_match_oracle_sql(),
         "ttl_dedup": _TTL_DEDUP_ORACLE,
         "corpus_kl_drift": _CORPUS_KL_ORACLE,
+        "user_tile_similarity": _user_tile_similarity_oracle_sql(),
         "solar_position": _solar_oracle_sql(),
         "copurchase_pairs": _COPURCHASE_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,
