@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "solar_position",
     "copurchase_pairs",
     "compaction_plan",
+    "user_tile_similarity",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
