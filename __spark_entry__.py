@@ -5447,7 +5447,11 @@ def _q_user_tile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gos2_spark.spark.functions import add_cellid_sql
     from gos2_spark.spark.pages import s2_parent_sql
 
-    ev = _load(spark, sf_dir, "events")
+    # cohort-bounded (user_id < 400): mobility profiles are DENSE sets
+    # (hundreds of tiles, high pairwise overlap), so the pair count grows
+    # quadratically with cohort size no matter the join algorithm —
+    # bound the cohort the way the kNN/hausdorff queries bound theirs
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id") < 400)
     e = F.col("event_id")
     pts = add_cellid_sql(
         ev.select(
@@ -5488,6 +5492,7 @@ def _user_tile_similarity_oracle_sql() -> str:
         pc AS (
           SELECT e.user_id, ((c.cell_id & -{1 << 50}) | {1 << 50}) AS cell
           FROM cells c JOIN events e ON e.event_id = c.key
+          WHERE e.user_id < 400
         ),
         prof AS (
           SELECT user_id, list_sort(list(DISTINCT cell)) AS cs
