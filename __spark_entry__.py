@@ -5435,6 +5435,128 @@ def _solar_oracle_sql() -> str:
     """
 
 
+def _q_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness screen: coefficient of variation of per-user
+    inter-event gaps (machines fire on clocks -> low CV; humans are
+    bursty -> high). Sufficient statistics (n, sum gap, sum gap^2) ride
+    as DECIMAL(38,0) — microsecond gaps squared overflow int64 but stay
+    exact in 38 digits in BOTH engines — so the variance numerator
+    n*Sxx - Sx^2 is exact integer arithmetic and the only floats are one
+    division and one sqrt at the very end. One window + one keyed agg."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap").isNotNull())
+        .select(
+            "user_id",
+            F.col("gap").cast("decimal(19,0)").alias("g"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("sx"),
+        F.sum(F.col("g") * F.col("g")).alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    std = F.sqrt(num) / F.col("n").cast("double")
+    return agg.select(
+        "user_id",
+        "n",
+        F.round(mean / F.lit(3.6e9), 6).alias("mean_gap_h"),
+        F.round(std / (mean + F.lit(1.0)), 9).alias("cv"),
+    ).orderBy("user_id")
+
+
+_BOT_GAP_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             us - lag(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS gap
+      FROM (SELECT user_id, epoch_us(ts) AS us, event_id, ts FROM events)
+    ),
+    g AS (
+      SELECT user_id, CAST(gap AS DECIMAL(19,0)) AS g
+      FROM e WHERE gap IS NOT NULL
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n,
+             sum(g) AS sx, sum(g * g) AS sxx
+      FROM g GROUP BY 1
+    )
+    SELECT user_id, n,
+           round((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 3.6e9, 6)
+             AS mean_gap_h,
+           round((sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                            AS DOUBLE)) / CAST(n AS DOUBLE))
+                 / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 1.0), 9)
+             AS cv
+    FROM a ORDER BY user_id
+"""
+
+
+def _q_content_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-length inequality per source: the Gini coefficient from
+    the exact integer form G = sum((2i - n - 1) * x_(i)) / (n * sum(x))
+    over ascending-sorted lengths — numerator and denominator are exact
+    BIGINTs (one rank window + one keyed agg), the coefficient is ONE
+    division at the end. The corpus-balance diagnostic for mixing
+    decisions."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select("source", "doc_id", "n_chars").withColumn(
+        "i", F.row_number().over(w)
+    )
+    agg = r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            (2 * F.col("i") - 1) * F.col("n_chars")
+        ).alias("wsum"),
+    )
+    n = F.col("n_docs")
+    gini = (
+        (F.col("wsum") - n * F.col("total_chars")).cast("double")
+        / (n * F.col("total_chars")).cast("double")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(gini, 9).alias("gini"),
+    ).orderBy("source")
+
+
+_CONTENT_GINI_ORACLE = """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    a AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum((2 * i - 1) * n_chars) AS BIGINT) AS wsum
+      FROM r GROUP BY 1
+    )
+    SELECT source, n_docs, total_chars,
+           round(CAST(wsum - n_docs * total_chars AS DOUBLE)
+                 / CAST(n_docs * total_chars AS DOUBLE), 9) AS gini
+    FROM a ORDER BY source
+"""
+
+
 def _q_user_tile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mobility-profile similarity: users' visited level-5 tile SETS
     compared with the exact PPJoin set-similarity join (pipeline/dedup.py
@@ -6665,6 +6787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_dedup": _q_ttl_dedup,
         "corpus_kl_drift": _q_corpus_kl_drift,
         "user_tile_similarity": _q_user_tile_similarity,
+        "bot_gap_regularity": _q_bot_gap_regularity,
+        "content_gini": _q_content_gini,
         "solar_position": _q_solar_position,
         "copurchase_pairs": _q_copurchase_pairs,
         "compaction_plan": _q_compaction_plan,
@@ -9582,6 +9706,8 @@ def oracle_sql() -> dict[str, str]:
         "ttl_dedup": _TTL_DEDUP_ORACLE,
         "corpus_kl_drift": _CORPUS_KL_ORACLE,
         "user_tile_similarity": _user_tile_similarity_oracle_sql(),
+        "bot_gap_regularity": _BOT_GAP_ORACLE,
+        "content_gini": _CONTENT_GINI_ORACLE,
         "solar_position": _solar_oracle_sql(),
         "copurchase_pairs": _COPURCHASE_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "compaction_plan",
     "user_tile_similarity",
+    "bot_gap_regularity",
+    "content_gini",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
