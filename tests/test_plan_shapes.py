@@ -197,7 +197,12 @@ def test_asof_join_bounded_exchanges(spark):
         "corpus_kl_drift",
         "rake_keywords",
         "spacetime_scan_llr",
-        "cusum_changepoints",
+        "bot_gap_regularity",
+        "content_gini",
+        "corpus_kl_drift",
+        "solar_position",
+        "copurchase_pairs",
+        "compaction_plan",
     ],
 )
 def test_late_round3_queries_pure_catalyst(spark, name):
