@@ -5435,6 +5435,84 @@ def _solar_oracle_sql() -> str:
     """
 
 
+def _q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile profile of event value per event type, from ONE
+    sorted array with explicit element arithmetic (type-7 interpolation
+    q = x[(floor(h)] + (h - floor(h)) * (x[floor(h)+1] - x[floor(h)]),
+    h = (n-1)p + 1, written once and executed identically in both
+    engines — no engine percentile implementation in the loop). One
+    keyed shuffle; the sketch swap-in at monster cardinality is
+    percentile_approx, documented not used."""
+    ev = _load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list("value")).alias("arr"),
+    )
+    n = F.col("n")
+
+    def q_at(p: float):
+        h = (n - 1).cast("double") * F.lit(p) + F.lit(1.0)
+        lo = F.floor(h).cast("int")
+        frac = h - F.floor(h)
+        lov = F.element_at("arr", lo)
+        hiv = F.element_at(
+            "arr", F.least(lo + 1, n.cast("int"))
+        )
+        return lov + frac * (hiv - lov)
+
+    cols = [
+        F.round(q_at(p / 10.0), 6).alias(f"p{p * 10}")
+        for p in (1, 2, 5, 8, 9)
+    ]
+    return g.select("event_type", "n", *cols).orderBy("event_type")
+
+
+_VALUE_DECILES_ORACLE = """
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             list_sort(list(CAST(value AS DOUBLE))) AS arr
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(arr[CAST(floor((n - 1) * 1e-1 + 1.0) AS INT)]
+                 + ((n - 1) * 1e-1 + 1.0
+                    - floor((n - 1) * 1e-1 + 1.0))
+                 * (arr[least(CAST(floor((n - 1) * 1e-1 + 1.0) AS INT)
+                              + 1, CAST(n AS INT))]
+                    - arr[CAST(floor((n - 1) * 1e-1 + 1.0) AS INT)]),
+                 6) AS p10,
+           round(arr[CAST(floor((n - 1) * 2e-1 + 1.0) AS INT)]
+                 + ((n - 1) * 2e-1 + 1.0
+                    - floor((n - 1) * 2e-1 + 1.0))
+                 * (arr[least(CAST(floor((n - 1) * 2e-1 + 1.0) AS INT)
+                              + 1, CAST(n AS INT))]
+                    - arr[CAST(floor((n - 1) * 2e-1 + 1.0) AS INT)]),
+                 6) AS p20,
+           round(arr[CAST(floor((n - 1) * 5e-1 + 1.0) AS INT)]
+                 + ((n - 1) * 5e-1 + 1.0
+                    - floor((n - 1) * 5e-1 + 1.0))
+                 * (arr[least(CAST(floor((n - 1) * 5e-1 + 1.0) AS INT)
+                              + 1, CAST(n AS INT))]
+                    - arr[CAST(floor((n - 1) * 5e-1 + 1.0) AS INT)]),
+                 6) AS p50,
+           round(arr[CAST(floor((n - 1) * 8e-1 + 1.0) AS INT)]
+                 + ((n - 1) * 8e-1 + 1.0
+                    - floor((n - 1) * 8e-1 + 1.0))
+                 * (arr[least(CAST(floor((n - 1) * 8e-1 + 1.0) AS INT)
+                              + 1, CAST(n AS INT))]
+                    - arr[CAST(floor((n - 1) * 8e-1 + 1.0) AS INT)]),
+                 6) AS p80,
+           round(arr[CAST(floor((n - 1) * 9e-1 + 1.0) AS INT)]
+                 + ((n - 1) * 9e-1 + 1.0
+                    - floor((n - 1) * 9e-1 + 1.0))
+                 * (arr[least(CAST(floor((n - 1) * 9e-1 + 1.0) AS INT)
+                              + 1, CAST(n AS INT))]
+                    - arr[CAST(floor((n - 1) * 9e-1 + 1.0) AS INT)]),
+                 6) AS p90
+    FROM g ORDER BY event_type
+"""
+
+
 def _q_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bot-likeness screen: coefficient of variation of per-user
     inter-event gaps (machines fire on clocks -> low CV; humans are
@@ -6789,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_tile_similarity": _q_user_tile_similarity,
         "bot_gap_regularity": _q_bot_gap_regularity,
         "content_gini": _q_content_gini,
+        "value_deciles": _q_value_deciles,
         "solar_position": _q_solar_position,
         "copurchase_pairs": _q_copurchase_pairs,
         "compaction_plan": _q_compaction_plan,
@@ -9708,6 +9787,7 @@ def oracle_sql() -> dict[str, str]:
         "user_tile_similarity": _user_tile_similarity_oracle_sql(),
         "bot_gap_regularity": _BOT_GAP_ORACLE,
         "content_gini": _CONTENT_GINI_ORACLE,
+        "value_deciles": _VALUE_DECILES_ORACLE,
         "solar_position": _solar_oracle_sql(),
         "copurchase_pairs": _COPURCHASE_ORACLE,
         "compaction_plan": _COMPACTION_ORACLE,

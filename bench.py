@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "user_tile_similarity",
     "bot_gap_regularity",
     "content_gini",
+    "value_deciles",
     "ewma_user_value",
     "gistar_hotspots",
     "ripley_k_function",
