@@ -6779,18 +6779,76 @@ def _vincenty_direct_oracle_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's correctness gate evaluates the FIRST
-    # 50 names in dict order.  Round-2 checked positions 1-50 (everything up to
-    # trajectory_lengths), so round 3 rotates the 26 never-driver-checked
-    # queries to the front; the remaining window slots are filled with
-    # previously-green entries (flagship joins first).  All entries remain
-    # oracle-checked locally via tools/oracle_check.py regardless of position.
-    # Queries added late in round 3 (trajectory_hausdorff/profiles,
-    # dbscan_clusters, the nearest/bearing/midpoint/language-mix batch, ...)
-    # are ALSO placed inside the window; previously-green entries past
-    # position 50 stay value-checked locally each round.
+    # Registry order matters: the driver's correctness gate evaluates the
+    # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
+    # queries; round 4 rotates the 52 never-driver-checked exact-oracle
+    # queries (everything registered after unigram_logprob in round 3) into
+    # positions 1-50.  The 2 that do not fit (label_propagation, kcore_peel)
+    # sit at 51-52 and lead the round-5 window together with round-4
+    # additions.  trajectory_simplify is rows-only by design (data-dependent
+    # Douglas-Peucker recursion has no SQL form) and stays OUT of the window
+    # so every slot carries an EXACT oracle.  All entries remain value-
+    # checked locally via tools/oracle_check.py regardless of position.
     return {
-        # --- 26 queries that sat past position 50 in rounds 1-2 ---
+        # --- positions 1-50: never driver-checked, all exact oracles ---
+        "vincenty_rhumb": _q_vincenty_rhumb,
+        "vincenty_direct": _q_vincenty_direct,
+        "edit_distance_pairs": _q_edit_distance_pairs,
+        "cohort_retention": _q_cohort_retention,
+        "holt_smoothing": _q_holt_smoothing,
+        "convex_hull_nations": _q_convex_hull_nations,
+        "mad_outliers": _q_mad_outliers,
+        "spacetime_scan_llr": _q_spacetime_scan,
+        "burst_viterbi": _q_burst_viterbi,
+        "cusum_changepoints": _q_cusum_changepoints,
+        "rake_keywords": _q_rake_keywords,
+        "stratified_split": _q_stratified_split,
+        "rolling_active_users": _q_rolling_active_users,
+        "line_of_sight": _q_line_of_sight,
+        "scd2_history": _q_scd2_history,
+        "map_match_viterbi": _q_map_match_viterbi,
+        "ttl_dedup": _q_ttl_dedup,
+        "corpus_kl_drift": _q_corpus_kl_drift,
+        "user_tile_similarity": _q_user_tile_similarity,
+        "bot_gap_regularity": _q_bot_gap_regularity,
+        "content_gini": _q_content_gini,
+        "value_deciles": _q_value_deciles,
+        "solar_position": _q_solar_position,
+        "copurchase_pairs": _q_copurchase_pairs,
+        "compaction_plan": _q_compaction_plan,
+        "markov_transitions": _q_markov_transitions,
+        "theil_sen_slope": _q_theil_sen,
+        "gps_speed_outliers": _q_gps_speed_outliers,
+        "od_matrix": _q_od_matrix,
+        "colocation_pairs": _q_colocation_pairs,
+        "triangle_counts": _q_triangle_counts,
+        "inverted_index_stats": _q_inverted_index_stats,
+        "bm25_topk": _q_bm25_topk,
+        "anchor_text_terms": _q_anchor_text_terms,
+        "bigram_logprob": _q_bigram_logprob,
+        "nearest_feature_join": _q_nearest_feature,
+        "pmi_collocations": _q_pmi_collocations,
+        "hopping_window_counts": _q_hopping_window_counts,
+        "cap_bounds_per_user": _q_cap_bounds,
+        "link_bfs_hops": _q_link_bfs_hops,
+        "funnel_steps": _q_funnel_steps,
+        "idw_interpolation": _q_idw_interpolation,
+        "value_trend_ols": _q_value_trend_ols,
+        "weighted_sssp": _q_weighted_sssp,
+        "hybrid_rrf_retrieval": _q_hybrid_rrf,
+        "dedup_canonical_pick": _q_dedup_canonical,
+        "morans_i_cells": _q_morans_i,
+        "ewma_user_value": _q_ewma_user_value,
+        "gistar_hotspots": _q_gistar_cells,
+        "ripley_k_function": _q_ripley_k,
+        # --- 51-52: lead the round-5 window ---
+        "label_propagation": _q_label_propagation,
+        "kcore_peel": _q_kcore,
+        # --- rows-only driver check (no SQL form for data-dependent DP
+        # --- recursion; value-level correctness lives in the property tests)
+        "trajectory_simplify": _q_trajectory_simplify,
+        # --- previously driver-green (rounds 1-3); value-checked locally
+        # --- via tools/oracle_check.py each round ---
         "adaptive_density_tiles": _q_adaptive_density,
         "sequence_packing": _q_sequence_packing,
         "pii_scrub_stats": _q_pii_scrub_stats,
@@ -6821,7 +6879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_decode": _q_media_video_decode,
         "warc_extract_pages": _q_warc_extract_pages,
         "media_features": _q_media_features,
-        # --- added late in round 3 (never driver-checked) ---
         "trajectory_hausdorff": _q_trajectory_hausdorff,
         "trajectory_profiles": _q_trajectory_profiles,
         "dbscan_clusters": _q_dbscan_clusters,
@@ -6842,39 +6899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_similarity_join": _q_jaccard_similarity_join,
         "cell_top_events": _q_cell_top_events,
         "unigram_logprob": _q_unigram_logprob,
-        # rows-only driver check (no SQL form) — parked just past the
-        # 50-entry window so every window slot carries an EXACT oracle;
-        # value-level correctness lives in the DP property tests
-        "trajectory_simplify": _q_trajectory_simplify,
-        "vincenty_rhumb": _q_vincenty_rhumb,
-        "vincenty_direct": _q_vincenty_direct,
-        "edit_distance_pairs": _q_edit_distance_pairs,
-        "cohort_retention": _q_cohort_retention,
-        "holt_smoothing": _q_holt_smoothing,
-        "convex_hull_nations": _q_convex_hull_nations,
-        "mad_outliers": _q_mad_outliers,
-        "spacetime_scan_llr": _q_spacetime_scan,
-        "burst_viterbi": _q_burst_viterbi,
-        "cusum_changepoints": _q_cusum_changepoints,
-        "rake_keywords": _q_rake_keywords,
-        "stratified_split": _q_stratified_split,
-        "rolling_active_users": _q_rolling_active_users,
-        "line_of_sight": _q_line_of_sight,
-        "scd2_history": _q_scd2_history,
-        "map_match_viterbi": _q_map_match_viterbi,
-        "ttl_dedup": _q_ttl_dedup,
-        "corpus_kl_drift": _q_corpus_kl_drift,
-        "user_tile_similarity": _q_user_tile_similarity,
-        "bot_gap_regularity": _q_bot_gap_regularity,
-        "content_gini": _q_content_gini,
-        "value_deciles": _q_value_deciles,
-        "solar_position": _q_solar_position,
-        "copurchase_pairs": _q_copurchase_pairs,
-        "compaction_plan": _q_compaction_plan,
-        "markov_transitions": _q_markov_transitions,
-        "theil_sen_slope": _q_theil_sen,
-        # --- previously driver-green (rounds 1-2); flagship coverage next so
-        # --- the 50-entry window still re-checks the core spatial engine ---
         "pip_join": _q_pip_join,
         "pip_histogram": _q_pip_histogram,
         "pip_anti_join": _q_pip_anti,
@@ -6899,8 +6923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_bounding_rects": _q_nation_rects,
         "minhash_dedup_groups": _q_minhash_groups,
         "geoparse_multi": _q_geoparse_multi,
-        # --- past the driver's 50-entry window (all were green in r1/r2 and
-        # --- stay value-checked by tools/oracle_check.py each round) ---
         "dedup_exact": _q_dedup_exact,
         "streaming_first_seen_dedup": _q_streaming_dedup,
         "streaming_tile_counts": _q_streaming_tile_counts,
@@ -6926,33 +6948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
-        # --- round-3 third-session batch (never driver-checked; rotate
-        # --- into the window at the start of round 4) ---
-        "gps_speed_outliers": _q_gps_speed_outliers,
-        "od_matrix": _q_od_matrix,
-        "colocation_pairs": _q_colocation_pairs,
-        "triangle_counts": _q_triangle_counts,
-        "inverted_index_stats": _q_inverted_index_stats,
-        "bm25_topk": _q_bm25_topk,
-        "anchor_text_terms": _q_anchor_text_terms,
-        "bigram_logprob": _q_bigram_logprob,
-        "nearest_feature_join": _q_nearest_feature,
-        "pmi_collocations": _q_pmi_collocations,
-        "hopping_window_counts": _q_hopping_window_counts,
-        "cap_bounds_per_user": _q_cap_bounds,
-        "link_bfs_hops": _q_link_bfs_hops,
-        "funnel_steps": _q_funnel_steps,
-        "idw_interpolation": _q_idw_interpolation,
-        "value_trend_ols": _q_value_trend_ols,
-        "weighted_sssp": _q_weighted_sssp,
-        "hybrid_rrf_retrieval": _q_hybrid_rrf,
-        "dedup_canonical_pick": _q_dedup_canonical,
-        "morans_i_cells": _q_morans_i,
-        "ewma_user_value": _q_ewma_user_value,
-        "gistar_hotspots": _q_gistar_cells,
-        "ripley_k_function": _q_ripley_k,
-        "label_propagation": _q_label_propagation,
-        "kcore_peel": _q_kcore,
     }
 
 

@@ -1,8 +1,10 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+Prints ONE compact JSON line (<300 bytes — the driver captures the stdout
+TAIL, so the headline must fit its window; per-query timings + raw runs go
+to BENCH/bench_raw_latest.json):
+  {"metric": "...", "value": total_sec, "unit": "sec", "sf": ...,
+   "pages_per_sec": ..., "flagship_sec": ..., "n_queries": ...}
 
 Protocol (SURVEY §6 / BASELINE.md): wall-clock of the job's action,
 excluding JVM startup; one untimed in-JVM warm-up run per plan (codegen /
@@ -34,6 +36,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # mostly the fixed tax and understated throughput ~5x.
 PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "16000000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+# smoke-test hook: BENCH_ONLY=q1,q2 trims the timed query list (the driver
+# never sets it, so the recorded per-round bench always runs the full list)
+BENCH_ONLY = [q for q in os.environ.get("BENCH_ONLY", "").split(",") if q]
 
 BENCH_QUERIES = [
     "haversine_distance",
@@ -250,7 +255,7 @@ def main() -> None:
     raw_runs["flagship_pip_pages"] = [round(t, 3) for t in raw]
     pages_per_sec = PAGES_ROWS / t_flagship
 
-    for name in BENCH_QUERIES:
+    for name in (BENCH_ONLY or BENCH_QUERIES):
         if name not in qs:
             continue
         med, raw = _best_timed(lambda: qs[name](spark, SF_DIR).count())
@@ -262,7 +267,6 @@ def main() -> None:
         "metric": "spatial-join + S2-tiling bench (flagship pip pages + driver queries)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": SF_DIR,
         "pages_rows": PAGES_ROWS,
         "pages_per_sec": round(pages_per_sec, 1),
@@ -276,6 +280,7 @@ def main() -> None:
     # driver's capture window, and was tail-truncated into unparseable JSON.
     full = dict(headline)
     full.update({
+        "queries": timings,
         "note": ("'value' sums ALL timed queries; the query set GROWS as "
                  "operators are added, so compare rounds on flagship_sec/"
                  "pages_per_sec or per-query, never on the total"),
