@@ -17,6 +17,8 @@ crossing-parity kernel over Arrow batches). Parity anchors:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -748,33 +750,101 @@ def knn_join_df(
     parts: list[DataFrame] = []
     intermediates: list[DataFrame] = []
     nq_left = pending.count()
-    for _ in range(max_rounds):
-        if level < 1 or nq_left == 0:
-            break
-        guarantee = MIN_WIDTH.value(level)
-        blk_q = pending.select(
+    # BATCHED LADDER: evaluate `levels_per_round` consecutive levels in ONE
+    # shuffle round instead of one level per round. Exactness is per
+    # (query, level) — a query finishes at level l iff it holds >= k
+    # candidates in its 3x3 neighborhood at l AND its k-th distance is
+    # <= MinWidth(l), exactly the single-level rule — and the exact top-k
+    # (with the deterministic tie-break) is UNIQUE, so which passing level
+    # supplies it cannot change the rows; we pick the finest. The trade:
+    # each batch round moves levels_per_round x the candidate volume (both
+    # sides explode by the batch size) but runs 1/levels_per_round the
+    # shuffle rounds — at cluster scale, round count is scheduler latency
+    # and stage barriers, the dominant term for the ladder's tail.
+    # The FIRST round runs the guard-picked level ALONE: it settles the
+    # dense bulk (hot-city queries) at the cap the skew guard chose, so
+    # they never touch a coarser level whose blocks can be 4^batch x
+    # bigger. Only the sparse stragglers pay the batched coarser rounds.
+    levels_per_round = int(os.environ.get("GOS2_KNN_LPR", "4"))
+    budget = max_rounds
+    first = True
+    while budget > 0 and level >= 1 and nq_left > 0:
+        width = 1 if first else min(levels_per_round, budget)
+        first = False
+        lvls = [level - i for i in range(width) if level - i >= 1]
+        budget -= len(lvls)
+        lvl_nbrs = F.array(
+            *[
+                F.struct(
+                    F.lit(l).alias("_lvl"),
+                    s2_neighborhood(F.col("_qcell"), F.lit(l)).alias("_nbrs"),
+                )
+                for l in lvls
+            ]
+        )
+        blk_q = (
+            pending.select("*", F.explode(lvl_nbrs).alias("_ls"))
+            .select(
+                "*",
+                F.col("_ls._lvl").alias("_lvl"),
+                F.explode(F.col("_ls._nbrs")).alias("_blk"),
+            )
+            .drop("_ls")
+        )
+        # parent ids at different levels are distinct values (the level is
+        # encoded in the trailing set bit), so a single _blk equi-join key
+        # carries the whole batch without level collisions
+        blk_p = pts.select(
             "*",
             F.explode(
-                s2_neighborhood(F.col("_qcell"), F.lit(level))
+                F.array(*[s2_parent_sql(F.col("_pcell"), l) for l in lvls])
             ).alias("_blk"),
         )
-        blk_p = pts.withColumn("_blk", s2_parent_sql(F.col("_pcell"), level))
-        ranked = _ranked(blk_q.join(blk_p, "_blk")).persist()
+        wl = Window.partitionBy("_qkey", "_lvl").orderBy(
+            F.col("dist_rad"), F.col("_pkey")
+        )
+        ranked = (
+            blk_q.join(blk_p, "_blk")
+            .withColumn("dist_rad", _dist_from_xyz())
+            .withColumn("knn_rank", F.row_number().over(wl))
+            .where(F.col("knn_rank") <= k)
+            .select("_qkey", "_lvl", "_pkey", "knn_rank", "dist_rad")
+            .persist()
+        )
+        guar = F.lit(None).cast("double")
+        for l in lvls:
+            guar = F.when(F.col("_lvl") == l, F.lit(MIN_WIDTH.value(l))).otherwise(guar)
+        # finest passing level per query (any passing level yields the
+        # identical exact top-k; finest keeps candidate sets minimal)
         fin = (
-            ranked.groupBy("_qkey")
+            ranked.groupBy("_qkey", "_lvl")
             .agg(F.count("*").alias("_n"), F.max("dist_rad").alias("_kth"))
-            .where((F.col("_n") >= k) & (F.col("_kth") <= F.lit(guarantee)))
-            .select("_qkey")
+            .where((F.col("_n") >= k) & (F.col("_kth") <= guar))
+            .groupBy("_qkey")
+            .agg(F.max("_lvl").alias("_flvl"))
             .persist()
         )
         intermediates += [ranked, fin]
-        # ONE driver-visible number per round (materializes ranked + fin)
+        # ONE driver-visible number per batch round (materializes ranked + fin)
         n_fin = fin.count()
         if n_fin:
-            parts.append(ranked.join(fin, "_qkey"))
-            pending = pending.join(fin, "_qkey", "left_anti")
+            # fin derives from ranked: alias its columns so the re-join is
+            # not an ambiguous self-join
+            fin_j = fin.select(
+                F.col("_qkey").alias("_fq"), F.col("_flvl").alias("_flvl2")
+            )
+            parts.append(
+                ranked.join(
+                    fin_j,
+                    (F.col("_qkey") == F.col("_fq"))
+                    & (F.col("_lvl") == F.col("_flvl2")),
+                ).select("_qkey", "_pkey", "knn_rank", "dist_rad")
+            )
+            pending = pending.join(
+                fin.select(F.col("_qkey")), "_qkey", "left_anti"
+            )
             nq_left -= n_fin
-        level -= 1
+        level -= len(lvls)
 
     # face-blocked completion round: every remaining query sees every
     # point (the same all-6-faces trick distance_join uses past the
@@ -823,6 +893,10 @@ def knn_join_df(
     # extra jobs per round — this is the cheap point to materialize).
     # The checkpoint blocks themselves are freed by the ContextCleaner
     # when the caller drops the result.
+    # the result is bounded (<= queries*k rows) but unioned from
+    # shuffle-partitioned parts: coalesce narrows the checkpoint job's
+    # task count (and the caller's downstream scans) ~8x for free
+    out = out.coalesce(max(2, spark.sparkContext.defaultParallelism // 8))
     out = out.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()
