@@ -21,6 +21,8 @@ Scale shape (10^9 domains, 10^11 edges):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +76,57 @@ def _default_materialize(spark):
     return _mat
 
 
+def _local_contract(sym: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction: (key, label) where label is
+    the MIN node of the set of nodes provably connected by THIS
+    partition's edge subset alone. Any edge partitioning is valid — the
+    pass merges only endpoints of edges it actually saw, so every merge
+    is real connectivity and the global fixpoint is unchanged; the
+    cross-partition remainder graph (relabeled edges with differing
+    endpoints) is what the shuffle rounds still have to stitch.
+
+    This is the one imperative per-partition step the engine allows
+    itself (union-find has no bounded-round DataFrame form): an
+    Arrow-batched mapInPandas whose state is one dict per PARTITION —
+    memory is bounded by the partition's distinct endpoints, and the pass
+    replaces several full-graph shuffle rounds, which at cluster scale is
+    the dominant term (each hash-to-min round is ~4 exchanges + a
+    checkpoint barrier over ALL edges)."""
+    kt = sym.schema["key_a"].dataType.simpleString()
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["key_a"].tolist(), pdf["key_b"].tolist()):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min-root union: roots stay set minima
+
+        if parent:
+            ks = list(parent)
+            yield pd.DataFrame({"key": ks, "label": [find(k) for k in ks]})
+
+    return sym.where(F.col("key_a") < F.col("key_b")).mapInPandas(
+        uf, schema=f"key {kt}, label {kt}"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -82,8 +135,20 @@ def connected_components(
     dst_col: str = "key_b",
     max_iterations: int = 25,
     materialize=None,
+    initial_labels: DataFrame | None = None,
+    edges_in_universe: bool = False,
 ) -> DataFrame:
     """(key, component): min-node label per connected component.
+
+    ``initial_labels`` (node_col, label), optional: a caller-provided
+    pre-contraction. Every row must map a node to the MIN node key of a
+    set of nodes the caller KNOWS to be mutually connected (e.g. points
+    sharing a cell whose diameter is below the eps of the eps-graph —
+    a clique by the triangle inequality). Labels only shrink from there,
+    so a valid seed cannot change the fixpoint — it just starts the
+    geometric label collapse several rounds in. Each label value must
+    itself be a seeded node (true for any min-of-group seeding), or the
+    pointer chase would dead-end.
 
     Hash-to-min rounds (Rastogi et al.), ONE materialization each, fusing
     three label-shrinking steps in a single plan:
@@ -129,21 +194,82 @@ def connected_components(
     # 64+ partitions, and O(rounds) stages then pay per-task scheduling
     # on every scan. A narrow coalesce (no shuffle, no re-checkpoint)
     # caps partitions at ~1 per 100k edges; big graphs keep full width.
+    label_tgt = None
     try:
         parts = sym.rdd.getNumPartitions()
         if parts > 8:
             tgt = max(2, min(parts, int(sym.count() // 100_000) + 1))
             if tgt < parts:
                 sym = sym.coalesce(tgt)
+                # labels are <= |nodes| <= 2|edges| rows: right-size every
+                # round's checkpoint the same way, or O(rounds) stages pay
+                # 32-task scheduling to move a few thousand labels
+                label_tgt = tgt
     except Exception:
         pass
-    labels = mat(
-        nodes.select(F.col(node_col).alias("key")).withColumn(
-            "label", F.col("key")
+    keyed_nodes = nodes.select(F.col(node_col).alias("key"))
+    contract_map = None
+    if initial_labels is not None:
+        labels = mat(
+            initial_labels.select(
+                F.col(node_col).alias("key"), F.col("label")
+            )
         )
-    )
+    elif os.environ.get("GOS2_CC_CONTRACT", "1") == "1":
+        # LOCAL CONTRACTION pre-pass: one union-find sweep per partition
+        # collapses everything each partition's edges connect, and the
+        # shuffle rounds below run on the (much smaller) cross-partition
+        # remainder graph. Edges are filtered to the node universe first —
+        # the loop's inner joins did that implicitly, and the contraction
+        # must not merge through endpoints the caller excluded.
+        # ``edges_in_universe=True`` skips the two semi-joins when the
+        # caller constructed the edges from the node set itself (they would
+        # re-execute the caller's node plan against every edge).
+        if edges_in_universe:
+            sym_f = sym
+        else:
+            in_nodes_a = keyed_nodes.select(F.col("key").alias("key_a"))
+            in_nodes_b = keyed_nodes.select(F.col("key").alias("key_b"))
+            sym_f = sym.join(in_nodes_a, "key_a", "semi").join(
+                in_nodes_b, "key_b", "semi"
+            )
+        # a node whose edges straddle partitions gets one mapping row PER
+        # partition; keep the min — a single-valued mapping is all the
+        # stitching needs, because every local merge is backed by physical
+        # edges in sym and e2 relabels ALL of them (the dropped label's
+        # group stays reachable through those edges)
+        contract_map = mat(
+            _local_contract(sym_f)
+            .groupBy("key")
+            .agg(F.min("label").alias("label"))
+        )
+        ma = contract_map.select(
+            F.col("key").alias("_ka"), F.col("label").alias("_la")
+        )
+        mb = contract_map.select(
+            F.col("key").alias("_kb"), F.col("label").alias("_lb")
+        )
+        e2 = (
+            sym.join(ma, F.col("key_a") == F.col("_ka"))
+            .join(mb, F.col("key_b") == F.col("_kb"))
+            .where(F.col("_la") != F.col("_lb"))
+            .select(F.col("_la").alias("key_a"), F.col("_lb").alias("key_b"))
+            .distinct()
+        )
+        sym = mat(e2)
+        labels = mat(
+            contract_map.select(F.col("label").alias("key"))
+            .distinct()
+            .withColumn("label", F.col("key"))
+        )
+    else:
+        labels = mat(
+            keyed_nodes.withColumn("label", F.col("key"))
+        )
 
     def _apply(new_labels: DataFrame) -> tuple[DataFrame, bool]:
+        if label_tgt is not None:
+            new_labels = new_labels.coalesce(label_tgt)
         m = mat(new_labels)
         changed = m.where(F.col("_changed")).limit(1).count() > 0
         return m.drop("_changed"), changed
@@ -155,7 +281,7 @@ def connected_components(
     # round, so extra chase joins only add shuffle stages (hops=3: 7
     # joins/round, 7.5s on the sf0.1 eps-graph; hops=1: 5.6s; the round
     # count barely moves).
-    hops = 1
+    hops = int(os.environ.get("GOS2_CC_HOPS", "1"))
 
     def _pow_mapping(m: DataFrame) -> DataFrame:
         for _ in range(hops):
@@ -169,14 +295,14 @@ def connected_components(
             )
         return m
 
-    converged = False
-    for _ in range(max_iterations):
-        # ONE fused hash-to-min round per materialization:
+    def _one_round(cur: DataFrame, carry: tuple = ()) -> DataFrame:
+        # ONE hash-to-min round, as a lazy plan over `cur` (key, label,
+        # *carry) — `carry` columns ride through untouched:
         #   1. neighbor-min — every node sees the min label across its
         #      graph edges (the only step that moves information across
         #      the graph);
         #   2. pointer chase — candidates jump up to 2^hops stale-pointer
-        #      steps through the in-plan composed old mapping (free
+        #      steps through the in-plan composed mapping (free
         #      shortcuts, no extra materialization);
         #   3. fragment broadcast — grouping by each node's CHASED root
         #      and taking the min candidate spreads a discovery made at
@@ -189,21 +315,21 @@ def connected_components(
         #      count of distinct labels drops geometrically (hash-to-min,
         #      Rastogi et al.).
         mk = _pow_mapping(
-            labels.select(F.col("key").alias("_lk"), F.col("label").alias("_ll"))
+            cur.select(F.col("key").alias("_lk"), F.col("label").alias("_ll"))
         )
         neighbor_min = (
-            sym.join(labels, sym["key_b"] == labels["key"])
+            cur.join(sym, cur["key"] == sym["key_b"])
             .groupBy("key_a")
             .agg(F.min("label").alias("nbr_label"))
         )
         cand = (
-            labels.join(
-                neighbor_min, labels["key"] == neighbor_min["key_a"], "left"
+            cur.join(
+                neighbor_min, cur["key"] == neighbor_min["key_a"], "left"
             )
-            .join(mk, labels["label"] == mk["_lk"], "left")
+            .join(mk, cur["label"] == mk["_lk"], "left")
             .select(
                 "key",
-                F.col("label").alias("_old"),
+                *carry,
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
@@ -213,14 +339,36 @@ def connected_components(
             )
         )
         fmin = cand.groupBy("_root").agg(F.min("_cand").alias("_fmin"))
+        return cand.join(fmin, "_root").select(
+            "key", F.least(F.col("_cand"), F.col("_fmin")).alias("label"), *carry
+        )
+
+    # Rounds-per-materialization stays 1: fusing two rounds into one plan
+    # (labels only shrink, so round(round(L)) is a valid schedule with the
+    # same fixpoint) was measured 1.3x SLOWER at 2 and 3.5x at 3 on the
+    # sf0.1 eps-graph — Spark re-executes an unmaterialized common subplan
+    # once per reference, and each round references its input 3x (neighbor
+    # min, chase mapping, candidate self), so k fused rounds run 3^(k-1)
+    # copies of the inner round. The knob stays for re-measurement on
+    # engines with common-subexpression reuse.
+    rounds_per_mat = max(1, int(os.environ.get("GOS2_CC_RPM", "1")))
+    converged = False
+    rounds_left = max_iterations
+    if contract_map is not None and sym.isEmpty():
+        # every component was partition-local: nothing left to stitch
+        converged = True
+        rounds_left = 0
+    while rounds_left > 0:
+        width = min(rounds_per_mat, rounds_left)
+        rounds_left -= width
+        new_labels = labels.withColumn("_old0", F.col("label"))
+        for _ in range(width):
+            new_labels = _one_round(new_labels, carry=("_old0",))
         labels, changed = _apply(
-            cand.join(fmin, "_root")
-            .select(
+            new_labels.select(
                 "key",
-                F.least(F.col("_cand"), F.col("_fmin")).alias("label"),
-                (
-                    F.least(F.col("_cand"), F.col("_fmin")) < F.col("_old")
-                ).alias("_changed"),
+                "label",
+                (F.col("label") < F.col("_old0")).alias("_changed"),
             )
         )
         if not changed:
@@ -235,7 +383,20 @@ def connected_components(
             "the bound for graphs with astronomical diameter.",
             max_iterations,
         )
-    return labels.select(F.col("key"), F.col("label").alias("component"))
+    if contract_map is None:
+        return labels.select(F.col("key"), F.col("label").alias("component"))
+    # compose: node -> local label -> stitched component; isolated nodes
+    # (no edges inside the node universe) keep their own key
+    stitched = contract_map.join(
+        labels.select(
+            F.col("key").alias("_sl"), F.col("label").alias("_comp")
+        ),
+        contract_map["label"] == F.col("_sl"),
+    ).select(F.col("key"), F.col("_comp"))
+    return keyed_nodes.join(stitched, "key", "left").select(
+        F.col("key"),
+        F.coalesce(F.col("_comp"), F.col("key")).alias("component"),
+    )
 
 
 def pagerank(

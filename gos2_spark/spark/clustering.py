@@ -68,8 +68,12 @@ def dbscan(
     deg = sym.groupBy(F.col("key_a").alias("key")).agg(
         F.count("*").alias("n_nbrs")
     )
-    # isolated points never reach the edge list: left-join, degree 0
-    core = (
+    # isolated points never reach the edge list: left-join, degree 0.
+    # Materialized ONCE: core is referenced by the two core-edge semi
+    # joins, the contraction pre-pass, the CC composition, the border
+    # anti-join and the noise anti-join — unmaterialized, each reference
+    # re-runs the degree aggregation over the whole eps-graph.
+    core = mat(
         keys.join(deg, "key", "left")
         .where(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= min_pts - 1)
         .select("key")
@@ -78,7 +82,14 @@ def dbscan(
         pairs.join(core.select(F.col("key").alias("key_a")), "key_a", "semi")
         .join(core.select(F.col("key").alias("key_b")), "key_b", "semi")
     )
-    comps = connected_components(core, core_edges)  # (key, component)
+    # (A geometric cell-clique label seed was tried here and measured: it
+    # collapses labels 5x up front but does NOT cut stitch rounds — round
+    # count is diameter-bound — so it was dropped in favor of the
+    # partition-local union-find contraction inside connected_components,
+    # which removes the diameter term itself.)
+    comps = connected_components(
+        core, core_edges, edges_in_universe=True
+    )  # (key, component)
 
     core_lab = comps.select(
         F.col("key").alias("ckey"), F.col("component").alias("cluster")

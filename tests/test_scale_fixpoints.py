@@ -1,0 +1,138 @@
+"""sf0.1 fixpoint stress tests for the iterative graph algorithms.
+
+The round-3 connected-components under-merge (29 components instead of 23)
+was INVISIBLE at sf0.01 — the driver's correctness gate runs there, so any
+iterative algorithm whose round budget or merge schedule only cracks at a
+bigger graph needs its own truth check at sf0.1. Truths here are
+independent reimplementations (union-find; peel-to-convergence; a pure
+python replay of the deterministic LPA rounds), not the DuckDB oracles,
+which replay the same fixed round count and therefore cannot catch an
+insufficient budget.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="sf0.1 testdata not present"
+)
+
+
+def _union_find_components(node_keys, edge_pairs):
+    parent = {k: k for k in node_keys}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {k: find(k) for k in parent}
+
+
+def test_connected_components_sf01_matches_union_find(spark):
+    """The sf0.1 eps-graph that exposed the round-3 under-merge: the
+    distributed labels must equal union-find truth node-for-node."""
+    import __spark_entry__ as e
+    from gos2_spark.pipeline.graph import (
+        _default_materialize,
+        connected_components,
+    )
+    from gos2_spark.spark.joins import distance_join
+
+    pts = e._cust_points(spark, SF_DIR)
+    mat = _default_materialize(spark)
+    pairs = mat(
+        distance_join(pts, 3.0, point_key="key").select("key_a", "key_b")
+    )
+    nodes = pts.select("key")
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    truth = _union_find_components(
+        [r["key"] for r in nodes.collect()],
+        [(r["key_a"], r["key_b"]) for r in pairs.collect()],
+    )
+    assert got == truth
+
+
+def test_kcore_sf01_rounds_reach_the_true_fixpoint(spark):
+    """kcore runs a FIXED round budget (statically unrollable for the
+    chained-CTE oracle), so the oracle cannot catch a budget that is too
+    small for the graph's peel depth. Compare against peel-to-convergence
+    truth on the sf0.1 graph the registered query uses."""
+    import __spark_entry__ as e
+    from gos2_spark.pipeline.graph import kcore
+
+    k = 3
+    edges_df = e._kcore_edges(e._load(spark, SF_DIR, "orders"))
+    got = {r["node"]: r["core_deg"] for r in kcore(edges_df, k=k, rounds=6).collect()}
+
+    # truth: peel until stable
+    raw = {
+        (r[0], r[1])
+        for r in edges_df.collect()
+        if r[0] != r[1]
+    }
+    adj: dict = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    while True:
+        drop = {n for n in active if len(adj[n] & active) < k}
+        if not drop:
+            break
+        active -= drop
+    truth = {n: len(adj[n] & active) for n in active}
+    assert got == truth
+
+
+def test_label_propagation_sf01_matches_pure_python_replay(spark):
+    """Deterministic synchronous LPA: mode-of-neighbors with min-label
+    tie-break is a pure function of the previous labeling, so a pure
+    python replay at sf0.1 must agree row-for-row (catches any
+    distributed vote aggregation divergence the sf0.01 oracle misses)."""
+    import __spark_entry__ as e
+    from gos2_spark.pipeline.graph import label_propagation
+
+    rounds = 3
+    edges_df = e._lpa_edges(e._load(spark, SF_DIR, "customer"))
+    got = {
+        r["node"]: (r["label"], r["community_size"])
+        for r in label_propagation(edges_df, rounds=rounds).collect()
+    }
+
+    raw = {(r[0], r[1]) for r in edges_df.collect() if r[0] != r[1]}
+    sym = raw | {(b, a) for a, b in raw}
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            counts: dict = {}
+            for m in adj[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            # mode, ties to smallest label
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[n] = best
+        labels = new
+    sizes: dict = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    truth = {n: (lab, sizes[lab]) for n, lab in labels.items()}
+    assert got == truth
