@@ -76,7 +76,7 @@ def _oracle_tiles(tileset, rows):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["ancestor", "range"])
+@pytest.mark.parametrize("strategy", ["ancestor", "range", "grid"])
 def test_point_in_polygon_join_matches_oracle(spark, points, tileset, strategy):
     got = {
         (r.url, r.tile_id)
