@@ -104,6 +104,42 @@ def write_points_cell_sorted(
     )
 
 
+def read_points_or_geoparse(
+    spark: SparkSession,
+    pages_location: str,
+    points_location: str | None = None,
+) -> tuple[DataFrame, bool]:
+    """The deployment-aware point source: prefer the staged cell-sorted
+    narrow points table (url, lat, lng, cell_id — the layout
+    ``write_points_cell_sorted`` produces, geoparsed ONCE at ingest) and
+    fall back to geoparse-on-read over the raw pages table.
+
+    Returns (points_df, staged). ``points_location`` defaults to
+    ``<pages_location>_points``. At 100 TB the staged table is the only
+    sane deployment — the raw-pages path re-runs the regex geoparse and
+    cell encode on every query, while the staged scan reads ~6x fewer
+    bytes per row AND gives the covering-range prefilter row-group
+    pruning; this helper makes every caller pick the staged layout
+    automatically once an ingest job has written it."""
+    import os as _os
+
+    from .pages import geoparsed_pages
+
+    loc = points_location or (pages_location.rstrip("/") + "_points")
+    try:
+        if "://" not in loc and not _os.path.exists(
+            _os.path.join(loc, "_SUCCESS")
+        ):
+            raise FileNotFoundError(loc)
+        df = read_pages(spark, loc)
+        cols = set(df.columns)
+        if {"lat", "lng", "cell_id"}.issubset(cols):
+            return df, True
+    except Exception:  # noqa: BLE001 — fall back to the raw pages scan
+        pass
+    return geoparsed_pages(read_pages(spark, pages_location)), False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

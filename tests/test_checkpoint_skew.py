@@ -115,6 +115,41 @@ def test_pages_source_fallback_roundtrip(spark, tmp_path):
     assert read_pages(spark, loc).count() == 110
 
 
+def test_read_points_or_geoparse_staged_and_fallback(spark, tmp_path):
+    """The deployment-aware point source: with a staged cell-sorted
+    points table present it is read directly (staged=True, no geoparse in
+    the plan); without one it falls back to geoparse-on-read over the raw
+    pages — and both paths yield the identical point set."""
+    from gos2_spark.spark.pages import geoparsed_pages, synth_pages
+    from gos2_spark.spark.source import (
+        read_points_or_geoparse,
+        write_pages,
+        write_points_cell_sorted,
+    )
+
+    pages_loc = str(tmp_path / "pages_tbl")
+    write_pages(synth_pages(spark, 500), pages_loc, mode="overwrite")
+
+    # no staged table yet -> geoparse fallback
+    pts_fb, staged = read_points_or_geoparse(spark, pages_loc)
+    assert staged is False
+    fb = {(r["url"], r["cell_id"]) for r in pts_fb.select("url", "cell_id").collect()}
+
+    # stage it -> preferred automatically
+    write_points_cell_sorted(
+        geoparsed_pages(spark.read.parquet(pages_loc)),
+        pages_loc + "_points",
+        num_files=4,
+    )
+    pts_st, staged = read_points_or_geoparse(spark, pages_loc)
+    assert staged is True
+    st = {(r["url"], r["cell_id"]) for r in pts_st.select("url", "cell_id").collect()}
+    assert st == fb and len(st) > 0
+    # the staged plan must be a bare scan: no Python (geoparse) stage
+    plan = pts_st._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_distance_join_skewed_cities_exact(spark):
     """Within-radius self-join stays exact on the clustered city mixture
     (hot blocking cells; AQE skew-join splits the quadratic block work).
