@@ -1715,6 +1715,206 @@ def _q_gc_midpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-weighted cosine similarity self-join (pipeline/dedup.py
+    cosine_tf_join) at cos >= 0.6 over a bounded cohort: integer TF dot
+    products (order-independent exact aggregation), float only in the
+    final fixed-order norm division. The oracle replays TF, dot and norm
+    from the same token split."""
+    from gos2_spark.pipeline.dedup import cosine_tf_join
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    out = cosine_tf_join(docs, threshold=0.6)
+    return out.select(
+        "key_a", "key_b", "dot", F.round("cosine", 9).alias("cosine")
+    ).orderBy("key_a", "key_b")
+
+
+def _cosine_text_oracle_sql(threshold: float = 0.6) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS key, t.tok
+          FROM documents,
+               LATERAL (
+                 SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> len(x) > 0)) AS tok
+               ) t
+          WHERE doc_id < 300
+        ),
+        tf AS (SELECT key, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        norms AS (
+          SELECT key, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS norm
+          FROM tf GROUP BY key
+        ),
+        dots AS (
+          SELECT a.key AS key_a, b.key AS key_b,
+                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          FROM tf a JOIN tf b ON a.tok = b.tok AND a.key < b.key
+          GROUP BY 1, 2
+        ),
+        cj AS (
+          SELECT d.key_a, d.key_b, d.dot,
+                 CAST(d.dot AS DOUBLE) / (na.norm * nb.norm) AS cosine
+          FROM dots d
+          JOIN norms na ON na.key = d.key_a
+          JOIN norms nb ON nb.key = d.key_b
+        )
+        SELECT key_a, key_b, dot, round(cosine, 9) AS cosine
+        FROM cj WHERE cosine >= {threshold!r}
+        ORDER BY key_a, key_b
+    """
+
+
+def _q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over the customer point cloud
+    (spark/functions.py morton_encode — the OPTIMIZE ZORDER key of
+    lakehouse tables other systems write): 16-bit interleave of
+    equirectangular-quantized lat/lng, aggregated by the top-10-bit
+    bucket plus the exact min/max key per bucket (the range-pruning
+    stats a Z-ordered scan relies on). Pure codegen bit arithmetic; the
+    oracle replays the interleave bit for bit."""
+    from gos2_spark.spark.functions import morton_encode
+
+    pts = _cust_points(spark, sf_dir)
+    mk = morton_encode(F.col("lat"), F.col("lng"), bits=16)
+    return (
+        pts.select(F.shiftright(mk, 22).alias("bucket"), mk.alias("_mk"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_mk").alias("mk_min"),
+            F.max("_mk").alias("mk_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    n = 1 << bits
+    ix = f"CAST(least({n - 1}, floor((lng + 180.0) / 360.0 * {float(n)!r})) AS BIGINT)"
+    iy = f"CAST(least({n - 1}, floor((lat + 90.0) / 180.0 * {float(n)!r})) AS BIGINT)"
+    terms = " + ".join(
+        f"((((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(bits)
+    )
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        q AS (SELECT {ix} AS x, {iy} AS y FROM pts),
+        m AS (SELECT ({terms}) AS mk FROM q)
+        SELECT mk >> 22 AS bucket, count(*) AS n,
+               min(mk) AS mk_min, max(mk) AS mk_max
+        FROM m GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _q_gc_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route densification: every consecutive trajectory leg emits the
+    great-circle points at fractions 1/4, 1/2, 3/4 (spark/functions.py
+    gc_interpolate — spherical slerp, the lat/lng-native EdgeInterpolate).
+    One window shuffle + a bounded 3x explode + per-row codegen; the
+    oracle replays the slerp term for term over every leg."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import gc_interpolate
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = pts.select(
+        "user_id",
+        "event_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lng").over(w).alias("plng"),
+        "lat",
+        "lng",
+    ).where(F.col("plat").isNotNull() & (F.col("event_id") % 5 == 0))
+    legs = lagged.select(
+        "user_id",
+        "event_id",
+        "plat",
+        "plng",
+        "lat",
+        "lng",
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("f"),
+    )
+    p = gc_interpolate(
+        F.col("plat"), F.col("plng"), F.col("lat"), F.col("lng"), F.col("f")
+    )
+    return (
+        legs.select("user_id", "event_id", "f", p.alias("_p"))
+        .select(
+            "user_id",
+            "event_id",
+            "f",
+            F.round(F.col("_p.lat"), 9).alias("d_lat"),
+            F.round(F.col("_p.lng"), 9).alias("d_lng"),
+        )
+        .orderBy("user_id", "event_id", "f")
+    )
+
+
+def _gc_densify_oracle_sql() -> str:
+    """Slerp replay: haversine central angle (same macro shape as the
+    green haversine_distance oracle), sin-ratio weights with the 1e-12
+    degenerate fallback, xyz blend, atan2 back — term for term."""
+    hx = (
+        "power(sin(0.5 * (radians(lat) - radians(plat))), 2)"
+        " + power(sin(0.5 * (radians(lng) - radians(plng))), 2)"
+        " * cos(radians(plat)) * cos(radians(lat))"
+    )
+    return f"""
+        WITH pts AS ({_EVENTS_LATLNG_SQL}),
+        lagged AS (
+          SELECT user_id, event_id,
+                 lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+                 lat, lng
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        legs AS (
+          SELECT l.*, f
+          FROM lagged l, (SELECT unnest([0.25, 0.5, 0.75]) AS f)
+          WHERE plat IS NOT NULL AND event_id % 5 = 0
+        ),
+        ang AS (
+          SELECT *,
+                 2 * atan2(sqrt({hx}), sqrt(greatest(0.0, 1.0 - ({hx})))) AS theta
+          FROM legs
+        ),
+        ab AS (
+          SELECT *,
+                 CASE WHEN sin(theta) > 1e-12
+                      THEN sin((1.0 - f) * theta) / sin(theta)
+                      ELSE 1.0 - f END AS a,
+                 CASE WHEN sin(theta) > 1e-12
+                      THEN sin(f * theta) / sin(theta)
+                      ELSE f END AS b
+          FROM ang
+        ),
+        xyz AS (
+          SELECT user_id, event_id, f,
+                 a * cos(radians(plat)) * cos(radians(plng))
+                   + b * cos(radians(lat)) * cos(radians(lng)) AS x,
+                 a * cos(radians(plat)) * sin(radians(plng))
+                   + b * cos(radians(lat)) * sin(radians(lng)) AS y,
+                 a * sin(radians(plat)) + b * sin(radians(lat)) AS z
+          FROM ab
+        )
+        SELECT user_id, event_id, f,
+               round(degrees(atan2(z, sqrt(x * x + y * y))), 9) AS d_lat,
+               round(degrees(atan2(y, x)), 9) AS d_lng
+        FROM xyz ORDER BY user_id, event_id, f
+    """
+
+
 def _q_geo_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell language mix — the graft's core shape (web corpus x S2
     tiling): points get a level-4 parent key via pure bitwise SQL
@@ -4303,6 +4503,184 @@ def _q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-round k-means over the customer point cloud
+    (spark/clustering.py kmeans_fixed): smallest-k-keys init, exact
+    int64 micro-degree centroid sums (order-independent aggregation), 3
+    statically-unrolled Lloyd rounds — the chained-CTE oracle replays
+    every assignment and update bit-for-bit."""
+    from gos2_spark.spark.clustering import kmeans_fixed
+
+    pts = _cust_points(spark, sf_dir)
+    return kmeans_fixed(pts, k=8, rounds=3, point_key="key").orderBy("cid")
+
+
+def _kmeans_oracle_sql(k: int = 8, rounds: int = 3, scale: int = 1_000_000) -> str:
+    """Chained-CTE Lloyd replay: integer micro-degree sums, argmin via a
+    (dist, cid) window rank — identical tie-break and float op order."""
+    parts = [f"""
+        WITH pts AS (
+          SELECT key,
+                 CAST(floor(lat * {scale} + 0.5) AS BIGINT) AS ilat,
+                 CAST(floor(lng * {scale} + 0.5) AS BIGINT) AS ilng
+          FROM ({_CUST_LATLNG_SQL})
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY key) - 1 AS cid,
+                 ilat AS slat, ilng AS slng, CAST(1 AS BIGINT) AS cnt
+          FROM pts ORDER BY key LIMIT {k}
+        )"""]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        d{r} AS (
+          SELECT p.key, p.ilat, p.ilng, c.cid,
+                 (CAST(p.ilat AS DOUBLE) - CAST(c.slat AS DOUBLE) / c.cnt)
+                   * (CAST(p.ilat AS DOUBLE) - CAST(c.slat AS DOUBLE) / c.cnt)
+                 + (CAST(p.ilng AS DOUBLE) - CAST(c.slng AS DOUBLE) / c.cnt)
+                   * (CAST(p.ilng AS DOUBLE) - CAST(c.slng AS DOUBLE) / c.cnt)
+                 AS dd
+          FROM pts p CROSS JOIN {prev} c
+        ),
+        a{r} AS (
+          SELECT key, ilat, ilng, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY key ORDER BY dd, cid) AS rn
+            FROM d{r}
+          ) WHERE rn = 1
+        ),
+        c{r} AS (
+          SELECT cid, CAST(sum(ilat) AS BIGINT) AS slat,
+                 CAST(sum(ilng) AS BIGINT) AS slng,
+                 count(*) AS cnt
+          FROM a{r} GROUP BY cid
+        )""")
+        prev = f"c{r}"
+    parts.append(f"""
+        SELECT cid, cnt AS n,
+               round(CAST(slat AS DOUBLE) / cnt / {scale}, 9) AS c_lat,
+               round(CAST(slng AS DOUBLE) / cnt / {scale}, 9) AS c_lng
+        FROM {prev} ORDER BY cid
+    """)
+    return "".join(parts)
+
+
+def _q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C spatial autocorrelation of per-cell point counts on the
+    level-5 grid with 4-edge-neighbor weights — the local-contrast
+    companion to Moran's I (C weighs squared neighbor DIFFERENCES, so it
+    is sensitive to local discontinuities global covariance smooths
+    over). Same integer-sufficient-statistics decomposition as
+    morans_i_cells: N, Σx, Σx² over cells; W, Σxᵢ², Σxⱼ², Σxᵢxⱼ over
+    directed occupied neighbor pairs — exact BIGINTs both engines, one
+    fixed-order float expression at the end, bit-identical cross-engine.
+    C = (N-1)·Σw(xᵢ-xⱼ)² / (2W·Σ(xᵢ-x̄)²)."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_edge_neighbors
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    pairs = counts.select(
+        F.col("n").alias("xi"),
+        F.explode(s2_edge_neighbors(F.col("cell"))).alias("cj"),
+    )
+    pj = pairs.join(
+        counts.select(F.col("cell").alias("cj"), F.col("n").alias("xj")), "cj"
+    )
+    ps = pj.agg(
+        F.count("*").alias("w_pairs"),
+        F.sum(F.col("xi") * F.col("xi")).alias("pxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("pyy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("pxy"),
+    )
+    cs = counts.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    j = cs.crossJoin(ps)
+    xb = F.col("sx").cast("double") / F.col("n_cells").cast("double")
+    num = (
+        (F.col("n_cells").cast("double") - F.lit(1.0))
+        * (
+            F.col("pxx").cast("double")
+            + F.col("pyy").cast("double")
+            - F.lit(2.0) * F.col("pxy").cast("double")
+        )
+    )
+    den = (
+        F.lit(2.0)
+        * F.col("w_pairs").cast("double")
+        * (
+            F.col("sxx").cast("double")
+            - F.col("n_cells").cast("double") * xb * xb
+        )
+    )
+    return j.select(
+        "n_cells",
+        "w_pairs",
+        F.round(xb, 9).alias("mean_count"),
+        F.round(num / den, 9).alias("geary_c"),
+    )
+
+
+def _geary_oracle_sql() -> str:
+    """Geary's C from the same exact integer sufficient statistics as the
+    Moran oracle; final float expression mirrors the engine term for
+    term."""
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (SELECT {tok} AS token, count(*) AS n FROM cells GROUP BY 1),
+        pj AS (
+          SELECT c1.n AS xi, c2.n AS xj
+          FROM pairs p
+          JOIN cnt c1 ON c1.token = p.token
+          JOIN cnt c2 ON c2.token = p.nbr_token
+        ),
+        ps AS (
+          SELECT count(*) AS w_pairs,
+                 CAST(sum(xi * xi) AS BIGINT) AS pxx,
+                 CAST(sum(xj * xj) AS BIGINT) AS pyy,
+                 CAST(sum(xi * xj) AS BIGINT) AS pxy
+          FROM pj
+        ),
+        cs AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM cnt
+        ),
+        c AS (
+          SELECT *,
+                 CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE) AS xb
+          FROM cs, ps
+        )
+        SELECT n_cells, w_pairs,
+               round(xb, 9) AS mean_count,
+               round(
+                 ((CAST(n_cells AS DOUBLE) - 1.0)
+                  * (CAST(pxx AS DOUBLE) + CAST(pyy AS DOUBLE)
+                     - 2.0 * CAST(pxy AS DOUBLE)))
+                 / (2.0 * CAST(w_pairs AS DOUBLE)
+                    * (CAST(sxx AS DOUBLE)
+                       - CAST(n_cells AS DOUBLE) * xb * xb)), 9) AS geary_c
+        FROM c
+    """
+
+
 def _q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event value in
     time order (α = 1/8, exact binary): the representative ORDERED
@@ -6841,9 +7219,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": _q_ewma_user_value,
         "gistar_hotspots": _q_gistar_cells,
         "ripley_k_function": _q_ripley_k,
-        # --- 51-52: lead the round-5 window ---
+        # --- 51+: lead the round-5 window (never driver-checked) ---
         "label_propagation": _q_label_propagation,
         "kcore_peel": _q_kcore,
+        "cosine_text_join": _q_cosine_text_join,
+        "zorder_buckets": _q_zorder_buckets,
+        "gc_densify": _q_gc_densify,
+        "kmeans_cells": _q_kmeans_cells,
+        "geary_c_cells": _q_geary_c,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -9788,4 +10171,9 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _COMPACTION_ORACLE,
         "markov_transitions": _MARKOV_ORACLE,
         "theil_sen_slope": _THEIL_SEN_ORACLE,
+        "cosine_text_join": _cosine_text_oracle_sql(),
+        "zorder_buckets": _zorder_oracle_sql(),
+        "gc_densify": _gc_densify_oracle_sql(),
+        "kmeans_cells": _kmeans_oracle_sql(),
+        "geary_c_cells": _geary_oracle_sql(),
     }

@@ -312,6 +312,13 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(CPUS),
         "runs_per_query": RUNS,
+        # the driver's schema expects a "queries" key; only the two flagship
+        # entries go inline (full per-query timings live in the raw file —
+        # 130 inline entries is what tail-truncated rounds 2-3)
+        "queries": {
+            "flagship_pip_pages": timings["flagship_pip_pages"],
+            "flagship_e2e_geoparse": timings["flagship_e2e_geoparse"],
+        },
     }
     # Full payload (raw per-run times, tile counts, protocol notes) goes to a
     # file: round 2's stdout line carried raw_runs inline, exceeded the

@@ -675,3 +675,62 @@ def edit_distance_pairs(
         )
         .where(F.col("edit_dist") >= 0)
     )
+
+
+def cosine_tf_join(
+    docs: DataFrame,
+    threshold: float,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT TF-weighted cosine self-join: all document pairs with
+    cos(tf_a, tf_b) >= ``threshold`` — (key_a, key_b, dot, cosine).
+
+    Determinism: term frequencies and the pair dot product are exact
+    BIGINT aggregations (order-independent); norms and the final cosine
+    are fixed-order float functions of those ints, so the value is
+    reproducible across engines (the DuckDB oracle replays it).
+
+    Scale shape: one (key, token) TF table, candidate pairs via the
+    inverted-index equi-join on the token (never all-pairs — only pairs
+    sharing a token meet, and the dot product aggregates map-side), then
+    one join against the per-doc norms. Cosine has no Jaccard-style exact
+    prefix bound over raw TFs, so at corpus scale this exact join is for
+    COHORTS (calibration, within-cluster verification); the corpus-scale
+    near-dup path is the banded embedding/MinHash family above.
+    """
+    tf = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    ).groupBy("key", "tok").agg(F.count("*").alias("tf"))
+    norms = tf.groupBy("key").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
+    )
+    a = tf.select(
+        F.col("key").alias("key_a"), F.col("tok"), F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("key").alias("key_b"), F.col("tok"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("key").alias("key_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("key").alias("key_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(na, "key_a")
+        .join(nb, "key_b")
+        .withColumn(
+            "cosine", F.col("dot").cast("double") / (F.col("_na") * F.col("_nb"))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("key_a", "key_b", "dot", "cosine")
+    )

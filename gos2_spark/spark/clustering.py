@@ -111,3 +111,88 @@ def dbscan(
         .select("key", F.lit("noise").alias("role"), F.lit(None).cast("long").alias("cluster"))
     )
     return out_core.unionByName(out_border).unionByName(out_noise)
+
+
+def kmeans_fixed(
+    points: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    point_key: str = "key",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic fixed-round k-means over (lat, lng), exactly
+    replayable by a chained-CTE SQL oracle.
+
+    Two determinism choices make a DISTRIBUTED k-means value-reproducible
+    (classic k-means is not: random init, and float centroid sums depend
+    on reduction order):
+
+    * init: centroids are the k smallest ``point_key`` rows (a total
+      order, no RNG);
+    * centroid state is kept as EXACT integer sums — coordinates are
+      scaled to int64 micro-degrees, per-cluster sums are exact integer
+      aggregation (order-independent), and the centroid used for distance
+      is the double quotient sum/count, a pure function of exact ints.
+
+    Assignment: argmin over the k broadcast centroids via
+    ``min(struct(dist, cid))`` — ties break to the smallest cluster id.
+    Fixed ``rounds`` keeps the whole computation a statically unrollable
+    DAG (the oracle replays every round); k-means converges monotonically
+    so extra rounds only stabilize further.
+
+    Scale shape: each round is ONE broadcast join (k rows) + one
+    map-side-combined groupBy — no shuffle grows with k, no driver loop
+    over points. Returns (cluster, n, c_lat, c_lng) rounded to 9dp.
+    """
+    from pyspark.sql.window import Window
+
+    # floor(x*scale + 0.5), not round(): ROUND's half-case direction is
+    # engine-defined (HALF_UP vs away-from-zero), floor+0.5 is IEEE-exact
+    # and identical everywhere
+    pts = points.select(
+        F.col(point_key).alias("key"),
+        F.floor(F.col("lat") * scale + F.lit(0.5)).cast("long").alias("ilat"),
+        F.floor(F.col("lng") * scale + F.lit(0.5)).cast("long").alias("ilng"),
+    )
+    # k smallest keys via TakeOrderedAndProject (distributed top-k);
+    # the row_number window then runs over k rows only
+    w = Window.orderBy("key")
+    init = (
+        pts.orderBy("key").limit(k)
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            (F.col("_rn") - 1).alias("cid"),
+            F.col("ilat").alias("slat"),
+            F.col("ilng").alias("slng"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
+    cent = init
+    for _ in range(rounds):
+        c = cent.select(
+            "cid",
+            (F.col("slat").cast("double") / F.col("cnt")).alias("clat"),
+            (F.col("slng").cast("double") / F.col("cnt")).alias("clng"),
+        )
+        # plain multiplication, not pow(): POWER(x, 2) is implementation-
+        # defined to the ulp across engines; a*a is IEEE-exactly one rounding
+        dlat = F.col("ilat").cast("double") - F.col("clat")
+        dlng = F.col("ilng").cast("double") - F.col("clng")
+        d2 = dlat * dlat + dlng * dlng
+        assigned = (
+            pts.crossJoin(F.broadcast(c))
+            .groupBy("key", "ilat", "ilng")
+            .agg(F.min(F.struct(d2.alias("_d"), F.col("cid"))).alias("_b"))
+            .select("key", "ilat", "ilng", F.col("_b.cid").alias("cid"))
+        )
+        cent = assigned.groupBy("cid").agg(
+            F.sum("ilat").alias("slat"),
+            F.sum("ilng").alias("slng"),
+            F.count("*").alias("cnt"),
+        )
+    return cent.select(
+        "cid",
+        F.col("cnt").alias("n"),
+        F.round(F.col("slat").cast("double") / F.col("cnt") / scale, 9).alias("c_lat"),
+        F.round(F.col("slng").cast("double") / F.col("cnt") / scale, 9).alias("c_lng"),
+    )

@@ -622,3 +622,58 @@ def route_distance_udf(waypoints):
         return pd.Series(d)
 
     return s2_route_distance
+
+
+def morton_encode(lat: Column, lng: Column, bits: int = 16) -> Column:
+    """[SQL] Z-order (Morton) key over equirectangular-quantized lat/lng:
+    x = floor((lng+180)/360 * 2^bits), y = floor((lat+90)/180 * 2^bits),
+    key = interleave(x, y) — the space-filling-curve clustering key the
+    lakehouse engines expose as OPTIMIZE ZORDER. The engine's native
+    clustering is the Hilbert CellID (strictly better locality); Morton is
+    provided because 100-TB tables written by OTHER systems are commonly
+    Z-order-clustered and range queries against them need the same key
+    arithmetic. Pure codegen bit ops (bounded unrolled interleave),
+    DuckDB-mirrorable term for term."""
+    n = F.lit(float(1 << bits))
+    x = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((lng + F.lit(180.0)) / F.lit(360.0) * n),
+    ).cast("long")
+    y = F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n),
+    ).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def gc_interpolate(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column, f: Column
+) -> Column:
+    """[SQL] Point at fraction ``f`` along the great circle from p1 to p2,
+    as struct(lat, lng) in degrees — route densification / midpoint
+    generalization (slerp on the unit sphere: the reference's
+    EdgeInterpolate, edgeutil.go, re-expressed in lat/lng-native codegen).
+    A = sin((1-f)θ)/sinθ, B = sin(fθ)/sinθ over the xyz embedding, with θ
+    the haversine central angle; degenerate θ→0 falls back to p1. Pure
+    per-row codegen, deterministic op order, DuckDB-mirrorable."""
+    rlat1, rlng1 = F.radians(lat1), F.radians(lng1)
+    rlat2, rlng2 = F.radians(lat2), F.radians(lng2)
+    theta = haversine_rad(lat1, lng1, lat2, lng2)
+    st = F.sin(theta)
+    a = F.when(st > 1e-12, F.sin((F.lit(1.0) - f) * theta) / st).otherwise(
+        F.lit(1.0) - f
+    )
+    b = F.when(st > 1e-12, F.sin(f * theta) / st).otherwise(f)
+    x = a * F.cos(rlat1) * F.cos(rlng1) + b * F.cos(rlat2) * F.cos(rlng2)
+    y = a * F.cos(rlat1) * F.sin(rlng1) + b * F.cos(rlat2) * F.sin(rlng2)
+    z = a * F.sin(rlat1) + b * F.sin(rlat2)
+    lat_o = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+    lng_o = F.degrees(F.atan2(y, x))
+    return F.struct(lat_o.alias("lat"), lng_o.alias("lng"))
