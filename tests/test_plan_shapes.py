@@ -234,3 +234,31 @@ def test_fold_queries_single_keyed_exchange(spark, name, max_exchanges):
     plan = _plan(spark, name)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= max_exchanges, (name, n, plan[:1200])
+
+
+def test_user_tile_similarity_bounded_exchanges_no_python(spark):
+    """The heaviest round-3 analytics query (exact PPJoin over dense
+    mobility profiles): the whole pipeline — profile build, prefix
+    explode, candidate equi-join, Jaccard verify — stays JVM-side, and
+    its shuffle count is pinned so a refactor cannot silently add
+    per-stage exchanges to the quadratic cohort section."""
+    plan = _plan(spark, "user_tile_similarity")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 12, (n, plan[:1200])
+
+
+def test_dedup_canonical_pick_bounded_exchanges_no_python(spark):
+    """MinHash -> LSH -> CC -> canonical window, end to end: the final
+    plan (downstream of the CC materialization barrier) must stay
+    JVM-side with a pinned exchange budget — the signature kernel's
+    Python stage lives upstream of the checkpoint, not here."""
+    plan = _plan(spark, "dedup_canonical_pick")
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 6, (n, plan[:1200])
