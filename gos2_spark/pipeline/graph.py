@@ -257,7 +257,13 @@ def connected_components(
             .distinct()
         )
         sym = mat(e2)
-        labels = mat(
+        # seed labels: the distinct label set of the (checkpointed, small)
+        # contraction map. Left LAZY on purpose — round 1 references it 3x
+        # (neighbor-min / chase mapping / candidate self) but each
+        # reference is one tiny exchange over the checkpointed map, cheaper
+        # than the extra checkpoint job a mat() here costs; _apply
+        # truncates the lineage at the end of round 1 anyway.
+        labels = (
             contract_map.select(F.col("label").alias("key"))
             .distinct()
             .withColumn("label", F.col("key"))
@@ -267,11 +273,28 @@ def connected_components(
             keyed_nodes.withColumn("label", F.col("key"))
         )
 
+    _fuse_apply = materialize is None and (
+        spark.sparkContext.getCheckpointDir() is None
+    )
+
     def _apply(new_labels: DataFrame) -> tuple[DataFrame, bool]:
         if label_tgt is not None:
             new_labels = new_labels.coalesce(label_tgt)
-        m = mat(new_labels)
-        changed = m.where(F.col("_changed")).limit(1).count() > 0
+        if _fuse_apply:
+            # Fuse the round's two jobs (eager checkpoint, then changed
+            # probe) into ONE: a lazy localCheckpoint is materialized by
+            # the full-scan count below (no limit() — an early-exit scan
+            # would leave partitions unmaterialized and the next round
+            # would recompute them from the pre-checkpoint lineage). On a
+            # graph small enough that per-job overhead dominates, this
+            # halves the per-round fixed cost; on a big graph the count
+            # is a fused scan of data the checkpoint just wrote anyway.
+            ck = new_labels.localCheckpoint(eager=False)
+            changed = ck.where(F.col("_changed")).count() > 0
+            m = _reset_huge_stats(ck)
+        else:
+            m = mat(new_labels)
+            changed = m.where(F.col("_changed")).limit(1).count() > 0
         return m.drop("_changed"), changed
 
     # One stale-pointer chase step (label of label, through the OLD

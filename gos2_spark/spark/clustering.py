@@ -68,16 +68,19 @@ def dbscan(
     deg = sym.groupBy(F.col("key_a").alias("key")).agg(
         F.count("*").alias("n_nbrs")
     )
-    # isolated points never reach the edge list: left-join, degree 0.
     # Materialized ONCE: core is referenced by the two core-edge semi
     # joins, the contraction pre-pass, the CC composition, the border
     # anti-join and the noise anti-join — unmaterialized, each reference
     # re-runs the degree aggregation over the whole eps-graph.
-    core = mat(
-        keys.join(deg, "key", "left")
-        .where(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= min_pts - 1)
-        .select("key")
-    )
+    # For min_pts >= 2 a zero-degree point can never be core, so core is a
+    # straight filter over the degree table — no join back to the full
+    # point set (points absent from ``deg`` have degree 0 < min_pts - 1).
+    if min_pts <= 1:
+        core = mat(keys)
+    else:
+        core = mat(
+            deg.where(F.col("n_nbrs") >= min_pts - 1).select("key")
+        )
     core_edges = (
         pairs.join(core.select(F.col("key").alias("key_a")), "key_a", "semi")
         .join(core.select(F.col("key").alias("key_b")), "key_b", "semi")
