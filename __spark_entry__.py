@@ -7156,6 +7156,175 @@ def _vincenty_direct_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 additions
+# ---------------------------------------------------------------------------
+
+def _q_hexbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal density binning (spark/hexgrid.py): customer points ->
+    pointy-top axial hex cells on the Web-Mercator plane via cube
+    rounding — pure codegen column algebra, one count aggregation. The
+    oracle replays the identical expression tree (floor(v+0.5) rounding,
+    strict-> max-error correction), value-checked bit-for-bit."""
+    from gos2_spark.spark.hexgrid import hexbin_counts
+
+    pts = _cust_points(spark, sf_dir)
+    return hexbin_counts(pts, size=0.35).orderBy("hq", "hr")
+
+
+def _q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans nearest-neighbor index (spark/spatialstats.py
+    clark_evans): per-point NN distances from the distributed
+    cap-doubling kNN (k=2 self-join, self rows dropped), one global
+    aggregation into R = mean_nn / (0.5 / sqrt(n / 4pi)). The oracle
+    computes every NN by the O(n^2) min with the identical angle metric
+    — certifying the kNN ladder finds the true nearest neighbor for
+    EVERY point, not just the queried subset earlier tests use."""
+    from gos2_spark.spark.spatialstats import clark_evans
+
+    pts = _cust_points(spark, sf_dir)
+    return clark_evans(pts, point_key="key")
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-anonymity generalization histogram (spark/spatialstats
+    k_anonymity_levels): finest S2 level whose ancestor cell holds >= 10
+    points, per customer point — one explode to 5 ancestor keys, one
+    (level, cell) count, one join back, one max. The oracle replays the
+    parent-bit arithmetic per level in SQL."""
+    from gos2_spark.spark.spatialstats import k_anonymity_levels
+
+    pts = _cust_points(spark, sf_dir)
+    return k_anonymity_levels(pts, k=10, levels=(0, 2, 4, 6, 8)).orderBy(
+        "level"
+    )
+
+
+def _q_spatial_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type spatial entropy (spark/spatialstats.py
+    spatial_entropy): Shannon entropy + effective-cell count of each
+    type's distribution over level-4 S2 cells — the geo-concentration
+    screen. Exact BIGINT sufficient statistics, one fixed-order double
+    expression (H = ln N - sum(c ln c)/N)."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.spatialstats import spatial_entropy
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_type",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat",
+        "lng",
+        "cell_id",
+    )
+    return spatial_entropy(pts, "event_type", level=4).orderBy("grp")
+
+
+def _q_cotravel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-travel mining (spark/temporal.py cotravel_pairs): user pairs
+    sharing the same level-2 cell in >= 2 distinct 24 h buckets — the
+    sustained-companion upgrade of colocation_pairs. Visits deduplicate
+    before the (cell, bucket) equi-self-join, so candidate pairs are
+    quadratic only in per-group distinct users; the oracle replays the
+    naive form."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.temporal import cotravel_pairs
+
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "user_id",
+            "ts",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat",
+        "lng",
+        "cell_id",
+    )
+    return cotravel_pairs(
+        pts, level=2, bucket_seconds=86400, min_buckets=2
+    ).orderBy("user_a", "user_b")
+
+
+def _q_cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation relatedness (pipeline/web.py cocitation): pairs
+    of destination hosts by distinct co-citing sources over the
+    synthetic link graph — distinct edges, hub-source degree cut, one
+    bounded self-join. Oracle replays the naive pair join on the same
+    extracted edges."""
+    from gos2_spark.pipeline.web import cocitation, extract_links, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/p/"),
+        m,
+        F.lit('">x</a> <a href="https://site'),
+        ((d * 11) % 20).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    edges = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("href"),
+    ).select("src_host", url_host(F.col("href")).alias("dst_host"))
+    return cocitation(edges).orderBy("dst_a", "dst_b")
+
+
+def _q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (pipeline/retrieval.py
+    kneser_ney_bigrams): absolute discounting + continuation-count
+    backoff from three map-side-combined aggregations over ONE bigram
+    table. Top-200 by raw count (integer-deterministic order); p_kn is
+    the value column the oracle matches to the ulp."""
+    from gos2_spark.pipeline.retrieval import kneser_ney_bigrams
+
+    docs = _load(spark, sf_dir, "documents")
+    out = kneser_ney_bigrams(docs, discount=0.75)
+    return out.orderBy(F.desc("c12"), "w1", "w2").limit(200)
+
+
+def _q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (spark/aggregates.py
+    benford_digit_stats) over order totals: exact per-digit counts,
+    observed vs log10(1 + 1/d) expected proportions, chi-square terms.
+    One projection + one 9-group aggregation."""
+    from gos2_spark.spark.aggregates import benford_digit_stats
+
+    orders = _load(spark, sf_dir, "orders")
+    return benford_digit_stats(orders, "o_totalprice").orderBy("digit")
+
+
+def _q_skyline_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (spark/skyline.py skyline_2d):
+    customers maximizing total spend while minimizing order count — the
+    'best tradeoff' frontier. Spend is EXACT integer cents (floor(p*100
+    +0.5) summed as BIGINT) so the pair key is order-independent
+    cross-engine; the oracle is the independent NOT EXISTS dominance
+    anti-join, certifying the two-phase sort-filter plan."""
+    from gos2_spark.spark.skyline import skyline_2d
+
+    orders = _load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("spend_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    return skyline_2d(per_cust, "spend_cents", "n_orders").orderBy(
+        F.desc("spend_cents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -7227,6 +7396,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_densify": _q_gc_densify,
         "kmeans_cells": _q_kmeans_cells,
         "geary_c_cells": _q_geary_c,
+        "hexbin_counts": _q_hexbin_counts,
+        "clark_evans_nn": _q_clark_evans,
+        "k_anonymity_levels": _q_k_anonymity,
+        "spatial_entropy_types": _q_spatial_entropy,
+        "cotravel_pairs": _q_cotravel_pairs,
+        "cocitation_hosts": _q_cocitation_hosts,
+        "kneser_ney_bigrams": _q_kneser_ney,
+        "benford_digits": _q_benford_digits,
+        "skyline_spenders": _q_skyline_spenders,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -8118,6 +8296,125 @@ _GEOFENCE_ORACLE_SQL = f"""
             WHERE prev_fence IS NOT NULL AND prev_fence != fence
             GROUP BY 1, 2 ORDER BY 1, 2
         """
+
+
+def _hexbin_oracle_sql(size: float = 0.35) -> str:
+    from gos2_spark.spark.hexgrid import hex_axial_sql
+
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        h AS ({hex_axial_sql(size)} FROM pts)
+        SELECT hq, hr, CAST(count(*) AS BIGINT) AS n
+        FROM h GROUP BY 1, 2 ORDER BY hq, hr
+    """
+
+
+def _clark_evans_oracle_sql() -> str:
+    # O(n^2) true-NN replay with the identical angle metric, then the same
+    # fixed-order R expression (4*pi inlined as the Python double literal
+    # the Spark side uses)
+    four_pi = repr(4.0 * math.pi)
+    dist = _DIST_ANGLE_SQL_TMPL.format(qlat="a.alat", qlng="a.alng")
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        a AS (SELECT key, lat AS alat, lng AS alng FROM pts),
+        nn AS (
+          SELECT a.key, min({dist}) AS nn
+          FROM a JOIN pts ON pts.key != a.key
+          GROUP BY a.key
+        ),
+        agg AS (SELECT count(*) AS n, sum(nn) AS s FROM nn)
+        SELECT CAST(n AS BIGINT) AS n_points,
+               round(s / CAST(n AS DOUBLE), 9) AS mean_nn_rad,
+               round(0.5 / sqrt(CAST(n AS DOUBLE) / {four_pi}), 9)
+                 AS expected_rad,
+               round((s / CAST(n AS DOUBLE))
+                     / (0.5 / sqrt(CAST(n AS DOUBLE) / {four_pi})), 9)
+                 AS r_index
+        FROM agg
+    """
+
+
+def _k_anonymity_oracle_sql(k: int = 10, levels=(0, 2, 4, 6, 8)) -> str:
+    anc = " UNION ALL ".join(
+        f"SELECT key, CAST({l} AS INTEGER) AS level, "
+        f"((cell_id & {-(1 << (2 * (30 - l)))}) | {1 << (2 * (30 - l))}) "
+        f"AS cell FROM cells"
+        for l in sorted(levels)
+    )
+    return f"""
+        WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        anc AS ({anc}),
+        counts AS (SELECT level, cell, count(*) AS n FROM anc GROUP BY 1, 2),
+        ok AS (
+          SELECT anc.key, anc.level FROM anc
+          JOIN counts USING (level, cell) WHERE counts.n >= {k}
+        ),
+        per_point AS (SELECT key, max(level) AS chosen FROM ok GROUP BY key),
+        chosen AS (
+          SELECT coalesce(per_point.chosen, -1) AS level
+          FROM (SELECT DISTINCT key FROM cells) ks
+          LEFT JOIN per_point USING (key)
+        )
+        SELECT CAST(level AS INTEGER) AS level,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM chosen GROUP BY level ORDER BY level
+    """
+
+
+def _spatial_entropy_oracle_sql(level: int = 4) -> str:
+    lsb = 1 << (2 * (30 - level))
+    return f"""
+        WITH {_cellid_cte_duckdb(
+            f"SELECT event_id AS key, lat, lng FROM ({_EVENTS_LATLNG_SQL})"
+        )},
+        pc AS (
+          SELECT e.event_type AS grp,
+                 ((c.cell_id & {-lsb}) | {lsb}) AS cell
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        per_cell AS (SELECT grp, cell, count(*) AS c FROM pc GROUP BY 1, 2),
+        agg AS (
+          SELECT grp, count(*) AS n_cells, sum(c) AS n_points,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+          FROM per_cell GROUP BY grp
+        )
+        SELECT grp, CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(n_points AS BIGINT) AS n_points,
+               round(ln(CAST(n_points AS DOUBLE))
+                     - clnc / CAST(n_points AS DOUBLE), 9) AS entropy,
+               round(exp(ln(CAST(n_points AS DOUBLE))
+                         - clnc / CAST(n_points AS DOUBLE)), 9)
+                 AS effective_cells
+        FROM agg ORDER BY grp
+    """
+
+
+def _cotravel_oracle_sql(
+    level: int = 2, bucket_us: int = 86_400_000_000, min_buckets: int = 2
+) -> str:
+    lsb = 1 << (2 * (30 - level))
+    return f"""
+        WITH {_cellid_cte_duckdb(
+            f"SELECT event_id AS key, lat, lng FROM ({_EVENTS_LATLNG_SQL}) "
+            "WHERE user_id < 200"
+        )},
+        v AS (
+          SELECT DISTINCT e.user_id AS u,
+                 ((c.cell_id & {-lsb}) | {lsb}) AS cell,
+                 epoch_us(e.ts) // {bucket_us} AS bucket
+          FROM cells c JOIN events e ON e.event_id = c.key
+          WHERE e.user_id < 200
+        )
+        SELECT a.u AS user_a, b.u AS user_b,
+               CAST(count(DISTINCT a.bucket) AS BIGINT) AS n_buckets,
+               CAST(count(DISTINCT a.cell) AS BIGINT) AS n_cells
+        FROM v a JOIN v b
+          ON a.cell = b.cell AND a.bucket = b.bucket AND a.u < b.u
+        GROUP BY 1, 2
+        HAVING count(DISTINCT a.bucket) >= {min_buckets}
+        ORDER BY user_a, user_b
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10176,4 +10473,109 @@ def oracle_sql() -> dict[str, str]:
         "gc_densify": _gc_densify_oracle_sql(),
         "kmeans_cells": _kmeans_oracle_sql(),
         "geary_c_cells": _geary_oracle_sql(),
+        "hexbin_counts": _hexbin_oracle_sql(),
+        "clark_evans_nn": _clark_evans_oracle_sql(),
+        "k_anonymity_levels": _k_anonymity_oracle_sql(),
+        "spatial_entropy_types": _spatial_entropy_oracle_sql(),
+        "cotravel_pairs": _cotravel_oracle_sql(),
+        "cocitation_hosts": """
+            WITH e0 AS (
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS src,
+                     'site' || ((doc_id * 7) % 20)::VARCHAR || '.example' AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'site' || (doc_id % 20)::VARCHAR || '.example',
+                     'site' || ((doc_id * 11) % 20)::VARCHAR || '.example'
+              FROM documents
+            ),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            kept AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+                     WHERE d <= 1000)
+            SELECT a.dst AS dst_a, b.dst AS dst_b,
+                   CAST(count(*) AS BIGINT) AS n_cociting
+            FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kneser_ney_bigrams": """
+            WITH w AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> len(x) > 0) AS l
+              FROM documents
+            ),
+            wf AS (SELECT l FROM w WHERE len(l) >= 2),
+            bg AS (
+              SELECT l[i] AS w1, l[i + 1] AS w2
+              FROM wf, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+            ),
+            cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+                    FROM cb GROUP BY w1),
+            rgt AS (SELECT w2, count(*) AS n1b FROM cb GROUP BY w2),
+            bt AS (SELECT count(*) AS b_types FROM cb),
+            j AS (
+              SELECT cb.w1, cb.w2, cb.c12, lft.c1, lft.n1f, rgt.n1b,
+                     greatest(CAST(cb.c12 AS DOUBLE) - 0.75, 0.0)
+                       / CAST(lft.c1 AS DOUBLE)
+                     + 0.75 * CAST(lft.n1f AS DOUBLE)
+                       / CAST(lft.c1 AS DOUBLE)
+                       * CAST(rgt.n1b AS DOUBLE)
+                       / CAST(bt.b_types AS DOUBLE) AS p
+              FROM cb JOIN lft USING (w1) JOIN rgt USING (w2), bt
+            )
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                   CAST(c1 AS BIGINT) AS c1, CAST(n1f AS BIGINT) AS n1f,
+                   CAST(n1b AS BIGINT) AS n1b, round(p, 12) AS p_kn
+            FROM j ORDER BY c12 DESC, w1, w2 LIMIT 200
+        """,
+        "benford_digits": """
+            WITH v AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE CAST(o_totalprice AS DOUBLE) > 0
+            ),
+            d AS (
+              SELECT CAST(floor(v / power(10.0, floor(log10(v)))) AS INTEGER)
+                       AS digit
+              FROM v
+            ),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT count(*) AS n_total FROM d)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 12)
+                     AS observed_p,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 12)
+                     AS expected_p,
+                   round(CAST(n_total AS DOUBLE)
+                         * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                         / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)
+                     AS chi2_term
+            FROM c, t ORDER BY digit
+        """,
+        "skyline_spenders": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS spend_cents,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ),
+            pairs AS (
+              SELECT spend_cents, n_orders, count(*) AS n_tied
+              FROM pc GROUP BY 1, 2
+            )
+            SELECT spend_cents, CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(n_tied AS BIGINT) AS n_tied
+            FROM pairs p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pairs q
+              WHERE q.spend_cents >= p.spend_cents
+                AND q.n_orders <= p.n_orders
+                AND (q.spend_cents > p.spend_cents
+                     OR q.n_orders < p.n_orders))
+            ORDER BY spend_cents DESC
+        """,
     }

@@ -206,15 +206,23 @@ def main() -> None:
     from gos2_spark.spark.pages import geoparsed_pages, synth_pages
     from pyspark.sql import functions as F
 
-    tiles = TileSet(
-        {
-            "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
-            "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
-            "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
-            "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
-        },
-        max_cells=32,
-    )
+    _city_loops = {
+        "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
+        "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
+        "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
+        "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
+    }
+    tiles = TileSet(_city_loops, max_cells=32)
+    # staged deployment covering: FINE cells (max_cells=512) shrink the
+    # boundary band from ~50% of candidates to ~0.02% (adaptive
+    # cell-level splitting), cutting the refine kernel's geometry work to
+    # nearly zero — measured at 16M rows / 32 cores: 1.19 s (mc=32,
+    # fused) -> 0.96 s (mc=512, fused). refine_mode='split' additionally
+    # wins at LARGER candidate counts (50M rows: 1.94 -> 1.62 s at 32
+    # cores) but its upstream replay costs more than the Arrow saving at
+    # this bench's 16M (1.22 s) — the scaling bench uses split, the
+    # driver bench fused.
+    tiles_fine = TileSet(_city_loops, max_cells=512)
     # reuse the scaling bench's staged table when the row count matches
     # (identical deterministic content; only file layout differs)
     scaling_dir = f"/tmp/gos2_scaling_pages_{PAGES_ROWS}"
@@ -265,9 +273,10 @@ def main() -> None:
 
     def flagship():
         # cell-sorted table: range partitions hold EQUAL ROW COUNTS, so
-        # the refine rebalance shuffle is pure overhead (measured +20%)
+        # the refine rebalance shuffle is pure overhead (measured +20%);
+        # fine covering = the staged deployment plan (see tiles_fine note)
         joined = point_in_polygon_join(
-            points, tiles, how="inner", rebalance=False
+            points, tiles_fine, how="inner", rebalance=False
         )
         counts = joined.groupBy("tile_id").agg(F.count("*").alias("n")).collect()
         tile_counts.clear()

@@ -100,10 +100,21 @@ if variant == "staged":
     # ~40% of the files — measured at 50M rows the extra exchange costs
     # 0.68s/0.72s at 8/32 cores and worsens 8->32 scaling (1.62x -> 1.88x
     # without it). rebalance is for hot-FILE layouts (one file per city).
+    # Round-4 deployment config: FINE covering (max_cells=512 shrinks the
+    # boundary band to ~0.02% of candidates) + refine_mode='split' so
+    # interior rows never cross Arrow — the cheap-scan layout is exactly
+    # where the split's upstream replay is affordable.
+    tiles_fine = TileSet({{
+        "nyc": Loop.regular(40.7128, -74.0060, 1.5, 16),
+        "london": Loop.regular(51.5074, -0.1278, 2.0, 12),
+        "tokyo": Loop.regular(35.6762, 139.6503, 2.0, 16),
+        "sydney": Loop.regular(-33.8688, 151.2093, 1.0, 12),
+    }}, max_cells=512)
     points = spark.read.parquet(points_dir)
     def job():
-        point_in_polygon_join(points, tiles, how="inner",
-                              rebalance=False).groupBy(
+        point_in_polygon_join(points, tiles_fine, how="inner",
+                              rebalance=False,
+                              refine_mode="split").groupBy(
             "tile_id").agg(F.count("*")).collect()
 else:
     pages = spark.read.parquet(pages_dir)

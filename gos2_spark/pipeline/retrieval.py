@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize", "inverted_index", "bm25_topk"]
+__all__ = ["tokenize", "inverted_index", "bm25_topk", "kneser_ney_bigrams"]
 
 
 def tokenize(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -154,4 +154,77 @@ def bm25_topk(
         per_doc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "key", "score_e9")
+    )
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    discount: float = 0.75,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus.
+
+    The LM-quality workhorse one step past add-one smoothing (KenLM's
+    default family): absolute discounting with a continuation-count
+    backoff, so P(w2|w1) credits how many DISTINCT contexts w2 appears
+    in, not how often —
+
+        P_KN(w2|w1) = max(c(w1 w2) - d, 0) / c(w1 .)
+                      + d * N1+(w1 .) / c(w1 .) * N1+(. w2) / B
+
+    with c(w1 .) = total bigrams starting w1, N1+(w1 .) = distinct
+    continuations of w1, N1+(. w2) = distinct left contexts of w2, and
+    B = total distinct bigram types (the continuation-unigram
+    denominator).
+
+    Every sufficient statistic is an exact BIGINT aggregate (counts and
+    distinct counts over the bigram table); the probability is one
+    fixed-order double expression, so the DuckDB oracle matches to the
+    ulp. Plan: one arrays_zip bigram explode -> one (w1,w2) agg, from
+    which c1/N1f derive by a second keyed agg and N1b/B by a third —
+    three map-side-combined shuffles total, no windows over raw tokens.
+
+    Returns (w1, w2, c12, c1, n1f, n1b, p_kn) for every distinct bigram.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    d = docs.select(F.col(key_col).alias("key"), arr.alias("w")).where(
+        F.size("w") >= 2
+    )
+    n = F.size("w")
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n - 1).alias("w1"),
+                F.slice("w", 2, n - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    right = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    btypes = c12.agg(F.count("*").alias("b_types"))
+    dd = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12").cast("double") - dd, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + dd
+        * F.col("n1f").cast("double")
+        / F.col("c1").cast("double")
+        * F.col("n1b").cast("double")
+        / F.col("b_types").cast("double")
+    )
+    return (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1", "w2", "c12", "c1", "n1f", "n1b",
+            F.round(p, 12).alias("p_kn"),
+        )
     )

@@ -172,3 +172,38 @@ def robots_gate(
         (rules["host"] == F.lit("*")) | (rules["host"] == p["_host"])
     ) & p["_path"].startswith(rules["path_prefix"])
     return p.join(F.broadcast(rules), cond, "left_anti").drop("_host", "_path")
+
+
+def cocitation(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_out_degree: int = 1000,
+) -> DataFrame:
+    """Host co-citation: for every unordered pair of destination hosts,
+    how many DISTINCT source hosts link to both — the classic relatedness
+    signal over a web link graph (co-cited hosts are topically close even
+    with zero direct links between them).
+
+    Plan: distinct (src, dst) edges -> drop sources whose out-degree
+    exceeds ``max_out_degree`` (each source contributes out_degree^2
+    pairs, so one hub source would dominate both cost AND signal — the
+    standard co-citation hub cut) -> self-join on src with dst_a < dst_b
+    -> one count per pair. The self-join is bounded by the degree cap,
+    never all-pairs of hosts.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+    kept = e.join(
+        deg.where(F.col("_d") <= max_out_degree).select("src"), "src"
+    )
+    a = kept.select("src", F.col("dst").alias("dst_a"))
+    b = kept.select("src", F.col("dst").alias("dst_b"))
+    return (
+        a.join(b, "src")
+        .where(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count("*").alias("n_cociting"))
+    )

@@ -280,3 +280,40 @@ def cap_bound_per_key(
             "radius_rad",
         )
     )
+
+
+def benford_digit_stats(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    The classic synthetic-data / fraud screen for a numeric column: the
+    leading digit d of naturally-occurring multi-scale quantities follows
+    P(d) = log10(1 + 1/d); a flat or spiky histogram flags fabricated or
+    machine-generated values. Output: one row per digit 1-9 with the
+    exact count, observed and expected proportions, and the chi-square
+    contribution (n * (obs - exp)^2 / exp) — sum the column for the test
+    statistic (chi2_0.95 with 8 dof = 15.51).
+
+    digit = floor(v / 10^floor(log10(v))) for v > 0; non-positive values
+    are excluded (no leading digit). One projection + one 9-group
+    aggregation — scan-bound at any scale. Counts are exact BIGINTs; the
+    proportions are fixed-order double expressions the SQL oracle
+    replays.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    d = df.where(v > 0).select(digit.alias("digit"))
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = d.agg(F.count("*").alias("n_total"))
+    j = counts.crossJoin(F.broadcast(tot))
+    obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi = (
+        F.col("n_total").cast("double") * (obs - exp_p) * (obs - exp_p) / exp_p
+    )
+    return j.select(
+        "digit",
+        "n",
+        F.round(obs, 12).alias("observed_p"),
+        F.round(exp_p, 12).alias("expected_p"),
+        F.round(chi, 9).alias("chi2_term"),
+    )

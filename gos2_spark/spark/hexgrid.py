@@ -1,0 +1,109 @@
+"""Hexagonal binning over the Web-Mercator plane.
+
+A pointy-top hexagonal grid (axial coordinates, cube rounding — the
+H3-style aggregation cell, minus the icosahedral projection) expressed
+as ONE whole-stage-codegen column expression: no UDF, no shuffle beyond
+the final count aggregation. Hexagons are the preferred density-map bin
+because every neighbor shares an identical border length and
+center-to-center distance — square grids overweight diagonals.
+
+Geometry: points project to the Web-Mercator plane (x = lng in radians,
+y = ln(tan(lat) + sec(lat)), the same formulas as
+``spark/webmercator.py``), then to fractional axial hex coordinates
+
+    qf = (sqrt(3)/3 * x - y/3) / size        rf = (2/3 * y) / size
+
+and cube rounding (round each of x=qf, y=-qf-rf, z=rf to the nearest
+integer, then recompute the axis with the largest rounding error from
+the other two so x+y+z == 0 stays exact) snaps to the containing hex.
+
+Determinism: rounding is ``floor(v + 0.5)`` — IEEE-exact and
+engine-identical (ROUND's half-rule is engine-defined); the tie-breaks
+in the max-error comparison are strict ``>`` in a fixed order. The
+DuckDB oracle replays the identical expression tree, so results are
+value-checked bit-for-bit cross-engine.
+
+Scale shape: pure per-row column algebra -> map-side-combined count per
+(hq, hr). At 10^12 rows this is scan-bound; the only exchange is the
+final aggregation on the (already low-cardinality) hex key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# sqrt(3)/3 to the double closest to the real value, inlined as the same
+# literal in the SQL oracle so neither engine computes sqrt(3) itself
+_SQRT3_OVER_3 = 0.5773502691896258
+
+
+def _round_half_up(c: Column) -> Column:
+    return F.floor(c + F.lit(0.5))
+
+
+def hex_axial(lat_col: Column, lng_col: Column, size: float) -> tuple[Column, Column]:
+    """(hq, hr) integer axial hex coordinates for a lat/lng point.
+
+    ``size`` is the hex circumradius in Web-Mercator radians (x spans
+    [-pi, pi], so size=0.2 gives ~31 columns across the equator).
+    """
+    x = F.radians(lng_col)
+    y = F.log(F.tan(F.radians(lat_col)) + F.lit(1.0) / F.cos(F.radians(lat_col)))
+    qf = (F.lit(_SQRT3_OVER_3) * x - y / F.lit(3.0)) / F.lit(size)
+    rf = (F.lit(2.0) * y / F.lit(3.0)) / F.lit(size)
+    # cube rounding: x + y + z == 0 must survive the per-axis rounding
+    xf, zf = qf, rf
+    yf = -qf - rf
+    rx = _round_half_up(xf)
+    ry = _round_half_up(yf)
+    rz = _round_half_up(zf)
+    dx = F.abs(rx - xf)
+    dy = F.abs(ry - yf)
+    dz = F.abs(rz - zf)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when((dx > dy) & (dx > dz), rz).when(dy > dz, rz).otherwise(-rx - ry)
+    return hq.cast("long"), hr.cast("long")
+
+
+def hexbin_counts(
+    points: DataFrame,
+    size: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Count points per hexagonal bin: (hq, hr, n)."""
+    hq, hr = hex_axial(F.col(lat_col), F.col(lng_col), size)
+    return (
+        points.select(hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hex_axial_sql(size: float, lat_expr: str = "lat", lng_expr: str = "lng") -> str:
+    """DuckDB SELECT-fragment replaying ``hex_axial`` expression-for-
+    expression: yields columns hq, hr. Keep in lockstep with the Column
+    form above — the oracle harness compares values bit-for-bit."""
+    x = f"radians({lng_expr})"
+    y = f"ln(tan(radians({lat_expr})) + 1.0 / cos(radians({lat_expr})))"
+    qf = f"(({_SQRT3_OVER_3!r} * {x} - ({y}) / 3.0) / {size!r})"
+    rf = f"((2.0 * ({y}) / 3.0) / {size!r})"
+    return f"""
+        SELECT
+          CAST(CASE WHEN abs(floor(({qf}) + 0.5) - ({qf}))
+                         > abs(floor((-({qf}) - ({rf})) + 0.5) - (-({qf}) - ({rf})))
+                    AND abs(floor(({qf}) + 0.5) - ({qf}))
+                         > abs(floor(({rf}) + 0.5) - ({rf}))
+               THEN -floor((-({qf}) - ({rf})) + 0.5) - floor(({rf}) + 0.5)
+               ELSE floor(({qf}) + 0.5) END AS BIGINT) AS hq,
+          CAST(CASE WHEN abs(floor(({qf}) + 0.5) - ({qf}))
+                         > abs(floor((-({qf}) - ({rf})) + 0.5) - (-({qf}) - ({rf})))
+                    AND abs(floor(({qf}) + 0.5) - ({qf}))
+                         > abs(floor(({rf}) + 0.5) - ({rf}))
+               THEN floor(({rf}) + 0.5)
+               WHEN abs(floor((-({qf}) - ({rf})) + 0.5) - (-({qf}) - ({rf})))
+                    > abs(floor(({rf}) + 0.5) - ({rf}))
+               THEN floor(({rf}) + 0.5)
+               ELSE -floor(({qf}) + 0.5)
+                    - floor((-({qf}) - ({rf})) + 0.5) END AS BIGINT) AS hr
+    """

@@ -209,6 +209,25 @@ class TileSet:
         self._artifacts = (key, art)
         return art
 
+    def boundary_area_fraction(self) -> float:
+        """Fraction of the covering's total area held by BOUNDARY cells
+        (covering cells not fully inside any tile) — a STATIC, driver-side
+        signal (4^-level per cell, no data peek) for choosing the
+        refinement plan shape: when the boundary band is a sliver (finer
+        coverings / higher max_cells), almost every candidate row is
+        interior-by-construction and ``refine_mode='split'`` lets them
+        bypass the Arrow round-trip entirely."""
+        total = 0.0
+        boundary = 0.0
+        for t in self.tiles.values():
+            interior = set(t["interior"].ids)
+            for cid in t["covering"].ids:
+                a = 4.0 ** -H.level_scalar(cid)
+                total += a
+                if cid not in interior:
+                    boundary += a
+        return boundary / total if total else 0.0
+
     def grid_table(self, budget: int = 65536) -> tuple[int, list[tuple]]:
         """Single-level grid index over the covering, for the ``grid``
         join strategy: (grid_level L, rows), rows =
@@ -375,6 +394,7 @@ def point_in_polygon_join(
     cell_col: str = "cell_id",
     strategy: str = "grid",
     rebalance: bool = True,
+    refine_mode: str = "fused",
 ) -> DataFrame:
     """Join points (with a leaf ``cell_col``) against polygon tiles.
 
@@ -396,6 +416,25 @@ def point_in_polygon_join(
 
     how: 'inner' (rows + tile_id), 'semi' (distinct matching points),
     'anti' (points matching no tile).
+
+    refine_mode — how interior-by-construction candidates (rows whose
+    covering cell is fully inside a tile) reach the output:
+
+    - ``fused`` (default): ONE branch; the refine kernel carries an
+      interior skip mask, so interior rows do zero geometry but still
+      ride the Arrow round-trip. Safe for ANY upstream (the plan below
+      the join executes once).
+    - ``split``: interior rows pass through in pure JVM; ONLY boundary
+      rows enter the Python refine. The upstream plan executes TWICE
+      (once per branch) — a win exactly when the scan is cheap (staged
+      narrow cell-sorted table) and the covering is fine enough that the
+      boundary band is a sliver (see TileSet.boundary_area_fraction; at
+      max_cells=512 on the 4-city bench covering the band holds 3.5k of
+      15.9M candidates). Do NOT use over expensive upstreams
+      (geoparse-on-read) — the replay costs more than the Arrow saving.
+
+    Match sets are identical across strategies AND refine modes (pytest
+    pins grid==ancestor==range and fused==split against the oracle).
     """
     spark = points.sparkSession
     art = tileset.spark_artifacts(spark)
@@ -476,15 +515,33 @@ def point_in_polygon_join(
     if rebalance:
         n_part = spark.sparkContext.defaultParallelism * 2
         joined = joined.repartition(n_part)
-    matched = (
-        joined
-        .withColumn(
-            "inside",
-            refine(F.col("tile_idx"), F.col("lat"), F.col("lng"), F.col("is_interior")),
+    if refine_mode == "split":
+        interior = joined.where(F.col("is_interior"))
+        boundary = (
+            joined.where(~F.col("is_interior"))
+            .withColumn(
+                "inside",
+                refine(
+                    F.col("tile_idx"), F.col("lat"), F.col("lng"),
+                    F.col("is_interior"),
+                ),
+            )
+            .where(F.col("inside"))
+            .drop("inside")
         )
-        .where(F.col("inside"))
-        .drop("inside")
-    )
+        matched = interior.unionByName(boundary)
+    elif refine_mode == "fused":
+        matched = (
+            joined
+            .withColumn(
+                "inside",
+                refine(F.col("tile_idx"), F.col("lat"), F.col("lng"), F.col("is_interior")),
+            )
+            .where(F.col("inside"))
+            .drop("inside")
+        )
+    else:
+        raise ValueError(f"unknown refine_mode {refine_mode!r}")
 
     # map the integer index back to the user-facing tile id
     name_arr = F.array(*[F.lit(str(t)) for t in tileset.tile_ids()])

@@ -159,3 +159,149 @@ def ripley_k(
         )
         rows = one if rows is None else rows.union(one)
     return rows
+
+
+def clark_evans(
+    points: DataFrame,
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index over a spherical point set.
+
+    R = observed mean NN distance / expected mean NN distance under CSR
+    (complete spatial randomness): R << 1 clustered, ~1 random, ~2.15
+    maximally dispersed. The planar expectation 0.5 / sqrt(lambda) is
+    used with lambda = n / 4pi (points per steradian) and distances in
+    radians — the convention the oracle replays.
+
+    Per-point NN distances come from the distributed cap-doubling kNN
+    (``joins.knn_join_df`` with k=2 against the set itself; self-matches
+    drop and the min over the remaining candidates is exact for any
+    geometry — rank 1 may be the self row at distance 0). Everything
+    after is one global aggregation: no windows, no driver loops.
+
+    Output: ONE row (n_points, mean_nn_rad, expected_rad, r_index).
+    """
+    from .joins import knn_join_df
+
+    qs = points.select(
+        F.col(point_key).alias("qid"),
+        F.col("lat"),
+        F.col("lng"),
+        F.col(cell_col),
+    )
+    nn = knn_join_df(
+        points, qs, k=2, point_key=point_key, query_key="qid",
+        cell_col=cell_col,
+    )
+    d = (
+        nn.where(F.col("qid") != F.col(point_key))
+        .groupBy("qid")
+        .agg(F.min("dist_rad").alias("nn_rad"))
+    )
+    agg = d.agg(
+        F.count("*").alias("n_points"),
+        F.sum("nn_rad").alias("_s"),
+    )
+    n_d = F.col("n_points").cast("double")
+    mean_nn = F.col("_s") / n_d
+    expected = F.lit(0.5) / F.sqrt(n_d / F.lit(4.0 * math.pi))
+    return agg.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(mean_nn, 9).alias("mean_nn_rad"),
+        F.round(expected, 9).alias("expected_rad"),
+        F.round(mean_nn / expected, 9).alias("r_index"),
+    )
+
+
+def k_anonymity_levels(
+    points: DataFrame,
+    k: int,
+    levels: Sequence[int] = (4, 6, 8, 10, 12),
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Spatial k-anonymity generalization: the FINEST S2 level at which
+    each point's ancestor cell still holds >= k points.
+
+    The location-privacy primitive for publishing a point extraction:
+    report each point at the finest cell that k-anonymizes it, or
+    suppress (level -1) when even the coarsest candidate level fails.
+
+    Plan: one explode of each point to its |levels| ancestor keys ->
+    one map-side-combined (level, cell) count -> one hash join back on
+    the exploded keys -> max(level meeting k) per point. Shuffle volume
+    is |levels| * n rows of two longs; no per-level driver loop, no
+    window over the raw points.
+
+    Output: (level, n_points) histogram of chosen levels, level -1 =
+    suppressed.
+    """
+    from .pages import s2_parent_sql
+
+    lv = sorted(levels)
+    anc = points.select(
+        F.col(point_key).alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(l).alias("level"),
+                    s2_parent_sql(F.col(cell_col), l).alias("cell"),
+                )
+                for l in lv
+            ])
+        ).alias("_a"),
+    ).select("key", F.col("_a.level").alias("level"), F.col("_a.cell").alias("cell"))
+    counts = anc.groupBy("level", "cell").agg(F.count("*").alias("_n"))
+    ok = anc.join(counts, ["level", "cell"]).where(F.col("_n") >= k)
+    per_point = ok.groupBy("key").agg(F.max("level").alias("chosen"))
+    chosen = points.select(F.col(point_key).alias("key")).join(
+        per_point, "key", "left"
+    ).select(F.coalesce(F.col("chosen"), F.lit(-1)).alias("level"))
+    return chosen.groupBy("level").agg(F.count("*").alias("n_points"))
+
+
+def spatial_entropy(
+    points: DataFrame,
+    group_col: str,
+    level: int = 4,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Per-group spatial Shannon entropy over level-``level`` S2 cells.
+
+    For each group (host, event type, language...): H = -sum p_c ln p_c
+    over its distribution across cells, plus exp(H) — the "effective
+    number of locations" — and the raw cell count. H == 0 means the
+    group is single-cell (geo-concentrated); ln(n_cells) means uniform.
+
+    Exactness: per-(group, cell) and per-group totals are exact BIGINT
+    counts; the entropy is one fixed-order double expression over them
+    (sum of c*ln(c) then the algebraic rearrangement
+    H = ln(N) - sum(c ln c)/N), so cross-engine values match to the ulp.
+
+    Scale shape: two map-side-combined aggregations, both keyed by the
+    group — no self-joins, no windows.
+    """
+    from .pages import s2_parent_sql
+
+    g = points.select(
+        F.col(group_col).alias("grp"),
+        s2_parent_sql(F.col(cell_col), level).alias("cell"),
+    )
+    per_cell = g.groupBy("grp", "cell").agg(F.count("*").alias("c"))
+    agg = per_cell.groupBy("grp").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").alias("n_points"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_clnc"
+        ),
+    )
+    n_d = F.col("n_points").cast("double")
+    h = F.log(n_d) - F.col("_clnc") / n_d
+    return agg.select(
+        F.col("grp"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round(h, 9).alias("entropy"),
+        F.round(F.exp(h), 9).alias("effective_cells"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "colocation_join"]
+__all__ = ["asof_join", "interval_join", "colocation_join", "cotravel_pairs"]
 
 
 def asof_join(
@@ -195,4 +195,57 @@ def colocation_join(
             (F.col("us_b") - F.col("us_a")).alias("dt_us"),
             "dist_rad",
         )
+    )
+
+
+def cotravel_pairs(
+    points: DataFrame,
+    level: int = 6,
+    bucket_seconds: int = 21600,
+    min_buckets: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Co-travel mining: unordered user pairs repeatedly co-located in
+    the same level-``level`` S2 cell during the same time bucket, in at
+    least ``min_buckets`` DISTINCT buckets — the convoy/companion
+    pattern (colocation_join finds single encounters; this finds
+    sustained ones).
+
+    Plan: project each observation to its (user, cell, bucket) visit and
+    DEDUPLICATE (a user dwelling in one cell for a whole bucket is one
+    visit — dedup also caps the self-join's per-group row count at the
+    distinct-user count of that (cell, bucket)); equi-self-join on
+    (cell, bucket) with user_a < user_b; one (pair) aggregation counting
+    distinct buckets. Pair candidates are quadratic only in per-(cell,
+    bucket) DISTINCT users — the operator's documented density bound;
+    for megacity cells at web scale, drop to a finer level or shorter
+    bucket (both shrink the group) rather than sampling, which breaks
+    the >= min_buckets semantics.
+
+    Output: (user_a, user_b, n_buckets, n_cells) — distinct co-buckets
+    and distinct co-cells per pair.
+    """
+    from .pages import s2_parent_sql
+
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    visits = points.select(
+        F.col(user_col).alias("u"),
+        s2_parent_sql(F.col(cell_col), level).alias("cell"),
+        F.floor(us / F.lit(int(bucket_seconds) * 1_000_000)).alias("bucket"),
+    ).distinct()
+    a = visits.select(F.col("u").alias("user_a"), "cell", "bucket")
+    b = visits.select(F.col("u").alias("user_b"), "cell", "bucket")
+    return (
+        a.join(b, ["cell", "bucket"])
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+        .where(F.col("n_buckets") >= min_buckets)
     )

@@ -89,6 +89,57 @@ def test_point_in_polygon_join_matches_oracle(spark, points, tileset, strategy):
     assert len(got) > 0, "test tiles caught no pages — fixture broken"
 
 
+def test_point_in_polygon_join_split_refine_identical(spark, points, tileset):
+    """refine_mode='split' (interior rows bypass Arrow, only boundary
+    rows hit Python) must produce EXACTLY the fused match set, for every
+    join strategy and for semi/anti composition."""
+    sample = points.select("url", "lat", "lng").collect()
+    want = _oracle_tiles(tileset, sample)
+    for strategy in ("ancestor", "grid"):
+        got = {
+            (r.url, r.tile_id)
+            for r in point_in_polygon_join(
+                points, tileset, strategy=strategy, refine_mode="split"
+            ).collect()
+        }
+        assert got == want, strategy
+    semi_f = {
+        r.url
+        for r in point_in_polygon_join(points, tileset, how="semi").collect()
+    }
+    semi_s = {
+        r.url
+        for r in point_in_polygon_join(
+            points, tileset, how="semi", refine_mode="split"
+        ).collect()
+    }
+    assert semi_s == semi_f
+    anti_s = {
+        r.url
+        for r in point_in_polygon_join(
+            points, tileset, how="anti", refine_mode="split"
+        ).collect()
+    }
+    all_urls = {r.url for r in points.select("url").collect()}
+    assert anti_s == all_urls - semi_f
+
+
+def test_boundary_area_fraction_shrinks_with_finer_covering():
+    """The static split-mode signal: finer coverings concentrate area in
+    interior cells, so the boundary fraction drops as max_cells grows."""
+    from gos2_spark.geometry import Loop
+    from gos2_spark.spark.joins import TileSet
+
+    loops = {"nyc": Loop.regular(40.7128, -74.0060, 1.5, 16)}
+    fracs = [
+        TileSet(loops, max_cells=mc).boundary_area_fraction()
+        for mc in (8, 32, 512)
+    ]
+    assert all(0.0 <= f <= 1.0 for f in fracs)
+    assert fracs[0] > fracs[1] > fracs[2]
+    assert fracs[2] < 0.3
+
+
 def test_semi_and_anti_join(spark, points, tileset):
     inner = point_in_polygon_join(points, tileset, how="inner")
     semi = point_in_polygon_join(points, tileset, how="semi")
