@@ -262,3 +262,57 @@ def test_dedup_canonical_pick_bounded_exchanges_no_python(spark):
     assert "CartesianProduct" not in plan
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 6, (n, plan[:1200])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hexbin_counts",
+        "cotravel_pairs",
+        "cocitation_hosts",
+        "kneser_ney_bigrams",
+        "benford_digits",
+        "skyline_spenders",
+        "spatial_entropy_types",
+    ],
+)
+def test_round4_queries_pure_catalyst(spark, name):
+    """The round-4 analytics batch claims zero Python stages: hex
+    binning and Benford are codegen column algebra; KN / co-citation /
+    co-travel / skyline / entropy / k-anonymity are joins + keyed aggs
+    over JVM expressions (the only Arrow kernel near them is the
+    upstream s2_cellid encode, which these plans take as input columns
+    via add_cellid_sql — the pure-SQL twin)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_k_anonymity_only_encode_kernel_is_python(spark):
+    """k_anonymity_levels consumes the Arrow-encoded point table, so the
+    ONLY Python stages allowed are the s2_cellid encode kernel itself
+    (it appears once per reference to the point plan); everything
+    downstream — explode, counts, join-back, max — is JVM."""
+    plan = _plan(spark, "k_anonymity_levels")
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_cellid"}, arrows
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("hexbin_counts", 1),       # one count agg on the hex key
+        ("benford_digits", 2),      # digit agg + broadcast total
+        ("skyline_spenders", 3),    # per-cust agg, pair dedup, final sort
+        ("spatial_entropy_types", 2),  # (grp, cell) agg + grp agg
+        ("k_anonymity_levels", 4),  # level-cell count, join-back, max, hist
+    ],
+)
+def test_round4_bounded_exchanges(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= max_exchanges, (name, n, plan[:1200])
