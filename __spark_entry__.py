@@ -7325,6 +7325,212 @@ def _q_skyline_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KDE_H = 0.05          # gaussian bandwidth, radians
+_KDE_CUTOFF = 0.15     # 3h truncation
+# the engine's distance_join takes DEGREES and converts back with
+# math.radians — replay the exact double round-trip for the oracle
+_KDE_EPS_DEG = _KDE_CUTOFF * 180.0 / math.pi
+_KDE_RADIUS_EFF = math.radians(_KDE_EPS_DEG)
+
+
+def _q_kde_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-gaussian kernel density at each sample point
+    (spark/spatialstats.py kde_points): the cell-blocked within-radius
+    self-join supplies exact pair distances; one map-side sum per point.
+    The oracle replays every pair O(n^2) with the identical angle metric
+    and the identical effective radius (including the engine's
+    deg->rad round-trip)."""
+    from gos2_spark.spark.spatialstats import kde_points
+
+    pts = _cust_points(spark, sf_dir)
+    return kde_points(
+        pts, bandwidth_rad=_KDE_H, cutoff_rad=_KDE_CUTOFF, point_key="key"
+    ).orderBy("key")
+
+
+def _q_gravity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model fit over the level-4 OD flow matrix: expected flow
+    k * m_o * m_d / d^2 with masses = cell trip-end totals, distances =
+    haversine between per-cell mean trip endpoints (EXACT integer
+    micro-degree sums, the kmeans determinism trick), and k the
+    one-line least-proportion fit sum(flow)/sum(m_o m_d / d^2). The
+    spatial-interaction residual screen: which corridors out/under-
+    perform distance expectations. Plan: the od_matrix aggregation
+    twice-keyed (flows + masses) and one broadcast scalar."""
+    from gos2_spark.spark.functions import add_cellid_sql, haversine_rad
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = ev.select(
+        "user_id",
+        F.floor(us / 86_400_000_000).alias("day_idx"),
+        F.struct(us.alias("us"), F.col("event_id").alias("eid")).alias("ord"),
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    trips = pts.groupBy("user_id", "day_idx").agg(
+        F.min_by("lat", "ord").alias("olat"),
+        F.min_by("lng", "ord").alias("olng"),
+        F.max_by("lat", "ord").alias("dlat"),
+        F.max_by("lng", "ord").alias("dlng"),
+    )
+    o = add_cellid_sql(trips, "olat", "olng", "o_leaf")
+    od = add_cellid_sql(o, "dlat", "dlng", "d_leaf").select(
+        s2_parent_sql(F.col("o_leaf"), 4).alias("o_cell4"),
+        s2_parent_sql(F.col("d_leaf"), 4).alias("d_cell4"),
+        "olat", "olng", "dlat", "dlng",
+    )
+    scale = 1_000_000
+    flows = od.groupBy("o_cell4", "d_cell4").agg(
+        F.count("*").alias("n_trips"),
+        F.sum(F.floor(F.col("olat") * scale + 0.5).cast("long")).alias("_sola"),
+        F.sum(F.floor(F.col("olng") * scale + 0.5).cast("long")).alias("_soln"),
+        F.sum(F.floor(F.col("dlat") * scale + 0.5).cast("long")).alias("_sdla"),
+        F.sum(F.floor(F.col("dlng") * scale + 0.5).cast("long")).alias("_sdln"),
+    )
+    mo = flows.groupBy("o_cell4").agg(
+        F.sum("n_trips").alias("m_o"),
+        F.sum("_sola").alias("_la"), F.sum("_soln").alias("_ln"),
+    )
+    md = flows.groupBy("d_cell4").agg(
+        F.sum("n_trips").alias("m_d"),
+        F.sum("_sdla").alias("_la2"), F.sum("_sdln").alias("_ln2"),
+    )
+    j = (
+        flows.select("o_cell4", "d_cell4", "n_trips")
+        .join(mo, "o_cell4")
+        .join(md, "d_cell4")
+    )
+    olat_m = F.col("_la").cast("double") / F.col("m_o") / scale
+    olng_m = F.col("_ln").cast("double") / F.col("m_o") / scale
+    dlat_m = F.col("_la2").cast("double") / F.col("m_d") / scale
+    dlng_m = F.col("_ln2").cast("double") / F.col("m_d") / scale
+    d = haversine_rad(olat_m, olng_m, dlat_m, dlng_m)
+    g = (F.col("m_o") * F.col("m_d")).cast("double") / (d * d)
+    j = j.select("o_cell4", "d_cell4", "n_trips", "m_o", "m_d", d.alias("_d"), g.alias("_g")).where(
+        F.col("_d") > 0
+    )
+    tot = j.agg(
+        F.sum("n_trips").alias("_sf"), F.sum("_g").alias("_sg")
+    )
+    k = F.col("_sf").cast("double") / F.col("_sg")
+    out = j.crossJoin(F.broadcast(tot)).select(
+        "o_cell4",
+        "d_cell4",
+        "n_trips",
+        "m_o",
+        "m_d",
+        F.round(k * F.col("_g"), 6).alias("expected"),
+        F.round(F.col("n_trips") - k * F.col("_g"), 6).alias("residual"),
+    )
+    return out.orderBy("o_cell4", "d_cell4")
+
+
+def _q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-to-date per day WITHOUT a quadratic windowed
+    count-distinct: each user reduces to a first-seen day (one agg), new
+    users count per day (one agg), and the cumulative sum runs over the
+    |days| rows only — the scalable form of the classic growth curve."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    days = ev.select(
+        F.floor(us / 86_400_000_000).alias("day_idx"), "user_id"
+    )
+    first = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    new_per_day = first.groupBy("first_day").agg(
+        F.count("*").alias("n_new_users")
+    )
+    all_days = days.select("day_idx").distinct()
+    per_day = all_days.join(
+        new_per_day, all_days["day_idx"] == new_per_day["first_day"], "left"
+    ).select(
+        "day_idx", F.coalesce(F.col("n_new_users"), F.lit(0)).alias("n_new_users")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day_idx",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_distinct_users"),
+    ).orderBy("day_idx")
+
+
+def _q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: top-50 event-type trigrams over each
+    user's time-ordered event stream — two lead() steps in ONE
+    user-partitioned window (bounded per-user state), then a count agg.
+    Deterministic order ties broken by (us, event_id)."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(50)
+    )
+
+
+def _q_cell_density_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial snapshot diff: per level-4 cell, event counts in the
+    first vs second half of the month (split at 2024-01-16 = day 19738)
+    and the Poisson change z-score (n2 - n1) / sqrt(n1 + n2) — the
+    crawl-to-crawl density drift screen. Exact integer counts, one
+    fixed-order float expression."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pts = add_cellid_sql(
+        ev.select(
+            (F.floor(us / 86_400_000_000) >= 19738).cast("int").alias("epoch"),
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat",
+        "lng",
+        "cell_id",
+    )
+    counts = (
+        pts.select(s2_parent_sql(F.col("cell_id"), 4).alias("cell4"), "epoch")
+        .groupBy("cell4")
+        .agg(
+            F.sum((F.col("epoch") == 0).cast("long")).alias("n1"),
+            F.sum((F.col("epoch") == 1).cast("long")).alias("n2"),
+        )
+    )
+    z = (F.col("n2") - F.col("n1")).cast("double") / F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+    )
+    return counts.select(
+        "cell4", "n1", "n2", F.round(z, 9).alias("z_change")
+    ).orderBy("cell4")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -7405,6 +7611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigrams": _q_kneser_ney,
         "benford_digits": _q_benford_digits,
         "skyline_spenders": _q_skyline_spenders,
+        "kde_points": _q_kde_points,
+        "gravity_residuals": _q_gravity_residuals,
+        "rolling_distinct_users": _q_rolling_distinct_users,
+        "event_path_trigrams": _q_event_path_trigrams,
+        "cell_density_change": _q_cell_density_change,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -10577,5 +10788,189 @@ def oracle_sql() -> dict[str, str]:
                 AND (q.spend_cents > p.spend_cents
                      OR q.n_orders < p.n_orders))
             ORDER BY spend_cents DESC
+        """,
+        "kde_points": f"""
+            WITH pts AS ({_CUST_LATLNG_SQL}),
+            v AS (
+              SELECT key,
+                     cos(radians(lng)) * cos(radians(lat)) AS x,
+                     sin(radians(lng)) * cos(radians(lat)) AS y,
+                     sin(radians(lat)) AS z
+              FROM pts
+            ),
+            pairs AS (
+              SELECT a.key AS key, atan2(sqrt(
+                         (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                       + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                       + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                       a.x * b.x + a.y * b.y + a.z * b.z) AS d
+              FROM v a JOIN v b ON a.key != b.key
+            ),
+            nb AS (
+              SELECT key, count(*) AS n_neighbors,
+                     sum(exp(-(d * d) / {2.0 * _KDE_H * _KDE_H!r})) AS dens
+              FROM pairs WHERE d <= {_KDE_RADIUS_EFF!r}
+              GROUP BY key
+            )
+            SELECT p.key,
+                   CAST(coalesce(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+                   round(coalesce(nb.dens, 0.0), 9) AS density
+            FROM pts p LEFT JOIN nb USING (key) ORDER BY key
+        """,
+        "gravity_residuals": f"""
+            WITH {_cellid_cte_duckdb(f'''
+              WITH epts AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts) // 86400000000 AS day_idx, lat, lng
+                FROM ({_EVENTS_LATLNG_SQL})
+              ),
+              rn AS (
+                SELECT user_id, day_idx, lat, lng,
+                       row_number() OVER (PARTITION BY user_id, day_idx
+                                          ORDER BY us, event_id) AS ra,
+                       row_number() OVER (PARTITION BY user_id, day_idx
+                                          ORDER BY us DESC, event_id DESC) AS rd
+                FROM epts
+              ),
+              trips AS (
+                SELECT o.user_id, o.day_idx,
+                       o.lat AS olat, o.lng AS olng,
+                       d.lat AS dlat, d.lng AS dlng
+                FROM (SELECT * FROM rn WHERE ra = 1) o
+                JOIN (SELECT * FROM rn WHERE rd = 1) d
+                  USING (user_id, day_idx)
+              )
+              SELECT (user_id * 100000 + day_idx % 100000) * 2 AS key,
+                     olat AS lat, olng AS lng FROM trips
+              UNION ALL
+              SELECT (user_id * 100000 + day_idx % 100000) * 2 + 1 AS key,
+                     dlat AS lat, dlng AS lng FROM trips
+            ''')},
+            c4 AS (
+              SELECT key, lat, lng,
+                     ((cell_id & -{1 << 52}) | {1 << 52}) AS cell4
+              FROM cells
+            ),
+            od AS (
+              SELECT o.cell4 AS o_cell4, d.cell4 AS d_cell4,
+                     o.lat AS olat, o.lng AS olng,
+                     d.lat AS dlat, d.lng AS dlng
+              FROM (SELECT * FROM c4 WHERE key % 2 = 0) o
+              JOIN (SELECT * FROM c4 WHERE key % 2 = 1) d
+                ON d.key = o.key + 1
+            ),
+            flows AS (
+              SELECT o_cell4, d_cell4, count(*) AS n_trips,
+                     sum(CAST(floor(olat * 1000000 + 0.5) AS BIGINT)) AS sola,
+                     sum(CAST(floor(olng * 1000000 + 0.5) AS BIGINT)) AS soln,
+                     sum(CAST(floor(dlat * 1000000 + 0.5) AS BIGINT)) AS sdla,
+                     sum(CAST(floor(dlng * 1000000 + 0.5) AS BIGINT)) AS sdln
+              FROM od GROUP BY 1, 2
+            ),
+            mo AS (
+              SELECT o_cell4, sum(n_trips) AS m_o,
+                     sum(sola) AS la, sum(soln) AS ln_
+              FROM flows GROUP BY 1
+            ),
+            md AS (
+              SELECT d_cell4, sum(n_trips) AS m_d,
+                     sum(sdla) AS la2, sum(sdln) AS ln2
+              FROM flows GROUP BY 1
+            ),
+            j0 AS (
+              SELECT f.o_cell4, f.d_cell4, f.n_trips,
+                     CAST(mo.m_o AS BIGINT) AS m_o,
+                     CAST(md.m_d AS BIGINT) AS m_d,
+                     CAST(mo.la AS DOUBLE) / CAST(mo.m_o AS BIGINT) / 1000000 AS olat_m,
+                     CAST(mo.ln_ AS DOUBLE) / CAST(mo.m_o AS BIGINT) / 1000000 AS olng_m,
+                     CAST(md.la2 AS DOUBLE) / CAST(md.m_d AS BIGINT) / 1000000 AS dlat_m,
+                     CAST(md.ln2 AS DOUBLE) / CAST(md.m_d AS BIGINT) / 1000000 AS dlng_m
+              FROM flows f JOIN mo USING (o_cell4) JOIN md USING (d_cell4)
+            ),
+            jd AS (
+              SELECT o_cell4, d_cell4, n_trips, m_o, m_d,
+                     2 * atan2(sqrt(
+                           power(sin(0.5 * (radians(dlat_m) - radians(olat_m))), 2)
+                         + power(sin(0.5 * (radians(dlng_m) - radians(olng_m))), 2)
+                           * cos(radians(olat_m)) * cos(radians(dlat_m))),
+                         sqrt(greatest(0.0, 1.0 - (
+                           power(sin(0.5 * (radians(dlat_m) - radians(olat_m))), 2)
+                         + power(sin(0.5 * (radians(dlng_m) - radians(olng_m))), 2)
+                           * cos(radians(olat_m)) * cos(radians(dlat_m))))))
+                       AS d
+              FROM j0
+            ),
+            jg AS (
+              SELECT *, CAST(m_o * m_d AS DOUBLE) / (d * d) AS g
+              FROM jd WHERE d > 0
+            ),
+            tot AS (
+              SELECT CAST(sum(n_trips) AS DOUBLE) / sum(g) AS k FROM jg
+            )
+            SELECT o_cell4, d_cell4, CAST(n_trips AS BIGINT) AS n_trips,
+                   m_o, m_d,
+                   round(k * g, 6) AS expected,
+                   round(n_trips - k * g, 6) AS residual
+            FROM jg, tot ORDER BY o_cell4, d_cell4
+        """,
+        "rolling_distinct_users": """
+            WITH days AS (
+              SELECT epoch_us(ts) // 86400000000 AS day_idx, user_id
+              FROM events
+            ),
+            first_seen AS (
+              SELECT user_id, min(day_idx) AS first_day
+              FROM days GROUP BY user_id
+            ),
+            new_per_day AS (
+              SELECT first_day, count(*) AS n_new
+              FROM first_seen GROUP BY first_day
+            ),
+            all_days AS (SELECT DISTINCT day_idx FROM days)
+            SELECT d.day_idx,
+                   CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+                   CAST(sum(coalesce(n.n_new, 0)) OVER (
+                       ORDER BY d.day_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_distinct_users
+            FROM all_days d
+            LEFT JOIN new_per_day n ON n.first_day = d.day_idx
+            ORDER BY d.day_idx
+        """,
+        "event_path_trigrams": """
+            WITH seq AS (
+              SELECT user_id, event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id)
+            )
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 50
+        """,
+        "cell_density_change": f"""
+            WITH {_cellid_cte_duckdb(
+                f"SELECT event_id AS key, lat, lng FROM ({_EVENTS_LATLNG_SQL})"
+            )},
+            lab AS (
+              SELECT ((c.cell_id & -{1 << 52}) | {1 << 52}) AS cell4,
+                     CASE WHEN epoch_us(e.ts) // 86400000000 >= 19738
+                          THEN 1 ELSE 0 END AS epoch
+              FROM cells c JOIN events e ON e.event_id = c.key
+            ),
+            counts AS (
+              SELECT cell4,
+                     sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS n2
+              FROM lab GROUP BY cell4
+            )
+            SELECT cell4, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   round(CAST(n2 - n1 AS DOUBLE)
+                         / sqrt(CAST(n1 + n2 AS DOUBLE)), 9) AS z_change
+            FROM counts ORDER BY cell4
         """,
     }

@@ -305,3 +305,57 @@ def spatial_entropy(
         F.round(h, 9).alias("entropy"),
         F.round(F.exp(h), 9).alias("effective_cells"),
     )
+
+
+def kde_points(
+    points: DataFrame,
+    bandwidth_rad: float,
+    cutoff_rad: float,
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Gaussian kernel density estimate AT each sample point.
+
+    density(i) = sum_{j != i, d_ij <= cutoff} exp(-d_ij^2 / (2 h^2)) —
+    the classic hotspot-intensity surface, evaluated at the points
+    themselves (truncated kernel: the cutoff bounds the candidate join,
+    and with cutoff >= 3h the dropped tail mass is < 1.2%).
+
+    Plan: the cell-blocked within-radius self-join supplies exact pair
+    distances (the reference's angle metric); one map-side-combined sum
+    per point finishes it. Isolated points (no neighbor in range) get
+    density 0 via the left join back to the point set.
+
+    Exactness note: per-point neighbor sums are floating-point adds in
+    shuffle order — callers compare cross-engine after rounding (the
+    registered query rounds to 9 dp; per-point neighbor counts are small
+    so accumulated order error is ~1e-15 relative).
+    """
+    from .joins import distance_join
+
+    # distance_join takes its radius in degrees
+    eps_deg = float(cutoff_rad) * 180.0 / math.pi
+    pairs = distance_join(
+        points, eps_deg, point_key=point_key, cell_col=cell_col
+    )
+    sym = pairs.select(
+        F.col("key_a").alias("key"), F.col("dist_rad").alias("d")
+    ).unionByName(
+        pairs.select(F.col("key_b").alias("key"), F.col("dist_rad").alias("d"))
+    )
+    h2 = 2.0 * float(bandwidth_rad) * float(bandwidth_rad)
+    dens = sym.groupBy("key").agg(
+        F.count("*").alias("n_neighbors"),
+        F.sum(F.exp(-(F.col("d") * F.col("d")) / F.lit(h2))).alias("_dens"),
+    )
+    return (
+        points.select(F.col(point_key).alias("key"))
+        .join(dens, "key", "left")
+        .select(
+            "key",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias(
+                "n_neighbors"
+            ),
+            F.round(F.coalesce(F.col("_dens"), F.lit(0.0)), 9).alias("density"),
+        )
+    )

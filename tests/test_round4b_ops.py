@@ -337,3 +337,136 @@ def test_skyline_tie_counts_and_edge_cases(spark):
     assert got == {(10, 1): 2, (11, 5): 2}
     one = spark.createDataFrame([(1, 1)], "x long, y long")
     assert skyline_2d(one, "x", "y").count() == 1
+
+
+# -------------------------------------------------------------------- kde
+def test_kde_points_matches_brute_force(spark):
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.spatialstats import kde_points
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.uniform(-60, 60), rng.uniform(-170, 170)) for i in range(150)
+    ]
+    # add a tight cluster so some points have many neighbors
+    rows += [(200 + i, 10.0 + i * 0.01, 20.0 + i * 0.01) for i in range(30)]
+    df = spark.createDataFrame(rows, "key long, lat double, lng double")
+    df = df.withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    h, cutoff = 0.05, 0.15
+    out = {r["key"]: r for r in kde_points(df, h, cutoff, point_key="key").collect()}
+
+    lat = np.radians([r[1] for r in rows])
+    lng = np.radians([r[2] for r in rows])
+    p = np.stack(
+        [np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng), np.sin(lat)],
+        axis=1,
+    )
+    dots = np.clip(p @ p.T, -1, 1)
+    cross = np.linalg.norm(np.cross(p[:, None, :], p[None, :, :]), axis=2)
+    ang = np.arctan2(cross, dots)
+    np.fill_diagonal(ang, np.inf)
+    eff_radius = math.radians(cutoff * 180.0 / math.pi)
+    keys = [r[0] for r in rows]
+    for i, k in enumerate(keys):
+        mask = ang[i] <= eff_radius
+        want_n = int(mask.sum())
+        want_d = float(np.exp(-(ang[i][mask] ** 2) / (2 * h * h)).sum())
+        assert out[k]["n_neighbors"] == want_n, k
+        assert out[k]["density"] == pytest.approx(want_d, abs=1e-6), k
+    assert max(r["n_neighbors"] for r in out.values()) >= 29  # the cluster
+
+
+# ------------------------------------------------------ rolling distinct
+def test_rolling_distinct_users_replay(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["rolling_distinct_users"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    for r in ev:
+        day = int((r["ts"] - epoch).total_seconds() // 86400)
+        by_day[day].add(r["user_id"])
+    days = sorted(by_day)
+    seen: set = set()
+    for row in out:
+        assert row["day_idx"] in by_day
+        seen_before = len(seen)
+        seen |= by_day[row["day_idx"]]
+        assert row["n_new_users"] == len(seen) - seen_before
+        assert row["cum_distinct_users"] == len(seen)
+    assert [r["day_idx"] for r in out] == days
+
+
+# ---------------------------------------------------------- path trigrams
+def test_event_path_trigrams_replay(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["event_path_trigrams"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").collect()
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    for r in ev:
+        us = int((r["ts"] - epoch).total_seconds() * 1_000_000)
+        seqs[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    tri = Counter()
+    users = defaultdict(set)
+    for uid, evs in seqs.items():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for a, b, c in zip(types, types[1:], types[2:]):
+            tri[(a, b, c)] += 1
+            users[(a, b, c)].add(uid)
+    want = sorted(
+        ((n, k) for k, n in tri.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:50]
+    got = [((r["n"]), (r["t1"], r["t2"], r["t3"]), r["n_users"]) for r in out]
+    for (wn, wk), (gn, gk, gu) in zip(want, got):
+        assert (wn, wk) == (gn, gk)
+        assert gu == len(users[wk])
+
+
+# -------------------------------------------------------- gravity model
+def test_gravity_residuals_fit_invariant(spark):
+    """k is fit so that sum(expected) == sum(flow): residuals sum to ~0,
+    and per-pair masses are consistent with the flow table."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["gravity_residuals"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 10
+    total_flow = sum(r["n_trips"] for r in rows)
+    total_expected = sum(r["expected"] for r in rows)
+    assert total_expected == pytest.approx(total_flow, rel=1e-4)
+    assert sum(r["residual"] for r in rows) == pytest.approx(0.0, abs=1e-2)
+    from collections import defaultdict
+
+    m_o = defaultdict(int)
+    for r in rows:
+        m_o[r["o_cell4"]] += r["n_trips"]
+    for r in rows:
+        assert r["m_o"] == m_o[r["o_cell4"]]
+
+
+# ---------------------------------------------------- cell density change
+def test_cell_density_change_counts(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["cell_density_change"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ev_n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert sum(r["n1"] + r["n2"] for r in rows) == ev_n
+    for r in rows:
+        want = (r["n2"] - r["n1"]) / math.sqrt(r["n1"] + r["n2"])
+        assert r["z_change"] == pytest.approx(want, abs=1e-9)
