@@ -168,15 +168,20 @@ BENCH_QUERIES = [
 ]
 
 
-def _best_timed(action, runs: int = RUNS) -> tuple[float, list[float]]:
-    """One untimed warm-up + ``runs`` timed executions; returns (min, raw).
+def _best_timed(
+    action, runs: int = RUNS, warmups: int = 1
+) -> tuple[float, list[float]]:
+    """``warmups`` untimed warm-ups + ``runs`` timed executions; returns
+    (min, raw).
 
     Min, not median: on a shared box interference noise is strictly
     additive (a run can only be slowed down, never sped up), so the
     fastest steady-state run is the unbiased estimator of capability.
     Raw per-run times are reported alongside for transparency.
     """
-    action()  # warm-up: codegen/JIT compile + worker spin-up, excluded
+    for _ in range(max(1, warmups)):
+        # warm-up: codegen/C2-JIT compile + worker spin-up, excluded
+        action()
     raw = []
     for _ in range(runs):
         t0 = time.time()
@@ -268,6 +273,16 @@ def main() -> None:
         )
     points, staged = read_points_or_geoparse(spark, pages_dir, points_dir)
     assert staged, points_dir
+    # prime the STAGED table's pages too (it is created after the pages
+    # prime loop above): without this the flagship's first ~4 runs pay a
+    # decaying cold-read tax and min-of-5 never reaches steady state
+    # (observed [5.50, 3.98, 3.59, 2.69, 2.60] unprimed vs a converged
+    # ~1.0 s with primed bytes + deeper JIT warm-up)
+    for root, _, files in os.walk(points_dir):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     tile_counts: dict[str, int] = {}
 
@@ -293,11 +308,11 @@ def main() -> None:
     # the headline number gets extra timed runs: on a noisy shared box a
     # min-of-3 can miss a clean window entirely (observed [9.5, 5.7, 6.3]
     # vs an isolated min of 4.45)
-    t_flagship, raw = _best_timed(flagship, runs=max(RUNS, 5))
+    t_flagship, raw = _best_timed(flagship, runs=max(RUNS, 5), warmups=3)
     timings["flagship_pip_pages"] = round(t_flagship, 3)
     raw_runs["flagship_pip_pages"] = [round(t, 3) for t in raw]
     pages_per_sec = PAGES_ROWS / t_flagship
-    t_e2e, raw = _best_timed(flagship_e2e, runs=max(RUNS, 5))
+    t_e2e, raw = _best_timed(flagship_e2e, runs=max(RUNS, 5), warmups=3)
     timings["flagship_e2e_geoparse"] = round(t_e2e, 3)
     raw_runs["flagship_e2e_geoparse"] = [round(t, 3) for t in raw]
 
