@@ -7531,6 +7531,499 @@ def _q_cell_density_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell4")
 
 
+def _q_lisa_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin Local Moran's I (LISA) per occupied level-5 cell
+    (spark/spatialstats.py local_moran): the per-cell cluster/outlier
+    classifier (HH/LL/HL/LH quadrants) with gos2's 4-edge-neighbor
+    weights (EdgeNeighbors, cellid.go:210-220). Every sufficient
+    statistic is an exact BIGINT; I_i is one fixed-order double
+    expression, so both engines agree bit-for-bit — including the
+    quadrant sign comparisons. Scale shape: bounded 4x neighbor explode
+    + co-partitioned join + 1-row moment broadcast, no windows."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.spatialstats import local_moran
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    out = local_moran(counts, cell_col="cell", count_col="n")
+    return out.select(
+        s2_token(F.col("cell")).alias("token"),
+        "x_count",
+        "w_i",
+        "nbr_sum",
+        # + 0.0 collapses IEEE -0.0 (z<0, lag=0) to +0.0 — Spark and
+        # DuckDB disagree on the sign of the zero product otherwise
+        (F.round("local_i", 9) + F.lit(0.0)).alias("local_i"),
+        "quadrant",
+    ).orderBy("token")
+
+
+def _lisa_oracle_sql() -> str:
+    """LISA from the same exact SQL edge-neighbor arithmetic as the
+    Moran's I / Gi* oracles: BIGINT sufficient statistics, the final
+    float expression mirrored term for term (including quadrant signs)."""
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (SELECT {tok} AS token, count(*) AS n FROM cells GROUP BY 1),
+        nj AS (
+          SELECT p.token, count(*) AS w_nbrs,
+                 CAST(sum(c2.n) AS BIGINT) AS nbr_sum
+          FROM pairs p JOIN cnt c2 ON c2.token = p.nbr_token
+          GROUP BY 1
+        ),
+        g AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM cnt
+        ),
+        per AS (
+          SELECT c.token, CAST(c.n AS BIGINT) AS x_count,
+                 CAST(COALESCE(nj.w_nbrs, 0) AS BIGINT) AS w_i,
+                 CAST(COALESCE(nj.nbr_sum, 0) AS BIGINT) AS nbr_sum,
+                 CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE) AS xb,
+                 CAST(g.sxx AS DOUBLE) / CAST(g.n_cells AS DOUBLE) AS sxxn
+          FROM cnt c LEFT JOIN nj ON nj.token = c.token, g
+        ),
+        zl AS (
+          SELECT token, x_count, w_i, nbr_sum,
+                 CAST(x_count AS DOUBLE) - xb AS z,
+                 CAST(nbr_sum AS DOUBLE) - CAST(w_i AS DOUBLE) * xb AS lag,
+                 sxxn - xb * xb AS m2
+          FROM per
+        )
+        SELECT token, x_count, w_i, nbr_sum,
+               round(z * lag / m2, 9) + 0.0 AS local_i,
+               CASE WHEN z > 0.0 AND lag > 0.0 THEN 'HH'
+                    WHEN z < 0.0 AND lag < 0.0 THEN 'LL'
+                    WHEN z > 0.0 AND lag < 0.0 THEN 'HL'
+                    WHEN z < 0.0 AND lag > 0.0 THEN 'LH'
+                    ELSE 'NA' END AS quadrant
+        FROM zl
+        ORDER BY token
+    """
+
+
+def _q_std_dev_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per event type
+    (spark/spatialstats.py std_dev_ellipse): mean center, major/minor
+    axis, principal-axis rotation of each type's point cloud — the
+    directional-distribution summary. Event coordinates are synthesized
+    directly as INTEGER 1/83- and 1/79-degree units (exact BIGINTs by
+    construction), so every moment aggregates exactly and the closed-form
+    2x2 eigen-decomposition is one mirrored fixed-order double
+    expression. Scale shape: ONE map-side-combined groupBy, no joins."""
+    from gos2_spark.spark.spatialstats import std_dev_ellipse
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "event_type",
+        ((e * 11 % 120) * 83 + (e % 83) - 4980).alias("ilat"),
+        ((e * 17 % 340) * 79 + (e % 79) - 13430).alias("ilng"),
+    )
+    out = std_dev_ellipse(
+        pts, "event_type", "ilat", "ilng", lat_den=83, lng_den=79
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean_lng", 9).alias("mean_lng"),
+        F.round("mean_lat", 9).alias("mean_lat"),
+        F.round("axis_major", 9).alias("axis_major"),
+        F.round("axis_minor", 9).alias("axis_minor"),
+        F.round("theta_rad", 9).alias("theta_rad"),
+    ).orderBy("event_type")
+
+
+def _sde_oracle_sql() -> str:
+    return """
+        WITH pts AS (
+          SELECT event_type,
+                 (event_id * 11 % 120) * 83 + (event_id % 83) - 4980 AS a,
+                 (event_id * 17 % 340) * 79 + (event_id % 79) - 13430 AS b
+          FROM events
+        ),
+        agg AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+                 CAST(sum(a * a) AS BIGINT) AS saa,
+                 CAST(sum(b * b) AS BIGINT) AS sbb,
+                 CAST(sum(a * b) AS BIGINT) AS sab
+          FROM pts GROUP BY 1
+        ),
+        m AS (
+          SELECT event_type, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 6241.0 AS vx,
+                 (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 6889.0 AS vy,
+                 (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 6557.0 AS cxy,
+                 CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) / 79.0 AS mean_lng,
+                 CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 83.0 AS mean_lat
+          FROM agg
+        ),
+        eig AS (
+          SELECT *,
+                 sqrt(((vx - vy) * 0.5) * ((vx - vy) * 0.5) + cxy * cxy)
+                   AS com
+          FROM m
+        )
+        SELECT event_type, n,
+               round(mean_lng, 9) AS mean_lng,
+               round(mean_lat, 9) AS mean_lat,
+               round(sqrt(2.0 * ((vx + vy) * 0.5 + com)), 9) AS axis_major,
+               round(sqrt(2.0 * greatest(0.0, (vx + vy) * 0.5 - com)), 9)
+                 AS axis_minor,
+               round(atan2(2.0 * cxy, vx - vy) * 0.5, 9) AS theta_rad
+        FROM eig
+        ORDER BY event_type
+    """
+
+
+def _q_mann_kendall_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend per level-5 cell over its daily event-count
+    series (spark/spatialstats.py mann_kendall) — the 'emerging hot
+    spot' scorer: S from pairwise signs, tie-corrected variance,
+    continuity-corrected z, all from exact BIGINTs with one final float
+    expression. Cells shorter than 10 observed days are dropped BEFORE
+    the in-key pair join (semi-join pushdown bounds the quadratic)."""
+    from gos2_spark.spark.functions import add_cellid_sql, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.spatialstats import mann_kendall
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    ).select(s2_parent_sql(F.col("cell_id"), 5).alias("cell"), "day")
+    daily = pts.groupBy("cell", "day").agg(F.count("*").alias("n"))
+    out = mann_kendall(daily, "cell", "day", "n", min_len=10)
+    return out.select(
+        s2_token(F.col("cell")).alias("token"),
+        "n_obs",
+        "s_stat",
+        "tie_term",
+        F.round("var_s", 9).alias("var_s"),
+        F.round("mk_z", 9).alias("mk_z"),
+        "trend",
+    ).orderBy("token")
+
+
+def _mann_kendall_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        {_cellid_cte_duckdb("SELECT event_id AS key, lat, lng FROM pts0")},
+        lv AS (
+          SELECT {tok} AS token,
+                 strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        daily AS (
+          SELECT token, day, count(*) AS n FROM lv GROUP BY 1, 2
+        ),
+        lens AS (
+          SELECT token, count(*) AS n_obs FROM daily
+          GROUP BY 1 HAVING count(*) >= 10
+        ),
+        s AS (
+          SELECT a.token,
+                 CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.token = b.token AND a.day < b.day
+          JOIN lens l ON l.token = a.token
+          GROUP BY 1
+        ),
+        ties AS (
+          SELECT token,
+                 CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                   AS tie_term
+          FROM (
+            SELECT d.token, d.n, count(*) AS tc
+            FROM daily d JOIN lens l ON l.token = d.token
+            GROUP BY 1, 2
+          ) t GROUP BY 1
+        ),
+        fin AS (
+          SELECT lens.token, lens.n_obs, s.s_stat, ties.tie_term,
+                 CAST(lens.n_obs * (lens.n_obs - 1) * (2 * lens.n_obs + 5)
+                      - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+          FROM lens JOIN s ON s.token = lens.token
+          JOIN ties ON ties.token = lens.token
+        ),
+        z AS (
+          SELECT *,
+                 CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                      WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                      ELSE 0.0 END AS mk_z
+          FROM fin
+        )
+        SELECT token, n_obs, s_stat, tie_term,
+               round(var_s, 9) AS var_s,
+               round(mk_z, 9) AS mk_z,
+               CASE WHEN mk_z > 1.959963984540054 THEN 'increasing'
+                    WHEN mk_z < -1.959963984540054 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM z
+        ORDER BY token
+    """
+
+
+def _q_knox_spacetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test (spark/temporal.py
+    knox_spacetime) over a deterministic 1-in-20 event subsample: are
+    space-close pairs ALSO time-close? Ns from the engine's cell-blocked
+    within-radius self-join, Nt from a time-block self-join, X from the
+    time filter on the space pairs — no quadratic pass anywhere in the
+    engine plan. The oracle brute-forces all pairs of the subsample with
+    the identical xyz atan2 distance and integer epoch-second deltas."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.temporal import knox_spacetime
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id", "ts",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 20 == 0),
+        "lat", "lng", "cell_id",
+    )
+    out = knox_spacetime(
+        pts, space_radius_deg=5.0, time_window_sec=259200,
+        point_key="event_id", time_col="ts",
+    )
+    return out.select(
+        "n_points", "n_pairs", "ns", "nt", "x_both",
+        F.round("expected", 9).alias("expected"),
+        F.round("knox_ratio", 9).alias("knox_ratio"),
+    )
+
+
+def _knox_oracle_sql() -> str:
+    import math as _m
+
+    r = _m.radians(5.0)
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        sub AS (
+          SELECT event_id, ts, lat, lng FROM pts0 WHERE event_id % 20 = 0
+        ),
+        v AS (
+          SELECT event_id,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                   AS t,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM sub
+        ),
+        pairs AS (
+          SELECT atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z) <= {r!r} AS sc,
+                 abs(a.t - b.t) <= 259200 AS tc
+          FROM v a JOIN v b ON a.event_id < b.event_id
+        ),
+        agg AS (
+          SELECT (SELECT count(*) FROM sub) AS n_points,
+                 count(*) AS n_pairs,
+                 CAST(sum(CASE WHEN sc THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+                 CAST(sum(CASE WHEN tc THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                 CAST(sum(CASE WHEN sc AND tc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS x_both
+          FROM pairs
+        )
+        SELECT n_points, n_pairs, ns, nt, x_both,
+               round(CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+                     / CAST(n_pairs AS DOUBLE), 9) AS expected,
+               round(CAST(x_both AS DOUBLE)
+                     / (CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE)
+                        / CAST(n_pairs AS DOUBLE)), 9) AS knox_ratio
+        FROM agg
+    """
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (pipeline/graph.py adamic_adar) over
+    the synthetic customer-key domain graph (the PageRank graph:
+    src = key % 64, dst = (key*7+3) % 64): scores for every
+    NON-adjacent unordered pair with >= 1 common neighbor. The
+    1/ln(deg) terms are summed by a LEFT FOLD over the degree-sorted
+    packed histogram, so the float result is bit-identical to the
+    DuckDB list_reduce replay."""
+    from gos2_spark.pipeline.graph import adamic_adar
+
+    c = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = c.select(
+        (k % 64).alias("src"), ((k * 7 + 3) % 64).alias("dst")
+    ).distinct()
+    out = adamic_adar(edges, "src", "dst")
+    return out.select(
+        "u", "v", "common_neighbors",
+        F.round("aa_score", 9).alias("aa_score"),
+    ).orderBy("u", "v")
+
+
+def _adamic_adar_oracle_sql() -> str:
+    return """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 7 + 3) % 64 AS dst
+          FROM customer
+        ),
+        sym AS (
+          SELECT src AS a, dst AS b FROM e WHERE src != dst
+          UNION
+          SELECT dst, src FROM e WHERE src != dst
+        ),
+        deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        adj AS (
+          SELECT s.a AS w, s.b AS u, d.deg
+          FROM sym s JOIN deg d ON d.a = s.a
+        ),
+        wedges AS (
+          SELECT l.u AS u, r.u AS v, l.deg AS wdeg
+          FROM adj l JOIN adj r ON l.w = r.w AND l.u < r.u
+        ),
+        hist AS (
+          SELECT u, v, wdeg, count(*) AS cnt FROM wedges GROUP BY 1, 2, 3
+        ),
+        per AS (
+          SELECT u, v,
+                 CAST(sum(cnt) AS BIGINT) AS common_neighbors,
+                 list_sort(list((wdeg << 32) + cnt)) AS h
+          FROM hist GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT u, v, common_neighbors,
+                 list_reduce(
+                   list_prepend(0.0, list_transform(h,
+                     p -> CAST((p & 4294967295) AS DOUBLE)
+                          / ln(CAST((p >> 32) AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS aa_score
+          FROM per
+        )
+        SELECT u, v, common_neighbors, round(aa_score, 9) AS aa_score
+        FROM scored
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sym WHERE sym.a = scored.u AND sym.b = scored.v
+        )
+        ORDER BY u, v
+    """
+
+
+def _q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (lags 1-3) of each event type's daily
+    count series (spark/temporal.py acf_counts) — the periodicity probe.
+    Integer sufficient statistics only (lagged cross-products, one-sided
+    sums), one fixed-order final expression; the engine plan is three
+    window lags + ONE map-side-combined groupBy."""
+    from gos2_spark.spark.temporal import acf_counts
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    out = acf_counts(daily, "event_type", "day", "n", max_lag=3)
+    return out.select(
+        "event_type", "n_obs", "lag", F.round("acf", 9).alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+def _acf_oracle_sql(max_lag: int = 3) -> str:
+    lag_cols = ", ".join(
+        f"lag(n, {k}) OVER (PARTITION BY event_type ORDER BY day) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    per_lag = []
+    for k in range(1, max_lag + 1):
+        per_lag.append(f"""
+          SELECT event_type, {k} AS lag,
+                 count(*) AS n_obs,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx,
+                 CAST(sum(CASE WHEN l{k} IS NOT NULL THEN n * l{k}
+                          ELSE 0 END) AS BIGINT) AS p,
+                 CAST(sum(CASE WHEN l{k} IS NOT NULL THEN n
+                          ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN l{k} IS NOT NULL THEN l{k}
+                          ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN l{k} IS NOT NULL THEN 1
+                          ELSE 0 END) AS BIGINT) AS m
+          FROM lagged GROUP BY 1""")
+    union = " UNION ALL ".join(per_lag)
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, day, n, {lag_cols} FROM daily
+        ),
+        stats AS ({union}),
+        fin AS (
+          SELECT event_type, lag, n_obs,
+                 CAST(sx AS DOUBLE) / CAST(n_obs AS DOUBLE) AS xb,
+                 CAST(p AS DOUBLE) AS pd, CAST(s1 AS DOUBLE) AS s1d,
+                 CAST(s2 AS DOUBLE) AS s2d, CAST(m AS DOUBLE) AS md,
+                 CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(n_obs AS DOUBLE) AS nd
+          FROM stats
+        )
+        SELECT event_type, n_obs, lag,
+               round((pd - xb * s1d - xb * s2d + md * xb * xb)
+                     / (sxxd - nd * xb * xb), 9) AS acf
+        FROM fin
+        ORDER BY event_type, lag
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -7616,6 +8109,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": _q_rolling_distinct_users,
         "event_path_trigrams": _q_event_path_trigrams,
         "cell_density_change": _q_cell_density_change,
+        "lisa_local_moran": _q_lisa_local_moran,
+        "std_dev_ellipse": _q_std_dev_ellipse,
+        "mann_kendall_cells": _q_mann_kendall_cells,
+        "knox_spacetime": _q_knox_spacetime,
+        "adamic_adar_links": _q_adamic_adar,
+        "acf_daily_counts": _q_acf_daily,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -10973,4 +11472,10 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(n1 + n2 AS DOUBLE)), 9) AS z_change
             FROM counts ORDER BY cell4
         """,
+        "lisa_local_moran": _lisa_oracle_sql(),
+        "std_dev_ellipse": _sde_oracle_sql(),
+        "mann_kendall_cells": _mann_kendall_oracle_sql(),
+        "knox_spacetime": _knox_oracle_sql(),
+        "adamic_adar_links": _adamic_adar_oracle_sql(),
+        "acf_daily_counts": _acf_oracle_sql(),
     }

@@ -864,3 +864,83 @@ def kcore(
     return ea.groupBy(F.col("_s").alias("node")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over an undirected graph —
+    the standard 'which hosts SHOULD link' ranking a crawl-frontier or
+    recommendation pass runs over the host link graph.
+
+        AA(u, v) = sum over common neighbors w of 1 / ln(deg(w))
+
+    for unordered non-adjacent pairs (u < v). A common neighbor has
+    deg(w) >= 2 by construction, so ln(deg) > 0 always.
+
+    Exactness: degrees and common-neighbor sets are exact; the score is
+    a sum of 1/ln(int) doubles — per-pair neighbor lists are summed in
+    a canonical order (sorted by w via sort-before-agg is NOT relied
+    on; instead the score is aggregated from exact per-(pair, deg)
+    BIGINT multiplicities: sum_d cnt_d / ln(d), with the degree
+    histogram per pair bounded by the distinct-degree count — so both
+    engines evaluate the identical fixed-order expression).
+
+    Plan: symmetrize+distinct -> degree agg -> wedge self-join on the
+    center w (the only shuffle that grows, bounded by sum_w deg(w)^2,
+    the same cost envelope as triangle counting) -> per-(pair, deg)
+    count -> fixed-order scalar sum -> anti-join existing edges.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    adj = sym.join(deg, "a").select(
+        F.col("a").alias("w"), F.col("b").alias("u"), "deg"
+    )
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "w")
+        .where(F.col("l.u") < F.col("r.u"))
+        .select(
+            F.col("l.u").alias("u"),
+            F.col("r.u").alias("v"),
+            F.col("l.deg").alias("wdeg"),
+        )
+    )
+    # exact per-(pair, center-degree) multiplicities, then ONE
+    # deterministic-order scalar reduction: terms ordered by degree via a
+    # packed (wdeg << 32 | cnt) BIGINT and summed with a LEFT FOLD from
+    # 0.0 — since 0.0 + x == x in IEEE, the association equals DuckDB's
+    # list_reduce over the same sorted list, so the float result is
+    # bit-identical cross-engine.
+    hist = wedges.groupBy("u", "v", "wdeg").agg(F.count("*").alias("cnt"))
+    packed = (
+        F.shiftleft(F.col("wdeg").cast("long"), 32) + F.col("cnt")
+    )
+    per_pair = hist.groupBy("u", "v").agg(
+        F.sort_array(F.collect_list(packed)).alias("_h"),
+        F.sum("cnt").alias("common_neighbors"),
+    )
+    aa = F.aggregate(
+        F.col("_h"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + v.bitwiseAND(F.lit(4294967295)).cast("double")
+        / F.log(F.shiftright(v, 32).cast("double")),
+    )
+    scored = per_pair.select(
+        "u", "v", "common_neighbors", aa.alias("aa_score")
+    )
+    existing = sym.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).where(F.col("u") < F.col("v"))
+    return scored.join(existing, ["u", "v"], "left_anti")

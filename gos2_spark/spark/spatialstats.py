@@ -359,3 +359,244 @@ def kde_points(
             F.round(F.coalesce(F.col("_dens"), F.lit(0.0)), 9).alias("density"),
         )
     )
+
+
+def local_moran(
+    counts: DataFrame,
+    cell_col: str = "cell",
+    count_col: str = "n",
+) -> DataFrame:
+    """Anselin Local Moran's I (LISA) per occupied cell with binary
+    4-edge-neighbor weights — the cluster/outlier classifier run after a
+    global Moran's I flags autocorrelation.
+
+        I_i = (x_i - xbar) * (S_i - W_i * xbar) / m2,
+        m2  = sum x^2 / n - xbar^2   (population variance)
+
+    with S_i = sum of neighbor counts, W_i = occupied-neighbor count.
+    Quadrants label the (z_i, spatial lag) signs: HH/LL clusters,
+    HL/LH outliers, NA for exact zeros.
+
+    Exactness: x_i, S_i, W_i, n, Σx, Σx² are exact BIGINTs; I_i is ONE
+    fixed-order double expression over them, so both engines agree
+    bit-for-bit (no float-sum-order exposure). The neighbor topology is
+    gos2's EdgeNeighbors (cellid.go:210-220) with cross-face wrap.
+
+    Scale shape (10^9 occupied cells): one bounded 4x neighbor explode,
+    one co-partitioned hash join + keyed agg, one 1-row global-moment
+    broadcast. No windows, no driver traffic.
+    """
+    from .functions import s2_edge_neighbors
+
+    nbr = counts.select(
+        F.col(cell_col).alias("_ci"),
+        F.explode(s2_edge_neighbors(F.col(cell_col))).alias("_cj"),
+    )
+    occ = counts.select(
+        F.col(cell_col).alias("_cj"), F.col(count_col).alias("_xj")
+    )
+    nj = (
+        nbr.join(occ, "_cj")
+        .groupBy("_ci")
+        .agg(
+            F.count("*").alias("_w_nbrs"),
+            F.sum("_xj").alias("_nbr_sum"),
+        )
+    )
+    glob = counts.agg(
+        F.count("*").alias("_n_cells"),
+        F.sum(count_col).alias("_sx"),
+        F.sum(F.col(count_col) * F.col(count_col)).alias("_sxx"),
+    )
+    per = (
+        counts.join(nj, counts[cell_col] == nj["_ci"], "left")
+        .select(
+            F.col(cell_col),
+            F.col(count_col).cast("long").alias("x_count"),
+            F.coalesce(F.col("_w_nbrs"), F.lit(0)).cast("long").alias("w_i"),
+            F.coalesce(F.col("_nbr_sum"), F.lit(0)).cast("long").alias(
+                "nbr_sum"
+            ),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+    xb = F.col("_sx").cast("double") / F.col("_n_cells").cast("double")
+    m2 = (
+        F.col("_sxx").cast("double") / F.col("_n_cells").cast("double")
+        - xb * xb
+    )
+    z = F.col("x_count").cast("double") - xb
+    lag = F.col("nbr_sum").cast("double") - F.col("w_i").cast("double") * xb
+    li = z * lag / m2
+    quad = (
+        F.when((z > 0.0) & (lag > 0.0), F.lit("HH"))
+        .when((z < 0.0) & (lag < 0.0), F.lit("LL"))
+        .when((z > 0.0) & (lag < 0.0), F.lit("HL"))
+        .when((z < 0.0) & (lag > 0.0), F.lit("LH"))
+        .otherwise(F.lit("NA"))
+    )
+    return per.select(
+        F.col(cell_col),
+        "x_count",
+        "w_i",
+        "nbr_sum",
+        li.alias("local_i"),
+        quad.alias("quadrant"),
+    )
+
+
+def std_dev_ellipse(
+    points: DataFrame,
+    group_col: str,
+    ilat_col: str = "ilat",
+    ilng_col: str = "ilng",
+    lat_den: int = 1,
+    lng_den: int = 1,
+) -> DataFrame:
+    """Standard deviational ellipse per group — the classic directional-
+    distribution summary (mean center, major/minor axis, orientation) a
+    geo analyst draws over each event type's point cloud.
+
+    Input coordinates are INTEGER-scaled (ilat = lat * lat_den exactly
+    representable as BIGINT) so every sufficient statistic — n, Σa, Σb,
+    Σa², Σb², Σab — aggregates exactly; the eigen-decomposition of the
+    2x2 covariance is ONE fixed-order closed-form double expression:
+
+        vx, vy, cxy = central second moments / n   (x = lng, y = lat)
+        common  = sqrt(((vx - vy) / 2)^2 + cxy^2)
+        sigma1² = (vx + vy) / 2 + common   (major),  sigma2² = ... - common
+        theta   = atan2(2 cxy, vx - vy) / 2   (principal axis, radians)
+
+    Axis lengths follow the SDE convention axis = sqrt(2 * lambda).
+    Cross-engine exposure is sqrt/atan2 on identical doubles — exact.
+
+    Scale shape: ONE map-side-combined groupBy on integer columns, then a
+    scalar projection. No joins, no windows, no shuffle beyond the agg.
+    """
+    a = F.col(ilat_col).cast("long")
+    b = F.col(ilng_col).cast("long")
+    agg = points.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("sa"),
+        F.sum(b).alias("sb"),
+        F.sum(a * a).alias("saa"),
+        F.sum(b * b).alias("sbb"),
+        F.sum(a * b).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    la, lb = float(lat_den), float(lng_den)
+    # central second moments per n, in degrees^2 (x = lng, y = lat)
+    vx = (
+        (F.col("sbb").cast("double") - F.col("sb").cast("double")
+         * F.col("sb").cast("double") / nd) / nd / F.lit(lb * lb)
+    )
+    vy = (
+        (F.col("saa").cast("double") - F.col("sa").cast("double")
+         * F.col("sa").cast("double") / nd) / nd / F.lit(la * la)
+    )
+    cxy = (
+        (F.col("sab").cast("double") - F.col("sa").cast("double")
+         * F.col("sb").cast("double") / nd) / nd / F.lit(la * lb)
+    )
+    common = F.sqrt(
+        ((vx - vy) * 0.5) * ((vx - vy) * 0.5) + cxy * cxy
+    )
+    l1 = (vx + vy) * 0.5 + common
+    l2 = (vx + vy) * 0.5 - common
+    theta = F.atan2(2.0 * cxy, vx - vy) * 0.5
+    return agg.select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n"),
+        (F.col("sb").cast("double") / nd / F.lit(lb)).alias("mean_lng"),
+        (F.col("sa").cast("double") / nd / F.lit(la)).alias("mean_lat"),
+        F.sqrt(2.0 * l1).alias("axis_major"),
+        F.sqrt(2.0 * F.greatest(F.lit(0.0), l2)).alias("axis_minor"),
+        theta.alias("theta_rad"),
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    min_len: int = 10,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per key over an ordered series —
+    the per-cell trend scorer behind 'emerging hot spot' analysis
+    (score every tile's daily count series, flag rising/falling tiles).
+
+        S    = sum_{i<j} sign(x_j - x_i)
+        VarS = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18   (tie-corrected)
+        z    = (S -+ 1) / sqrt(VarS)   (continuity-corrected, 0 if S = 0)
+
+    Exactness: S, n, and the tie term are exact BIGINTs (sign() of an
+    integer difference); z is one fixed-order double expression. Both
+    engines agree bit-for-bit.
+
+    Scale shape: series length per key is bounded (days in the window),
+    so the in-key pair join is O(len^2) per key with keys distributed —
+    a co-partitioned self-join + keyed agg, no windows, no driver
+    traffic. Keys shorter than ``min_len`` are dropped BEFORE the pair
+    join (semi-join pushdown) so sparse keys never pay the quadratic.
+    """
+    s = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    lens = s.groupBy("_k").agg(F.count("*").alias("n_obs")).where(
+        F.col("n_obs") >= int(min_len)
+    )
+    s = s.join(F.broadcast(lens.select("_k")), "_k")
+    a = s.select(
+        F.col("_k"), F.col("_o").alias("_oa"), F.col("_x").alias("_xa")
+    )
+    b = s.select(
+        F.col("_k"), F.col("_o").alias("_ob"), F.col("_x").alias("_xb")
+    )
+    pairs = a.join(b, "_k").where(F.col("_oa") < F.col("_ob"))
+    s_stat = pairs.groupBy("_k").agg(
+        F.sum(
+            F.signum((F.col("_xb") - F.col("_xa")).cast("double"))
+            .cast("long")
+        ).alias("s_stat")
+    )
+    tn = F.col("_tc").cast("long")
+    ties = (
+        s.groupBy("_k", "_x")
+        .agg(F.count("*").alias("_tc"))
+        .groupBy("_k")
+        .agg(
+            F.sum(tn * (tn - 1) * (2 * tn + 5)).alias("tie_term")
+        )
+    )
+    n = F.col("n_obs").cast("long")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+        / 18.0
+    )
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when(z > 1.959963984540054, F.lit("increasing"))
+        .when(z < -1.959963984540054, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        lens.join(s_stat, "_k")
+        .join(ties, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("n_obs"),
+            F.col("s_stat"),
+            F.col("tie_term"),
+            var_s.alias("var_s"),
+            z.alias("mk_z"),
+            trend.alias("trend"),
+        )
+    )

@@ -249,3 +249,193 @@ def cotravel_pairs(
         )
         .where(F.col("n_buckets") >= min_buckets)
     )
+
+
+def knox_spacetime(
+    points: DataFrame,
+    space_radius_deg: float,
+    time_window_sec: int,
+    point_key: str = "key",
+    time_col: str = "ts",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Knox space-time interaction statistic over a point-event table —
+    the classic epidemiology/incident-analysis test for whether events
+    that are close in space are ALSO close in time (disease clusters,
+    coordinated posting, crime series).
+
+    Over all n(n-1)/2 unordered pairs:
+        Ns = #pairs with angle-distance <= radius        (space-close)
+        Nt = #pairs with |t_i - t_j| <= window           (time-close)
+        X  = #pairs close in BOTH
+        E[X] under independence = Ns * Nt / Npairs;  ratio = X / E[X].
+
+    Plan — NO quadratic pass anywhere:
+      * Ns, X from the engine's cell-blocked within-radius self-join
+        (distance_join: MinWidth level + 3x3 neighborhood equi-join,
+        exact atan2 refine), with event times joined back onto the
+        surviving pairs only.
+      * Nt from a time-block self-join: block = floor(epoch / window);
+        the probe side explodes to {blk-1, blk, blk+1} so every
+        qualifying pair is found exactly once under the key_a < key_b
+        canonical order, then the exact |dt| <= window filter runs on
+        BIGINT epoch seconds.
+    Both joins are shuffle hash joins on bounded-fanout keys; output is
+    a single aggregated row. Exactness: all counts are exact integers;
+    the two ratios are fixed-order double expressions.
+    """
+    from .joins import distance_join
+
+    n_points = points.count()
+    n_pairs = n_points * (n_points - 1) // 2
+
+    # TZ-independent integer epoch seconds (unix_timestamp() shifts NTZ
+    # values by the session timezone; timestampdiff does not)
+    epoch = (
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {time_col})"
+        )
+        / 1_000_000
+    ).cast("long")
+    keyed = points.select(
+        F.col(point_key).alias("_k"), epoch.alias("_t")
+    )
+
+    # --- space-close pairs (engine blocked join), then time attach ----
+    sp = distance_join(
+        points, space_radius_deg, point_key=point_key, cell_col=cell_col
+    ).select("key_a", "key_b")
+    sp = (
+        sp.join(
+            keyed.select(F.col("_k").alias("key_a"), F.col("_t").alias("_ta")),
+            "key_a",
+        )
+        .join(
+            keyed.select(F.col("_k").alias("key_b"), F.col("_t").alias("_tb")),
+            "key_b",
+        )
+    )
+    w = int(time_window_sec)
+    sp_agg = sp.agg(
+        F.count("*").alias("ns"),
+        F.sum(
+            F.when(
+                F.abs(F.col("_ta") - F.col("_tb")) <= w, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("x_both"),
+    )
+
+    # --- time-close pairs (block self-join, each pair found once) -----
+    blk = F.floor(F.col("_t") / F.lit(w)).cast("long")
+    probe = keyed.select(
+        F.col("_k").alias("key_a"),
+        F.col("_t").alias("_ta"),
+        F.explode(
+            F.array(blk - 1, blk, blk + 1)
+        ).alias("_blk"),
+    )
+    build = keyed.select(
+        F.col("_k").alias("key_b"),
+        F.col("_t").alias("_tb"),
+        blk.alias("_blk"),
+    )
+    nt_agg = (
+        probe.join(build, "_blk")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("_ta") - F.col("_tb")) <= w)
+        )
+        .agg(F.count("*").alias("nt"))
+    )
+
+    j = sp_agg.crossJoin(F.broadcast(nt_agg))
+    expected = (
+        F.col("ns").cast("double")
+        * F.col("nt").cast("double")
+        / F.lit(float(n_pairs))
+    )
+    return j.select(
+        F.lit(n_points).cast("long").alias("n_points"),
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        F.col("ns").cast("long").alias("ns"),
+        F.col("nt").cast("long").alias("nt"),
+        F.col("x_both").cast("long").alias("x_both"),
+        expected.alias("expected"),
+        (F.col("x_both").cast("double") / expected).alias("knox_ratio"),
+    )
+
+
+def acf_counts(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Sample autocorrelation function per key at lags 1..max_lag over an
+    integer-valued ordered series (e.g. daily event counts) — the
+    periodicity probe a monitoring pipeline runs per tile/type.
+
+        acf_k = sum_{t>k} (x_t - xbar)(x_{t-k} - xbar) / sum (x - xbar)^2
+
+    computed from INTEGER sufficient statistics only (expanded form:
+    P_k - xbar*S1_k - xbar*S2_k + m_k*xbar^2 over Sxx - n*xbar^2, with
+    P_k = sum x_t x_{t-k}, S1/S2 the one-sided sums, m_k = n - k), so
+    both engines aggregate exact BIGINTs and the final expression is one
+    fixed-order double — bit-identical cross-engine.
+
+    Plan: one window lag per k over (key, order) — max_lag tiny and
+    static — then ONE map-side-combined groupBy(key). No self-joins.
+    """
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    win = Window.partitionBy("_k").orderBy("_o")
+    lag_cols = {}
+    for k in range(1, max_lag + 1):
+        lag_cols[k] = F.lag("_x", k).over(win).alias(f"_l{k}")
+    s = s.select("_k", "_x", *lag_cols.values())
+    aggs = [
+        F.count("*").alias("n_obs"),
+        F.sum("_x").alias("sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        has = lk.isNotNull()
+        aggs += [
+            F.sum(F.when(has, F.col("_x") * lk).otherwise(F.lit(0))).alias(f"p{k}"),
+            F.sum(F.when(has, F.col("_x")).otherwise(F.lit(0))).alias(f"s1_{k}"),
+            F.sum(F.when(has, lk).otherwise(F.lit(0))).alias(f"s2_{k}"),
+            F.sum(F.when(has, F.lit(1)).otherwise(F.lit(0))).alias(f"m{k}"),
+        ]
+    g = s.groupBy("_k").agg(*aggs)
+    nd = F.col("n_obs").cast("double")
+    xb = F.col("sx").cast("double") / nd
+    den = F.col("sxx").cast("double") - nd * xb * xb
+    rows = []
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"p{k}").cast("double")
+            - xb * F.col(f"s1_{k}").cast("double")
+            - xb * F.col(f"s2_{k}").cast("double")
+            + F.col(f"m{k}").cast("double") * xb * xb
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                (num / den).alias("acf"),
+            )
+        )
+    return g.select(
+        F.col("_k").alias(key_col),
+        F.col("n_obs"),
+        F.explode(F.array(*rows)).alias("_r"),
+    ).select(
+        key_col, "n_obs", F.col("_r.lag").alias("lag"), F.col("_r.acf").alias("acf")
+    )
