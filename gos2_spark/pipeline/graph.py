@@ -902,6 +902,11 @@ def adamic_adar(
         )
         .distinct()
     )
+    # sym feeds FOUR downstream branches (degree, both wedge sides, the
+    # anti-join); materialize once so the scan+distinct doesn't replay
+    # per branch (23 -> ~14 exchanges; at scale this is one bounded edge
+    # table reused, the same policy as the iterative graph ops)
+    sym = _default_materialize(edges.sparkSession)(sym)
     deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
     adj = sym.join(deg, "a").select(
         F.col("a").alias("w"), F.col("b").alias("u"), "deg"

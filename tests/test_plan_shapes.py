@@ -316,3 +316,48 @@ def test_round4_bounded_exchanges(spark, name, max_exchanges):
     plan = _plan(spark, name)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= max_exchanges, (name, n, plan[:1200])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lisa_local_moran",
+        "std_dev_ellipse",
+        "mann_kendall_cells",
+        "adamic_adar_links",
+        "acf_daily_counts",
+    ],
+)
+def test_round4c_queries_no_python_beyond_kernels(spark, name):
+    """The third round-4 batch claims JVM execution for everything past
+    the (Arrow) cell-encode / token kernels: the statistics are joins +
+    keyed aggs over codegen expressions. SDE / ACF / Adamic-Adar consume
+    no spatial kernel at all, so they must be FULLY Python-free."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    if name in ("std_dev_ellipse", "acf_daily_counts", "adamic_adar_links"):
+        assert "ArrowEvalPython" not in plan, name
+    else:
+        # only the engine's encode/topology/token kernels may appear
+        arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+        assert arrows <= {"s2_cellid", "s2_token", "s2_edge_neighbors"}, (
+            name, arrows,
+        )
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # one partial+final agg pair resolves to a single hash exchange
+        # per keyed agg; the sort at the end is a range exchange (not
+        # counted by _exchanges' hash pattern below)
+        ("std_dev_ellipse", 1),   # ONE keyed agg, no joins
+        ("acf_daily_counts", 3),  # daily agg + window partition + final agg
+    ],
+)
+def test_round4c_bounded_exchanges(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= max_exchanges, (name, n, plan[:1200])
