@@ -165,6 +165,32 @@ BENCH_QUERIES = [
     "ripley_k_function",
     "label_propagation",
     "kcore_peel",
+    # round-4 batches
+    "cosine_text_join",
+    "zorder_buckets",
+    "gc_densify",
+    "kmeans_cells",
+    "geary_c_cells",
+    "hexbin_counts",
+    "clark_evans_nn",
+    "k_anonymity_levels",
+    "spatial_entropy_types",
+    "cotravel_pairs",
+    "cocitation_hosts",
+    "kneser_ney_bigrams",
+    "benford_digits",
+    "skyline_spenders",
+    "kde_points",
+    "gravity_residuals",
+    "rolling_distinct_users",
+    "event_path_trigrams",
+    "cell_density_change",
+    "lisa_local_moran",
+    "std_dev_ellipse",
+    "mann_kendall_cells",
+    "knox_spacetime",
+    "adamic_adar_links",
+    "acf_daily_counts",
 ]
 
 
