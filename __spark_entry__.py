@@ -8024,6 +8024,420 @@ def _acf_oracle_sql(max_lag: int = 3) -> str:
     """
 
 
+def _q_dtw_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between every pair of event types' daily-count
+    series (spark/temporal.py dtw_distance_col): the alignment-tolerant
+    shape comparison, evaluated as a NESTED Catalyst fold (outer walks
+    one series carrying the previous DP row; inner builds the next row
+    left-to-right). |int - int| costs in one fixed op order — the DuckDB
+    nested-list_reduce replay is bit-identical. No shuffle beyond the
+    two tiny aggs; the O(m*n) DP runs inside codegen."""
+    from gos2_spark.spark.temporal import dtw_distance_col
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("arr"),
+        F.count("*").alias("n_days"),
+    )
+    a = series.select(
+        F.col("event_type").alias("type_a"),
+        F.col("arr").alias("sa"),
+        F.col("n_days").alias("days_a"),
+    )
+    b = series.select(
+        F.col("event_type").alias("type_b"),
+        F.col("arr").alias("sb"),
+        F.col("n_days").alias("days_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a", "type_b", "days_a", "days_b",
+        F.round(dtw_distance_col(F.col("sa"), F.col("sb")), 9).alias(
+            "dtw_cost"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+def _dtw_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        series AS (
+          SELECT event_type,
+                 list(n ORDER BY day) AS arr,
+                 count(*) AS n_days
+          FROM daily GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.arr AS sa, b.arr AS sb,
+                 a.n_days AS days_a, b.n_days AS days_b
+          FROM series a JOIN series b ON a.event_type < b.event_type
+        ),
+        dp AS (
+          SELECT type_a, type_b, days_a, days_b,
+                 list_reduce(
+                   list_concat(
+                     [list_concat([0.0], list_transform(sb, y -> 1.0e18))],
+                     list_transform(sa, x -> [CAST(x AS DOUBLE)])),
+                   (R, xx) -> list_reduce(
+                     list_concat([[1.0e18]],
+                                 list_transform(sb,
+                                   y -> [CAST(y AS DOUBLE)])),
+                     (N, yy) -> list_append(N,
+                       abs(xx[1] - yy[1])
+                       + least(R[len(N) + 1], R[len(N)], N[len(N)])))
+                 ) AS row
+          FROM pairs
+        )
+        SELECT type_a, type_b, days_a, days_b,
+               round(row[len(row)], 9) AS dtw_cost
+        FROM dp ORDER BY type_a, type_b
+    """
+
+
+def _q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Frechet distance between the trajectories of users 0-9
+    (spark/trajectory.py frechet_distance_col): the order-aware 'dog
+    leash' similarity, a nested Catalyst fold over the previous DP row
+    with the reference's atan2(|a x b|, a . b) angle metric computed
+    per cell — bit-identical to the DuckDB nested-list_reduce replay.
+    The 10-user cohort bound stands in for the covering-cell overlap
+    prefilter that bounds candidate pairs at scale (same contract as
+    trajectory_hausdorff)."""
+    from gos2_spark.spark.trajectory import frechet_distance_col
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.where(F.col("user_id") < 10).select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    rlat, rlng = F.radians("lat"), F.radians("lng")
+    xyz = pts.select(
+        "user_id", "ts", "event_id",
+        F.struct(
+            (F.cos(rlng) * F.cos(rlat)).alias("x"),
+            (F.sin(rlng) * F.cos(rlat)).alias("y"),
+            F.sin(rlat).alias("z"),
+        ).alias("p"),
+    )
+    traj = xyz.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "p"))),
+            lambda s: s["p"],
+        ).alias("tr"),
+        F.count("*").alias("n_pts"),
+    )
+    a = traj.select(
+        F.col("user_id").alias("user_a"),
+        F.col("tr").alias("ta"),
+        F.col("n_pts").alias("pts_a"),
+    )
+    b = traj.select(
+        F.col("user_id").alias("user_b"),
+        F.col("tr").alias("tb"),
+        F.col("n_pts").alias("pts_b"),
+    )
+    pairs = a.join(b, F.col("user_a") < F.col("user_b"))
+    return pairs.select(
+        "user_a", "user_b", "pts_a", "pts_b",
+        F.round(
+            frechet_distance_col(F.col("ta"), F.col("tb")), 9
+        ).alias("frechet_rad"),
+    ).orderBy("user_a", "user_b")
+
+
+def _frechet_oracle_sql() -> str:
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        xyz AS (
+          SELECT user_id, ts, event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts0 WHERE user_id < 10
+        ),
+        traj AS (
+          SELECT user_id,
+                 list([x, y, z] ORDER BY ts, event_id) AS tr,
+                 count(*) AS n_pts
+          FROM xyz GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.tr AS ta, b.tr AS tb,
+                 a.n_pts AS pts_a, b.n_pts AS pts_b
+          FROM traj a JOIN traj b ON a.user_id < b.user_id
+        ),
+        dp AS (
+          SELECT user_a, user_b, pts_a, pts_b,
+                 list_reduce(
+                   list_concat(
+                     [list_concat([0.0],
+                        list_transform(tb, y -> 1.0e18))],
+                     ta),
+                   (R, xx) -> list_reduce(
+                     list_concat([[1.0e18]], tb),
+                     (N, yy) -> list_append(N,
+                       greatest(
+                         atan2(sqrt(
+                             (xx[2] * yy[3] - xx[3] * yy[2])
+                           * (xx[2] * yy[3] - xx[3] * yy[2])
+                           + (xx[3] * yy[1] - xx[1] * yy[3])
+                           * (xx[3] * yy[1] - xx[1] * yy[3])
+                           + (xx[1] * yy[2] - xx[2] * yy[1])
+                           * (xx[1] * yy[2] - xx[2] * yy[1])),
+                           xx[1] * yy[1] + xx[2] * yy[2]
+                           + xx[3] * yy[3]),
+                         least(R[len(N) + 1], R[len(N)], N[len(N)]))))
+                 ) AS row
+          FROM pairs
+        )
+        SELECT user_a, user_b, pts_a, pts_b,
+               round(row[len(row)], 9) AS frechet_rad
+        FROM dp ORDER BY user_a, user_b
+    """
+
+
+def _q_bearing_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of each user's leg bearings
+    (spark/spatialstats.py circular_fold): mean direction, mean
+    resultant length, circular variance — the directional-persistence
+    summary (commuters vs wanderers). The (C, S) resultant components
+    come from ONE ordered sequential fold per user, so the float sums
+    are bit-identical to the DuckDB list_reduce replay; everything
+    after is a fixed-order scalar expression."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import initial_bearing_rad
+    from gos2_spark.spark.spatialstats import circular_fold
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id", "ts", "event_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lng").over(w).alias("plng"),
+        "lat", "lng",
+    ).where(F.col("plat").isNotNull())
+    legs = legs.select(
+        "user_id", "ts", "event_id",
+        initial_bearing_rad(
+            F.col("plat"), F.col("plng"), F.col("lat"), F.col("lng")
+        ).alias("bearing"),
+    )
+    arrs = legs.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "bearing"))
+            ),
+            lambda s: s["bearing"],
+        ).alias("bs"),
+        F.count("*").alias("n_legs"),
+    )
+    c, s = circular_fold(F.col("bs"))
+    nd = F.col("n_legs").cast("double")
+    rbar = F.sqrt(c * c + s * s) / nd
+    return arrs.select(
+        "user_id",
+        "n_legs",
+        F.round(F.atan2(s, c), 9).alias("mean_dir_rad"),
+        F.round(rbar, 9).alias("r_bar"),
+        F.round(1.0 - rbar, 9).alias("circ_var"),
+    ).orderBy("user_id")
+
+
+def _circular_oracle_sql() -> str:
+    import math as _m
+
+    return f"""
+        WITH pts AS ({_EVENTS_LATLNG_SQL}),
+        lagged AS (
+          SELECT user_id, ts, event_id,
+                 lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+                 lat, lng
+          FROM pts
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b0 AS (
+          SELECT user_id, ts, event_id,
+                 atan2(
+                   sin(radians(lng) - radians(plng)) * cos(radians(lat)),
+                   cos(radians(plat)) * sin(radians(lat))
+                   - sin(radians(plat)) * cos(radians(lat))
+                     * cos(radians(lng) - radians(plng))) AS braw
+          FROM lagged WHERE plat IS NOT NULL
+        ),
+        b AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN braw < 0.0 THEN braw + {2.0 * _m.pi!r}
+                      ELSE braw END AS bearing
+          FROM b0
+        ),
+        arrs AS (
+          SELECT user_id,
+                 list_concat([[0.0, 0.0]],
+                             list([bearing, 0.0] ORDER BY ts, event_id))
+                   AS arr,
+                 count(*) AS n_legs
+          FROM b GROUP BY 1
+        ),
+        folded AS (
+          SELECT user_id, n_legs,
+                 list_reduce(arr, (acc, x) ->
+                   [acc[1] + cos(x[1]), acc[2] + sin(x[1])]) AS cs
+          FROM arrs
+        )
+        SELECT user_id, n_legs,
+               round(atan2(cs[2], cs[1]), 9) AS mean_dir_rad,
+               round(sqrt(cs[1] * cs[1] + cs[2] * cs[2])
+                     / CAST(n_legs AS DOUBLE), 9) AS r_bar,
+               round(1.0 - sqrt(cs[1] * cs[1] + cs[2] * cs[2])
+                     / CAST(n_legs AS DOUBLE), 9) AS circ_var
+        FROM folded ORDER BY user_id
+    """
+
+
+def _q_join_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-count statistics (binary BB/WW/BW spatial autocorrelation):
+    occupied level-5 cells marked Black when >= 2 points land in them,
+    counted over directed 4-edge-neighbor occupied pairs vs the
+    nonfree-sampling independence expectation E[BW] =
+    W * 2 nB nW / (n (n-1)). Every count is an exact BIGINT; the
+    expectation/ratio is one mirrored float expression."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_edge_neighbors
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell"))
+        .agg(F.count("*").alias("n"))
+        .select("cell", (F.col("n") >= 2).cast("long").alias("m"))
+    )
+    pairs = counts.select(
+        F.col("m").alias("mi"),
+        F.explode(s2_edge_neighbors(F.col("cell"))).alias("cj"),
+    ).join(
+        counts.select(F.col("cell").alias("cj"), F.col("m").alias("mj")),
+        "cj",
+    )
+    pj = pairs.agg(
+        F.count("*").alias("w_pairs"),
+        F.coalesce(F.sum(F.col("mi") * F.col("mj")), F.lit(0)).alias("jbb"),
+        F.coalesce(
+            F.sum((1 - F.col("mi")) * (1 - F.col("mj"))), F.lit(0)
+        ).alias("jww"),
+        F.coalesce(
+            F.sum(
+                F.col("mi") * (1 - F.col("mj"))
+                + (1 - F.col("mi")) * F.col("mj")
+            ),
+            F.lit(0),
+        ).alias("jbw"),
+    )
+    cs = counts.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("m").alias("n_black"),
+    )
+    j = cs.crossJoin(F.broadcast(pj))
+    nb = F.col("n_black").cast("double")
+    nw = (F.col("n_cells") - F.col("n_black")).cast("double")
+    nd = F.col("n_cells").cast("double")
+    ebw = (
+        F.col("w_pairs").cast("double")
+        * (2.0 * nb * nw)
+        / (nd * (nd - 1.0))
+    )
+    return j.select(
+        "n_cells", "n_black", "w_pairs", "jbb", "jww", "jbw",
+        F.round(ebw, 9).alias("expected_bw"),
+        F.round(
+            F.when(ebw > 0.0, F.col("jbw").cast("double") / ebw).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        ).alias("bw_ratio"),
+    )
+
+
+def _join_count_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (
+          SELECT {tok} AS token,
+                 CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS m
+          FROM cells GROUP BY 1
+        ),
+        pj AS (
+          SELECT count(*) AS w_pairs,
+                 CAST(COALESCE(sum(c1.m * c2.m), 0) AS BIGINT) AS jbb,
+                 CAST(COALESCE(sum((1 - c1.m) * (1 - c2.m)), 0)
+                      AS BIGINT) AS jww,
+                 CAST(COALESCE(sum(c1.m * (1 - c2.m) + (1 - c1.m) * c2.m),
+                      0) AS BIGINT) AS jbw
+          FROM pairs p
+          JOIN cnt c1 ON c1.token = p.token
+          JOIN cnt c2 ON c2.token = p.nbr_token
+        ),
+        cs AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(m) AS BIGINT) AS n_black
+          FROM cnt
+        ),
+        f AS (
+          SELECT *,
+                 CAST(w_pairs AS DOUBLE)
+                 * (2.0 * CAST(n_black AS DOUBLE)
+                    * CAST(n_cells - n_black AS DOUBLE))
+                 / (CAST(n_cells AS DOUBLE)
+                    * (CAST(n_cells AS DOUBLE) - 1.0)) AS ebw
+          FROM cs, pj
+        )
+        SELECT n_cells, n_black, w_pairs, jbb, jww, jbw,
+               round(ebw, 9) AS expected_bw,
+               round(CASE WHEN ebw > 0.0 THEN CAST(jbw AS DOUBLE) / ebw
+                     ELSE 0.0 END, 9) AS bw_ratio
+        FROM f
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -8115,6 +8529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_spacetime": _q_knox_spacetime,
         "adamic_adar_links": _q_adamic_adar,
         "acf_daily_counts": _q_acf_daily,
+        "dtw_daily_counts": _q_dtw_daily_counts,
+        "frechet_traj_pairs": _q_frechet_pairs,
+        "bearing_circular_stats": _q_bearing_circular_stats,
+        "join_count_stats": _q_join_count_stats,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -11478,4 +11896,8 @@ def oracle_sql() -> dict[str, str]:
         "knox_spacetime": _knox_oracle_sql(),
         "adamic_adar_links": _adamic_adar_oracle_sql(),
         "acf_daily_counts": _acf_oracle_sql(),
+        "dtw_daily_counts": _dtw_oracle_sql(),
+        "frechet_traj_pairs": _frechet_oracle_sql(),
+        "bearing_circular_stats": _circular_oracle_sql(),
+        "join_count_stats": _join_count_oracle_sql(),
     }

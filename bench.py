@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "knox_spacetime",
     "adamic_adar_links",
     "acf_daily_counts",
+    "dtw_daily_counts",
+    "frechet_traj_pairs",
+    "bearing_circular_stats",
+    "join_count_stats",
 ]
 
 

@@ -600,3 +600,25 @@ def mann_kendall(
             trend.alias("trend"),
         )
     )
+
+
+def circular_fold(bearings) -> tuple:
+    """(C, S) resultant-vector components of an ORDERED array<double> of
+    angles via one sequential left fold (init [0,0] — 0.0 + x == x in
+    IEEE, so the association equals DuckDB's list_reduce over the same
+    ordered list: bit-identical cross-engine). Returns (C, S) Columns;
+    callers derive mean direction atan2(S, C), mean resultant length
+    sqrt(C^2+S^2)/n, and circular variance 1 - Rbar.
+
+    Scale shape: the fold runs inside codegen per key after ONE keyed
+    collect — the same monster-key caveat as the EWMA fold applies
+    (bearing counts per key are bounded by per-user leg counts)."""
+    st = F.aggregate(
+        bearings,
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, b: F.array(
+            F.element_at(acc, 1) + F.cos(b),
+            F.element_at(acc, 2) + F.sin(b),
+        ),
+    )
+    return F.element_at(st, 1), F.element_at(st, 2)

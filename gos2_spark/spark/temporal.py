@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "colocation_join", "cotravel_pairs"]
+__all__ = [
+    "asof_join", "interval_join", "colocation_join", "cotravel_pairs",
+    "knox_spacetime", "acf_counts", "dtw_distance_col",
+]
 
 
 def asof_join(
@@ -439,3 +442,42 @@ def acf_counts(
     ).select(
         key_col, "n_obs", F.col("_r.lag").alias("lag"), F.col("_r.acf").alias("acf")
     )
+
+
+def dtw_distance_col(a: Column, b: Column) -> Column:
+    """Dynamic-time-warping distance between two integer-valued ordered
+    series held as array<long> columns, |x - y| local cost — the
+    alignment-tolerant series similarity (compare daily-count shapes
+    that are shifted/stretched in time).
+
+        D(i,j) = |a_i - b_j| + min(D(i-1,j), D(i-1,j-1), D(i,j-1))
+
+    as a nested Catalyst fold (outer walks a carrying the previous DP
+    row; inner builds the next row left-to-right — each cell needs its
+    left neighbor). The 1e18 pad plays -inf-free sentinel; costs are
+    |int - int| cast to double, additions in one fixed order — the
+    DuckDB list_reduce replay is bit-identical. O(m*n) arithmetic per
+    pair inside codegen, no shuffle, no Python.
+    """
+    big = F.lit(1.0e18)
+    init = F.concat(F.array(F.lit(0.0)), F.transform(b, lambda _: big))
+    dp = F.aggregate(
+        a,
+        init,
+        lambda R, x: F.aggregate(
+            b,
+            F.array(big),
+            lambda N, y: F.concat(
+                N,
+                F.array(
+                    F.abs(x.cast("double") - y.cast("double"))
+                    + F.least(
+                        F.element_at(R, F.size(N) + 1),
+                        F.element_at(R, F.size(N)),
+                        F.element_at(N, F.size(N)),
+                    )
+                ),
+            ),
+        ),
+    )
+    return F.element_at(dp, -1)

@@ -275,3 +275,60 @@ def simplify_trajectories(
     slots = points.sparkSession.sparkContext.defaultParallelism
     pinned = points.repartition(slots, F.col(key_col))
     return pinned.groupBy(key_col).applyInPandas(fn, schema=out_schema)
+
+
+def frechet_distance_col(xyz_a: Column, xyz_b: Column) -> Column:
+    """Discrete Frechet distance between two ordered point sequences
+    held as array<struct<x,y,z>> columns (unit xyz) — the classic
+    order-aware trajectory similarity (Hausdorff ignores ordering; the
+    'dog leash' distance does not).
+
+        D(i,j) = max(d(a_i, b_j), min(D(i-1,j), D(i-1,j-1), D(i,j-1)))
+
+    evaluated as a NESTED higher-order fold entirely in Catalyst: the
+    outer aggregate walks a's points carrying the previous DP row
+    (array<double>, padded with a 1e18 sentinel — no IEEE Inf so the
+    DuckDB oracle parses the same literal), the inner aggregate builds
+    the next row left-to-right (each cell needs its left neighbor, so
+    transform() can't express it). d is the reference's angle distance
+    atan2(|a x b|, a . b) (r3/vector.go:96-98), computed identically on
+    both engines — the result is bit-identical cross-engine.
+
+    Cost is O(m*n) arithmetic per pair INSIDE codegen (no shuffle, no
+    Python); callers bound the candidate pairs exactly like
+    trajectory_hausdorff (covering-cell overlap prefilter at scale).
+    """
+    big = F.lit(1.0e18)
+
+    def _cell(R, N, xa, yb):
+        cross_x = xa["y"] * yb["z"] - xa["z"] * yb["y"]
+        cross_y = xa["z"] * yb["x"] - xa["x"] * yb["z"]
+        cross_z = xa["x"] * yb["y"] - xa["y"] * yb["x"]
+        d = F.atan2(
+            F.sqrt(
+                cross_x * cross_x + cross_y * cross_y + cross_z * cross_z
+            ),
+            xa["x"] * yb["x"] + xa["y"] * yb["y"] + xa["z"] * yb["z"],
+        )
+        return F.greatest(
+            d,
+            F.least(
+                F.element_at(R, F.size(N) + 1),
+                F.element_at(R, F.size(N)),
+                F.element_at(N, F.size(N)),
+            ),
+        )
+
+    init = F.concat(
+        F.array(F.lit(0.0)), F.transform(xyz_b, lambda _: big)
+    )
+    dp = F.aggregate(
+        xyz_a,
+        init,
+        lambda R, xa: F.aggregate(
+            xyz_b,
+            F.array(big),
+            lambda N, yb: F.concat(N, F.array(_cell(R, N, xa, yb))),
+        ),
+    )
+    return F.element_at(dp, -1)
