@@ -361,3 +361,27 @@ def test_round4c_bounded_exchanges(spark, name, max_exchanges):
     plan = _plan(spark, name)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= max_exchanges, (name, n, plan[:1200])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dtw_daily_counts",
+        "frechet_traj_pairs",
+        "bearing_circular_stats",
+        "join_count_stats",
+    ],
+)
+def test_round4d_queries_no_python_beyond_kernels(spark, name):
+    """The nested-fold DP batch runs its O(m*n) dynamic programs INSIDE
+    codegen (higher-order aggregate expressions) — zero Python stages
+    beyond the engine's topology kernel in join_count_stats; the pair
+    joins are cohort-bounded equi/θ-joins over pre-aggregated
+    SERIES/TRAJECTORY tables (5 types / 10 users), not row-level
+    cartesians, so a BroadcastNestedLoopJoin over those tiny aggregates
+    is acceptable — but never over the raw event table."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_edge_neighbors"}, (name, arrows)
