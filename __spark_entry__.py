@@ -8438,6 +8438,249 @@ def _join_count_oracle_sql() -> str:
     """
 
 
+def _q_hex_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1-ring focal mean over the hex density grid
+    (spark/hexgrid.py hex_kring_smooth): the H3-kRing-style smoother on
+    the axial hex topology — pure integer neighbor arithmetic, no
+    projection wrap cases. Ring sums/counts are exact BIGINTs over
+    occupied cells; the mean is one division. One bounded 7x explode +
+    one equi-join + keyed agg."""
+    from gos2_spark.spark.hexgrid import hex_kring_smooth, hexbin_counts
+
+    pts = _cust_points(spark, sf_dir)
+    counts = hexbin_counts(pts, size=0.35)
+    out = hex_kring_smooth(counts)
+    return out.select(
+        "hq", "hr", "n", "ring_cells", "ring_sum",
+        F.round("smooth", 9).alias("smooth"),
+    ).orderBy("hq", "hr")
+
+
+def _hex_kring_oracle_sql(size: float = 0.35) -> str:
+    from gos2_spark.spark.hexgrid import _HEX_DIRS, hex_axial_sql
+
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in [(0, 0), *_HEX_DIRS])
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        h AS ({hex_axial_sql(size)} FROM pts),
+        cnt AS (
+          SELECT hq, hr, CAST(count(*) AS BIGINT) AS n
+          FROM h GROUP BY 1, 2
+        ),
+        offs(dq, dr) AS (VALUES {offs}),
+        ring AS (
+          SELECT c.hq, c.hr,
+                 count(*) AS ring_cells,
+                 CAST(sum(o2.n) AS BIGINT) AS ring_sum
+          FROM cnt c
+          CROSS JOIN offs
+          JOIN cnt o2 ON o2.hq = c.hq + offs.dq AND o2.hr = c.hr + offs.dr
+          GROUP BY 1, 2
+        )
+        SELECT c.hq, c.hr, c.n, r.ring_cells, r.ring_sum,
+               round(CAST(r.ring_sum AS DOUBLE)
+                     / CAST(r.ring_cells AS DOUBLE), 9) AS smooth
+        FROM cnt c JOIN ring r ON r.hq = c.hq AND r.hr = c.hr
+        ORDER BY c.hq, c.hr
+    """
+
+
+def _q_hex_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steepest-descent flow direction over a synthetic hex elevation
+    field (spark/hexgrid.py hex_flow_directions) — the D8 hydrology
+    kernel on the hex (D6) grid: every occupied cell flows to its lowest
+    strictly-lower occupied neighbor, local minima are sinks. Elevation
+    is deterministic integer hash arithmetic of (hq, hr); every
+    comparison is BIGINT, the argmin tie-break is (elev, direction
+    index) — exact cross-engine."""
+    from gos2_spark.spark.hexgrid import hex_flow_directions, hexbin_counts
+
+    pts = _cust_points(spark, sf_dir)
+    cells = hexbin_counts(pts, size=0.35).select("hq", "hr")
+    elev = (
+        (F.col("hq") * 1103515245 + F.col("hr") * 12345) % 10007 + 10007
+    ) % 10007
+    out = hex_flow_directions(cells.withColumn("elev", elev))
+    return out.orderBy("hq", "hr")
+
+
+def _hex_flow_oracle_sql(size: float = 0.35) -> str:
+    from gos2_spark.spark.hexgrid import _HEX_DIRS, hex_axial_sql
+
+    dirs = ", ".join(f"({d}, {dq}, {dr})" for d, (dq, dr) in enumerate(_HEX_DIRS))
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        h AS ({hex_axial_sql(size)} FROM pts),
+        cells AS (
+          SELECT hq, hr,
+                 ((hq * 1103515245 + hr * 12345) % 10007 + 10007) % 10007
+                   AS elev
+          FROM h GROUP BY 1, 2
+        ),
+        dirs(d, dq, dr) AS (VALUES {dirs}),
+        lower_nb AS (
+          SELECT c.hq, c.hr, dirs.d, o.elev AS ne
+          FROM cells c
+          CROSS JOIN dirs
+          JOIN cells o ON o.hq = c.hq + dirs.dq AND o.hr = c.hr + dirs.dr
+          WHERE o.elev < c.elev
+        ),
+        best AS (
+          SELECT hq, hr, d FROM (
+            SELECT hq, hr, d,
+                   row_number() OVER (
+                     PARTITION BY hq, hr ORDER BY ne, d) AS rn
+            FROM lower_nb
+          ) t WHERE rn = 1
+        )
+        SELECT c.hq, c.hr, c.elev,
+               CAST(COALESCE(b.d, -1) AS INT) AS flow_dir,
+               b.d IS NULL AS is_sink
+        FROM cells c LEFT JOIN best b ON b.hq = c.hq AND b.hr = c.hr
+        ORDER BY c.hq, c.hr
+    """
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML ingestion (the crawl-frontier feeder): synthetic
+    sitemap documents are parsed with native regexp_extract_all (<loc>
+    entries), URLs explode to (host, path), and the per-host rollup
+    reports URL counts, distinct paths, and the latest lastmod day
+    (derived from the path id, so no array zip is needed). Pure JVM
+    regex + one agg; RE2-compatible pattern shared with the oracle."""
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 20).cast("string")
+    m1 = (d % 125).cast("string")
+    m2 = ((d * 3) % 125).cast("string")
+    m3 = ((d * 7 + 1) % 125).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url><loc>https://site"), k, F.lit(".example/p/"), m1,
+        F.lit("</loc></url>"),
+        F.lit("<url><loc>https://site"), k, F.lit(".example/q/"), m2,
+        F.lit("</loc></url>"),
+        F.lit("<url><loc>https://site"), k, F.lit(".example/p/"), m3,
+        F.lit("</loc></url>"),
+        F.lit("</urlset>"),
+    )
+    pages = docs.select(xml.alias("xml"))
+    locs = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]+)</loc>"), 1)
+        ).alias("loc")
+    )
+    parsed = locs.select(
+        F.regexp_extract(F.col("loc"), r"https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(F.col("loc"), r"/([0-9]+)$", 1)
+        .cast("long")
+        .alias("page_id"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("page_id").alias("n_distinct_pages"),
+            ((F.max("page_id") % 28) + 1).alias("latest_day"),
+        )
+        .orderBy("host")
+    )
+
+
+def _sitemap_oracle_sql() -> str:
+    return """
+        WITH docs AS (
+          SELECT doc_id,
+                 '<?xml version="1.0"?><urlset>'
+                 || '<url><loc>https://site' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/p/' || CAST(doc_id % 125 AS VARCHAR)
+                 || '</loc></url>'
+                 || '<url><loc>https://site' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/q/' || CAST((doc_id * 3) % 125 AS VARCHAR)
+                 || '</loc></url>'
+                 || '<url><loc>https://site' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example/p/' || CAST((doc_id * 7 + 1) % 125 AS VARCHAR)
+                 || '</loc></url>'
+                 || '</urlset>' AS xml
+          FROM documents
+        ),
+        locs AS (
+          SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1))
+            AS loc
+          FROM docs
+        ),
+        parsed AS (
+          SELECT regexp_extract(loc, 'https://([^/]+)/', 1) AS host,
+                 CAST(regexp_extract(loc, '/([0-9]+)$', 1) AS BIGINT)
+                   AS page_id
+          FROM locs
+        )
+        SELECT host,
+               count(*) AS n_urls,
+               count(DISTINCT page_id) AS n_distinct_pages,
+               (max(page_id) % 28) + 1 AS latest_day
+        FROM parsed GROUP BY host ORDER BY host
+    """
+
+
+def _q_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-profile uniformity test per event type: chi-square
+    statistic against the uniform 7-day expectation in the zero-fill-free
+    closed form chi2 = 7 * sum(O_d^2) / n - n (algebraically equal to
+    sum over ALL 7 days of (O-E)^2/E with E = n/7, so missing weekdays
+    need no spine). Weekday is pure integer arithmetic on the epoch day
+    ((day + 4) mod 7; 1970-01-01 was a Thursday) — no engine calendar
+    functions, no timezone exposure. Two map-side-combined aggs."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = F.floor(us / 86_400_000_000).cast("long")
+    dow = (day + 4) % 7
+    byd = (
+        ev.select("event_type", dow.alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("o"))
+    )
+    per = byd.groupBy("event_type").agg(
+        F.sum("o").alias("n"),
+        F.sum(F.col("o") * F.col("o")).alias("ssq"),
+        F.count("*").alias("days_present"),
+    )
+    chi2 = (
+        7.0 * F.col("ssq").cast("double") / F.col("n").cast("double")
+        - F.col("n").cast("double")
+    )
+    return per.select(
+        "event_type", "n", "days_present",
+        F.round(chi2, 9).alias("chi2"),
+    ).orderBy("event_type")
+
+
+def _weekday_chisq_oracle_sql() -> str:
+    return """
+        WITH byd AS (
+          SELECT event_type,
+                 (CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) + 4) % 7 AS dow,
+                 count(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT event_type,
+                 CAST(sum(o) AS BIGINT) AS n,
+                 CAST(sum(o * o) AS BIGINT) AS ssq,
+                 count(*) AS days_present
+          FROM byd GROUP BY 1
+        )
+        SELECT event_type, n, days_present,
+               round(7.0 * CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE), 9) AS chi2
+        FROM per ORDER BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -8533,6 +8776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_traj_pairs": _q_frechet_pairs,
         "bearing_circular_stats": _q_bearing_circular_stats,
         "join_count_stats": _q_join_count_stats,
+        "hex_kring_smooth": _q_hex_kring_smooth,
+        "hex_flow_directions": _q_hex_flow_dir,
+        "sitemap_urls": _q_sitemap_urls,
+        "weekday_chisq": _q_weekday_chisq,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -11900,4 +12147,8 @@ def oracle_sql() -> dict[str, str]:
         "frechet_traj_pairs": _frechet_oracle_sql(),
         "bearing_circular_stats": _circular_oracle_sql(),
         "join_count_stats": _join_count_oracle_sql(),
+        "hex_kring_smooth": _hex_kring_oracle_sql(),
+        "hex_flow_directions": _hex_flow_oracle_sql(),
+        "sitemap_urls": _sitemap_oracle_sql(),
+        "weekday_chisq": _weekday_chisq_oracle_sql(),
     }

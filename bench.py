@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "frechet_traj_pairs",
     "bearing_circular_stats",
     "join_count_stats",
+    "hex_kring_smooth",
+    "hex_flow_directions",
+    "sitemap_urls",
+    "weekday_chisq",
 ]
 
 

@@ -107,3 +107,112 @@ def hex_axial_sql(size: float, lat_expr: str = "lat", lng_expr: str = "lng") -> 
                ELSE -floor(({qf}) + 0.5)
                     - floor((-({qf}) - ({rf})) + 0.5) END AS BIGINT) AS hr
     """
+
+
+_HEX_DIRS = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+
+
+def hex_kring_smooth(counts: DataFrame) -> DataFrame:
+    """Focal (k=1 ring) mean smoothing over an occupied-hex count table
+    (hq, hr, n) — the hex-grid density smoother (H3 kRing analogue; the
+    axial neighbor topology is pure integer arithmetic, no projection
+    wrap cases). Occupied-only semantics: the mean divides by the number
+    of OCCUPIED cells in the ring, self included.
+
+    Exactness: ring sums/counts are exact BIGINTs; the mean is one
+    division. Scale shape: one bounded 7x explode + one co-partitioned
+    equi-join + keyed agg — the same envelope as the S2 edge-neighbor
+    statistics."""
+    offs = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in [(0, 0), *_HEX_DIRS]
+        ]
+    )
+    probe = counts.select(
+        F.col("hq").alias("_hq"),
+        F.col("hr").alias("_hr"),
+        F.explode(offs).alias("_o"),
+    ).select(
+        "_hq",
+        "_hr",
+        (F.col("_hq") + F.col("_o.dq")).alias("_nq"),
+        (F.col("_hr") + F.col("_o.dr")).alias("_nr"),
+    )
+    occ = counts.select(
+        F.col("hq").alias("_nq"),
+        F.col("hr").alias("_nr"),
+        F.col("n").alias("_nn"),
+    )
+    ring = (
+        probe.join(occ, ["_nq", "_nr"])
+        .groupBy("_hq", "_hr")
+        .agg(
+            F.count("*").alias("ring_cells"),
+            F.sum("_nn").alias("ring_sum"),
+        )
+    )
+    return counts.join(
+        ring,
+        (counts["hq"] == ring["_hq"]) & (counts["hr"] == ring["_hr"]),
+    ).select(
+        "hq",
+        "hr",
+        "n",
+        "ring_cells",
+        "ring_sum",
+        (
+            F.col("ring_sum").cast("double")
+            / F.col("ring_cells").cast("double")
+        ).alias("smooth"),
+    )
+
+
+def hex_flow_directions(cells: DataFrame, elev_col: str = "elev") -> DataFrame:
+    """Steepest-descent flow direction over a hex elevation field — the
+    D8 hydrology kernel on the hex grid (D6): each occupied cell flows
+    to its lowest STRICTLY-lower occupied axial neighbor; cells with no
+    lower neighbor are sinks (local minima / basin seeds).
+
+    Input: (hq, hr, elev_col) with integer elevations. Deterministic
+    tie-break: lowest elevation first, then smallest direction index
+    (directions 0-5 in axial order E, NE, NW, W, SW, SE). All
+    comparisons are BIGINT — exact cross-engine.
+
+    Output: (hq, hr, elev, flow_dir [-1 = sink], is_sink)."""
+    probes = []
+    for d, (dq, dr) in enumerate(_HEX_DIRS):
+        probes.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.col("hq") + F.lit(dq)).alias("nq"),
+                (F.col("hr") + F.lit(dr)).alias("nr"),
+            )
+        )
+    probe = cells.select(
+        "hq", "hr", F.col(elev_col).alias("_e"),
+        F.explode(F.array(*probes)).alias("_p"),
+    ).select(
+        "hq", "hr", "_e",
+        F.col("_p.d").alias("_d"),
+        F.col("_p.nq").alias("_nq"),
+        F.col("_p.nr").alias("_nr"),
+    )
+    occ = cells.select(
+        F.col("hq").alias("_nq"),
+        F.col("hr").alias("_nr"),
+        F.col(elev_col).alias("_ne"),
+    )
+    lower = probe.join(occ, ["_nq", "_nr"]).where(F.col("_ne") < F.col("_e"))
+    best = lower.groupBy("hq", "hr").agg(
+        F.min(F.struct(F.col("_ne").alias("e"), F.col("_d").alias("d"))).alias(
+            "_best"
+        )
+    )
+    return cells.join(best, ["hq", "hr"], "left").select(
+        "hq",
+        "hr",
+        F.col(elev_col).alias("elev"),
+        F.coalesce(F.col("_best.d"), F.lit(-1)).cast("int").alias("flow_dir"),
+        F.col("_best").isNull().alias("is_sink"),
+    )

@@ -385,3 +385,21 @@ def test_round4d_queries_no_python_beyond_kernels(spark, name):
     assert "FlatMapGroupsInPandas" not in plan, name
     arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
     assert arrows <= {"s2_edge_neighbors"}, (name, arrows)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hex_kring_smooth",
+        "hex_flow_directions",
+        "sitemap_urls",
+        "weekday_chisq",
+    ],
+)
+def test_round4e_queries_pure_catalyst(spark, name):
+    """Hex-topology statistics, sitemap regex ingestion, and the weekday
+    chi-square are pure JVM column algebra + joins/aggs: zero Python."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
