@@ -8681,6 +8681,288 @@ def _weekday_chisq_oracle_sql() -> str:
     """
 
 
+def _q_lcss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCSS trajectory similarity for users 0-9 (spark/trajectory.py
+    lcss_length_col): longest common subsequence under an eps = 0.05 rad
+    spatial match — the noise-robust member of the trajectory-similarity
+    family (outliers fail to match instead of dominating, unlike
+    Frechet/Hausdorff). Integer DP as the same nested Catalyst fold;
+    match predicate is the identical atan2 angle on both engines.
+    similarity = L / min(m, n)."""
+    from gos2_spark.spark.trajectory import lcss_length_col
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.where(F.col("user_id") < 10).select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    rlat, rlng = F.radians("lat"), F.radians("lng")
+    xyz = pts.select(
+        "user_id", "ts", "event_id",
+        F.struct(
+            (F.cos(rlng) * F.cos(rlat)).alias("x"),
+            (F.sin(rlng) * F.cos(rlat)).alias("y"),
+            F.sin(rlat).alias("z"),
+        ).alias("p"),
+    )
+    traj = xyz.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "p"))),
+            lambda s: s["p"],
+        ).alias("tr"),
+        F.count("*").alias("n_pts"),
+    )
+    a = traj.select(
+        F.col("user_id").alias("user_a"),
+        F.col("tr").alias("ta"),
+        F.col("n_pts").alias("pts_a"),
+    )
+    b = traj.select(
+        F.col("user_id").alias("user_b"),
+        F.col("tr").alias("tb"),
+        F.col("n_pts").alias("pts_b"),
+    )
+    pairs = a.join(b, F.col("user_a") < F.col("user_b"))
+    lcss = lcss_length_col(F.col("ta"), F.col("tb"), eps_rad=0.05)
+    return pairs.select(
+        "user_a", "user_b", "pts_a", "pts_b",
+        lcss.alias("lcss_len"),
+        F.round(
+            lcss.cast("double")
+            / F.least(F.col("pts_a"), F.col("pts_b")).cast("double"),
+            9,
+        ).alias("lcss_sim"),
+    ).orderBy("user_a", "user_b")
+
+
+def _lcss_oracle_sql(eps_rad: float = 0.05) -> str:
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        xyz AS (
+          SELECT user_id, ts, event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts0 WHERE user_id < 10
+        ),
+        traj AS (
+          SELECT user_id,
+                 list([x, y, z] ORDER BY ts, event_id) AS tr,
+                 count(*) AS n_pts
+          FROM xyz GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.tr AS ta, b.tr AS tb,
+                 a.n_pts AS pts_a, b.n_pts AS pts_b
+          FROM traj a JOIN traj b ON a.user_id < b.user_id
+        ),
+        dp AS (
+          SELECT user_a, user_b, pts_a, pts_b,
+                 list_reduce(
+                   list_concat(
+                     [list_concat([0.0],
+                        list_transform(tb, y -> 0.0))],
+                     ta),
+                   (R, xx) -> list_reduce(
+                     list_concat([[0.0]], tb),
+                     (N, yy) -> list_append(N,
+                       CASE WHEN
+                         atan2(sqrt(
+                             (xx[2] * yy[3] - xx[3] * yy[2])
+                           * (xx[2] * yy[3] - xx[3] * yy[2])
+                           + (xx[3] * yy[1] - xx[1] * yy[3])
+                           * (xx[3] * yy[1] - xx[1] * yy[3])
+                           + (xx[1] * yy[2] - xx[2] * yy[1])
+                           * (xx[1] * yy[2] - xx[2] * yy[1])),
+                           xx[1] * yy[1] + xx[2] * yy[2]
+                           + xx[3] * yy[3]) <= {eps_rad!r}
+                       THEN R[len(N)] + 1.0
+                       ELSE greatest(R[len(N) + 1], N[len(N)]) END))
+                 ) AS row
+          FROM pairs
+        )
+        SELECT user_a, user_b, pts_a, pts_b,
+               CAST(row[len(row)] AS BIGINT) AS lcss_len,
+               round(row[len(row)]
+                     / CAST(least(pts_a, pts_b) AS DOUBLE), 9) AS lcss_sim
+        FROM dp ORDER BY user_a, user_b
+    """
+
+
+def _q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between every pair of event types'
+    daily-count series (paired on shared days): concordant-minus-
+    discordant pairwise signs with tie-corrected denominators — the
+    robust 'do these move together' screen. S, n0, and both tie terms
+    are exact BIGINTs from an in-pair day self-join; tau is one mirrored
+    float expression."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("n").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("n").alias("y"),
+    )
+    paired = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    p1 = paired.select(
+        "type_a", "type_b", F.col("day").alias("d1"),
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    p2 = paired.select(
+        "type_a", "type_b", F.col("day").alias("d2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    dd = p1.join(p2, ["type_a", "type_b"]).where(F.col("d1") < F.col("d2"))
+    sgn = lambda c: F.signum(c.cast("double")).cast("long")  # noqa: E731
+    agg = dd.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            sgn(F.col("x2") - F.col("x1")) * sgn(F.col("y2") - F.col("y1"))
+        ).alias("s_stat"),
+        F.sum(
+            F.when(F.col("x1") == F.col("x2"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("tx"),
+        F.sum(
+            F.when(F.col("y1") == F.col("y2"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("ty"),
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    tau = F.when(
+        den > 0.0, F.col("s_stat").cast("double") / den
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "type_a", "type_b", "n0", "s_stat", "tx", "ty",
+        F.round(tau, 9).alias("tau_b"),
+    ).orderBy("type_a", "type_b")
+
+
+def _kendall_oracle_sql() -> str:
+    return """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        paired AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.day, a.n AS x, b.n AS y
+          FROM daily a JOIN daily b
+            ON a.day = b.day AND a.event_type < b.event_type
+        ),
+        dd AS (
+          SELECT p1.type_a, p1.type_b,
+                 p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+          FROM paired p1 JOIN paired p2
+            ON p1.type_a = p2.type_a AND p1.type_b = p2.type_b
+           AND p1.day < p2.day
+        ),
+        agg AS (
+          SELECT type_a, type_b,
+                 count(*) AS n0,
+                 CAST(sum(sign(x2 - x1) * sign(y2 - y1)) AS BIGINT)
+                   AS s_stat,
+                 CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tx,
+                 CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ty
+          FROM dd GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n0, s_stat, tx, ty,
+               round(CASE WHEN sqrt(CAST(n0 - tx AS DOUBLE)
+                                    * CAST(n0 - ty AS DOUBLE)) > 0.0
+                     THEN CAST(s_stat AS DOUBLE)
+                          / sqrt(CAST(n0 - tx AS DOUBLE)
+                                 * CAST(n0 - ty AS DOUBLE))
+                     ELSE 0.0 END, 9) AS tau_b
+        FROM agg ORDER BY type_a, type_b
+    """
+
+
+def _q_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed node 0 over the synthetic
+    customer-key domain graph (pipeline/graph.py personalized_pagerank):
+    teleport AND dangling mass concentrate on the seed — 'importance
+    relative to this host'. 3 fixed iterations, unrolled-CTE oracle."""
+    from gos2_spark.pipeline.graph import personalized_pagerank
+
+    c = _load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 64).alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 64).alias("dst"),
+    )
+    ranks = personalized_pagerank(edges, seed=0, iterations=3, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 9).alias("rank")
+    ).orderBy("node")
+
+
+def _ppr_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d = damping
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 7 + 3) % 64 AS dst
+          FROM customer
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        w AS (
+          SELECT e.src, e.dst, CAST(1 AS DOUBLE) / deg.out_deg AS w
+          FROM e JOIN deg USING (src)
+        ),
+        r0 AS (SELECT node,
+                      CASE WHEN node = 0 THEN 1.0 ELSE 0.0 END AS rank
+               FROM nodes)
+    """
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        c{i} AS (
+          SELECT w.dst, sum({prev}.rank * w.w) AS contrib
+          FROM w JOIN {prev} ON w.src = {prev}.node GROUP BY 1
+        ),
+        f{i} AS (SELECT sum(contrib) AS flowed FROM c{i}),
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - {d}) * (CASE WHEN nodes.node = 0
+                                THEN 1.0 ELSE 0.0 END)
+                   + {d} * (1.0 - coalesce(f{i}.flowed, 0.0))
+                     * (CASE WHEN nodes.node = 0 THEN 1.0 ELSE 0.0 END)
+                   + {d} * coalesce(c{i}.contrib, 0.0) AS rank
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, f{i}
+        )
+    """
+        prev = f"r{i}"
+    sql += f"""
+        SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
+    """
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -8780,6 +9062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_flow_directions": _q_hex_flow_dir,
         "sitemap_urls": _q_sitemap_urls,
         "weekday_chisq": _q_weekday_chisq,
+        "lcss_traj_pairs": _q_lcss_pairs,
+        "kendall_tau_types": _q_kendall_tau,
+        "ppr_seed_host": _q_ppr_seed,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -12151,4 +12436,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_flow_directions": _hex_flow_oracle_sql(),
         "sitemap_urls": _sitemap_oracle_sql(),
         "weekday_chisq": _weekday_chisq_oracle_sql(),
+        "lcss_traj_pairs": _lcss_oracle_sql(),
+        "kendall_tau_types": _kendall_oracle_sql(),
+        "ppr_seed_host": _ppr_oracle_sql(),
     }

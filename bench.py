@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "hex_flow_directions",
     "sitemap_urls",
     "weekday_chisq",
+    "lcss_traj_pairs",
+    "kendall_tau_types",
+    "ppr_seed_host",
 ]
 
 

@@ -949,3 +949,67 @@ def adamic_adar(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).where(F.col("u") < F.col("v"))
     return scored.join(existing, ["u", "v"], "left_anti")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize=None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector (and the dangling
+    mass) concentrates on ``seed`` instead of spreading uniformly — the
+    'importance relative to THIS host' ranking behind related-site and
+    crawl-prioritization queries.
+
+        r'(v) = (1-d) * [v == seed] + d * (sum_in contribs
+                                           + dangling * [v == seed])
+
+    Same plan shape as ``pagerank`` (one weighted edge table reused
+    across iterations, per-iteration materialize, dangling mass folded
+    in as a broadcast 1-row aggregate — no driver collect)."""
+    if materialize is None:
+        materialize = _default_materialize(edges.sparkSession)
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = materialize(nodes)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    weighted = edges.join(out_deg, "src").select(
+        "src", "dst", (1.0 / F.col("out_deg")).alias("w")
+    )
+    weighted = materialize(weighted)
+
+    is_seed = (F.col("node") == F.lit(seed)).cast("double")
+    ranks = nodes.withColumn("rank", is_seed)
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        total = contrib.agg(F.sum("contrib").alias("_flowed"))
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * is_seed
+                    + F.lit(damping)
+                    * (F.lit(1.0) - F.coalesce(F.col("_flowed"), F.lit(0.0)))
+                    * is_seed
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = materialize(ranks)
+    return ranks

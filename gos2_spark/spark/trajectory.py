@@ -332,3 +332,54 @@ def frechet_distance_col(xyz_a: Column, xyz_b: Column) -> Column:
         ),
     )
     return F.element_at(dp, -1)
+
+
+def lcss_length_col(xyz_a: Column, xyz_b: Column, eps_rad: float) -> Column:
+    """Longest-common-subsequence length between two ordered point
+    sequences (array<struct<x,y,z>> unit xyz), where points 'match' when
+    their angle distance is <= ``eps_rad`` — the noise-robust member of
+    the trajectory-similarity family (Hausdorff / Frechet / DTW / LCSS):
+    outliers simply fail to match instead of dominating the score.
+
+        L(i,j) = L(i-1,j-1) + 1            if d(a_i, b_j) <= eps
+                 max(L(i-1,j), L(i,j-1))   otherwise
+
+    Same nested-fold DP shape as frechet_distance_col; the DP values are
+    exact small integers carried as doubles, and the match predicate
+    compares the identical atan2 angle on both engines — bit-identical
+    cross-engine. O(m*n) inside codegen; callers bound candidate pairs.
+    """
+    eps = F.lit(float(eps_rad))
+
+    def _cell(R, N, xa, yb):
+        cross_x = xa["y"] * yb["z"] - xa["z"] * yb["y"]
+        cross_y = xa["z"] * yb["x"] - xa["x"] * yb["z"]
+        cross_z = xa["x"] * yb["y"] - xa["y"] * yb["x"]
+        d = F.atan2(
+            F.sqrt(
+                cross_x * cross_x + cross_y * cross_y + cross_z * cross_z
+            ),
+            xa["x"] * yb["x"] + xa["y"] * yb["y"] + xa["z"] * yb["z"],
+        )
+        return F.when(
+            d <= eps, F.element_at(R, F.size(N)) + F.lit(1.0)
+        ).otherwise(
+            F.greatest(
+                F.element_at(R, F.size(N) + 1),
+                F.element_at(N, F.size(N)),
+            )
+        )
+
+    init = F.concat(
+        F.array(F.lit(0.0)), F.transform(xyz_b, lambda _: F.lit(0.0))
+    )
+    dp = F.aggregate(
+        xyz_a,
+        init,
+        lambda R, xa: F.aggregate(
+            xyz_b,
+            F.array(F.lit(0.0)),
+            lambda N, yb: F.concat(N, F.array(_cell(R, N, xa, yb))),
+        ),
+    )
+    return F.element_at(dp, -1).cast("long")

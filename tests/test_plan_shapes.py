@@ -403,3 +403,14 @@ def test_round4e_queries_pure_catalyst(spark, name):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["lcss_traj_pairs", "kendall_tau_types", "ppr_seed_host"]
+)
+def test_round4f_queries_pure_catalyst(spark, name):
+    """LCSS's DP fold, the Kendall pairwise join, and PPR's iteration
+    joins are all JVM-side — zero Python stages anywhere."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name

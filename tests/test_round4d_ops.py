@@ -205,3 +205,106 @@ def test_join_count_stats_consistency(spark):
     nb, n, w = r["n_black"], r["n_cells"], r["w_pairs"]
     exp = w * (2.0 * nb * (n - nb)) / (n * (n - 1.0))
     assert math.isclose(r["expected_bw"], exp, rel_tol=1e-9)
+
+
+# ------------------------------------------------------------------ lcss
+def _lcss_ref(ta, tb, eps):
+    m, n = len(ta), len(tb)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            if _angle(ta[i - 1], tb[j - 1]) <= eps:
+                d[i][j] = d[i - 1][j - 1] + 1
+            else:
+                d[i][j] = max(d[i - 1][j], d[i][j - 1])
+    return d[m][n]
+
+
+def test_lcss_matches_reference_dp(spark):
+    from gos2_spark.spark.trajectory import lcss_length_col
+
+    rng = random.Random(53)
+    rows = []
+    for i in range(12):
+        # mixture: some points shared between ta and tb so matches exist
+        base = [
+            _xyz(rng.uniform(-50, 50), rng.uniform(-160, 160))
+            for _ in range(20)
+        ]
+        ta = base[: rng.randint(5, 18)]
+        tb = [
+            p if rng.random() < 0.5
+            else _xyz(rng.uniform(-50, 50), rng.uniform(-160, 160))
+            for p in base[: rng.randint(5, 18)]
+        ]
+        rows.append((i, ta, tb))
+    schema = (
+        "i long, ta array<struct<x double, y double, z double>>,"
+        " tb array<struct<x double, y double, z double>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["i"]: r["l"]
+        for r in df.select(
+            "i", lcss_length_col(F.col("ta"), F.col("tb"), 0.05).alias("l")
+        ).collect()
+    }
+    for i, ta, tb in rows:
+        assert got[i] == _lcss_ref(ta, tb, 0.05), i
+
+
+# ----------------------------------------------------------- kendall tau
+def test_kendall_tau_matches_scipy_free_reference(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["kendall_tau_types"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 10
+    import duckdb
+
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT event_type, CAST(floor(CAST(date_diff('microsecond',"
+        " TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE) / 86400000000)"
+        " AS BIGINT) AS day, count(*) FROM"
+        " '/root/testdata/sf0.01/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    series = {}
+    for t, d, n in raw:
+        series.setdefault(t, {})[d] = n
+    for r in rows:
+        xa, xb = series[r["type_a"]], series[r["type_b"]]
+        days = sorted(set(xa) & set(xb))
+        s = tx = ty = n0 = 0
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                dx = xa[days[j]] - xa[days[i]]
+                dy = xb[days[j]] - xb[days[i]]
+                s += ((dx > 0) - (dx < 0)) * ((dy > 0) - (dy < 0))
+                tx += dx == 0
+                ty += dy == 0
+                n0 += 1
+        assert (r["n0"], r["s_stat"], r["tx"], r["ty"]) == (n0, s, tx, ty)
+        den = math.sqrt((n0 - tx) * (n0 - ty))
+        want = s / den if den > 0 else 0.0
+        # query output is rounded to 9 dp
+        assert math.isclose(r["tau_b"], want, rel_tol=0, abs_tol=5.1e-10)
+
+
+# -------------------------------------------------------------------- ppr
+def test_personalized_pagerank_properties(spark):
+    """PPR from the seed: ranks are a probability-like vector
+    concentrated near the seed; seed rank strictly exceeds the uniform
+    PageRank share, and total mass stays 1 (teleport + dangling both go
+    to the seed)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ppr_seed_host"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    total = sum(r["rank"] for r in rows)
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+    seed = next(r for r in rows if r["node"] == 0)
+    assert seed["rank"] > 1.0 / len(rows)
+    assert all(r["rank"] >= 0.0 for r in rows)
