@@ -8963,6 +8963,398 @@ def _ppr_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     return sql
 
 
+def _q_hex_flow_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow accumulation over the D6 drainage graph (spark/hexgrid.py
+    hex_flow_accumulation): upstream catchment size per hex cell — every
+    cell routes one unit down its steepest-descent path (hash-elevation
+    field as in hex_flow_directions), flow_acc counts the units passing
+    through each cell, itself included. Token-walk rounds (one equi-join
+    + one map-side-combined sum per round, frontier bounded by occupied
+    cells); paths strictly descend so the step-capped walk reaches the
+    exact fixpoint, and the oracle replays it with a recursive CTE
+    capped at the same depth. All counts BIGINT — exact cross-engine."""
+    from gos2_spark.spark.hexgrid import hex_flow_accumulation, hexbin_counts
+
+    pts = _cust_points(spark, sf_dir)
+    cells = hexbin_counts(pts, size=0.35).select("hq", "hr")
+    elev = (
+        (F.col("hq") * 1103515245 + F.col("hr") * 12345) % 10007 + 10007
+    ) % 10007
+    out = hex_flow_accumulation(
+        cells.withColumn("elev", elev), max_steps=16
+    )
+    return out.orderBy("hq", "hr")
+
+
+def _hex_flow_acc_oracle_sql(size: float = 0.35, max_steps: int = 16) -> str:
+    from gos2_spark.spark.hexgrid import _HEX_DIRS, hex_axial_sql
+
+    dirs = ", ".join(
+        f"({d}, {dq}, {dr})" for d, (dq, dr) in enumerate(_HEX_DIRS)
+    )
+    return f"""
+        WITH RECURSIVE pts AS ({_CUST_LATLNG_SQL}),
+        h AS ({hex_axial_sql(size)} FROM pts),
+        cells AS (
+          SELECT hq, hr,
+                 ((hq * 1103515245 + hr * 12345) % 10007 + 10007) % 10007
+                   AS elev
+          FROM h GROUP BY 1, 2
+        ),
+        dirs(d, dq, dr) AS (VALUES {dirs}),
+        lower_nb AS (
+          SELECT c.hq, c.hr, dirs.d, o.elev AS ne
+          FROM cells c
+          CROSS JOIN dirs
+          JOIN cells o ON o.hq = c.hq + dirs.dq AND o.hr = c.hr + dirs.dr
+          WHERE o.elev < c.elev
+        ),
+        best AS (
+          SELECT hq, hr, d FROM (
+            SELECT hq, hr, d,
+                   row_number() OVER (
+                     PARTITION BY hq, hr ORDER BY ne, d) AS rn
+            FROM lower_nb
+          ) t WHERE rn = 1
+        ),
+        nxt AS (
+          SELECT b.hq, b.hr,
+                 b.hq + dirs.dq AS nq, b.hr + dirs.dr AS nr
+          FROM best b JOIN dirs ON dirs.d = b.d
+        ),
+        walk(cq, cr, step) AS (
+          SELECT hq, hr, 0 FROM cells
+          UNION ALL
+          SELECT n.nq, n.nr, w.step + 1
+          FROM walk w JOIN nxt n ON n.hq = w.cq AND n.hr = w.cr
+          WHERE w.step < {max_steps}
+        ),
+        acc AS (
+          SELECT cq AS hq, cr AS hr, count(*) AS flow_acc
+          FROM walk GROUP BY 1, 2
+        )
+        SELECT c.hq, c.hr, c.elev,
+               CAST(COALESCE(b.d, -1) AS INT) AS flow_dir,
+               b.d IS NULL AS is_sink,
+               acc.flow_acc
+        FROM cells c
+        LEFT JOIN best b ON b.hq = c.hq AND b.hr = c.hr
+        JOIN acc ON acc.hq = c.hq AND acc.hr = c.hr
+        ORDER BY c.hq, c.hr
+    """
+
+
+def _q_edr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDR trajectory distance for users 0-9 (spark/trajectory.py
+    edr_distance_col): edit distance on real sequences under an eps =
+    0.05 rad spatial match — the gap-penalizing member of the
+    trajectory-similarity family (LCSS rewards matches, EDR charges
+    for every unmatched point, so length mismatch shows up in the
+    score). Integer DP as the same nested Catalyst fold; normalized by
+    the longer sequence."""
+    from gos2_spark.spark.trajectory import edr_distance_col
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.where(F.col("user_id") < 10).select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    rlat, rlng = F.radians("lat"), F.radians("lng")
+    xyz = pts.select(
+        "user_id", "ts", "event_id",
+        F.struct(
+            (F.cos(rlng) * F.cos(rlat)).alias("x"),
+            (F.sin(rlng) * F.cos(rlat)).alias("y"),
+            F.sin(rlat).alias("z"),
+        ).alias("p"),
+    )
+    traj = xyz.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "p"))),
+            lambda s: s["p"],
+        ).alias("tr"),
+        F.count("*").alias("n_pts"),
+    )
+    a = traj.select(
+        F.col("user_id").alias("user_a"),
+        F.col("tr").alias("ta"),
+        F.col("n_pts").alias("pts_a"),
+    )
+    b = traj.select(
+        F.col("user_id").alias("user_b"),
+        F.col("tr").alias("tb"),
+        F.col("n_pts").alias("pts_b"),
+    )
+    pairs = a.join(b, F.col("user_a") < F.col("user_b"))
+    edr = edr_distance_col(F.col("ta"), F.col("tb"), eps_rad=0.05)
+    return pairs.select(
+        "user_a", "user_b", "pts_a", "pts_b",
+        edr.alias("edr_dist"),
+        F.round(
+            edr.cast("double")
+            / F.greatest(F.col("pts_a"), F.col("pts_b")).cast("double"),
+            9,
+        ).alias("edr_norm"),
+    ).orderBy("user_a", "user_b")
+
+
+def _edr_oracle_sql(eps_rad: float = 0.05) -> str:
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        xyz AS (
+          SELECT user_id, ts, event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts0 WHERE user_id < 10
+        ),
+        traj AS (
+          SELECT user_id,
+                 list([x, y, z] ORDER BY ts, event_id) AS tr,
+                 count(*) AS n_pts
+          FROM xyz GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.tr AS ta, b.tr AS tb,
+                 a.n_pts AS pts_a, b.n_pts AS pts_b
+          FROM traj a JOIN traj b ON a.user_id < b.user_id
+        ),
+        dp AS (
+          SELECT user_a, user_b, pts_a, pts_b,
+                 list_reduce(
+                   list_concat(
+                     [list_concat([0.0],
+                        list_transform(generate_series(1, len(tb)),
+                                       i -> CAST(i AS DOUBLE)))],
+                     ta),
+                   (R, xx) -> list_reduce(
+                     list_concat([[R[1] + 1.0]], tb),
+                     (N, yy) -> list_append(N,
+                       least(
+                         R[len(N)]
+                         + CASE WHEN
+                             atan2(sqrt(
+                                 (xx[2] * yy[3] - xx[3] * yy[2])
+                               * (xx[2] * yy[3] - xx[3] * yy[2])
+                               + (xx[3] * yy[1] - xx[1] * yy[3])
+                               * (xx[3] * yy[1] - xx[1] * yy[3])
+                               + (xx[1] * yy[2] - xx[2] * yy[1])
+                               * (xx[1] * yy[2] - xx[2] * yy[1])),
+                               xx[1] * yy[1] + xx[2] * yy[2]
+                               + xx[3] * yy[3]) <= {eps_rad!r}
+                           THEN 0.0 ELSE 1.0 END,
+                         R[len(N) + 1] + 1.0,
+                         N[len(N)] + 1.0)))
+                 ) AS row
+          FROM pairs
+        )
+        SELECT user_a, user_b, pts_a, pts_b,
+               CAST(row[len(row)] AS BIGINT) AS edr_dist,
+               round(row[len(row)]
+                     / CAST(greatest(pts_a, pts_b) AS DOUBLE), 9)
+                 AS edr_norm
+        FROM dp ORDER BY user_a, user_b
+    """
+
+
+_CLOSENESS_SEEDS = [0, 7, 13]
+
+
+def _q_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-anchored closeness / harmonic centrality over the synthetic
+    20-host link graph (pipeline/graph.py closeness_from_seeds): one
+    level-synchronous BFS per literal seed host, per-node exact BIGINT
+    hop totals, harmonic contributions snapped to the 1e-9 grid before
+    summation — the TrustRank-style link-distance quality prior."""
+    from gos2_spark.pipeline.graph import closeness_from_seeds
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select((d % 20).alias("src"), ((d * 7 + 1) % 20).alias("dst")).union(
+        docs.select((d % 20).alias("src"), ((d * 11 + 3) % 20).alias("dst"))
+    )
+    out = closeness_from_seeds(edges, _CLOSENESS_SEEDS, max_hops=8)
+    return out.orderBy("node")
+
+
+def _closeness_oracle_sql(max_hops: int = 8) -> str:
+    seeds = ", ".join(f"({s})" for s in _CLOSENESS_SEEDS)
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % 20 AS src, (doc_id * 7 + 1) % 20 AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id % 20, (doc_id * 11 + 3) % 20 FROM documents
+          )
+        ),
+        seeds(seed) AS (VALUES {seeds}),
+        walk(seed, node, hops) AS (
+          SELECT seed, CAST(seed AS BIGINT), 0 FROM seeds
+          UNION ALL
+          SELECT w.seed, e.dst, w.hops + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.hops < {max_hops}
+        ),
+        d AS (
+          SELECT seed, node, min(hops) AS hops FROM walk GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT node,
+                 count(*) AS n_seeds_reached,
+                 CAST(sum(hops) AS BIGINT) AS total_hops,
+                 CAST(sum(CASE WHEN hops > 0 THEN
+                       CAST(round(1e9 / CAST(hops AS DOUBLE), 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS harmonic_e9
+          FROM d GROUP BY 1
+        )
+        SELECT node, n_seeds_reached, total_hops, harmonic_e9,
+               round(CASE WHEN total_hops > 0
+                     THEN CAST(n_seeds_reached AS DOUBLE)
+                          / CAST(total_hops AS DOUBLE)
+                     ELSE 0.0 END, 9) AS closeness
+        FROM agg ORDER BY node
+    """
+
+
+def _q_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (pipeline/
+    retrieval.py dirichlet_ql_topk) for the same three broadcast literal
+    queries as BM25 — the LM ranker where absent terms still contribute
+    via the collection prior, so scores depend on document length even
+    at tf = 0. Per-(doc, term) log contributions snap to the 1e-9
+    integer grid before the per-document sum; exact BIGINT scores."""
+    from gos2_spark.pipeline.retrieval import dirichlet_ql_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = dirichlet_ql_topk(docs, _BM25_QUERIES, k=10, mu=300.0)
+    return out.select(
+        "query_id", "rank", F.col("key").alias("doc_id"), "score_e9"
+    ).orderBy("query_id", "rank")
+
+
+def _dirichlet_oracle_sql(k: int = 10, mu: float = 300.0) -> str:
+    mu_r = repr(float(mu))
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in _BM25_QUERIES
+        for t in sorted(set(text.split()))
+    )
+    terms = sorted({t for _, text in _BM25_QUERIES for t in text.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS key, t AS token
+          FROM documents, LATERAL unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> len(x) > 0)) AS u(t)
+        ),
+        dl AS (SELECT key, count(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT count(*) AS total_tokens FROM toks),
+        q(query_id, token) AS (VALUES {vals}),
+        tf AS (
+          SELECT key, token, count(*) AS tf FROM toks
+          WHERE token IN ({in_list}) GROUP BY 1, 2
+        ),
+        ctf AS (
+          SELECT token, count(*) AS ctf FROM toks
+          WHERE token IN ({in_list}) GROUP BY 1
+        ),
+        cand AS (
+          SELECT DISTINCT q.query_id, tf.key
+          FROM tf JOIN q USING (token)
+        ),
+        grid AS (
+          SELECT c.query_id, c.key, q.token
+          FROM cand c JOIN q ON q.query_id = c.query_id
+        ),
+        contrib AS (
+          SELECT g.query_id, g.key,
+                 CAST(round(
+                   ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                       + {mu_r} * (CAST(ctf.ctf AS DOUBLE)
+                                   / CAST(stats.total_tokens AS DOUBLE)))
+                      / (CAST(dl.dl AS DOUBLE) + {mu_r}))
+                   * 1e9, 0) AS BIGINT) AS c
+          FROM grid g
+          LEFT JOIN tf ON tf.key = g.key AND tf.token = g.token
+          JOIN ctf ON ctf.token = g.token
+          JOIN dl ON dl.key = g.key, stats
+        ),
+        scores AS (
+          SELECT query_id, key, CAST(sum(c) AS BIGINT) AS score_e9
+          FROM contrib GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score_e9 DESC, key) AS INT) AS rank,
+                 key AS doc_id, score_e9
+          FROM scores
+        )
+        SELECT * FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per language (pipeline/
+    sketch.py kmv_sketch / kmv_estimate): the k = 32 smallest distinct
+    xxhash64 values of doc_id estimate per-lang document cardinality as
+    (k-1)/u(h_k); groups under k are exact by construction. The oracle
+    replays every hash bit-for-bit via the SQL XXH64 model, so the
+    estimate — including its error vs the exact count — is verified."""
+    from gos2_spark.pipeline.sketch import kmv_estimate, kmv_sketch
+
+    docs = _load(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, ["lang"], "doc_id", k=32)
+    est = kmv_estimate(sk, ["lang"], k=32)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("true_distinct")
+    )
+    return est.join(exact, "lang").orderBy("lang")
+
+
+def _kmv_oracle_sql(k: int = 32) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    h = f"({xxh64_list_sql('[CAST(doc_id AS VARCHAR)]')})[1]"
+    return f"""
+        WITH hashed AS (
+          SELECT DISTINCT lang, CAST({h} AS BIGINT) AS h FROM documents
+        ),
+        ranked AS (
+          SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS idx
+          FROM hashed
+        ),
+        sk AS (SELECT * FROM ranked WHERE idx <= {k}),
+        agg AS (
+          SELECT lang, count(*) AS k_used, max(h) AS h_k FROM sk GROUP BY 1
+        ),
+        est AS (
+          SELECT lang, k_used, h_k,
+                 CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                 ELSE {float(k - 1)!r} /
+                      ((CAST(h_k AS DOUBLE) + 9.223372036854775809e18)
+                       / 1.8446744073709552e19)
+                 END AS est_distinct
+          FROM agg
+        ),
+        exact AS (
+          SELECT lang, count(DISTINCT doc_id) AS true_distinct
+          FROM documents GROUP BY 1
+        )
+        SELECT e.lang, e.k_used, e.h_k,
+               round(e.est_distinct, 4) AS est_distinct, x.true_distinct
+        FROM est e JOIN exact x USING (lang)
+        ORDER BY e.lang
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -9065,6 +9457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcss_traj_pairs": _q_lcss_pairs,
         "kendall_tau_types": _q_kendall_tau,
         "ppr_seed_host": _q_ppr_seed,
+        "hex_flow_accumulation": _q_hex_flow_acc,
+        "edr_traj_pairs": _q_edr_pairs,
+        "closeness_seeds": _q_closeness_seeds,
+        "dirichlet_ql_topk": _q_dirichlet_ql,
+        "kmv_distinct_langs": _q_kmv_distinct,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -12439,4 +12836,9 @@ def oracle_sql() -> dict[str, str]:
         "lcss_traj_pairs": _lcss_oracle_sql(),
         "kendall_tau_types": _kendall_oracle_sql(),
         "ppr_seed_host": _ppr_oracle_sql(),
+        "hex_flow_accumulation": _hex_flow_acc_oracle_sql(),
+        "edr_traj_pairs": _edr_oracle_sql(),
+        "closeness_seeds": _closeness_oracle_sql(),
+        "dirichlet_ql_topk": _dirichlet_oracle_sql(),
+        "kmv_distinct_langs": _kmv_oracle_sql(),
     }

@@ -202,6 +202,11 @@ BENCH_QUERIES = [
     "lcss_traj_pairs",
     "kendall_tau_types",
     "ppr_seed_host",
+    "hex_flow_accumulation",
+    "edr_traj_pairs",
+    "closeness_seeds",
+    "dirichlet_ql_topk",
+    "kmv_distinct_langs",
 ]
 
 

@@ -1013,3 +1013,77 @@ def personalized_pagerank(
         )
         ranks = materialize(ranks)
     return ranks
+
+
+def closeness_from_seeds(
+    edges: DataFrame,
+    seed_ids: list[int],
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize=None,
+) -> DataFrame:
+    """(node, n_seeds_reached, total_hops, harmonic_e9, closeness):
+    seed-anchored closeness / harmonic centrality — 'how close is every
+    node to the curated seed set' (link-distance quality prior: pages
+    near trusted hubs rank up, the TrustRank-style counterpart of
+    PageRank's global prior).
+
+    One level-synchronous BFS per seed (``bfs_hops``, the proven
+    frontier/anti-join plan) over the directed edge table; the per-seed
+    hop tables union (k·nodes rows, k = |seeds| is small and literal)
+    into ONE node-keyed aggregation:
+
+    - ``total_hops``: exact BIGINT sum of hop distances to the seeds
+      that reach the node,
+    - ``harmonic_e9``: harmonic centrality Σ 1/hops snapped per-seed to
+      the 1e-9 integer grid BEFORE summation (the BM25 determinism
+      trick) — invariant to partitioning and float order,
+    - ``closeness``: n_seeds_reached / total_hops, one final division
+      (the classic closeness normalization restricted to the seed set;
+      0.0 when only hop-0 self rows reached the node).
+
+    Scale shape: k sequential BFS passes, each O(edges out of the
+    frontier) per round with per-round lineage truncation; the union is
+    k-bounded so the final aggregation carries at most k rows per node.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    per_seed = []
+    for s in seed_ids:
+        src = spark.createDataFrame([(int(s),)], "node long")
+        hops = bfs_hops(
+            edges,
+            src,
+            src_col=src_col,
+            dst_col=dst_col,
+            max_hops=max_hops,
+            materialize=mat,
+        )
+        per_seed.append(hops.select("node", "hops"))
+    allh = per_seed[0]
+    for h in per_seed[1:]:
+        allh = allh.union(h)
+    inv_e9 = F.when(
+        F.col("hops") > 0,
+        F.round(F.lit(1e9) / F.col("hops").cast("double"), 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = allh.select("node", "hops", inv_e9.alias("inv_e9")).groupBy(
+        "node"
+    ).agg(
+        F.count("*").alias("n_seeds_reached"),
+        F.sum("hops").cast("long").alias("total_hops"),
+        F.sum("inv_e9").alias("harmonic_e9"),
+    )
+    closeness = F.when(
+        F.col("total_hops") > 0,
+        F.col("n_seeds_reached").cast("double")
+        / F.col("total_hops").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "node",
+        "n_seeds_reached",
+        "total_hops",
+        "harmonic_e9",
+        F.round(closeness, 9).alias("closeness"),
+    )

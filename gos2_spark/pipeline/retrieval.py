@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize", "inverted_index", "bm25_topk", "kneser_ney_bigrams"]
+__all__ = [
+    "tokenize",
+    "inverted_index",
+    "bm25_topk",
+    "kneser_ney_bigrams",
+    "dirichlet_ql_topk",
+]
 
 
 def tokenize(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -226,5 +232,82 @@ def kneser_ney_bigrams(
         .select(
             "w1", "w2", "c12", "c1", "n1f", "n1b",
             F.round(p, 12).alias("p_kn"),
+        )
+    )
+
+
+def dirichlet_ql_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    mu: float = 300.0,
+) -> DataFrame:
+    """Top-``k`` documents per query under the Dirichlet-smoothed query-
+    likelihood language model (Zhai & Lafferty) — the other classic
+    lexical ranker next to BM25, and the stronger one on short queries:
+
+        score(q, d) = Σ_{t ∈ q} ln( (tf_d(t) + μ·P(t|C)) / (dl_d + μ) )
+
+    with collection model P(t|C) = ctf(t) / total_tokens. Unlike BM25,
+    terms ABSENT from a document still contribute (the μ·P(t|C) prior
+    shrinks with document length), so candidates = documents matching at
+    least one query term are crossed with the query's full (tiny,
+    literal) term list and zero-tf terms are filled in via a left join.
+
+    Determinism: each per-(doc, term) log contribution snaps to the 1e-9
+    integer grid BEFORE the per-document sum (the same trick as
+    ``bm25_topk``), so scores are exact BIGINTs and rank order is
+    invariant to partitioning and float summation order. Rank ties break
+    on the document key.
+
+    Scale shape: the corpus term table is pruned to the query vocabulary
+    before any aggregation; collection stats ride broadcast 1-row /
+    vocabulary-sized frames; the candidate × query-term grid is bounded
+    by |candidates| · |query terms|.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(docs, key_col, text_col)
+    qterms = sorted(
+        {(qid, t) for qid, text in queries for t in text.lower().split() if t}
+    )
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, token string")
+    term_set = sorted({t for _, t in qterms})
+
+    dl = toks.groupBy("key").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("total_tokens"))
+    hits = toks.where(F.col("token").isin(term_set))
+    tf = hits.groupBy("key", "token").agg(F.count("*").alias("tf"))
+    ctf = hits.groupBy("token").agg(F.count("*").alias("ctf"))
+
+    cand = (
+        tf.join(F.broadcast(qdf), "token").select("query_id", "key").distinct()
+    )
+    grid = (
+        cand.join(F.broadcast(qdf), "query_id")
+        .join(tf, ["key", "token"], "left")
+        .join(F.broadcast(ctf), "token")
+        .join(dl, "key")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf0 = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    p_c = F.col("ctf").cast("double") / F.col("total_tokens").cast("double")
+    contrib = F.log(
+        (tf0 + F.lit(float(mu)) * p_c)
+        / (F.col("dl").cast("double") + F.lit(float(mu)))
+    )
+    contrib_e9 = F.round(contrib * 1e9, 0).cast("long")
+    per_doc = grid.groupBy("query_id", "key").agg(
+        F.sum(contrib_e9).alias("score_e9")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e9"), "key")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "key", "score_e9"
         )
     )

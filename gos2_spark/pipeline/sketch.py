@@ -154,3 +154,65 @@ def hll_estimate(
     return agg.select(
         *group_cols, "occupied", F.round(est, 4).alias("est")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the ``k`` smallest
+    DISTINCT ``xxhash64`` values of ``key_col`` (seed 42, the engine's
+    standard hash) — the third mergeable cardinality sketch next to HLL
+    (kmv trades HLL's fixed registers for order statistics: simpler
+    merge = re-take the k minima of the union, and it supports set
+    operations on the sketches themselves).
+
+    Output: (*group_cols, idx, h) with idx = 1..k ascending by hash —
+    a mergeable sketch TABLE, never a driver-side structure. Exact
+    integer contents: the oracle replays every hash via the SQL XXH64
+    model.
+
+    Scale shape: one distinct on (group, hash) — map-side combined —
+    then a per-group window top-k. At monster group cardinality the
+    window swap-in is the standard two-level trick (per-shard k minima,
+    then k minima of the k·shards union — min-of-mins is exact for
+    order statistics, same argument as capped_sample_per_key).
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(key_col).cast("string"))
+    d = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        d.withColumn("idx", F.row_number().over(w))
+        .where(F.col("idx") <= k)
+        .select(*group_cols, "idx", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate from a ``kmv_sketch`` table:
+
+        est = (k - 1) / u(h_k)          (k-th minimum normalized to (0,1))
+
+    where ``u`` maps the signed-int64 hash onto the unit interval with
+    the affine (h + 2^63 + 1) / (2^64 + 1) — strictly inside (0, 1) so
+    the division is always defined. Groups with fewer than ``k``
+    distinct hashes are EXACT (the sketch saw every value): est =
+    k_used. One exact BIGINT max + count per group, then a single fixed
+    float expression — bit-identical cross-engine.
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("k_used"), F.max("h").alias("h_k")
+    )
+    u = (F.col("h_k").cast("double") + F.lit(9.223372036854775809e18)) / F.lit(
+        1.8446744073709552e19
+    )
+    est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u)
+    return agg.select(
+        *group_cols, "k_used", "h_k", F.round(est, 4).alias("est_distinct")
+    )

@@ -216,3 +216,72 @@ def hex_flow_directions(cells: DataFrame, elev_col: str = "elev") -> DataFrame:
         F.coalesce(F.col("_best.d"), F.lit(-1)).cast("int").alias("flow_dir"),
         F.col("_best").isNull().alias("is_sink"),
     )
+
+
+def hex_flow_accumulation(
+    cells: DataFrame,
+    elev_col: str = "elev",
+    max_steps: int = 16,
+    materialize=None,
+) -> DataFrame:
+    """Flow accumulation over the D6 steepest-descent drainage graph —
+    the second half of the hex hydrology kernel (after
+    ``hex_flow_directions``): ``flow_acc(c)`` counts every cell whose
+    descent path passes through ``c`` (itself included) — the upstream
+    catchment size, the standard stream-extraction / drainage-density
+    primitive.
+
+    Distributed shape: token walking. Every cell starts one unit token
+    at itself; each round, tokens sitting on non-sink cells advance one
+    step along ``flow_dir`` and are RE-AGGREGATED per cell, so the
+    moving frontier never exceeds the occupied-cell count regardless of
+    catchment size (no per-origin fan-out, no transitive-closure row
+    blowup). Accumulation is the sum of arrivals across rounds. Each
+    round is ONE equi-join against the (hq, hr)-keyed next-cell table
+    plus one map-side-combined sum — the same per-round scale shape as
+    the BFS/CC operators.
+
+    Paths strictly descend in elevation so they terminate at sinks;
+    with ``max_steps`` >= the longest descent path the result is the
+    exact fixpoint. The FIXED step cap keeps the computation statically
+    unrollable so a step-capped recursive-CTE oracle replays it exactly
+    (both engines cap at the same depth by construction). All counts
+    are BIGINTs — exact cross-engine.
+
+    Output: (hq, hr, elev, flow_dir, is_sink, flow_acc).
+    """
+    flow = hex_flow_directions(cells, elev_col)
+    dq = F.element_at(
+        F.array(*[F.lit(d) for d, _ in _HEX_DIRS]), F.col("flow_dir") + 1
+    )
+    dr = F.element_at(
+        F.array(*[F.lit(d) for _, d in _HEX_DIRS]), F.col("flow_dir") + 1
+    )
+    nxt = flow.where(~F.col("is_sink")).select(
+        "hq",
+        "hr",
+        (F.col("hq") + dq).alias("_nq"),
+        (F.col("hr") + dr).alias("_nr"),
+    )
+    if materialize is None:
+        def materialize(df):
+            return df.localCheckpoint(eager=True)
+    nxt = materialize(nxt)
+    moving = flow.select("hq", "hr", F.lit(1).cast("long").alias("w"))
+    arrivals = moving
+    for _ in range(max_steps):
+        moving = (
+            moving.join(nxt, ["hq", "hr"])
+            .groupBy(
+                F.col("_nq").alias("hq"), F.col("_nr").alias("hr")
+            )
+            .agg(F.sum("w").alias("w"))
+        )
+        moving = materialize(moving)
+        if moving.isEmpty():
+            break
+        arrivals = arrivals.union(moving)
+    acc = arrivals.groupBy("hq", "hr").agg(F.sum("w").alias("flow_acc"))
+    return flow.join(acc, ["hq", "hr"]).select(
+        "hq", "hr", "elev", "flow_dir", "is_sink", "flow_acc"
+    )

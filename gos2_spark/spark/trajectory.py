@@ -37,6 +37,9 @@ __all__ = [
     "trajectory_hausdorff",
     "trajectory_profile",
     "simplify_trajectories",
+    "frechet_distance_col",
+    "lcss_length_col",
+    "edr_distance_col",
 ]
 
 
@@ -379,6 +382,63 @@ def lcss_length_col(xyz_a: Column, xyz_b: Column, eps_rad: float) -> Column:
         lambda R, xa: F.aggregate(
             xyz_b,
             F.array(F.lit(0.0)),
+            lambda N, yb: F.concat(N, F.array(_cell(R, N, xa, yb))),
+        ),
+    )
+    return F.element_at(dp, -1).cast("long")
+
+
+def edr_distance_col(xyz_a: Column, xyz_b: Column, eps_rad: float) -> Column:
+    """Edit Distance on Real sequences (EDR, Chen et al. 2005) between
+    two ordered point sequences (array<struct<x,y,z>> unit xyz): the
+    minimum number of insert/delete/substitute edits to align them,
+    where two points 'match' (substitution cost 0) when their angle
+    distance is <= ``eps_rad``. The fourth member of the trajectory-
+    similarity family (Hausdorff / Frechet / DTW / LCSS / EDR): unlike
+    LCSS it PENALIZES unmatched gaps, so trajectories of very different
+    lengths score far apart even when one embeds in the other.
+
+        D(i,0) = i;  D(0,j) = j
+        D(i,j) = min(D(i-1,j-1) + [d(a_i,b_j) > eps],
+                     D(i-1,j) + 1, D(i,j-1) + 1)
+
+    Same nested Catalyst higher-order fold as frechet_distance_col (the
+    outer aggregate carries the previous DP row, the inner builds the
+    next row left-to-right); DP values are exact small integers carried
+    as doubles, and the match predicate compares the identical atan2
+    angle on both engines — bit-identical cross-engine. O(m*n) inside
+    codegen, no shuffle, no Python; callers bound candidate pairs with
+    the covering-cell overlap prefilter exactly like trajectory_hausdorff.
+    """
+    eps = F.lit(float(eps_rad))
+
+    def _cell(R, N, xa, yb):
+        cross_x = xa["y"] * yb["z"] - xa["z"] * yb["y"]
+        cross_y = xa["z"] * yb["x"] - xa["x"] * yb["z"]
+        cross_z = xa["x"] * yb["y"] - xa["y"] * yb["x"]
+        d = F.atan2(
+            F.sqrt(
+                cross_x * cross_x + cross_y * cross_y + cross_z * cross_z
+            ),
+            xa["x"] * yb["x"] + xa["y"] * yb["y"] + xa["z"] * yb["z"],
+        )
+        sub = F.when(d <= eps, F.lit(0.0)).otherwise(F.lit(1.0))
+        return F.least(
+            F.element_at(R, F.size(N)) + sub,
+            F.element_at(R, F.size(N) + 1) + F.lit(1.0),
+            F.element_at(N, F.size(N)) + F.lit(1.0),
+        )
+
+    init = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(xyz_b, lambda _, i: (i + F.lit(1)).cast("double")),
+    )
+    dp = F.aggregate(
+        xyz_a,
+        init,
+        lambda R, xa: F.aggregate(
+            xyz_b,
+            F.array(F.element_at(R, 1) + F.lit(1.0)),
             lambda N, yb: F.concat(N, F.array(_cell(R, N, xa, yb))),
         ),
     )
