@@ -9355,6 +9355,300 @@ def _kmv_oracle_sql(k: int = 32) -> str:
     """
 
 
+def _q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling (pipeline/pack.py
+    importance_resample — the DCLM/DSIR-style quality-proportional
+    downsampler): keep probability = clamp(n_chars/400, 0, 1) as a pure
+    function of xxhash64(doc_id), so the kept set is stable across
+    runs/shards. Per-source kept/total accounting; the oracle replays
+    every hash bucket and threshold bit-for-bit (Spark's double->long
+    cast truncates — mirrored with trunc())."""
+    from gos2_spark.pipeline.pack import importance_resample
+
+    docs = _load(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / F.lit(400.0)
+    kept = importance_resample(docs, w, key_col="doc_id")
+    per_src = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.sum("_bucket").alias("bucket_sum"),
+    )
+    tot = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (
+        per_src.join(tot, "source")
+        .select(
+            "source", "n_total", "n_kept", "kept_chars", "bucket_sum",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_total").cast("double"),
+                9,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _importance_resample_oracle_sql(scale: int = 1_000_000) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    h = f"({xxh64_list_sql('[CAST(doc_id AS VARCHAR)]')})[1]"
+    return f"""
+        WITH g AS (
+          SELECT source, n_chars,
+                 (({h}) % {scale} + {scale}) % {scale} AS bucket,
+                 CAST(trunc(greatest(0.0, least(1.0,
+                      CAST(n_chars AS DOUBLE) / 400.0)) * {float(scale)!r})
+                      AS BIGINT) AS thresh
+          FROM documents
+        ),
+        kept AS (
+          SELECT source,
+                 count(*) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                 CAST(sum(bucket) AS BIGINT) AS bucket_sum
+          FROM g WHERE bucket < thresh GROUP BY 1
+        ),
+        tot AS (SELECT source, count(*) AS n_total FROM g GROUP BY 1)
+        SELECT k.source, t.n_total, k.n_kept, k.kept_chars, k.bucket_sum,
+               round(CAST(k.n_kept AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9)
+                 AS kept_frac
+        FROM kept k JOIN tot t USING (source)
+        ORDER BY k.source
+    """
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty (pipeline/text.py ngram_novelty): the
+    fraction of a doc's distinct token 5-grams first seen (min doc_id)
+    in that doc — the 'new text added' complement of duplicate-span
+    coverage. One gram-keyed aggregation carries one row per distinct
+    gram; at 100 TB grams ride as xxhash64 keys (spans.py), here as
+    plain strings so the oracle replays every gram."""
+    from gos2_spark.pipeline.text import ngram_novelty
+
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, n=5)
+    return out.select(
+        F.col("key").alias("doc_id"), "n_grams", "n_novel", "novelty_rate"
+    ).orderBy("doc_id")
+
+
+def _ngram_novelty_oracle_sql(n: int = 5) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> len(x) > 0) AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, g
+          FROM toks, LATERAL unnest(
+            CASE WHEN len(tk) >= {n}
+                 THEN list_transform(generate_series(1, len(tk) - {n - 1}),
+                      i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))
+                 ELSE [] END) AS u(g)
+        ),
+        first AS (SELECT g, min(doc_id) AS first_key FROM grams GROUP BY 1),
+        per_doc AS (
+          SELECT grams.doc_id,
+                 count(*) AS n_grams,
+                 CAST(sum(CASE WHEN first.first_key = grams.doc_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM grams JOIN first USING (g) GROUP BY 1
+        )
+        SELECT doc_id, n_grams, n_novel,
+               round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 9)
+                 AS novelty_rate
+        FROM per_doc ORDER BY doc_id
+    """
+
+
+def _q_quadrat_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat variance/mean ratio CSR test (spark/spatialstats.py
+    quadrat_vmr): hex-quadrat counts over the axial bounding
+    parallelogram (empty quadrats included via exact integer bounds);
+    VMR and the chi-square dispersion index from BIGINT sufficient
+    statistics, one final division each."""
+    from gos2_spark.spark.spatialstats import quadrat_vmr
+
+    pts = _cust_points(spark, sf_dir)
+    return quadrat_vmr(pts, size=0.5)
+
+
+def _quadrat_vmr_oracle_sql(size: float = 0.5) -> str:
+    from gos2_spark.spark.hexgrid import hex_axial_sql
+
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        h AS ({hex_axial_sql(size)} FROM pts),
+        cells AS (SELECT hq, hr, count(*) AS x FROM h GROUP BY 1, 2),
+        agg AS (
+          SELECT count(*) AS occupied,
+                 CAST(sum(x) AS BIGINT) AS n_points,
+                 CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                 min(hq) AS qmin, max(hq) AS qmax,
+                 min(hr) AS rmin, max(hr) AS rmax
+          FROM cells
+        )
+        SELECT CAST((qmax - qmin + 1) * (rmax - rmin + 1) AS BIGINT)
+                 AS q_cells,
+               occupied, n_points, sum_x2,
+               round(CAST((qmax - qmin + 1) * (rmax - rmin + 1) * sum_x2
+                          - n_points * n_points AS DOUBLE)
+                     / CAST((qmax - qmin + 1) * (rmax - rmin + 1)
+                            * n_points AS DOUBLE), 9) AS vmr,
+               round(CAST((qmax - qmin + 1) * (rmax - rmin + 1) * sum_x2
+                          - n_points * n_points AS DOUBLE)
+                     / CAST(n_points AS DOUBLE), 9) AS chi2
+        FROM agg
+    """
+
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 3
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss extraction (pipeline/graph.py ktruss_edges, k = 4): edges
+    embedded in >= 2 triangles after iterative peel over a synthetic
+    24-host mutual-link graph — the triangle-density counterpart of
+    k-core (a star survives k-core but has no truss). Fixed peel rounds
+    unroll into a chained-CTE oracle; all counts BIGINT."""
+    from gos2_spark.pipeline.graph import ktruss_edges
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = (
+        docs.select((d % 24).alias("src"), ((d * 5 + 2) % 24).alias("dst"))
+        .union(docs.select((d % 24).alias("src"), ((d * 7 + 3) % 24).alias("dst")))
+        .union(docs.select((d % 24).alias("src"), ((d * 11 + 5) % 24).alias("dst")))
+    )
+    out = ktruss_edges(edges, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    return out.orderBy("a", "b")
+
+
+def _ktruss_oracle_sql(k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS) -> str:
+    sql = """
+        WITH raw AS (
+          SELECT doc_id % 24 AS src, (doc_id * 5 + 2) % 24 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 24, (doc_id * 7 + 3) % 24 FROM documents
+          UNION ALL
+          SELECT doc_id % 24, (doc_id * 11 + 5) % 24 FROM documents
+        ),
+        und0 AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        )
+    """
+    prev = "und0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+        adj{r} AS (
+          SELECT a AS u, b AS v FROM {prev}
+          UNION ALL SELECT b, a FROM {prev}
+        ),
+        sup{r} AS (
+          SELECT t.a, t.b, count(*) AS support
+          FROM {prev} t
+          JOIN adj{r} x ON x.u = t.a
+          JOIN adj{r} y ON y.u = t.b AND y.v = x.v
+          GROUP BY 1, 2
+        ),
+        und{r} AS (
+          SELECT t.a, t.b FROM {prev} t
+          LEFT JOIN sup{r} s ON s.a = t.a AND s.b = t.b
+          WHERE coalesce(s.support, 0) >= {k - 2}
+        )
+    """
+        prev = f"und{r}"
+    sql += f""",
+        adjF AS (
+          SELECT a AS u, b AS v FROM {prev}
+          UNION ALL SELECT b, a FROM {prev}
+        ),
+        supF AS (
+          SELECT t.a, t.b, count(*) AS support
+          FROM {prev} t
+          JOIN adjF x ON x.u = t.a
+          JOIN adjF y ON y.u = t.b AND y.v = x.v
+          GROUP BY 1, 2
+        )
+        SELECT t.a, t.b,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM {prev} t
+        LEFT JOIN supF s ON s.a = t.a AND s.b = t.b
+        ORDER BY t.a, t.b
+    """
+    return sql
+
+
+def _q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph mixing profile (pipeline/graph.py
+    graph_mixing_stats) over the synthetic 20-host link graph:
+    reciprocity (mutual-link fraction, one self-semi-join) and Newman
+    out-in degree assortativity from exact BIGINT sufficient statistics
+    with ONE final float expression."""
+    from gos2_spark.pipeline.graph import graph_mixing_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        (d % 20).alias("src"), ((d * 7 + 1) % 20).alias("dst")
+    ).union(docs.select((d % 20).alias("src"), ((d * 11 + 3) % 20).alias("dst")))
+    return graph_mixing_stats(edges)
+
+
+def _graph_mixing_oracle_sql() -> str:
+    return """
+        WITH raw AS (
+          SELECT doc_id % 20 AS src, (doc_id * 7 + 1) % 20 AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id % 20, (doc_id * 11 + 3) % 20 FROM documents
+        ),
+        e AS (SELECT DISTINCT src AS s, dst AS d FROM raw WHERE src <> dst),
+        recip AS (
+          SELECT count(*) AS n_recip FROM e
+          WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)
+        ),
+        od AS (SELECT s, count(*) AS du FROM e GROUP BY 1),
+        idg AS (SELECT d, count(*) AS dv FROM e GROUP BY 1),
+        j AS (
+          SELECT du, dv FROM e JOIN od USING (s) JOIN idg USING (d)
+        ),
+        stats AS (
+          SELECT count(*) AS m,
+                 CAST(sum(du) AS BIGINT) AS sum_du,
+                 CAST(sum(dv) AS BIGINT) AS sum_dv,
+                 CAST(sum(du * dv) AS BIGINT) AS sum_dudv,
+                 CAST(sum(du * du) AS BIGINT) AS sum_du2,
+                 CAST(sum(dv * dv) AS BIGINT) AS sum_dv2
+          FROM j
+        )
+        SELECT m, n_recip, sum_du, sum_dv, sum_dudv, sum_du2, sum_dv2,
+               round(CAST(n_recip AS DOUBLE) / CAST(m AS DOUBLE), 9)
+                 AS reciprocity,
+               round(CASE WHEN
+                       (CAST(m AS DOUBLE) * CAST(sum_du2 AS DOUBLE)
+                        - CAST(sum_du AS DOUBLE) * CAST(sum_du AS DOUBLE)) > 0.0
+                       AND
+                       (CAST(m AS DOUBLE) * CAST(sum_dv2 AS DOUBLE)
+                        - CAST(sum_dv AS DOUBLE) * CAST(sum_dv AS DOUBLE)) > 0.0
+                     THEN (CAST(m AS DOUBLE) * CAST(sum_dudv AS DOUBLE)
+                           - CAST(sum_du AS DOUBLE) * CAST(sum_dv AS DOUBLE))
+                          / sqrt((CAST(m AS DOUBLE) * CAST(sum_du2 AS DOUBLE)
+                                  - CAST(sum_du AS DOUBLE)
+                                    * CAST(sum_du AS DOUBLE))
+                                 * (CAST(m AS DOUBLE) * CAST(sum_dv2 AS DOUBLE)
+                                    - CAST(sum_dv AS DOUBLE)
+                                      * CAST(sum_dv AS DOUBLE)))
+                     ELSE 0.0 END, 9) AS assortativity
+        FROM stats, recip
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -9462,6 +9756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_seeds": _q_closeness_seeds,
         "dirichlet_ql_topk": _q_dirichlet_ql,
         "kmv_distinct_langs": _q_kmv_distinct,
+        "importance_resample": _q_importance_resample,
+        "ngram_novelty": _q_ngram_novelty,
+        "quadrat_vmr": _q_quadrat_vmr,
+        "ktruss_edges": _q_ktruss,
+        "graph_mixing_stats": _q_graph_mixing,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -12841,4 +13140,9 @@ def oracle_sql() -> dict[str, str]:
         "closeness_seeds": _closeness_oracle_sql(),
         "dirichlet_ql_topk": _dirichlet_oracle_sql(),
         "kmv_distinct_langs": _kmv_oracle_sql(),
+        "importance_resample": _importance_resample_oracle_sql(),
+        "ngram_novelty": _ngram_novelty_oracle_sql(),
+        "quadrat_vmr": _quadrat_vmr_oracle_sql(),
+        "ktruss_edges": _ktruss_oracle_sql(),
+        "graph_mixing_stats": _graph_mixing_oracle_sql(),
     }

@@ -207,6 +207,11 @@ BENCH_QUERIES = [
     "closeness_seeds",
     "dirichlet_ql_topk",
     "kmv_distinct_langs",
+    "importance_resample",
+    "ngram_novelty",
+    "quadrat_vmr",
+    "ktruss_edges",
+    "graph_mixing_stats",
 ]
 
 

@@ -1087,3 +1087,133 @@ def closeness_from_seeds(
         "harmonic_e9",
         F.round(closeness, 9).alias("closeness"),
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize=None,
+) -> DataFrame:
+    """(a, b, support): the k-truss of an undirected graph — edges whose
+    every survivor round keeps triangle support >= k-2 (every edge in a
+    k-truss closes at least k-2 triangles within the truss). The
+    triangle-density sibling of k-core: where k-core certifies degree,
+    k-truss certifies MUTUAL embedding, the stronger spam-farm /
+    community-core extractor (a star survives k-core but has zero
+    triangles).
+
+    Each round: (1) triangle support per surviving edge via one wedge
+    join of the symmetric adjacency against itself + one semi-join
+    closure check, all equi-joins on node keys; (2) drop edges below
+    k-2. A FIXED round count keeps the computation statically
+    unrollable for the chained-CTE oracle (peeling is monotone — once
+    stable, extra rounds are no-ops, same contract as ``kcore``).
+
+    All counts BIGINT; output is the canonical a < b edge list with the
+    final-round support.
+    """
+    spark = edges.sparkSession
+    mat = materialize if materialize is not None else _default_materialize(spark)
+    e0 = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(F.col(src_col) != F.col(dst_col))
+    und = mat(
+        e0.select(
+            F.least("_s", "_d").alias("a"), F.greatest("_s", "_d").alias("b")
+        ).distinct()
+    )
+    def _support(truss):
+        # wedges around each edge (a,b): common neighbors w with
+        # adj(a,w) and adj(b,w) both present in the surviving subgraph
+        adj = truss.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            truss.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        wa = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        wb = adj.select(F.col("u").alias("b"), F.col("v").alias("w"))
+        tri = truss.join(wa, "a").join(wb, ["b", "w"])
+        return tri.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+    for _ in range(rounds):
+        sup = _support(und)
+        und = mat(
+            und.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+    # report support within the FINAL truss (post-drop), not the
+    # pre-drop round's count
+    return und.join(_support(und), ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+    )
+
+
+def graph_mixing_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row directed-graph mixing profile over distinct edges:
+
+    - ``reciprocity``: fraction of directed edges whose reverse edge
+      also exists (link-exchange / mutual-citation screen) — one
+      self-semi-join, exact integer counts;
+    - ``assortativity``: Pearson correlation of (out-degree(src),
+      in-degree(dst)) across edges (Newman's degree assortativity, the
+      directed out-in variant): hubs-link-hubs > 0, hubs-link-leaves
+      < 0. All sufficient statistics (Σdu, Σdv, Σdu², Σdv², Σdu·dv and
+      the edge count) are exact BIGINTs from one aggregation over the
+      degree-joined edge table; r is ONE fixed float expression.
+
+    Plan: distinct edges, two degree aggregations joined back (both
+    broadcastable at host-graph cardinality), one global agg. No
+    quadratic pass anywhere.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi").select(
+        F.lit(1).alias("one")
+    )
+    out_deg = e.groupBy("s").agg(F.count("*").alias("du"))
+    in_deg = e.groupBy("d").agg(F.count("*").alias("dv"))
+    joined = e.join(out_deg, "s").join(in_deg, "d")
+    stats = joined.agg(
+        F.count("*").alias("m"),
+        F.sum("du").alias("sum_du"),
+        F.sum("dv").alias("sum_dv"),
+        F.sum(F.col("du") * F.col("dv")).alias("sum_dudv"),
+        F.sum(F.col("du") * F.col("du")).alias("sum_du2"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sum_dv2"),
+    )
+    n_recip = recip.agg(F.count("*").alias("n_recip"))
+    both = stats.crossJoin(F.broadcast(n_recip))
+    m = F.col("m").cast("double")
+    cov = m * F.col("sum_dudv").cast("double") - F.col("sum_du").cast(
+        "double"
+    ) * F.col("sum_dv").cast("double")
+    var_u = m * F.col("sum_du2").cast("double") - F.col("sum_du").cast(
+        "double"
+    ) * F.col("sum_du").cast("double")
+    var_v = m * F.col("sum_dv2").cast("double") - F.col("sum_dv").cast(
+        "double"
+    ) * F.col("sum_dv").cast("double")
+    r = F.when(
+        (var_u > 0.0) & (var_v > 0.0), cov / F.sqrt(var_u * var_v)
+    ).otherwise(F.lit(0.0))
+    return both.select(
+        "m",
+        "n_recip",
+        "sum_du",
+        "sum_dv",
+        "sum_dudv",
+        "sum_du2",
+        "sum_dv2",
+        F.round(F.col("n_recip").cast("double") / m, 9).alias("reciprocity"),
+        F.round(r, 9).alias("assortativity"),
+    )

@@ -83,3 +83,39 @@ def packing_summary(
             ).alias("last_pack_fill"),
         )
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    weight_col,
+    key_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted (importance) resampling — the DCLM/DSIR-style
+    quality-proportional downsampler: keep a row with probability
+    ``weight`` (clamped to [0, 1]) as a PURE FUNCTION of its key, so
+    membership is stable across runs, machines, partitionings, and
+    re-shards (the same property as ``stratified_split``), and the kept
+    set is reproducible end-to-end with no sampling state.
+
+        keep  <=>  pmod(xxhash64(key), scale) < cast(weight * scale)
+
+    The hash bucket is uniform on [0, scale); the threshold is one
+    float-to-int cast of the caller's weight expression — both exact
+    integer comparisons cross-engine. Zero shuffles: the gate is one
+    codegen projection + filter.
+
+    Returns the input rows that survive, with the bucket and threshold
+    columns attached (auditable selection, like domain_cap_sample's
+    fingerprints).
+    """
+    w = F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight_col))
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string")), F.lit(scale)
+    )
+    thresh = (w * F.lit(float(scale))).cast("long")
+    return (
+        docs.withColumn("_bucket", bucket)
+        .withColumn("_thresh", thresh)
+        .where(F.col("_bucket") < F.col("_thresh"))
+    )

@@ -471,3 +471,60 @@ def rake_keywords(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    token ``n``-grams whose corpus-wide FIRST occurrence (minimum key —
+    ingestion order when keys are assigned in crawl order) is this
+    document — the 'how much new text does this page add' signal that
+    complements duplicate-span coverage (spans.py measures repeats,
+    novelty measures firsts).
+
+    Plan: explode to distinct (key, gram) pairs (map-side combined), one
+    gram-keyed aggregation for the global first-seen key, one broadcast-
+    or shuffle-join back, one key-keyed count aggregation. The shuffle
+    carries one row per distinct gram; at 100 TB the gram string is
+    replaced by its xxhash64 (8 bytes) exactly as in spans.py — the
+    value-level oracle keeps plain strings so every gram is replayable.
+
+    Output: (key, n_grams, n_novel, novelty_rate) over documents with at
+    least one n-gram (shorter documents drop, same as spans.py).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).alias("gram"),
+    ).distinct()
+    first = grams.groupBy("gram").agg(F.min("key").alias("first_key"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_key") == F.col("key"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "key",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 9
+        ).alias("novelty_rate"),
+    )

@@ -622,3 +622,66 @@ def circular_fold(bearings) -> tuple:
         ),
     )
     return F.element_at(st, 1), F.element_at(st, 2)
+
+
+def quadrat_vmr(
+    points: DataFrame,
+    size: float = 0.5,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Quadrat-count variance/mean ratio — the classic complete-spatial-
+    randomness (CSR) screen: bin points into hex quadrats, then compare
+    the count variance across ALL quadrats of the study region (empty
+    ones included — dropping them biases VMR low) to the mean. Under
+    CSR counts are Poisson and VMR ~ 1; VMR >> 1 = clustered,
+    VMR << 1 = dispersed/regular.
+
+    Study region: the axial bounding parallelogram of the occupied hex
+    cells (deterministic integer bounds — no float geometry), so the
+    total quadrat count Q = (qmax-qmin+1)·(rmax-rmin+1) is exact.
+
+    Everything reduces to BIGINT sufficient statistics in TWO
+    aggregations (per-cell counts, then corpus totals + integer bounds):
+
+        mean = n/Q,  var = (sum_x2 - n^2/Q)/Q   (population form)
+        VMR  = var/mean = (Q·sum_x2 - n^2) / (Q·n)     — exact integers
+        index of dispersion chi^2 = (Q-1)·VMR · n/(n-1)... reported as
+        the standard chi2 = sum((x-mean)^2)/mean = (Q·sum_x2 - n^2)/n,
+        exact integer numerator, one final division each.
+
+    Output: one row (q_cells, occupied, n_points, sum_x2, vmr, chi2).
+    """
+    from .hexgrid import hex_axial
+
+    hq, hr = hex_axial(F.col(lat_col), F.col(lng_col), size)
+    cells = points.select(hq.alias("hq"), hr.alias("hr")).groupBy(
+        "hq", "hr"
+    ).agg(F.count("*").alias("x"))
+    agg = cells.agg(
+        F.count("*").alias("occupied"),
+        F.sum("x").alias("n_points"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.min("hq").alias("qmin"),
+        F.max("hq").alias("qmax"),
+        F.min("hr").alias("rmin"),
+        F.max("hr").alias("rmax"),
+    )
+    q_cells = (F.col("qmax") - F.col("qmin") + 1) * (
+        F.col("rmax") - F.col("rmin") + 1
+    )
+    n = F.col("n_points")
+    vmr = (q_cells * F.col("sum_x2") - n * n).cast("double") / (
+        q_cells * n
+    ).cast("double")
+    chi2 = (q_cells * F.col("sum_x2") - n * n).cast("double") / n.cast(
+        "double"
+    )
+    return agg.select(
+        q_cells.cast("long").alias("q_cells"),
+        "occupied",
+        "n_points",
+        "sum_x2",
+        F.round(vmr, 9).alias("vmr"),
+        F.round(chi2, 9).alias("chi2"),
+    )
