@@ -9649,6 +9649,337 @@ def _graph_mixing_oracle_sql() -> str:
     """
 
 
+def _q_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google encoded-polyline interop (spark/polyline_codec.py
+    encode_polylines) for users 0-29: the Maps/OSRM/Valhalla trajectory
+    wire format produced entirely in Catalyst (snap, delta, zigzag,
+    5-bit chunk emission via a precomputed chunk array + char()). The
+    oracle rebuilds every byte of every string in DuckDB — verified
+    against Google's documented example in pytest."""
+    from gos2_spark.spark.polyline_codec import encode_polylines
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.where(F.col("user_id") < 30).select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    out = encode_polylines(pts, order_cols=("ts", "event_id"))
+    return out.select(
+        "user_id", "n_pts", "polyline",
+        F.length("polyline").alias("poly_len"),
+    ).orderBy("user_id")
+
+
+def _polyline_oracle_sql() -> str:
+    def chunks(delta: str) -> str:
+        z = (f"(CASE WHEN ({delta}) < 0 THEN -2 * ({delta}) - 1"
+             f" ELSE 2 * ({delta}) END)")
+        last = "0"
+        for i in range(1, 7):
+            last = f"(CASE WHEN {z} >= {1 << (5 * i)} THEN {i} ELSE {last} END)"
+        return (
+            "list_reduce(list_transform(generate_series(0, " + last + "), "
+            "i -> chr(CAST((((" + z + " >> (5 * i)) & 31)"
+            " | (CASE WHEN i < " + last + " THEN 32 ELSE 0 END)) + 63"
+            " AS INT))), (a, b) -> a || b)"
+        )
+
+    piece = f"({chunks('dlat')} || {chunks('dlng')})"
+    return f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id, lat, lng
+          FROM ({_EVENTS_LATLNG_SQL}) WHERE user_id < 30
+        ),
+        snapped AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(lat * 100000.0 + 0.5) AS BIGINT) AS lat5,
+                 CAST(floor(lng * 100000.0 + 0.5) AS BIGINT) AS lng5
+          FROM pts
+        ),
+        deltas AS (
+          SELECT user_id, ts, event_id,
+                 lat5 - coalesce(lag(lat5) OVER w, 0) AS dlat,
+                 lng5 - coalesce(lag(lng5) OVER w, 0) AS dlng
+          FROM snapped
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               count(*) AS n_pts,
+               string_agg({piece}, '' ORDER BY ts, event_id) AS polyline,
+               CAST(sum(length({piece})) AS INT) AS poly_len
+        FROM deltas GROUP BY user_id ORDER BY user_id
+    """
+
+
+_HUFF_SITES = [
+    (1, 40.7, -74.0, 5.0),
+    (2, 51.5, -0.1, 3.0),
+    (3, 35.7, 139.7, 4.0),
+    (4, -33.9, 151.2, 2.0),
+]
+
+
+def _q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff gravity market shares (spark/spatialstats.py
+    huff_market_share): four literal attraction sites split the
+    customer point field by S/d^2 utility; per-point probabilities
+    snap to the 1e-9 grid before the per-site demand sum (exact
+    BIGINTs) and the hard capture count uses a deterministic strict->
+    argmax ladder."""
+    from gos2_spark.spark.spatialstats import huff_market_share
+
+    pts = _cust_points(spark, sf_dir)
+    return huff_market_share(pts, _HUFF_SITES).orderBy("site_id")
+
+
+def _huff_oracle_sql() -> str:
+    d_cols = ", ".join(
+        f"{_hav_sql(la, ln)} AS d{j}"
+        for j, (_sid, la, ln, _s) in enumerate(_HUFF_SITES)
+    )
+    u_cols = ", ".join(
+        f"{s!r} / (d{j} * d{j} + 1e-06) AS u{j}"
+        for j, (_sid, _la, _ln, s) in enumerate(_HUFF_SITES)
+    )
+    denom = " + ".join(f"u{j}" for j in range(len(_HUFF_SITES)))
+    best, bu = "0", "u0"
+    for j in range(1, len(_HUFF_SITES)):
+        new_best = f"(CASE WHEN u{j} > {bu} THEN {j} ELSE {best} END)"
+        bu = f"(CASE WHEN u{j} > {bu} THEN u{j} ELSE {bu} END)"
+        best = new_best
+    p_cols = ", ".join(
+        f"CAST(round(u{j} / ({denom}) * 1e9, 0) AS BIGINT) AS p{j}"
+        for j in range(len(_HUFF_SITES))
+    )
+    sums = ", ".join(
+        f"CAST(sum(p{j}) AS BIGINT) AS d{j}, "
+        f"CAST(sum(CASE WHEN best = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(len(_HUFF_SITES))
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {sid} AS site_id, d{j} AS demand_e9, c{j} AS captured, "
+        f"round(CAST(d{j} AS DOUBLE) / 1e9 / CAST(n_points AS DOUBLE), 9)"
+        f" AS share FROM agg"
+        for j, (sid, *_r) in enumerate(_HUFF_SITES)
+    )
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        dists AS (SELECT {d_cols} FROM pts),
+        utils AS (SELECT {u_cols} FROM dists),
+        probs AS (SELECT {p_cols}, {best} AS best FROM utils),
+        agg AS (SELECT count(*) AS n_points, {sums} FROM probs)
+        SELECT * FROM ({rows}) ORDER BY site_id
+    """
+
+
+def _q_theil_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of event activity across level-5 S2 cells per
+    event type (spark/spatialstats.py theil_index): exact BIGINT
+    sufficient statistics, float log-sum as a cell-ordered sequential
+    fold (the EWMA determinism pattern) — 0 = even, ln(Q) = fully
+    concentrated."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.spatialstats import theil_index
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_type",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat",
+        "lng",
+        "cell_id",
+    )
+    per_cell = pts.select(
+        "event_type", s2_parent_sql(F.col("cell_id"), 5).alias("cell")
+    ).groupBy("event_type", "cell").agg(F.count("*").alias("x"))
+    return theil_index(
+        per_cell, ["event_type"], value_col="x", order_col="cell"
+    ).orderBy("event_type")
+
+
+def _theil_oracle_sql(level: int = 5) -> str:
+    lsb = 1 << (2 * (30 - level))
+    return f"""
+        WITH {_cellid_cte_duckdb(
+            f"SELECT event_id AS key, lat, lng FROM ({_EVENTS_LATLNG_SQL})"
+        )},
+        pc AS (
+          SELECT e.event_type, ((c.cell_id & {-lsb}) | {lsb}) AS cell
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        per_cell AS (
+          SELECT event_type, cell, count(*) AS x FROM pc GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT event_type,
+                 count(*) AS q_units,
+                 CAST(sum(x) AS BIGINT) AS n_total,
+                 list(CAST(x AS DOUBLE) ORDER BY cell) AS xs
+          FROM per_cell GROUP BY 1
+        )
+        SELECT event_type, q_units, n_total,
+               round(list_reduce(list_prepend(0.0, xs),
+                 (acc, x) -> acc
+                   + (x / CAST(n_total AS DOUBLE))
+                     * ln(x / (CAST(n_total AS DOUBLE)
+                               / CAST(q_units AS DOUBLE)))), 9) AS theil_t
+        FROM agg ORDER BY event_type
+    """
+
+
+def _q_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error per event type (spark/temporal.py
+    seasonal_naive_mase): MAE of the 'repeat last week' forecast vs the
+    lag-1 random walk, and their MASE ratio — the forecasting-baseline
+    screen. Exact BIGINT numerators over epoch-day-aligned self-joins;
+    the means and ratio are single divisions."""
+    from gos2_spark.spark.temporal import seasonal_naive_mase
+
+    ev = _load(spark, sf_dir, "events")
+    return seasonal_naive_mase(ev, period=7).orderBy("event_type")
+
+
+def _seasonal_mase_oracle_sql(period: int = 7) -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type AS k,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        season AS (
+          SELECT a.k, count(*) AS n_seasonal,
+                 CAST(sum(abs(a.c - b.c)) AS BIGINT) AS abs_seasonal
+          FROM daily a JOIN daily b
+            ON a.k = b.k AND a.day = b.day + {period}
+          GROUP BY 1
+        ),
+        naive AS (
+          SELECT a.k, count(*) AS n_naive,
+                 CAST(sum(abs(a.c - b.c)) AS BIGINT) AS abs_naive
+          FROM daily a JOIN daily b ON a.k = b.k AND a.day = b.day + 1
+          GROUP BY 1
+        )
+        SELECT s.k AS event_type, s.n_seasonal, s.abs_seasonal,
+               n.n_naive, n.abs_naive,
+               round(CAST(s.abs_seasonal AS DOUBLE)
+                     / CAST(s.n_seasonal AS DOUBLE), 9) AS mae_seasonal,
+               round(CAST(n.abs_naive AS DOUBLE)
+                     / CAST(n.n_naive AS DOUBLE), 9) AS mae_naive,
+               round(CASE WHEN CAST(n.abs_naive AS DOUBLE)
+                               / CAST(n.n_naive AS DOUBLE) > 0.0
+                     THEN (CAST(s.abs_seasonal AS DOUBLE)
+                           / CAST(s.n_seasonal AS DOUBLE))
+                          / (CAST(n.abs_naive AS DOUBLE)
+                             / CAST(n.n_naive AS DOUBLE))
+                     ELSE 0.0 END, 9) AS mase
+        FROM season s JOIN naive n ON n.k = s.k
+        ORDER BY event_type
+    """
+
+
+def _q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention planning — the second Iceberg-style
+    maintenance op next to compaction_plan: per table keep the 3 newest
+    snapshots plus the newest snapshot of each of the 7 most recent
+    distinct days; everything else expires. Three window functions on
+    one table-keyed shuffle, all-integer ordering (epoch day, snapshot
+    id), per-table counts + kept/expired id-sum fingerprints so the
+    exact selection is value-checked."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " o_orderdate)"
+    )
+    snaps = o.select(
+        (F.col("o_orderkey") % 8).alias("tbl"),
+        F.col("o_orderkey").alias("snap_id"),
+        F.floor(us / 86_400_000_000).cast("long").alias("day"),
+    )
+    w_all = Window.partitionBy("tbl").orderBy(
+        F.desc("day"), F.desc("snap_id")
+    )
+    w_day = Window.partitionBy("tbl", "day").orderBy(F.desc("snap_id"))
+    w_rank = Window.partitionBy("tbl").orderBy(F.desc("day"))
+    dec = snaps.select(
+        "tbl", "snap_id", "day",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_day).alias("day_rn"),
+        F.dense_rank().over(w_rank).alias("day_rank"),
+    )
+    keep = (F.col("rn") <= 3) | (
+        (F.col("day_rn") == 1) & (F.col("day_rank") <= 7)
+    )
+    return (
+        dec.withColumn("keep", keep)
+        .groupBy("tbl")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expire"),
+            F.sum(F.when(F.col("keep"), F.col("snap_id")).otherwise(0))
+            .cast("long")
+            .alias("keep_id_sum"),
+            F.max(F.when(F.col("keep"), F.col("day"))).alias("newest_day"),
+            F.min(F.when(F.col("keep"), F.col("day"))).alias("oldest_kept_day"),
+        )
+        .orderBy("tbl")
+    )
+
+
+def _snapshot_retention_oracle_sql() -> str:
+    return """
+        WITH snaps AS (
+          SELECT o_orderkey % 8 AS tbl, o_orderkey AS snap_id,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+                      AS DOUBLE) / 86400000000) AS BIGINT) AS day
+          FROM orders
+        ),
+        dec AS (
+          SELECT tbl, snap_id, day,
+                 row_number() OVER (PARTITION BY tbl
+                   ORDER BY day DESC, snap_id DESC) AS rn,
+                 row_number() OVER (PARTITION BY tbl, day
+                   ORDER BY snap_id DESC) AS day_rn,
+                 dense_rank() OVER (PARTITION BY tbl
+                   ORDER BY day DESC) AS day_rank
+          FROM snaps
+        ),
+        k AS (
+          SELECT tbl, snap_id, day,
+                 (rn <= 3 OR (day_rn = 1 AND day_rank <= 7)) AS keep
+          FROM dec
+        )
+        SELECT tbl,
+               count(*) AS n_snapshots,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keep,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_expire,
+               CAST(sum(CASE WHEN keep THEN snap_id ELSE 0 END) AS BIGINT)
+                 AS keep_id_sum,
+               max(CASE WHEN keep THEN day END) AS newest_day,
+               min(CASE WHEN keep THEN day END) AS oldest_kept_day
+        FROM k GROUP BY tbl ORDER BY tbl
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -9761,6 +10092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_vmr": _q_quadrat_vmr,
         "ktruss_edges": _q_ktruss,
         "graph_mixing_stats": _q_graph_mixing,
+        "polyline_encode": _q_polyline_encode,
+        "huff_market_share": _q_huff_shares,
+        "theil_index_cells": _q_theil_cells,
+        "seasonal_naive_mase": _q_seasonal_mase,
+        "snapshot_retention_plan": _q_snapshot_retention,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -13145,4 +13481,9 @@ def oracle_sql() -> dict[str, str]:
         "quadrat_vmr": _quadrat_vmr_oracle_sql(),
         "ktruss_edges": _ktruss_oracle_sql(),
         "graph_mixing_stats": _graph_mixing_oracle_sql(),
+        "polyline_encode": _polyline_oracle_sql(),
+        "huff_market_share": _huff_oracle_sql(),
+        "theil_index_cells": _theil_oracle_sql(),
+        "seasonal_naive_mase": _seasonal_mase_oracle_sql(),
+        "snapshot_retention_plan": _snapshot_retention_oracle_sql(),
     }

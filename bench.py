@@ -212,6 +212,11 @@ BENCH_QUERIES = [
     "quadrat_vmr",
     "ktruss_edges",
     "graph_mixing_stats",
+    "polyline_encode",
+    "huff_market_share",
+    "theil_index_cells",
+    "seasonal_naive_mase",
+    "snapshot_retention_plan",
 ]
 
 

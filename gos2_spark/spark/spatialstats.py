@@ -685,3 +685,126 @@ def quadrat_vmr(
         F.round(vmr, 9).alias("vmr"),
         F.round(chi2, 9).alias("chi2"),
     )
+
+
+def huff_market_share(
+    points: DataFrame,
+    attractions: list[tuple[int, float, float, float]],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Huff gravity model of spatial choice: each point patronizes the
+    literal attraction set (site_id, lat, lng, attractiveness S) with
+
+        p_j = (S_j / (d_j^2 + eps)) / Σ_k (S_k / (d_k^2 + eps))
+
+    (d = great-circle angle via the engine haversine, eps = 1e-6 guards
+    the on-site singularity) — the classic retail-catchment / facility
+    market-share estimator. Per-attraction rollup: expected demand
+    (Σ p_j over points) and the hard-assignment capture count (argmax
+    with deterministic smallest-index tie-break).
+
+    Determinism: the attraction list is FIXED and ORDERED, so both the
+    p_j denominator (one fixed-order sum over k) and the argmax ladder
+    are single deterministic float expressions; each p_j snaps to the
+    1e-9 integer grid BEFORE the per-attraction sum, making demand an
+    exact BIGINT (the BM25 trick). Zero shuffles before the final
+    J-row aggregation.
+    """
+    from .functions import haversine_rad
+
+    eps = F.lit(1e-6)
+    util = []
+    for (_sid, alat, alng, s) in attractions:
+        d = haversine_rad(
+            F.col(lat_col), F.col(lng_col), F.lit(alat), F.lit(alng)
+        )
+        util.append(F.lit(float(s)) / (d * d + eps))
+    denom = util[0]
+    for u in util[1:]:
+        denom = denom + u
+    # argmax with smallest-index tie-break: strict > ladder
+    best = F.lit(0)
+    best_u = util[0]
+    for j, u in enumerate(util[1:], start=1):
+        is_better = u > best_u
+        best = F.when(is_better, F.lit(j)).otherwise(best)
+        best_u = F.when(is_better, u).otherwise(best_u)
+    cols = [
+        F.round(u / denom * 1e9, 0).cast("long").alias(f"_p{j}")
+        for j, u in enumerate(util)
+    ]
+    proj = points.select(*cols, best.alias("_best"))
+    agg = proj.agg(
+        F.count("*").alias("n_points"),
+        *[F.sum(f"_p{j}").alias(f"_d{j}") for j in range(len(attractions))],
+        *[
+            F.sum(F.when(F.col("_best") == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_c{j}")
+            for j in range(len(attractions))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(sid)).alias("site_id"),
+                F.col(f"_d{j}").alias("demand_e9"),
+                F.col(f"_c{j}").alias("captured"),
+                F.col("n_points").alias("n_points"),
+            )
+            for j, (sid, *_rest) in enumerate(attractions)
+        ]
+    )
+    out = agg.select(F.explode(rows).alias("r")).select(
+        F.col("r.site_id").alias("site_id"),
+        F.col("r.demand_e9").alias("demand_e9"),
+        F.col("r.captured").alias("captured"),
+        F.round(
+            F.col("r.demand_e9").cast("double") / 1e9
+            / F.col("r.n_points").cast("double"),
+            9,
+        ).alias("share"),
+    )
+    return out
+
+
+def theil_index(
+    values: DataFrame,
+    group_cols: list[str],
+    value_col: str = "x",
+    order_col: str = "k",
+) -> DataFrame:
+    """Theil T inequality index per group over positive quantities —
+    'how unevenly is activity distributed across spatial units':
+
+        T = (1/Q) Σ_i (x_i/μ) ln(x_i/μ),   μ = n/Q
+
+    0 = perfectly even, ln(Q) = all mass in one unit. The sufficient
+    statistics (Q, n) are exact BIGINTs; the float log-sum is an
+    ORDERED fold over the ``order_col``-sorted value list (sort_array +
+    sequential F.aggregate — the EWMA/entropy determinism pattern), so
+    the summation order is pinned and both engines produce bit-identical
+    doubles. One group-keyed shuffle.
+    """
+    agg = values.groupBy(*group_cols).agg(
+        F.count("*").alias("q_units"),
+        F.sum(value_col).alias("n_total"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+        ).alias("_xs"),
+    )
+    mu = F.col("n_total").cast("double") / F.col("q_units").cast("double")
+    fold = F.aggregate(
+        F.col("_xs"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s[value_col].cast("double") / F.col("n_total").cast("double"))
+        * F.log(s[value_col].cast("double") / mu),
+    )
+    return agg.select(
+        *group_cols,
+        "q_units",
+        "n_total",
+        F.round(fold, 9).alias("theil_t"),
+    )

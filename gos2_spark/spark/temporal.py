@@ -481,3 +481,70 @@ def dtw_distance_col(a: Column, b: Column) -> Column:
         ),
     )
     return F.element_at(dp, -1)
+
+
+def seasonal_naive_mase(
+    events: DataFrame,
+    period: int = 7,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal-naive forecast error per series — the forecasting-
+    baseline scorer (Hyndman's MASE denominator IS this baseline): for
+    each key's daily-count series, 'forecast' day t as the count at
+    t - period, and report
+
+        mae_seasonal : mean |c_t - c_{t-period}|  over days where both exist
+        mae_naive    : mean |c_t - c_{t-1}|       (the lag-1 random walk)
+        mase         : mae_seasonal / mae_naive
+
+    A series a seasonal model can't beat (mase >= 1) has no weekly
+    structure worth modeling. All numerators/denominators are exact
+    BIGINT sums over integer counts joined by exact integer day
+    arithmetic (epoch-day lags, no calendar functions); each mean and
+    the final ratio are single divisions — bit-identical cross-engine.
+
+    Plan: one (key, day) aggregation, two self equi-joins on (key,
+    day - lag) — co-partitioned on the key — and one key agg.
+    """
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    daily = (
+        events.select(
+            F.col(type_col).alias("k"),
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("k", "day")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def _lag_join(lag: int, tag: str):
+        prev = daily.select(
+            "k", (F.col("day") + lag).alias("day"), F.col("c").alias("cp")
+        )
+        j = daily.join(prev, ["k", "day"])
+        return j.groupBy("k").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum(F.abs(F.col("c") - F.col("cp"))).alias(f"abs_{tag}"),
+        )
+
+    season = _lag_join(period, "seasonal")
+    naive = _lag_join(1, "naive")
+    out = season.join(naive, "k")
+    mae_s = F.col("abs_seasonal").cast("double") / F.col("n_seasonal").cast(
+        "double"
+    )
+    mae_n = F.col("abs_naive").cast("double") / F.col("n_naive").cast("double")
+    return out.select(
+        F.col("k").alias(type_col),
+        "n_seasonal",
+        "abs_seasonal",
+        "n_naive",
+        "abs_naive",
+        F.round(mae_s, 9).alias("mae_seasonal"),
+        F.round(mae_n, 9).alias("mae_naive"),
+        F.round(
+            F.when(mae_n > 0.0, mae_s / mae_n).otherwise(F.lit(0.0)), 9
+        ).alias("mase"),
+    )
