@@ -414,3 +414,51 @@ def test_round4f_queries_pure_catalyst(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hex_flow_accumulation",
+        "edr_traj_pairs",
+        "closeness_seeds",
+        "dirichlet_ql_topk",
+        "kmv_distinct_langs",
+        "importance_resample",
+        "ngram_novelty",
+        "quadrat_vmr",
+        "ktruss_edges",
+        "graph_mixing_stats",
+        "polyline_encode",
+        "huff_market_share",
+        "theil_index_cells",
+        "seasonal_naive_mase",
+        "snapshot_retention_plan",
+    ],
+)
+def test_round4_late_batches_no_python_stage(spark, name):
+    """The round-4 f/g/h operator batches all claim pure-Catalyst
+    execution (higher-order folds, window algebra, hash/bit arithmetic,
+    the pure-SQL Hilbert encode) — no Python stage of any kind."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("huff_market_share", 0),   # per-row codegen + one global agg
+        ("quadrat_vmr", 1),         # one hex-cell agg, then global stats
+        ("polyline_encode", 2),     # one keyed window + one keyed agg
+        ("snapshot_retention_plan", 2),  # one keyed shuffle, 3 windows
+        ("closeness_seeds", 2),     # per-round BFS shuffles truncate
+        ("theil_index_cells", 3),   # cell agg + group agg + sort
+        ("importance_resample", 3),  # the gate itself adds ZERO
+    ],
+)
+def test_round4_late_batches_exchange_ceiling(spark, name, max_exchanges):
+    """Exchange-count ceilings pinned at the measured plan shape: a
+    regression that adds a shuffle to these tight plans fails here."""
+    plan = _plan(spark, name)
+    assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
