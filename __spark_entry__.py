@@ -9980,6 +9980,316 @@ def _snapshot_retention_oracle_sql() -> str:
     """
 
 
+def _q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram (spark/spatialstats.py semivariogram) of
+    a deterministic integer field z = 3*floor(lat) + floor(lng) sampled
+    at the 1-in-20 event subsample: gamma(h) per distance bin up to 5
+    degrees, 5 bins. Pair enumeration is the engine's cell-blocked
+    within-radius self-join; squared-diff sums are exact BIGINTs, so the
+    oracle's brute-force O(n^2) pair scan must match every bin
+    bit-for-bit."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.spatialstats import semivariogram
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 20 == 0),
+        "lat", "lng", "cell_id",
+    ).withColumn(
+        "z",
+        (F.floor("lat") * 3 + F.floor("lng")).cast("long"),
+    )
+    return semivariogram(
+        pts, max_radius_deg=5.0, n_bins=5, value_col="z",
+        point_key="event_id",
+    ).orderBy("bin_idx")
+
+
+def _semivariogram_oracle_sql() -> str:
+    import math as _m
+
+    r = _m.radians(5.0)
+    binw = _m.radians(5.0) / 5.0
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        sub AS (
+          SELECT event_id, lat, lng,
+                 CAST(floor(lat) * 3 + floor(lng) AS BIGINT) AS z
+          FROM pts0 WHERE event_id % 20 = 0
+        ),
+        v AS (
+          SELECT event_id, z,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS zz
+          FROM sub
+        ),
+        pairs AS (
+          SELECT a.z AS za, b.z AS zb,
+                 atan2(sqrt(
+                     (a.y * b.zz - a.zz * b.y) * (a.y * b.zz - a.zz * b.y)
+                   + (a.zz * b.x - a.x * b.zz) * (a.zz * b.x - a.x * b.zz)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.zz * b.zz) AS d
+          FROM v a JOIN v b ON a.event_id < b.event_id
+        ),
+        binned AS (
+          SELECT least(CAST(floor(d / {binw!r}) AS BIGINT), 4) AS bin_idx,
+                 (za - zb) * (za - zb) AS d2
+          FROM pairs WHERE d <= {r!r}
+        ),
+        agg AS (
+          SELECT bin_idx, count(*) AS n_pairs,
+                 CAST(sum(d2) AS BIGINT) AS ssd
+          FROM binned GROUP BY 1
+        )
+        SELECT bin_idx,
+               CAST(bin_idx AS DOUBLE) * {binw!r} AS h_lo_rad,
+               (CAST(bin_idx AS DOUBLE) + 1.0) * {binw!r} AS h_hi_rad,
+               n_pairs, ssd,
+               round(CAST(ssd AS DOUBLE)
+                     / (2.0 * CAST(n_pairs AS DOUBLE)), 9) AS gamma
+        FROM agg ORDER BY bin_idx
+    """
+
+
+def _q_nn_gfunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor G-function (spark/spatialstats.py nn_gfunction)
+    at radii 1 / 2.5 / 5 degrees over the 1-in-20 event subsample — the
+    CDF companion of clark_evans_nn. NN distances come from the
+    cap-doubling kNN; the oracle brute-forces every point's true NN with
+    the identical atan2 distance, so counts must match exactly."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.spatialstats import nn_gfunction
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 20 == 0),
+        "lat", "lng", "cell_id",
+    )
+    return nn_gfunction(
+        pts, radii_deg=[1.0, 2.5, 5.0], point_key="event_id"
+    ).orderBy("r_deg")
+
+
+def _nn_gfunction_oracle_sql() -> str:
+    import math as _m
+
+    rows = []
+    for r in (1.0, 2.5, 5.0):
+        rr = _m.radians(r)
+        rows.append(f"""
+          SELECT {float(r)!r} AS r_deg,
+                 n_points,
+                 (SELECT count(*) FROM nn WHERE nn_rad <= {rr!r})
+                   AS n_within,
+                 round(CAST((SELECT count(*) FROM nn
+                             WHERE nn_rad <= {rr!r}) AS DOUBLE)
+                       / CAST(n_points AS DOUBLE), 9) AS g_hat,
+                 round(1.0 - exp(-(CAST(n_points AS DOUBLE)
+                                   / {4.0 * _m.pi!r}) * {_m.pi!r}
+                                 * {rr!r} * {rr!r}), 9) AS g_csr
+          FROM np""")
+    sel = " UNION ALL ".join(rows)
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        sub AS (
+          SELECT event_id, lat, lng FROM pts0 WHERE event_id % 20 = 0
+        ),
+        v AS (
+          SELECT event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM sub
+        ),
+        nn AS (
+          SELECT a.event_id,
+                 min(atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z)) AS nn_rad
+          FROM v a JOIN v b ON a.event_id != b.event_id
+          GROUP BY 1
+        ),
+        np AS (SELECT count(*) AS n_points FROM nn)
+        SELECT * FROM ({sel}) ORDER BY r_deg
+    """
+
+
+def _q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard neighbor-overlap link prediction (pipeline/graph.py
+    neighbor_jaccard) over the synthetic 64-node domain graph (the
+    PageRank/Adamic-Adar fixture): |common| / |union| for every
+    non-adjacent unordered pair, union from degrees without a second
+    pass. Counts are exact BIGINTs; the oracle replays the wedge join
+    and the NOT EXISTS anti-join."""
+    from gos2_spark.pipeline.graph import neighbor_jaccard
+
+    c = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    edges = c.select(
+        (k % 64).alias("src"), ((k * 7 + 3) % 64).alias("dst")
+    ).distinct()
+    return neighbor_jaccard(edges, "src", "dst").orderBy("u", "v")
+
+
+def _neighbor_jaccard_oracle_sql() -> str:
+    return """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 7 + 3) % 64 AS dst
+          FROM customer
+        ),
+        sym AS (
+          SELECT src AS a, dst AS b FROM e WHERE src != dst
+          UNION
+          SELECT dst, src FROM e WHERE src != dst
+        ),
+        deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        adj AS (SELECT a AS w, b AS u FROM sym),
+        wedges AS (
+          SELECT l.u AS u, r.u AS v
+          FROM adj l JOIN adj r ON l.w = r.w AND l.u < r.u
+        ),
+        common AS (
+          SELECT u, v, count(*) AS common_neighbors
+          FROM wedges GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT c.u, c.v, c.common_neighbors,
+                 du.deg + dv.deg - c.common_neighbors AS union_neighbors
+          FROM common c
+          JOIN deg du ON du.a = c.u
+          JOIN deg dv ON dv.a = c.v
+        )
+        SELECT u, v, common_neighbors, union_neighbors,
+               round(CAST(common_neighbors AS DOUBLE)
+                     / CAST(union_neighbors AS DOUBLE), 9) AS jaccard
+        FROM scored
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sym WHERE sym.a = scored.u AND sym.b = scored.v
+        )
+        ORDER BY u, v
+    """
+
+
+def _q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (pipeline/web.py bib_coupling) — the
+    outlink dual of cocitation_hosts over the same synthetic link graph:
+    source-host pairs by distinct shared destinations, hub-destination
+    degree cut, one bounded self-join on dst. The oracle synthesizes the
+    identical edge list directly."""
+    from gos2_spark.pipeline.web import bib_coupling, extract_links, url_host
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k, m, base = _messy_url_parts(d)
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((d * 7) % 20).cast("string"),
+        F.lit(".example/p/"),
+        m,
+        F.lit('">x</a> <a href="https://site'),
+        ((d * 11) % 20).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    pages = docs.select(base.alias("url"), html.alias("html"))
+    edges = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("href"),
+    ).select("src_host", url_host(F.col("href")).alias("dst_host"))
+    return bib_coupling(edges).orderBy("src_a", "src_b")
+
+
+_BIB_COUPLING_ORACLE = """
+    WITH e0 AS (
+      SELECT 'site' || (doc_id % 20)::VARCHAR || '.example' AS src,
+             'site' || ((doc_id * 7) % 20)::VARCHAR || '.example' AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 20)::VARCHAR || '.example',
+             'site' || ((doc_id * 11) % 20)::VARCHAR || '.example'
+      FROM documents
+    ),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    deg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+    kept AS (SELECT e.src, e.dst FROM e JOIN deg USING (dst)
+             WHERE d <= 1000)
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(count(*) AS BIGINT) AS n_coupled
+    FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (pipeline/web.py recrawl_priority)
+    over a fetch log derived from events: key = 'url' user_id % 50,
+    fingerprint = floor(value * 100). Change counts and epoch math are
+    exact BIGINTs; rate, staleness, and priority are fixed-order
+    divisions the oracle replays with DuckDB windows."""
+    from gos2_spark.pipeline.web import recrawl_priority
+
+    ev = _load(spark, sf_dir, "events")
+    fetches = ev.select(
+        (F.col("user_id") % 50).alias("url"),
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("fingerprint"),
+    )
+    return recrawl_priority(fetches).orderBy("key")
+
+
+_RECRAWL_ORACLE = """
+    WITH f AS (
+      SELECT user_id % 50 AS key,
+             epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS fp
+      FROM events
+    ),
+    marked AS (
+      SELECT key, us,
+             CASE WHEN fp != lag(fp) OVER
+                    (PARTITION BY key ORDER BY us, fp)
+                  THEN 1 ELSE 0 END AS chg
+      FROM f
+    ),
+    per AS (
+      SELECT key, count(*) AS n_fetches,
+             CAST(sum(chg) AS BIGINT) AS n_changes,
+             min(us) AS first_us, max(us) AS last_us
+      FROM marked GROUP BY 1
+    ),
+    ref AS (SELECT max(last_us) AS ref_us FROM per)
+    SELECT key, n_fetches, n_changes,
+           round(CAST(last_us - first_us AS DOUBLE) / 86400000000.0, 9)
+             AS age_days,
+           round(CAST(ref_us - last_us AS DOUBLE) / 86400000000.0, 9)
+             AS stale_days,
+           round(CASE WHEN n_fetches >= 2 AND last_us > first_us
+                 THEN CAST(n_changes AS DOUBLE)
+                      / (CAST(last_us - first_us AS DOUBLE) / 86400000000.0)
+                 END, 9) AS lambda_day,
+           round(CASE WHEN n_fetches >= 2 AND last_us > first_us
+                 THEN CAST(n_changes AS DOUBLE)
+                      / (CAST(last_us - first_us AS DOUBLE) / 86400000000.0)
+                      * (CAST(ref_us - last_us AS DOUBLE) / 86400000000.0)
+                 END, 9) AS priority
+    FROM per, ref ORDER BY key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -10097,6 +10407,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_index_cells": _q_theil_cells,
         "seasonal_naive_mase": _q_seasonal_mase,
         "snapshot_retention_plan": _q_snapshot_retention,
+        "semivariogram_bins": _q_semivariogram,
+        "nn_gfunction": _q_nn_gfunction,
+        "neighbor_jaccard_links": _q_neighbor_jaccard,
+        "bib_coupling_hosts": _q_bib_coupling,
+        "recrawl_priority": _q_recrawl_priority,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -13486,4 +13801,9 @@ def oracle_sql() -> dict[str, str]:
         "theil_index_cells": _theil_oracle_sql(),
         "seasonal_naive_mase": _seasonal_mase_oracle_sql(),
         "snapshot_retention_plan": _snapshot_retention_oracle_sql(),
+        "semivariogram_bins": _semivariogram_oracle_sql(),
+        "nn_gfunction": _nn_gfunction_oracle_sql(),
+        "neighbor_jaccard_links": _neighbor_jaccard_oracle_sql(),
+        "bib_coupling_hosts": _BIB_COUPLING_ORACLE,
+        "recrawl_priority": _RECRAWL_ORACLE,
     }

@@ -217,6 +217,11 @@ BENCH_QUERIES = [
     "theil_index_cells",
     "seasonal_naive_mase",
     "snapshot_retention_plan",
+    "semivariogram_bins",
+    "nn_gfunction",
+    "neighbor_jaccard_links",
+    "bib_coupling_hosts",
+    "recrawl_priority",
 ]
 
 

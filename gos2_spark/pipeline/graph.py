@@ -1217,3 +1217,75 @@ def graph_mixing_stats(
         F.round(F.col("n_recip").cast("double") / m, 9).alias("reciprocity"),
         F.round(r, 9).alias("assortativity"),
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Jaccard neighbor-overlap link prediction over an undirected
+    graph — the set-overlap sibling of ``adamic_adar``:
+
+        J(u, v) = |N(u) & N(v)| / |N(u) | N(v)|
+
+    for unordered NON-adjacent pairs (u < v) with at least one common
+    neighbor. The union never needs a second pass:
+    |union| = deg(u) + deg(v) - |common|.
+
+    Exactness: common-neighbor counts and degrees are exact BIGINTs from
+    the wedge join; the score is one final division — bit-identical
+    cross-engine.
+
+    Plan: symmetrize+distinct -> degree agg -> wedge self-join on the
+    center (bounded by sum_w deg(w)^2, the triangle-counting envelope)
+    -> one count per pair -> two degree hash joins -> anti-join existing
+    edges. No all-pairs product anywhere.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    sym = _default_materialize(edges.sparkSession)(sym)
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    adj = sym.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "w")
+        .where(F.col("l.u") < F.col("r.u"))
+        .select(F.col("l.u").alias("u"), F.col("r.u").alias("v"))
+    )
+    common = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("common_neighbors")
+    )
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("deg").alias("_dv"))
+    scored = (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("_du") + F.col("_dv") - F.col("common_neighbors")
+            ).alias("union_neighbors"),
+        )
+    )
+    scored = scored.withColumn(
+        "jaccard",
+        F.round(
+            F.col("common_neighbors").cast("double")
+            / F.col("union_neighbors").cast("double"),
+            9,
+        ),
+    )
+    existing = sym.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).where(F.col("u") < F.col("v"))
+    return scored.join(existing, ["u", "v"], "left_anti")

@@ -207,3 +207,109 @@ def cocitation(
         .groupBy("dst_a", "dst_b")
         .agg(F.count("*").alias("n_cociting"))
     )
+
+
+def bib_coupling(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling — the outlink dual of ``cocitation``: for
+    every unordered pair of SOURCE hosts, how many DISTINCT destination
+    hosts they both link to. Two hosts that cite the same references are
+    topically close even if nothing co-cites them yet (the young-page /
+    young-host case where co-citation is still empty).
+
+    Plan mirrors cocitation with the roles swapped: distinct (src, dst)
+    edges -> drop destinations whose IN-degree exceeds ``max_in_degree``
+    (a universally-linked hub like a CDN or login page contributes
+    in_degree^2 pairs and zero signal) -> self-join on dst with
+    src_a < src_b -> one count per pair. Bounded by the degree cap.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("dst").agg(F.count("*").alias("_d"))
+    kept = e.join(
+        deg.where(F.col("_d") <= max_in_degree).select("dst"), "dst"
+    )
+    a = kept.select("dst", F.col("src").alias("src_a"))
+    b = kept.select("dst", F.col("src").alias("src_b"))
+    return (
+        a.join(b, "dst")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_coupled"))
+    )
+
+
+def recrawl_priority(
+    fetches: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Change-rate recrawl scheduling over a fetch log — the freshness
+    policy a crawl frontier runs: pages that change often AND haven't
+    been fetched recently come first.
+
+    Per key over its (ts, fingerprint) history:
+        changes      = #fetches whose fingerprint differs from the
+                       previous fetch's (first fetch is not a change)
+        age_days     = (last fetch - first fetch) in days
+        lambda_day   = changes / age_days        (Poisson change rate)
+        stale_days   = (corpus max ts - last fetch) in days
+        priority     = lambda_day * stale_days   (expected missed changes)
+
+    Keys with one fetch or zero age are emitted with NULL rate/priority
+    (unknowable, the scheduler's cold-start bucket stays visible).
+
+    Plan: one key-partitioned window (lag + min/max over the same
+    shuffle), then a broadcast of the single-row corpus max — the only
+    'global' input, joined as a broadcast nested loop, never a driver
+    round-trip. Epoch math on BIGINT microseconds; the two divisions and
+    the product are fixed-order doubles.
+    """
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    f = fetches.select(
+        F.col(key_col).alias("key"),
+        us.alias("_us"),
+        F.col(fingerprint_col).alias("_fp"),
+    )
+    # total order even under timestamp ties: (ts, fingerprint) — the
+    # change count depends on scan order, so pin it cross-engine
+    w = Window.partitionBy("key").orderBy("_us", "_fp")
+    marked = f.select(
+        "key",
+        "_us",
+        (F.col("_fp") != F.lag("_fp").over(w)).cast("long").alias("_chg"),
+    )
+    per_key = marked.groupBy("key").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.coalesce(F.col("_chg"), F.lit(0))).alias("n_changes"),
+        F.min("_us").alias("_first"),
+        F.max("_us").alias("_last"),
+    )
+    ref = per_key.agg(F.max("_last").alias("_ref"))
+    day = F.lit(86400000000.0)
+    age_days = (F.col("_last") - F.col("_first")).cast("double") / day
+    stale_days = (F.col("_ref") - F.col("_last")).cast("double") / day
+    lam = F.when(
+        (F.col("n_fetches") >= 2) & (F.col("_last") > F.col("_first")),
+        F.col("n_changes").cast("double") / age_days,
+    )
+    return per_key.join(F.broadcast(ref)).select(
+        "key",
+        "n_fetches",
+        "n_changes",
+        F.round(age_days, 9).alias("age_days"),
+        F.round(stale_days, 9).alias("stale_days"),
+        F.round(lam, 9).alias("lambda_day"),
+        F.round(lam * stale_days, 9).alias("priority"),
+    )

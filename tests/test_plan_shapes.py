@@ -462,3 +462,42 @@ def test_round4_late_batches_exchange_ceiling(spark, name, max_exchanges):
     regression that adds a shuffle to these tight plans fails here."""
     plan = _plan(spark, name)
     assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "semivariogram_bins",
+        "nn_gfunction",
+        "neighbor_jaccard_links",
+        "bib_coupling_hosts",
+        "recrawl_priority",
+    ],
+)
+def test_round4i_queries_no_python_beyond_kernels(spark, name):
+    """The ninth round-4 batch: graph/web/window ops are pure Catalyst;
+    the two point-pattern ops may invoke only the S2 neighborhood /
+    covering kernels (semivariogram's pair join, the kNN ladder) — never
+    a grouped-pandas stage, a row-python stage, or a cartesian."""
+    plan = _plan(spark, name)
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_neighborhood", "s2_cellid", "s2_covering"}, (
+        name, arrows,
+    )
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("semivariogram_bins", 4),   # pair join + 2 value joins + bin agg
+        ("neighbor_jaccard_links", 5),  # deg, wedge, 2 deg joins, anti
+        ("recrawl_priority", 3),     # one keyed window + per-key agg
+    ],
+)
+def test_round4i_exchange_ceiling(spark, name, max_exchanges):
+    """Exchange ceilings pinned at the measured shapes of the 4i batch."""
+    plan = _plan(spark, name)
+    assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
