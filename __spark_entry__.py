@@ -10290,6 +10290,375 @@ _RECRAWL_ORACLE = """
 """
 
 
+def _q_erp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERP distance between the trajectories of users 0-9
+    (spark/trajectory.py erp_distance_col): the METRIC member of the
+    trajectory family — real-valued gap costs to the origin gap point
+    (angle distance collapses to atan2(sqrt(y^2+z^2), x)), triangle
+    inequality preserved. Same nested Catalyst fold as EDR with a
+    prefix-sum init row; bit-identical to the DuckDB nested-list_reduce
+    replay. The 10-user cohort bound stands in for the covering-overlap
+    prefilter (same contract as trajectory_hausdorff)."""
+    from gos2_spark.spark.trajectory import erp_distance_col
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.where(F.col("user_id") < 10).select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    rlat, rlng = F.radians("lat"), F.radians("lng")
+    xyz = pts.select(
+        "user_id", "ts", "event_id",
+        F.struct(
+            (F.cos(rlng) * F.cos(rlat)).alias("x"),
+            (F.sin(rlng) * F.cos(rlat)).alias("y"),
+            F.sin(rlat).alias("z"),
+        ).alias("p"),
+    )
+    traj = xyz.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "p"))),
+            lambda s: s["p"],
+        ).alias("tr"),
+        F.count("*").alias("n_pts"),
+    )
+    a = traj.select(
+        F.col("user_id").alias("user_a"),
+        F.col("tr").alias("ta"),
+        F.col("n_pts").alias("pts_a"),
+    )
+    b = traj.select(
+        F.col("user_id").alias("user_b"),
+        F.col("tr").alias("tb"),
+        F.col("n_pts").alias("pts_b"),
+    )
+    pairs = a.join(b, F.col("user_a") < F.col("user_b"))
+    return pairs.select(
+        "user_a", "user_b", "pts_a", "pts_b",
+        F.round(
+            erp_distance_col(F.col("ta"), F.col("tb")), 9
+        ).alias("erp_rad"),
+    ).orderBy("user_a", "user_b")
+
+
+def _erp_oracle_sql() -> str:
+    gap_xx = "atan2(sqrt(xx[2] * xx[2] + xx[3] * xx[3]), xx[1])"
+    gap_yy = "atan2(sqrt(yy[2] * yy[2] + yy[3] * yy[3]), yy[1])"
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        xyz AS (
+          SELECT user_id, ts, event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts0 WHERE user_id < 10
+        ),
+        traj AS (
+          SELECT user_id,
+                 list([x, y, z] ORDER BY ts, event_id) AS tr,
+                 count(*) AS n_pts
+          FROM xyz GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.tr AS ta, b.tr AS tb,
+                 a.n_pts AS pts_a, b.n_pts AS pts_b
+          FROM traj a JOIN traj b ON a.user_id < b.user_id
+        ),
+        dp AS (
+          SELECT user_a, user_b, pts_a, pts_b,
+                 list_reduce(
+                   list_concat(
+                     [list_reduce(
+                        list_concat([[0.0]], tb),
+                        (N, yy) -> list_append(N, N[len(N)] + {gap_yy}))],
+                     ta),
+                   (R, xx) -> list_reduce(
+                     list_concat([[R[1] + {gap_xx}]], tb),
+                     (N, yy) -> list_append(N,
+                       least(
+                         R[len(N)]
+                         + atan2(sqrt(
+                               (xx[2] * yy[3] - xx[3] * yy[2])
+                             * (xx[2] * yy[3] - xx[3] * yy[2])
+                             + (xx[3] * yy[1] - xx[1] * yy[3])
+                             * (xx[3] * yy[1] - xx[1] * yy[3])
+                             + (xx[1] * yy[2] - xx[2] * yy[1])
+                             * (xx[1] * yy[2] - xx[2] * yy[1])),
+                             xx[1] * yy[1] + xx[2] * yy[2]
+                             + xx[3] * yy[3]),
+                         R[len(N) + 1] + {gap_xx},
+                         N[len(N)] + {gap_yy})))
+                 ) AS row
+          FROM pairs
+        )
+        SELECT user_a, user_b, pts_a, pts_b,
+               round(row[len(row)], 9) AS erp_rad
+        FROM dp ORDER BY user_a, user_b
+    """
+
+
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing
+    (spark/temporal.py holt_winters) of each event type's daily counts,
+    period 7, alpha=1/4 beta=1/8 gamma=1/2 (exact binary coefficients):
+    the TRIPLE-state ordered fold — level, trend, and a rotating 7-slot
+    seasonal register advance as one flat array<double> through a
+    sequential F.aggregate; the DuckDB list_reduce replay uses the
+    identical expression text, so every double matches bit-for-bit."""
+    from gos2_spark.spark.temporal import holt_winters
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    return holt_winters(
+        daily, ["event_type"], "day", "n", period=7
+    ).orderBy("event_type")
+
+
+_HOLT_WINTERS_ORACLE = """
+    -- triple state rides as a flat 9-element DOUBLE list [l, b, s1..s7];
+    -- every element of the folded list is ALSO a 9-list whose first slot
+    -- is the observation, so the first element doubles as the init state
+    -- (l = x1, b = 0, s = 0) — the Holt pair-state pattern widened
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(CAST(date_diff('microsecond',
+                  TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                  / 86400000000) AS BIGINT) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n_obs,
+             list([CAST(n AS DOUBLE),
+                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                  ORDER BY day) AS sts
+      FROM daily GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, n_obs,
+             list_reduce(sts, (acc, e) -> list_concat(list_concat(
+               [2.5e-1 * (e[1] - acc[3])
+                  + 7.5e-1 * (acc[1] + acc[2]),
+                ((2.5e-1 * (e[1] - acc[3])
+                    + 7.5e-1 * (acc[1] + acc[2])) - acc[1]) * 1.25e-1
+                  + acc[2] * 8.75e-1],
+               acc[4:9]),
+               [(e[1] - (2.5e-1 * (e[1] - acc[3])
+                   + 7.5e-1 * (acc[1] + acc[2]))) * 5e-1
+                  + acc[3] * 5e-1])) AS st
+      FROM g
+    )
+    SELECT event_type, n_obs,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[3], 6) AS season_next,
+           round(st[1] + st[2] + st[3], 6) AS forecast_1
+    FROM r ORDER BY event_type
+"""
+
+
+def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (pipeline/sketch.py ams_f2)
+    of the token distribution per language: 8 xxhash64-salted +/-1 sign
+    sums (exact BIGINTs, one map-side-combined pass) vs the exact F2 —
+    the self-join-size / skew screen. The oracle replays every sign via
+    the SQL XXH64 model."""
+    from gos2_spark.pipeline.sketch import ams_f2
+    from gos2_spark.pipeline.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.trim(F.col("text")) == "", F.array().cast("array<string>")
+            ).otherwise(tokens(F.col("text")))
+        ).alias("token"),
+    )
+    return ams_f2(toks, "token", ["lang"], n_estimators=8).orderBy("lang")
+
+
+def _ams_f2_oracle_sql(n_estimators: int = 8) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[" + ", ".join(
+        f"token || '#ams{r}'" for r in range(n_estimators)
+    ) + "]"
+    s_cols = ", ".join(
+        f"CAST(sum(c * (1 - 2 * (((hs[{r + 1}] % 2) + 2) % 2))) AS BIGINT)"
+        f" AS s{r}"
+        for r in range(n_estimators)
+    )
+    est = " + ".join(
+        f"CAST(s{r} AS DOUBLE) * CAST(s{r} AS DOUBLE)"
+        for r in range(n_estimators)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT lang,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS tk
+          FROM documents
+        ),
+        t AS (
+          SELECT lang, u.token
+          FROM toks, LATERAL unnest(tk) AS u(token)
+        ),
+        cnt AS (
+          SELECT lang, token, count(*) AS c,
+                 ({xxh64_list_sql(salted)}) AS hs
+          FROM t GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT lang,
+                 CAST(sum(c) AS BIGINT) AS n_items,
+                 count(*) AS n_distinct,
+                 CAST(sum(c * c) AS BIGINT) AS f2_exact,
+                 {s_cols}
+          FROM cnt GROUP BY 1
+        )
+        SELECT lang, n_items, n_distinct, f2_exact,
+               round(({est}) / {float(n_estimators)!r}, 6) AS f2_est
+        FROM per ORDER BY lang
+    """
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling without replacement
+    (pipeline/pack.py weighted_sample_topk): the 25 documents winning
+    the ln(u)/w order statistic with u derived from the doc_id hash —
+    reproducible under any partitioning (pure key function, the
+    checkpoint/resume-safe sampler). Weight = n_chars (min 1). The
+    oracle recomputes u and the scores from the SQL XXH64 model."""
+    from gos2_spark.pipeline.pack import weighted_sample_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs, F.greatest(F.col("n_chars"), F.lit(1)), k=25,
+        key_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "n_chars", F.round("aes_score", 9).alias("aes_score")
+    ).orderBy("doc_id")
+
+
+def _weighted_sample_oracle_sql(k: int = 25) -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[CAST(doc_id AS VARCHAR) || '#aes']"
+    h = f"({xxh64_list_sql(salted)})[1]"
+    p = 1 << 53
+    return f"""
+        WITH g AS (
+          SELECT doc_id, n_chars,
+                 ln((CAST((({h}) % {p} + {p}) % {p} AS DOUBLE) + 1.0)
+                    / {float(p) + 1.0!r})
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) AS score
+          FROM documents
+        ),
+        top AS (
+          SELECT doc_id, n_chars, score FROM g
+          ORDER BY score DESC, doc_id LIMIT {k}
+        )
+        SELECT doc_id, n_chars, round(score, 9) AS aes_score
+        FROM top ORDER BY doc_id
+    """
+
+
+def _q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (spark/aggregates.py two_proportion_ztest)
+    over a hash-split A/B assignment of users (arm = xxhash64 parity —
+    the same deterministic bucketing a real experiment platform uses):
+    did arm 1 convert (any 'purchase' event) at a different rate? Four
+    conditional BIGINT sums; z is one fixed-order float expression the
+    oracle replays through the SQL XXH64 model."""
+    from gos2_spark.spark.aggregates import two_proportion_ztest
+
+    ev = _load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200.0)
+            ).cast("long")
+        ).alias("converted")
+    )
+    arm = F.pmod(
+        F.xxhash64(
+            F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+        ),
+        F.lit(2),
+    ).cast("int")
+    return two_proportion_ztest(
+        per_user.withColumn("arm", arm), "arm", "converted"
+    )
+
+
+def _ab_ztest_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[CAST(user_id AS VARCHAR) || '#ab']"
+    h = f"({xxh64_list_sql(salted)})[1]"
+    return f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY 1
+        ),
+        armed AS (
+          SELECT ((({h}) % 2) + 2) % 2 AS arm, converted FROM per_user
+        ),
+        agg AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+              AS conv0,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+              AS conv1
+          FROM armed
+        )
+        SELECT n0, conv0, n1, conv1,
+               round(CASE WHEN n0 > 0
+                     THEN CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                     END, 9) AS p0,
+               round(CASE WHEN n1 > 0
+                     THEN CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     END, 9) AS p1,
+               round(CAST(conv0 + conv1 AS DOUBLE)
+                     / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)), 9)
+                 AS p_pooled,
+               round(CASE WHEN n0 > 0 AND n1 > 0
+                          AND conv0 + conv1 > 0
+                          AND conv0 + conv1 < n0 + n1 THEN
+                     (CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                      - CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     / sqrt((CAST(conv0 + conv1 AS DOUBLE)
+                             / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                            * (1.0 - CAST(conv0 + conv1 AS DOUBLE)
+                               / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                            * (1.0 / CAST(n0 AS DOUBLE)
+                               + 1.0 / CAST(n1 AS DOUBLE)))
+                     END, 9) AS z_stat
+        FROM agg
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -10412,6 +10781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard_links": _q_neighbor_jaccard,
         "bib_coupling_hosts": _q_bib_coupling,
         "recrawl_priority": _q_recrawl_priority,
+        "erp_traj_pairs": _q_erp_pairs,
+        "holt_winters_daily": _q_holt_winters,
+        "ams_f2_tokens": _q_ams_f2,
+        "weighted_sample_aes": _q_weighted_sample,
+        "ab_conversion_ztest": _q_ab_ztest,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -13806,4 +14180,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_jaccard_links": _neighbor_jaccard_oracle_sql(),
         "bib_coupling_hosts": _BIB_COUPLING_ORACLE,
         "recrawl_priority": _RECRAWL_ORACLE,
+        "erp_traj_pairs": _erp_oracle_sql(),
+        "holt_winters_daily": _HOLT_WINTERS_ORACLE,
+        "ams_f2_tokens": _ams_f2_oracle_sql(),
+        "weighted_sample_aes": _weighted_sample_oracle_sql(),
+        "ab_conversion_ztest": _ab_ztest_oracle_sql(),
     }

@@ -222,6 +222,11 @@ BENCH_QUERIES = [
     "neighbor_jaccard_links",
     "bib_coupling_hosts",
     "recrawl_priority",
+    "erp_traj_pairs",
+    "holt_winters_daily",
+    "ams_f2_tokens",
+    "weighted_sample_aes",
+    "ab_conversion_ztest",
 ]
 
 

@@ -119,3 +119,40 @@ def importance_resample(
         .withColumn("_thresh", thresh)
         .where(F.col("_bucket") < F.col("_thresh"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES) — the exact complement of ``importance_resample``
+    (which is Bernoulli WITH independent keeps): draw exactly ``k``
+    items where the inclusion odds follow the weights, reproducible
+    under any partitioning or resharding.
+
+    Each row gets u in (0, 1) from its key hash — u = (pmod(h, 2^53) +
+    1) / (2^53 + 1), exact in double since both numerator and
+    denominator are < 2^54 — and the A-ES order statistic
+    ln(u) / w (the log of u^(1/w), same argsort, no underflow for tiny
+    weights). The k rows with the LARGEST score win. No per-partition
+    state, no RNG: membership is a pure function of (key, weight), so a
+    re-run on different partitioning returns the identical sample —
+    the property that makes the op checkpoint/resume-safe at 100 TB.
+
+    Plan: one codegen projection + global top-k (TakeOrderedAndProject,
+    no full sort, no shuffle of the losers).
+    """
+    two53 = float(1 << 53)
+    h = F.xxhash64(F.concat(F.col(key_col).cast("string"), F.lit("#aes")))
+    u = (F.pmod(h, F.lit(1 << 53)).cast("double") + F.lit(1.0)) / F.lit(
+        two53 + 1.0
+    )
+    score = F.log(u) / weight.cast("double")
+    return (
+        df.withColumn("aes_score", score)
+        .orderBy(F.col("aes_score").desc(), F.col(key_col))
+        .limit(int(k))
+    )

@@ -216,3 +216,64 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     return agg.select(
         *group_cols, "k_used", "h_k", F.round(est, 4).alias("est_distinct")
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    n_estimators: int = 8,
+) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch per
+    group: estimates F2 = sum_k count(k)^2 — the self-join size /
+    skew indicator a planner consults before hash-joining on a key —
+    from ``n_estimators`` +/-1 sign sums instead of a per-key state.
+
+    Like the CMS/Bloom/KMV family, the randomness is exact integer
+    algebra on ``xxhash64`` (seed 42): sign_r(k) = 1 - 2*pmod(h_r(k), 2)
+    with h_r salted per estimator, so every sign — and therefore the
+    whole estimate — replays bit-for-bit in DuckDB.
+
+    Per group: S_r = sum_k count(k) * sign_r(k) is an exact BIGINT
+    (one groupBy, map-side combined, all estimators in the same pass);
+    the estimate mean(S_r^2) is squared in DOUBLE (S_r^2 can exceed
+    int64 at corpus scale) and summed in estimator order — fixed-order
+    float math, bit-identical cross-engine. The exact F2 (BIGINT) rides
+    along for the accuracy report.
+
+    Output: (group..., n_items, n_distinct, f2_exact, f2_est).
+    """
+    cnt = df.groupBy(*group_cols, F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
+    )
+    signs = [
+        (
+            F.lit(1)
+            - F.lit(2)
+            * F.pmod(
+                F.xxhash64(F.concat(F.col("_k"), F.lit(f"#ams{r}"))),
+                F.lit(2),
+            )
+        ).cast("long")
+        for r in range(n_estimators)
+    ]
+    aggs = [
+        F.sum("_c").alias("n_items"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("_c") * F.col("_c")).alias("f2_exact"),
+    ] + [
+        F.sum(F.col("_c") * s).alias(f"_s{r}")
+        for r, s in enumerate(signs)
+    ]
+    per = cnt.groupBy(*group_cols).agg(*aggs)
+    est = None
+    for r in range(n_estimators):
+        sq = F.col(f"_s{r}").cast("double") * F.col(f"_s{r}").cast("double")
+        est = sq if est is None else est + sq
+    return per.select(
+        *group_cols,
+        "n_items",
+        "n_distinct",
+        "f2_exact",
+        F.round(est / F.lit(float(n_estimators)), 6).alias("f2_est"),
+    )

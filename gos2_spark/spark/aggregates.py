@@ -317,3 +317,53 @@ def benford_digit_stats(df: DataFrame, value_col: str) -> DataFrame:
         F.round(exp_p, 12).alias("expected_p"),
         F.round(chi, 9).alias("chi2_term"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test over an A/B assignment — the experiment
+    readout every event pipeline ends in: conversion rate per arm, the
+    pooled-variance z statistic, and the exact integer sufficient
+    statistics it derives from.
+
+    ``arm_col`` must be 0/1; ``success_col`` boolean/0-1 per unit.
+
+        z = (p0 - p1) / sqrt(p*(1-p) * (1/n0 + 1/n1)),  p = pooled rate
+
+    One aggregation (four conditional BIGINT sums); every float is one
+    fixed-order expression over those integers — bit-identical
+    cross-engine. Output: ONE row (n0, conv0, n1, conv1, p0, p1,
+    p_pooled, z_stat).
+    """
+    arm = F.col(arm_col)
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(F.when(arm == 0, F.lit(1)).otherwise(F.lit(0))).alias("n0"),
+        F.sum(F.when(arm == 0, s).otherwise(F.lit(0))).alias("conv0"),
+        F.sum(F.when(arm == 1, F.lit(1)).otherwise(F.lit(0))).alias("n1"),
+        F.sum(F.when(arm == 1, s).otherwise(F.lit(0))).alias("conv1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p0 = F.when(F.col("n0") > 0, F.col("conv0").cast("double") / n0)
+    p1 = F.when(F.col("n1") > 0, F.col("conv1").cast("double") / n1)
+    pp = (F.col("conv0") + F.col("conv1")).cast("double") / (n0 + n1)
+    z = F.when(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("conv0") + F.col("conv1") > 0)
+        & (F.col("conv0") + F.col("conv1") < F.col("n0") + F.col("n1")),
+        (p0 - p1)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+        ),
+    )
+    return agg.select(
+        "n0", "conv0", "n1", "conv1",
+        F.round(p0, 9).alias("p0"),
+        F.round(p1, 9).alias("p1"),
+        F.round(pp, 9).alias("p_pooled"),
+        F.round(z, 9).alias("z_stat"),
+    )

@@ -548,3 +548,97 @@ def seasonal_naive_mase(
             F.when(mae_n > 0.0, mae_s / mae_n).otherwise(F.lit(0.0)), 9
         ).alias("mase"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per group —
+    the seasonal big sibling of the Holt pair-state fold: level, trend,
+    AND a rotating ``period``-slot seasonal register advance through one
+    sequential F.aggregate lambda.
+
+    State is a flat array<double> [l, b, s1..s_p] (s1 = the seasonal
+    that applies to the NEXT observation). Init from the first value:
+    l = x1, b = 0, s = 0 (additive zero-season cold start). Update:
+
+        l' = alpha*(x - s1) + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+        s' = gamma*(x - l') + (1-gamma)*s1
+        state' = [l', b', s2..s_p, s']      (seasonal register rotates)
+
+    Catalyst struct-fold lambdas rebind later fields to already-computed
+    earlier ones, so — exactly like the Holt fold — l' is re-derived
+    textually inside b' and s' from OLD state only; the DuckDB
+    list_reduce replay uses the identical expression text, making every
+    double bit-identical cross-engine. One group-keyed shuffle; the fold
+    is JVM-side codegen.
+
+    Output: (group..., n_obs, level, trend, season_next, forecast_1)
+    with forecast_1 = level + trend + season_next.
+    """
+    a, na = float(alpha), 1.0 - alpha
+    bt, nbt = float(beta), 1.0 - beta
+    g, ng = float(gamma), 1.0 - gamma
+
+    grouped = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_obs"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+        ).alias("_xs"),
+    )
+    # every element becomes a (2+period)-wide state vector [x, 0, ...];
+    # the FIRST element doubles as the init state (l=x1, b=0, s=0)
+    sts = F.transform(
+        "_xs",
+        lambda s: F.concat(
+            F.array(s[value_col].cast("double")),
+            F.array_repeat(F.lit(0.0), period + 1),
+        ),
+    ).alias("_sts")
+
+    def lp(acc, x):
+        return (
+            F.lit(a) * (x - F.element_at(acc, 3))
+            + F.lit(na) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+        )
+
+    def step(acc, e):
+        x = F.element_at(e, 1)
+        l_new = lp(acc, x)
+        b_new = (
+            F.lit(bt) * (lp(acc, x) - F.element_at(acc, 1))
+            + F.lit(nbt) * F.element_at(acc, 2)
+        )
+        s_new = (
+            F.lit(g) * (x - lp(acc, x)) + F.lit(ng) * F.element_at(acc, 3)
+        )
+        return F.concat(
+            F.array(l_new, b_new),
+            F.slice(acc, 4, period - 1),
+            F.array(s_new),
+        )
+
+    withs = grouped.select(*group_cols, "n_obs", sts)
+    st = F.aggregate(
+        F.slice("_sts", 2, F.col("n_obs").cast("int") - 1),
+        F.element_at("_sts", 1),
+        step,
+    )
+    return withs.select(
+        *group_cols,
+        "n_obs",
+        F.round(st.getItem(0), 6).alias("level"),
+        F.round(st.getItem(1), 6).alias("trend"),
+        F.round(st.getItem(2), 6).alias("season_next"),
+        F.round(
+            st.getItem(0) + st.getItem(1) + st.getItem(2), 6
+        ).alias("forecast_1"),
+    )

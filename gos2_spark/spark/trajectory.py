@@ -443,3 +443,67 @@ def edr_distance_col(xyz_a: Column, xyz_b: Column, eps_rad: float) -> Column:
         ),
     )
     return F.element_at(dp, -1).cast("long")
+
+
+def erp_distance_col(xyz_a: Column, xyz_b: Column) -> Column:
+    """Edit distance with Real Penalty (ERP, Chen & Ng 2004) between two
+    ordered point sequences (array<struct<x,y,z>> unit xyz) — the METRIC
+    member of the trajectory-similarity family (Hausdorff / Frechet /
+    DTW / LCSS / EDR / ERP): unlike DTW it satisfies the triangle
+    inequality, and unlike EDR its gap cost is the real distance to a
+    fixed gap point g rather than a unit penalty, so it supports metric
+    indexing. g is the lat/lng origin, xyz (1, 0, 0), for which the
+    angle distance collapses to atan2(sqrt(y^2 + z^2), x).
+
+        D(i,0) = sum_{k<=i} d(a_k, g);   D(0,j) = sum_{k<=j} d(b_k, g)
+        D(i,j) = min(D(i-1,j-1) + d(a_i, b_j),
+                     D(i-1,j)   + d(a_i, g),
+                     D(i,j-1)   + d(b_j, g))
+
+    Same nested Catalyst higher-order fold as edr_distance_col (outer
+    aggregate carries the previous DP row; the init row is itself a
+    left-fold prefix sum, so every float add is in pinned order) —
+    bit-identical to the DuckDB nested-list_reduce replay. O(m*n) in
+    codegen, no shuffle, no Python; callers bound candidate pairs like
+    trajectory_hausdorff.
+    """
+
+    def _gap(p):
+        return F.atan2(
+            F.sqrt(p["y"] * p["y"] + p["z"] * p["z"]), p["x"]
+        )
+
+    def _cell(R, N, xa, yb):
+        cross_x = xa["y"] * yb["z"] - xa["z"] * yb["y"]
+        cross_y = xa["z"] * yb["x"] - xa["x"] * yb["z"]
+        cross_z = xa["x"] * yb["y"] - xa["y"] * yb["x"]
+        d_ab = F.atan2(
+            F.sqrt(
+                cross_x * cross_x + cross_y * cross_y + cross_z * cross_z
+            ),
+            xa["x"] * yb["x"] + xa["y"] * yb["y"] + xa["z"] * yb["z"],
+        )
+        return F.least(
+            F.element_at(R, F.size(N)) + d_ab,
+            F.element_at(R, F.size(N) + 1) + _gap(xa),
+            F.element_at(N, F.size(N)) + _gap(yb),
+        )
+
+    # init row: left-fold prefix sums of d(b_k, g) starting at 0.0
+    init = F.aggregate(
+        xyz_b,
+        F.array(F.lit(0.0)),
+        lambda N, yb: F.concat(
+            N, F.array(F.element_at(N, -1) + _gap(yb))
+        ),
+    )
+    dp = F.aggregate(
+        xyz_a,
+        init,
+        lambda R, xa: F.aggregate(
+            xyz_b,
+            F.array(F.element_at(R, 1) + _gap(xa)),
+            lambda N, yb: F.concat(N, F.array(_cell(R, N, xa, yb))),
+        ),
+    )
+    return F.element_at(dp, -1)

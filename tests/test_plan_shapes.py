@@ -501,3 +501,39 @@ def test_round4i_exchange_ceiling(spark, name, max_exchanges):
     """Exchange ceilings pinned at the measured shapes of the 4i batch."""
     plan = _plan(spark, name)
     assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "erp_traj_pairs",
+        "holt_winters_daily",
+        "ams_f2_tokens",
+        "weighted_sample_aes",
+        "ab_conversion_ztest",
+    ],
+)
+def test_round4j_queries_pure_catalyst(spark, name):
+    """The tenth round-4 batch is pure Catalyst end-to-end: nested-fold
+    DP, triple-state fold, sign-sum sketch, hash-order sampling, and the
+    z-test are all JVM expressions — no Python stage, no cartesian
+    (ERP's cohort pair join is the documented bounded exception)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    if name != "erp_traj_pairs":
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("holt_winters_daily", 3),   # daily agg + type agg + sort
+        ("ams_f2_tokens", 3),        # (lang, token) agg + lang agg + sort
+        ("weighted_sample_aes", 0),  # projection + TakeOrderedAndProject
+        ("ab_conversion_ztest", 2),  # per-user agg + single-row agg
+    ],
+)
+def test_round4j_exchange_ceiling(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
