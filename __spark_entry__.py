@@ -10659,6 +10659,247 @@ def _ab_ztest_oracle_sql() -> str:
     """
 
 
+_CROSS_K_RADII = (0.01, 0.03, 0.08)
+
+
+def _q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley cross-K (spark/spatialstats.py cross_k) between
+    the purchase and signup point patterns (1-in-2 subsamples): does
+    pattern B cluster around pattern A at scale r? Pair counting via
+    the engine's cell-blocked A-to-B within-radius join; the oracle
+    brute-forces the full cross product with the identical atan2
+    distance, certifying zero false negatives in the blocked join."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.spatialstats import cross_k
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id", "event_type",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 2 == 0),
+        "lat", "lng", "cell_id",
+    )
+    a = pts.where(F.col("event_type") == "purchase").drop("event_type")
+    b = pts.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("bid"), "lat", "lng", "cell_id"
+    )
+    return cross_k(
+        a, b, _CROSS_K_RADII, point_key="event_id", b_key="bid"
+    ).orderBy("r_rad")
+
+
+def _cross_k_oracle_sql() -> str:
+    rows = []
+    for r in _CROSS_K_RADII:
+        rows.append(f"""
+          SELECT {float(r)!r} AS r_rad, n_a, n_b,
+                 (SELECT count(*) FROM pd WHERE d <= {float(r)!r})
+                   AS n_pairs,
+                 round({4.0 * 3.141592653589793!r}
+                       * CAST((SELECT count(*) FROM pd
+                               WHERE d <= {float(r)!r}) AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+                   AS k_hat,
+                 {3.141592653589793!r} * {float(r)!r} * {float(r)!r}
+                   AS indep_pi_r2
+          FROM ns""")
+    sel = " UNION ALL ".join(rows)
+    return f"""
+        WITH pts0 AS (
+          SELECT event_id, event_type, lat, lng
+          FROM ({_EVENTS_LATLNG_SQL.replace("SELECT user_id, ts, event_id,",
+                                            "SELECT event_type, event_id,")})
+          WHERE event_id % 2 = 0
+        ),
+        v AS (
+          SELECT event_id, event_type,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts0
+        ),
+        va AS (SELECT * FROM v WHERE event_type = 'purchase'),
+        vb AS (SELECT * FROM v WHERE event_type = 'signup'),
+        pd AS (
+          SELECT atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z) AS d
+          FROM va a CROSS JOIN vb b
+        ),
+        ns AS (
+          SELECT (SELECT count(*) FROM va) AS n_a,
+                 (SELECT count(*) FROM vb) AS n_b
+        )
+        SELECT * FROM ({sel}) ORDER BY r_rad
+    """
+
+
+_EHS_HOT_Z = 1.959963984540054
+
+
+def _q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot classification per level-5 cell — the classic
+    space-time-cube readout composed from the engine's two scorers:
+    Getis-Ord Gi* on the cell totals (is it hot NOW, vs its neighbors)
+    x Mann-Kendall on the cell's daily series (is it trending). Cells
+    with >= 10 observed days classify as intensifying / persistent /
+    diminishing (hot) or new / none (not hot). Both statistics are
+    exact-BIGINT sufficient statistics with one final float expression
+    each; the oracle replays the full composition."""
+    from gos2_spark.spark.functions import add_cellid_sql, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.spatialstats import getis_ord_gistar, mann_kendall
+    from gos2_spark.pipeline.graph import _default_materialize
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    ).select(s2_parent_sql(F.col("cell_id"), 5).alias("cell"), "day")
+    pts = _default_materialize(spark)(pts)
+    counts = pts.groupBy("cell").agg(F.count("*").alias("n"))
+    gi = getis_ord_gistar(counts, cell_col="cell", count_col="n")
+    daily = pts.groupBy("cell", "day").agg(F.count("*").alias("n"))
+    mk = mann_kendall(daily, "cell", "day", "n", min_len=10)
+    mk = mk.withColumnRenamed("cell", "_mkcell")
+    j = gi.join(mk, gi["cell"] == mk["_mkcell"])
+    hot = F.col("gi_star") > F.lit(_EHS_HOT_Z)
+    cat = (
+        F.when(hot & (F.col("trend") == "increasing"), "intensifying")
+        .when(hot & (F.col("trend") == "decreasing"), "diminishing")
+        .when(hot, "persistent")
+        .when(F.col("trend") == "increasing", "new")
+        .otherwise("none")
+    )
+    return j.select(
+        s2_token(gi["cell"]).alias("token"),
+        "x_count",
+        F.round("gi_star", 9).alias("gi_star"),
+        "s_stat",
+        F.round("mk_z", 9).alias("mk_z"),
+        cat.alias("category"),
+    ).orderBy("token")
+
+
+def _emerging_hotspots_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pts_cte = _cellid_cte_duckdb(
+        f"SELECT event_id AS key, lat, lng FROM ({_EVENTS_LATLNG_SQL})"
+    )
+    pairs = _DO.edge_neighbors_l8_oracle_sql(pts_cte, level=5)
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH pairs AS ({pairs}),
+        {pts_cte},
+        lv AS (
+          SELECT {tok} AS token,
+                 strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day
+          FROM cells c JOIN events e ON e.event_id = c.key
+        ),
+        cnt AS (SELECT token, count(*) AS n FROM lv GROUP BY 1),
+        nj AS (
+          SELECT p.token, count(*) AS w_nbrs,
+                 CAST(sum(c2.n) AS BIGINT) AS nbr_sum
+          FROM pairs p JOIN cnt c2 ON c2.token = p.nbr_token
+          GROUP BY 1
+        ),
+        per AS (
+          SELECT c.token, CAST(c.n AS BIGINT) AS x_count,
+                 CAST(COALESCE(nj.w_nbrs, 0) + 1 AS BIGINT) AS w_i,
+                 CAST(COALESCE(nj.nbr_sum, 0) + c.n AS BIGINT) AS local_sum
+          FROM cnt c LEFT JOIN nj ON nj.token = c.token
+        ),
+        g AS (
+          SELECT count(*) AS n_cells,
+                 CAST(sum(n) AS BIGINT) AS sx,
+                 CAST(sum(n * n) AS BIGINT) AS sxx
+          FROM cnt
+        ),
+        gi AS (
+          SELECT token, x_count,
+                 (CAST(local_sum AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                    * CAST(w_i AS DOUBLE))
+                 / (sqrt(CAST(sxx AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                    * sqrt((CAST(n_cells AS DOUBLE) * CAST(w_i AS DOUBLE)
+                            - CAST(w_i AS DOUBLE) * CAST(w_i AS DOUBLE))
+                           / (CAST(n_cells AS DOUBLE) - 1.0))) AS gi_star
+          FROM per, g
+        ),
+        daily AS (
+          SELECT token, day, count(*) AS n FROM lv GROUP BY 1, 2
+        ),
+        lens AS (
+          SELECT token, count(*) AS n_obs FROM daily
+          GROUP BY 1 HAVING count(*) >= 10
+        ),
+        s AS (
+          SELECT a.token,
+                 CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.token = b.token AND a.day < b.day
+          JOIN lens l ON l.token = a.token
+          GROUP BY 1
+        ),
+        ties AS (
+          SELECT token,
+                 CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                   AS tie_term
+          FROM (
+            SELECT d.token, d.n, count(*) AS tc
+            FROM daily d JOIN lens l ON l.token = d.token
+            GROUP BY 1, 2
+          ) t GROUP BY 1
+        ),
+        z AS (
+          SELECT lens.token, s.s_stat,
+                 CASE WHEN s.s_stat > 0
+                        THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+                             / sqrt(CAST(lens.n_obs * (lens.n_obs - 1)
+                                    * (2 * lens.n_obs + 5)
+                                    - ties.tie_term AS DOUBLE) / 18.0)
+                      WHEN s.s_stat < 0
+                        THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+                             / sqrt(CAST(lens.n_obs * (lens.n_obs - 1)
+                                    * (2 * lens.n_obs + 5)
+                                    - ties.tie_term AS DOUBLE) / 18.0)
+                      ELSE 0.0 END AS mk_z
+          FROM lens JOIN s ON s.token = lens.token
+          JOIN ties ON ties.token = lens.token
+        )
+        SELECT gi.token, gi.x_count,
+               round(gi.gi_star, 9) AS gi_star,
+               z.s_stat,
+               round(z.mk_z, 9) AS mk_z,
+               CASE
+                 WHEN gi.gi_star > {_EHS_HOT_Z!r}
+                      AND z.mk_z > {_EHS_HOT_Z!r} THEN 'intensifying'
+                 WHEN gi.gi_star > {_EHS_HOT_Z!r}
+                      AND z.mk_z < -{_EHS_HOT_Z!r} THEN 'diminishing'
+                 WHEN gi.gi_star > {_EHS_HOT_Z!r} THEN 'persistent'
+                 WHEN z.mk_z > {_EHS_HOT_Z!r} THEN 'new'
+                 ELSE 'none' END AS category
+        FROM gi JOIN z ON z.token = gi.token
+        ORDER BY gi.token
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -10786,6 +11027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_tokens": _q_ams_f2,
         "weighted_sample_aes": _q_weighted_sample,
         "ab_conversion_ztest": _q_ab_ztest,
+        "cross_k_function": _q_cross_k,
+        "emerging_hotspots": _q_emerging_hotspots,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -14185,4 +14428,6 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_tokens": _ams_f2_oracle_sql(),
         "weighted_sample_aes": _weighted_sample_oracle_sql(),
         "ab_conversion_ztest": _ab_ztest_oracle_sql(),
+        "cross_k_function": _cross_k_oracle_sql(),
+        "emerging_hotspots": _emerging_hotspots_oracle_sql(),
     }

@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "ams_f2_tokens",
     "weighted_sample_aes",
     "ab_conversion_ztest",
+    "cross_k_function",
+    "emerging_hotspots",
 ]
 
 

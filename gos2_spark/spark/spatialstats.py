@@ -946,3 +946,77 @@ def nn_gfunction(
         )
         rows = one if rows is None else rows.union(one)
     return rows
+
+
+def cross_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    radii_rad: Sequence[float],
+    point_key: str = "key",
+    b_key: str | None = None,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Bivariate (cross) Ripley K function between two spherical point
+    patterns at the given angular radii:
+
+        K_ab(r) = A * #{(a, b) pairs with d <= r} / (n_a * n_b),
+        A = 4*pi (whole-sphere study region, steradians).
+
+    K_ab above the independence expectation pi*r^2 means pattern B
+    clusters AROUND pattern A at scale r (attraction — e.g. error
+    events around purchase venues); below means repulsion. The
+    univariate ``ripley_k`` is the special case A = B.
+
+    Pair counting runs through the engine's cell-blocked within-radius
+    A-to-B join at max(radii) (never all-pairs); one conditional
+    aggregation buckets each surviving pair into every radius it
+    satisfies. Counts are exact BIGINTs; K is one final double
+    expression per radius.
+
+    Output: (r_rad, n_a, n_b, n_pairs, k_hat, indep_pi_r2) ordered by r.
+    """
+    from .joins import distance_join
+
+    rmax = max(radii_rad)
+    pairs = distance_join(
+        points_a,
+        radius_deg=math.degrees(rmax),
+        points_b=points_b,
+        point_key=point_key,
+        b_key=b_key,
+        cell_col=cell_col,
+    )
+    na_df = points_a.agg(F.count("*").alias("n_a"))
+    nb_df = points_b.agg(F.count("*").alias("n_b"))
+    aggs = [
+        F.sum(
+            (F.col("dist_rad") <= F.lit(float(r))).cast("long")
+        ).alias(f"_c{i}")
+        for i, r in enumerate(radii_rad)
+    ]
+    cnt = (
+        pairs.agg(*aggs)
+        .crossJoin(F.broadcast(na_df))
+        .crossJoin(F.broadcast(nb_df))
+    )
+    rows = None
+    for i, r in enumerate(radii_rad):
+        k_hat = (
+            F.lit(4.0 * math.pi)
+            * F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        one = cnt.select(
+            F.lit(float(r)).alias("r_rad"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.round(k_hat, 9).alias("k_hat"),
+            (F.lit(math.pi) * F.lit(float(r)) * F.lit(float(r))).alias(
+                "indep_pi_r2"
+            ),
+        )
+        rows = one if rows is None else rows.union(one)
+    return rows

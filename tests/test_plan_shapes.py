@@ -537,3 +537,22 @@ def test_round4j_queries_pure_catalyst(spark, name):
 def test_round4j_exchange_ceiling(spark, name, max_exchanges):
     plan = _plan(spark, name)
     assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name", ["cross_k_function", "emerging_hotspots"]
+)
+def test_round4k_queries_kernel_only_python(spark, name):
+    """Cross-K rides the blocked A-to-B distance join (neighborhood
+    kernel only); emerging hotspots composes Gi* + Mann-Kendall over
+    pure SQL cell encodes — no grouped pandas, no row Python, no
+    cartesian anywhere."""
+    plan = _plan(spark, name)
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_neighborhood", "s2_cellid", "s2_covering",
+        "s2_edge_neighbors", "s2_token"}, (
+        name, arrows,
+    )
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
