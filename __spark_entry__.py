@@ -10900,6 +10900,145 @@ def _emerging_hotspots_oracle_sql() -> str:
     """
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact asymmetric containment join (pipeline/dedup.py
+    containment_join) at t=0.8 over distinct 5-token shingles of the documents table — 'how much of
+    A is inside B', the doc-in-doc / boilerplate detector resemblance
+    misses when sizes differ. Probe-side prefix filtering under the
+    rare-first global token order; the oracle runs the UNFILTERED
+    shared-token join, certifying zero false negatives."""
+    from gos2_spark.pipeline.dedup import containment_join
+
+    docs = _load(spark, sf_dir, "documents")
+    return containment_join(
+        docs, threshold=0.8, shingle_k=5
+    ).orderBy("key_a", "key_b")
+
+
+_CONTAINMENT_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id AS key,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> len(x) > 0) AS l
+      FROM documents
+    ),
+    sh AS (
+      SELECT key,
+             CASE WHEN len(l) >= 5
+                  THEN list_transform(generate_series(1, len(l) - 4),
+                                      i -> array_to_string(l[i:i + 4], ' '))
+                  ELSE [] END AS grams
+      FROM tk
+    ),
+    toks AS (
+      SELECT key, unnest(list_distinct(grams)) AS token FROM sh
+    ),
+    sizes AS (SELECT key, count(*) AS sz FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.key != b.key
+      GROUP BY 1, 2
+    )
+    SELECT i.key_a, i.key_b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(s.sz AS BIGINT) AS sz_a,
+           round(CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE), 9)
+             AS containment
+    FROM inter i JOIN sizes s ON s.key = i.key_a
+    WHERE CAST(i.inter AS DOUBLE) >= 0.8 * CAST(s.sz AS DOUBLE)
+    ORDER BY key_a, key_b
+"""
+
+
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank
+    (pipeline/graph.py, 3 damped iterations) over the corpus-wide word
+    co-occurrence graph (adjacent-token pairs, symmetrized, distinct) —
+    the graph sibling of rake_keywords. Symmetric edges mean every node
+    has out-edges (zero dangling mass), so the oracle unrolls the same
+    chained-CTE algebra as domain_pagerank over the bigram edge list."""
+    from gos2_spark.pipeline.graph import pagerank
+
+    docs = _load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    toks = docs.select(arr.alias("l")).where(F.size("l") >= 2)
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, F.size("l") - 1).alias("w1"),
+                F.slice("l", 2, F.size("l") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    edges = (
+        bi.where(F.col("w1") != F.col("w2"))
+        .unionByName(
+            bi.select(
+                F.col("w2").alias("w1"), F.col("w1").alias("w2")
+            ).where(F.col("w1") != F.col("w2"))
+        )
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85,
+                     src_col="w1", dst_col="w2")
+    return ranks.select(
+        F.col("node").alias("word"), F.round("rank", 9).alias("rank")
+    ).orderBy("word")
+
+
+def _textrank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d = damping
+    sql = """
+        WITH tk AS (
+          SELECT list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z]+'),
+                   x -> len(x) > 0) AS l
+          FROM documents
+        ),
+        tk2 AS (SELECT l FROM tk WHERE len(l) >= 2),
+        bi AS (
+          SELECT l[i] AS w1, l[i + 1] AS w2
+          FROM tk2, LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+        ),
+        e AS (
+          SELECT DISTINCT w1 AS src, w2 AS dst FROM bi WHERE w1 != w2
+          UNION
+          SELECT DISTINCT w2, w1 FROM bi WHERE w1 != w2
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        w AS (
+          SELECT e.src, e.dst, CAST(1 AS DOUBLE) / deg.out_deg AS w
+          FROM e JOIN deg USING (src)
+        ),
+        r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+               FROM nodes, nn)
+    """
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        c{i} AS (
+          SELECT w.dst, sum({prev}.rank * w.w) AS contrib
+          FROM w JOIN {prev} ON w.src = {prev}.node GROUP BY 1
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 (1.0 - {d}) / nn.n
+                   + {d} * coalesce(c{i}.contrib, 0.0) AS rank
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, nn
+        )
+    """
+        prev = f"r{i}"
+    sql += f"""
+        SELECT node AS word, round(rank, 9) AS rank
+        FROM {prev} ORDER BY word
+    """
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -11029,6 +11168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_conversion_ztest": _q_ab_ztest,
         "cross_k_function": _q_cross_k,
         "emerging_hotspots": _q_emerging_hotspots,
+        "containment_pairs": _q_containment_pairs,
+        "textrank_keywords": _q_textrank,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -14430,4 +14571,6 @@ def oracle_sql() -> dict[str, str]:
         "ab_conversion_ztest": _ab_ztest_oracle_sql(),
         "cross_k_function": _cross_k_oracle_sql(),
         "emerging_hotspots": _emerging_hotspots_oracle_sql(),
+        "containment_pairs": _CONTAINMENT_ORACLE,
+        "textrank_keywords": _textrank_oracle_sql(),
     }

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "ab_conversion_ztest",
     "cross_k_function",
     "emerging_hotspots",
+    "containment_pairs",
+    "textrank_keywords",
 ]
 
 

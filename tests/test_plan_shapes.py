@@ -556,3 +556,15 @@ def test_round4k_queries_kernel_only_python(spark, name):
     assert "BatchEvalPython" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["containment_pairs", "textrank_keywords"]
+)
+def test_round4l_queries_pure_catalyst(spark, name):
+    """Shingle containment (window + equi-joins) and TextRank's
+    iteration joins are pure JVM — no Python stage, no cartesian."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
