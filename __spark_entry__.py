@@ -11039,6 +11039,212 @@ def _textrank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     return sql
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster zonal statistics (raster<->vector, north_rule): per tile
+    polygon, aggregate the level-8 cell-count surface of the customer
+    points over the tile's center-mode rasterization — cell total,
+    occupied count, sum/min/max, and occupied-mean. Composes the proven
+    rasterize_centers grid with one hash join + keyed agg; all BIGINT
+    sufficient statistics, one final division."""
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.spark.raster import rasterize_centers
+
+    rast = rasterize_centers(spark, _tileset(32), _RASTER_LEVEL)
+    pts = _cust_points(spark, sf_dir)
+    counts = pts.groupBy(
+        s2_parent_sql(F.col("cell_id"), _RASTER_LEVEL).alias("cell_id")
+    ).agg(F.count("*").alias("n"))
+    j = rast.join(counts, "cell_id", "left")
+    return (
+        j.groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.count("n").alias("n_occupied"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("sum_val"),
+            F.min("n").alias("min_val"),
+            F.max("n").alias("max_val"),
+        )
+        .withColumn(
+            "mean_occupied",
+            F.round(
+                F.when(
+                    F.col("n_occupied") > 0,
+                    F.col("sum_val").cast("double")
+                    / F.col("n_occupied").cast("double"),
+                ),
+                9,
+            ),
+        )
+        .orderBy("tile_id")
+    )
+
+
+def _zonal_stats_oracle_sql() -> str:
+    lsb = 1 << (2 * (30 - _RASTER_LEVEL))
+    return f"""
+        WITH rast AS (SELECT * FROM ({_rasterize_oracle_sql(_RASTER_LEVEL)})),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (
+          SELECT ((cell_id & -{lsb}) | {lsb}) AS cell_id, count(*) AS n
+          FROM cells GROUP BY 1
+        ),
+        j AS (
+          SELECT r.tile_id, c.n
+          FROM rast r LEFT JOIN cnt c ON c.cell_id = r.cell_id
+        ),
+        agg AS (
+          SELECT tile_id,
+                 count(*) AS n_cells,
+                 count(n) AS n_occupied,
+                 CAST(sum(COALESCE(n, 0)) AS BIGINT) AS sum_val,
+                 CAST(min(n) AS BIGINT) AS min_val,
+                 CAST(max(n) AS BIGINT) AS max_val
+          FROM j GROUP BY 1
+        )
+        SELECT tile_id, n_cells, n_occupied, sum_val, min_val, max_val,
+               round(CASE WHEN n_occupied > 0
+                     THEN CAST(sum_val AS DOUBLE)
+                          / CAST(n_occupied AS DOUBLE) END, 9)
+                 AS mean_occupied
+        FROM agg ORDER BY tile_id
+    """
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (pipeline/graph.py katz_centrality): 3 truncated
+    power steps, alpha=1/8 (exact dyadic), over the synthetic 64-node
+    domain graph — the walk-counting companion of domain_pagerank. The
+    oracle unrolls the identical multiply-add chain as chained CTEs."""
+    from gos2_spark.pipeline.graph import katz_centrality
+
+    c = _load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 64).alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 64).alias("dst"),
+    )
+    out = katz_centrality(edges, iterations=3, alpha=0.125)
+    return out.select(
+        "node", F.round("katz", 9).alias("katz")
+    ).orderBy("node")
+
+
+def _katz_oracle_sql(iterations: int = 3, alpha: float = 0.125) -> str:
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 7 + 3) % 64 AS dst
+          FROM customer
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS katz FROM nodes)
+    """
+    prev = "x0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        i{i} AS (
+          SELECT e.dst, sum({prev}.katz) AS s
+          FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1
+        ),
+        x{i} AS (
+          SELECT nodes.node,
+                 1.0 + {alpha!r} * coalesce(i{i}.s, 0.0) AS katz
+          FROM nodes LEFT JOIN i{i} ON nodes.node = i{i}.dst
+        )
+    """
+        prev = f"x{i}"
+    sql += f"""
+        SELECT node, round(katz, 9) AS katz FROM {prev} ORDER BY node
+    """
+    return sql
+
+
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful session windows on a REPLAYED STREAM
+    (spark/streaming.py streaming_session_counts): the events table
+    staged to 4 parquet files and consumed one file per micro-batch;
+    sessions split at >=1h silences, session_end = last event + gap —
+    identical to the batch sessionize contract, so the gaps-and-islands
+    SQL oracle pins every session row the stream emits."""
+    import shutil
+    import tempfile
+
+    from gos2_spark.spark.streaming import (
+        run_to_memory,
+        streaming_session_counts,
+    )
+
+    # parquet ts is TIMESTAMP_NTZ, which Spark rejects as an event-time
+    # column; rebuild a true TIMESTAMP from epoch micros (TZ-independent)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(us).alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="gos2_stream_sessions_")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    # the staged files are hash-split, so a later micro-batch can carry
+    # events arbitrarily older than the watermark; size it past the
+    # table's 30-day span so the replay is lossless and deterministic
+    # (state stays bounded for a live feed — the bound just exceeds the
+    # replay window here)
+    out = streaming_session_counts(
+        stream, gap="1 hour", watermark="45 days"
+    )
+    q = run_to_memory(out, "gos2_stream_sessions")
+    q.awaitTermination()
+    res = (
+        spark.table("gos2_stream_sessions")
+        .select(
+            F.col("key").alias("user_id"),
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+    rows = res.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id long, start_us long, end_us long, n_events long"
+    ).orderBy("user_id", "start_us")
+
+
+_STREAMING_SESSIONS_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER
+                    (PARTITION BY user_id ORDER BY us) > 3600000000
+                  OR lag(us) OVER
+                    (PARTITION BY user_id ORDER BY us) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER
+               (PARTITION BY user_id ORDER BY us
+                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(us) AS start_us,
+           max(us) + 3600000000 AS end_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -11170,6 +11376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots": _q_emerging_hotspots,
         "containment_pairs": _q_containment_pairs,
         "textrank_keywords": _q_textrank,
+        "zonal_stats": _q_zonal_stats,
+        "katz_centrality": _q_katz,
+        "streaming_sessions": _q_streaming_sessions,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -14573,4 +14782,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots": _emerging_hotspots_oracle_sql(),
         "containment_pairs": _CONTAINMENT_ORACLE,
         "textrank_keywords": _textrank_oracle_sql(),
+        "zonal_stats": _zonal_stats_oracle_sql(),
+        "katz_centrality": _katz_oracle_sql(),
+        "streaming_sessions": _STREAMING_SESSIONS_ORACLE,
     }

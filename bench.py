@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "emerging_hotspots",
     "containment_pairs",
     "textrank_keywords",
+    "zonal_stats",
+    "katz_centrality",
 ]
 
 

@@ -261,3 +261,37 @@ def streaming_ttl_dedup(
     return labeled.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, "last long", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_session_counts(
+    events_stream: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Unbounded events -> per-(key, session) rollups with the NATIVE
+    stateful session operator: sessions split when the key is silent
+    longer than ``gap``; session_end = last event + gap (the batch
+    ``aggregates.sessionize`` contract, so a batch backfill and the
+    live stream produce identical rows).
+
+    State is bounded by the watermark: closed sessions age out of the
+    store instead of accumulating per key forever — the property that
+    lets this run for months over a crawl event feed. Output one row per
+    closed session: (key, session_start, session_end, n_events).
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -568,3 +568,25 @@ def test_round4l_queries_pure_catalyst(spark, name):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_round4m_zonal_stats_kernel_only_python(spark):
+    """Zonal statistics: the only Python stages are the rasterization
+    kernels (cell decode + exact polygon refine); the zonal join + agg
+    are JVM. Exchange ceiling pinned at the measured shape."""
+    plan = _plan(spark, "zonal_stats")
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_cell_lat", "s2_cell_lng", "s2_cellid", "s2_refine"}, arrows
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 4
+
+
+def test_round4m_katz_pure_catalyst(spark):
+    """Katz centrality's iteration joins are pure JVM with one bounded
+    exchange per step (truncated here by the per-iteration materialize)."""
+    plan = _plan(spark, "katz_centrality")
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
