@@ -11245,6 +11245,195 @@ _STREAMING_SESSIONS_ORACLE = """
 """
 
 
+def _q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN (spark/clustering.py st_dbscan) over the 1-in-10 event
+    subsample: neighbors must be within 3 degrees AND 3 days, so bursts
+    at the same place in different weeks stay separate clusters — the
+    spatiotemporal variant plain dbscan_clusters can't express. Same
+    verified DBSCAN tail; the oracle rebuilds the identical space-time
+    eps-graph and replays the recursive core closure."""
+    from gos2_spark.spark.clustering import st_dbscan
+    from gos2_spark.spark.functions import add_cellid_sql
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id", "ts",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 10 == 0),
+        "lat", "lng", "cell_id",
+    )
+    res = st_dbscan(
+        pts, eps_deg=3.0, eps_time_sec=259200, min_pts=3,
+        point_key="event_id",
+    )
+    return res.select(
+        "key", "role",
+        F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+    ).orderBy("key")
+
+
+_ST_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE pts0 AS ({_EVENTS_LATLNG_SQL}),
+    pts AS (
+      SELECT event_id AS key,
+             epoch_us(ts) AS t, lat, lng
+      FROM pts0 WHERE event_id % 10 = 0
+    ),
+    v AS (
+      SELECT key, t,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    e AS (
+      SELECT a.key AS src, b.key AS dst
+      FROM v a JOIN v b ON a.key != b.key
+      WHERE abs(a.t - b.t) <= 259200000000
+        AND atan2(sqrt(
+                (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+              + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+              + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+              a.x * b.x + a.y * b.y + a.z * b.z)
+            <= {math.radians(3.0)!r}
+    ),
+    deg AS (SELECT src AS key, count(*) AS n FROM e GROUP BY 1),
+    core AS (
+      SELECT p.key FROM pts p LEFT JOIN deg USING (key)
+      WHERE coalesce(n, 0) >= 2
+    ),
+    ce AS (
+      SELECT src, dst FROM e
+      WHERE src IN (SELECT key FROM core)
+        AND dst IN (SELECT key FROM core)
+    ),
+    reach(a, b) AS (
+      SELECT key, key FROM core
+      UNION
+      SELECT r.a, ce.dst FROM reach r JOIN ce ON r.b = ce.src
+    ),
+    comp AS (SELECT a AS key, min(b) AS cluster FROM reach GROUP BY a),
+    border AS (
+      SELECT e.src AS key, min(comp.cluster) AS cluster
+      FROM e JOIN comp ON e.dst = comp.key
+      WHERE e.src NOT IN (SELECT key FROM core)
+      GROUP BY e.src
+    )
+    SELECT key, 'core' AS role, cluster FROM comp
+    UNION ALL
+    SELECT key, 'border' AS role, cluster FROM border
+    UNION ALL
+    SELECT p.key, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster
+    FROM pts p
+    WHERE p.key NOT IN (SELECT key FROM comp)
+      AND p.key NOT IN (SELECT key FROM border)
+    ORDER BY key
+"""
+
+
+def _q_cell_term_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-distinctive vocabulary: PMI of (level-4 cell, token) over
+    geoparsed documents — 'which words OVER-index in this part of the
+    world', the geo-text affinity map a corpus explorer draws. Counts
+    n_tc / n_t / n_c / N are exact BIGINTs from two map-side-combined
+    aggregations + one broadcast total; PMI is one ln() per row.
+    Pairs observed fewer than 5 times are dropped (PMI is noise at
+    tiny counts)."""
+    from gos2_spark.spark.functions import add_cellid_sql, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+    from gos2_spark.pipeline.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    geo = add_cellid_sql(
+        docs.select(
+            "text",
+            (-60.0 + (d * 13 % 120) + (d % 71) / 71.0).alias("lat"),
+            (-170.0 + (d * 19 % 340) + (d % 67) / 67.0).alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    ).select(
+        s2_parent_sql(F.col("cell_id"), 4).alias("cell"),
+        F.explode(
+            F.when(
+                F.trim(F.col("text")) == "", F.array().cast("array<string>")
+            ).otherwise(tokens(F.col("text")))
+        ).alias("token"),
+    )
+    tc = geo.groupBy("cell", "token").agg(F.count("*").alias("n_tc"))
+    tt = geo.groupBy("token").agg(F.count("*").alias("n_t"))
+    cc = geo.groupBy("cell").agg(F.count("*").alias("n_c"))
+    nn = geo.agg(F.count("*").alias("n_all"))
+    out = (
+        tc.where(F.col("n_tc") >= 5)
+        .join(tt, "token")
+        .join(cc, "cell")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            s2_token(F.col("cell")).alias("cell_token"),
+            "token", "n_tc", "n_t", "n_c",
+            F.round(
+                F.log(
+                    F.col("n_tc").cast("double")
+                    * F.col("n_all").cast("double")
+                    / (
+                        F.col("n_t").cast("double")
+                        * F.col("n_c").cast("double")
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy("cell_token", "token")
+
+
+def _cell_term_affinity_oracle_sql(level: int = 4) -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    lsb = 1 << (2 * (30 - level))
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    docs_latlng = """
+        SELECT doc_id AS key,
+               -60.0 + (doc_id * 13 % 120) + (doc_id % 71) / 71.0 AS lat,
+               -170.0 + (doc_id * 19 % 340) + (doc_id % 67) / 67.0 AS lng
+        FROM documents
+    """
+    return f"""
+        WITH {_cellid_cte_duckdb(docs_latlng)},
+        geo AS (
+          SELECT {tok} AS cell_token, u.token
+          FROM cells c
+          JOIN (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS tk
+            FROM documents
+          ) d ON d.doc_id = c.key,
+          LATERAL unnest(d.tk) AS u(token)
+        ),
+        tc AS (SELECT cell_token, token, count(*) AS n_tc
+               FROM geo GROUP BY 1, 2),
+        tt AS (SELECT token, count(*) AS n_t FROM geo GROUP BY 1),
+        cc AS (SELECT cell_token, count(*) AS n_c FROM geo GROUP BY 1),
+        nn AS (SELECT count(*) AS n_all FROM geo)
+        SELECT tc.cell_token, tc.token,
+               CAST(tc.n_tc AS BIGINT) AS n_tc,
+               CAST(tt.n_t AS BIGINT) AS n_t,
+               CAST(cc.n_c AS BIGINT) AS n_c,
+               round(ln(CAST(tc.n_tc AS DOUBLE) * CAST(nn.n_all AS DOUBLE)
+                        / (CAST(tt.n_t AS DOUBLE)
+                           * CAST(cc.n_c AS DOUBLE))), 9) AS pmi
+        FROM tc JOIN tt USING (token) JOIN cc USING (cell_token), nn
+        WHERE tc.n_tc >= 5
+        ORDER BY cell_token, token
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -11379,6 +11568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "katz_centrality": _q_katz,
         "streaming_sessions": _q_streaming_sessions,
+        "st_dbscan_clusters": _q_st_dbscan,
+        "cell_term_affinity": _q_cell_term_affinity,
         # --- rows-only driver check (no SQL form for data-dependent DP
         # --- recursion; value-level correctness lives in the property tests)
         "trajectory_simplify": _q_trajectory_simplify,
@@ -14785,4 +14976,6 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _zonal_stats_oracle_sql(),
         "katz_centrality": _katz_oracle_sql(),
         "streaming_sessions": _STREAMING_SESSIONS_ORACLE,
+        "st_dbscan_clusters": _ST_DBSCAN_ORACLE,
+        "cell_term_affinity": _cell_term_affinity_oracle_sql(),
     }

@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "zonal_stats",
     "katz_centrality",
+    "st_dbscan_clusters",
+    "cell_term_affinity",
 ]
 
 

@@ -46,10 +46,9 @@ def dbscan(
     Returns (key, role, cluster): role in {'core','border','noise'},
     cluster = MIN core key of the cluster (NULL for noise).
     """
-    from ..pipeline.graph import _default_materialize, connected_components
+    from ..pipeline.graph import _default_materialize
     from .joins import distance_join
 
-    keys = points.select(F.col(point_key).alias("key"))
     # Materialize the eps-graph ONCE at the composition boundary: the
     # distance-join plan is deep and data-dependent (skew splitting adds
     # branches), and it is referenced by sym/deg/core_edges/border — left
@@ -62,6 +61,23 @@ def dbscan(
             points, eps_deg, point_key=point_key, cell_col=cell_col
         ).select("key_a", "key_b")
     )
+    return _dbscan_from_pairs(points, pairs, min_pts, point_key)
+
+
+def _dbscan_from_pairs(
+    points: DataFrame,
+    pairs: DataFrame,
+    min_pts: int,
+    point_key: str,
+) -> DataFrame:
+    """Shared DBSCAN tail: degree -> core -> core-edge components ->
+    border adoption -> noise, from an ALREADY-MATERIALIZED undirected
+    neighbor pair table (key_a < key_b). Factored out so plain and
+    space-time DBSCAN share one verified body."""
+    from ..pipeline.graph import _default_materialize, connected_components
+
+    keys = points.select(F.col(point_key).alias("key"))
+    mat = _default_materialize(points.sparkSession)
     sym = pairs.union(
         pairs.select(F.col("key_b").alias("key_a"), F.col("key_a").alias("key_b"))
     )
@@ -199,3 +215,56 @@ def kmeans_fixed(
         F.round(F.col("slat").cast("double") / F.col("cnt") / scale, 9).alias("c_lat"),
         F.round(F.col("slng").cast("double") / F.col("cnt") / scale, 9).alias("c_lng"),
     )
+
+
+def st_dbscan(
+    points: DataFrame,
+    eps_deg: float,
+    eps_time_sec: int,
+    min_pts: int,
+    point_key: str = "key",
+    time_col: str = "ts",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007): density clustering where two
+    points are neighbors only when they are close in BOTH space
+    (angle distance <= eps_deg) and time (|dt| <= eps_time_sec) — the
+    event-burst detector that plain DBSCAN gets wrong by merging
+    yesterday's crowd with today's.
+
+    The eps-graph is the engine's cell-blocked within-radius self-join
+    with the two event times attached to the SURVIVING pairs only (two
+    hash joins, the knox_spacetime pattern) and the exact BIGINT
+    microsecond filter on top; everything after — core degrees,
+    components, border adoption — is the verified DBSCAN tail. Same
+    output contract: (key, role, cluster).
+    """
+    from ..pipeline.graph import _default_materialize
+    from .joins import distance_join
+
+    epoch = F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {time_col})"
+    )
+    keyed = points.select(
+        F.col(point_key).alias("_k"), epoch.alias("_t")
+    )
+    mat = _default_materialize(points.sparkSession)
+    sp = distance_join(
+        points, eps_deg, point_key=point_key, cell_col=cell_col
+    ).select("key_a", "key_b")
+    w_us = int(eps_time_sec) * 1_000_000
+    pairs = (
+        sp.join(
+            keyed.select(F.col("_k").alias("key_a"), F.col("_t").alias("_ta")),
+            "key_a",
+        )
+        .join(
+            keyed.select(F.col("_k").alias("key_b"), F.col("_t").alias("_tb")),
+            "key_b",
+        )
+        .where(F.abs(F.col("_ta") - F.col("_tb")) <= w_us)
+        .select("key_a", "key_b")
+    )
+    pairs = mat(pairs)
+    return _dbscan_from_pairs(points, pairs, min_pts, point_key)

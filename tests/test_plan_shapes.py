@@ -590,3 +590,18 @@ def test_round4m_katz_pure_catalyst(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["st_dbscan_clusters", "cell_term_affinity"]
+)
+def test_round4n_queries_kernel_only_python(spark, name):
+    """ST-DBSCAN uses only the neighborhood/encode kernels inside the
+    blocked eps-join; the PMI affinity map is pure SQL encodes + aggs."""
+    plan = _plan(spark, name)
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {"s2_neighborhood", "s2_cellid", "s2_covering",
+                      "s2_token"}, (name, arrows)
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
