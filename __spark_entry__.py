@@ -11434,6 +11434,400 @@ def _cell_term_affinity_oracle_sql(level: int = 4) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch o: classical series statistics over daily counts
+# ---------------------------------------------------------------------------
+
+_R4O_DAILY_SQL = """
+          SELECT event_type,
+                 CAST(floor(CAST(date_diff('microsecond',
+                      TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                      / 86400000000) AS BIGINT) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+"""
+
+
+def _r4o_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types' daily
+    count series, paired on shared days (spark/temporal.py
+    rank_correlation): Pearson over tie-averaged ranks. Ranks are
+    half-integers, so the sufficient statistics are EXACT in both
+    engines; the plan is two rank windows + one map-side-combined
+    groupBy — no self-joins beyond the tiny day pairing."""
+    from gos2_spark.spark.temporal import rank_correlation
+
+    daily = _r4o_daily(spark, sf_dir)
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("n").alias("y")
+    )
+    paired = (
+        a.join(b, "day")
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(F.concat_ws("|", "type_a", "type_b").alias("pair"), "x", "y")
+    )
+    return rank_correlation(paired, "pair", "x", "y").orderBy("pair")
+
+
+_SPEARMAN_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    paired AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.n AS x, b.n AS y
+      FROM daily a JOIN daily b USING (day)
+      WHERE a.event_type < b.event_type
+    ),
+    ranked AS (
+      SELECT ta, tb,
+             rank() OVER (PARTITION BY ta, tb ORDER BY x)
+               + (count(*) OVER (PARTITION BY ta, tb, x) - 1) / 2.0 AS ra,
+             rank() OVER (PARTITION BY ta, tb ORDER BY y)
+               + (count(*) OVER (PARTITION BY ta, tb, y) - 1) / 2.0 AS rb
+      FROM paired
+    ),
+    agg AS (
+      SELECT ta, tb, count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb, sum(ra * rb) AS sab
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT concat(ta, '|', tb) AS pair, CAST(n AS BIGINT) AS n_obs,
+           round(CASE WHEN (CAST(n AS DOUBLE) * saa - sa * sa)
+                           * (CAST(n AS DOUBLE) * sbb - sb * sb) > 0
+                      THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+                           / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                                  * (CAST(n AS DOUBLE) * sbb - sb * sb))
+                 END, 9) AS spearman_rho
+    FROM agg ORDER BY pair
+"""
+
+
+def _q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the value distributions of
+    every pair of event types (spark/temporal.py ks_two_sample). D is an
+    INTEGER max (|cum1*n2 - cum2*n1| over BIGINT cumulative counts
+    grouped by value) divided once — bit-identical cross-engine. One
+    broadcast type fan-out, one groupBy(pair, value), one cumulative
+    window per pair."""
+    from gos2_spark.spark.temporal import ks_two_sample
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "value")
+    types = ev.select("event_type").distinct().select(
+        F.col("event_type").alias("other")
+    )
+    samples = ev.join(
+        F.broadcast(types), F.col("other") != F.col("event_type")
+    ).select(
+        F.when(
+            F.col("event_type") < F.col("other"),
+            F.concat_ws("|", "event_type", "other"),
+        )
+        .otherwise(F.concat_ws("|", "other", "event_type"))
+        .alias("pair"),
+        F.when(F.col("event_type") < F.col("other"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "value",
+    )
+    return ks_two_sample(samples, "pair", "side", "value").orderBy("pair")
+
+
+_KS_ORACLE = """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    samples AS (
+      SELECT CASE WHEN e.event_type < t.event_type
+                  THEN concat(e.event_type, '|', t.event_type)
+                  ELSE concat(t.event_type, '|', e.event_type) END AS pair,
+             CASE WHEN e.event_type < t.event_type THEN 0 ELSE 1 END AS side,
+             e.value AS v
+      FROM events e JOIN types t ON t.event_type <> e.event_type
+    ),
+    byval AS (
+      SELECT pair, v,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+      FROM samples GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT pair, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1
+      FROM byval
+      WINDOW w AS (PARTITION BY pair ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    cum2 AS (
+      SELECT pair, f0, f1,
+             max(f0) OVER (PARTITION BY pair) AS n0,
+             max(f1) OVER (PARTITION BY pair) AS n1
+      FROM cum
+    ),
+    agg AS (
+      SELECT pair, max(n0) AS n0, max(n1) AS n1,
+             max(abs(f0 * n1 - f1 * n0)) AS dnum
+      FROM cum2 GROUP BY 1
+    )
+    SELECT pair, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 9) AS ks_d
+    FROM agg ORDER BY pair
+"""
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical 7-day moving-average seasonal decomposition of each event
+    type's daily count series (spark/temporal.py ma_decompose): trend =
+    centered MA, seasonal = per-phase mean of detrended, remainder
+    variance as the noise summary. Detrended values carry EXACT BIGINT
+    numerators (period*x - S), so phase means are exact; remainder
+    mean-square is a cancellation-free sum of squares."""
+    from gos2_spark.spark.temporal import ma_decompose
+
+    daily = _r4o_daily(spark, sf_dir)
+    return ma_decompose(daily, "event_type", "day", "n", period=7).orderBy(
+        "event_type", "phase"
+    )
+
+
+_SEASONAL_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    t AS (
+      SELECT event_type, day, n, sum(n) OVER w AS S, count(*) OVER w AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    t2 AS (
+      SELECT event_type, n * 7 - S AS dnum, day % 7 AS phase
+      FROM t WHERE wn = 7
+    ),
+    seas AS (
+      SELECT event_type, phase, count(*) AS pn,
+             CAST(sum(dnum) AS BIGINT) AS psum
+      FROM t2 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT t2.event_type,
+             CAST(dnum AS DOUBLE) / 7.0
+             - CAST(psum AS DOUBLE) / (7.0 * CAST(pn AS DOUBLE)) AS rem
+      FROM t2 JOIN seas USING (event_type, phase)
+    ),
+    rv AS (
+      SELECT event_type, count(*) AS rn, sum(rem * rem) AS rss
+      FROM j GROUP BY 1
+    )
+    SELECT s.event_type, s.phase, CAST(s.pn AS BIGINT) AS n_phase,
+           round(CAST(s.psum AS DOUBLE) / (7.0 * CAST(s.pn AS DOUBLE)), 9)
+               AS seasonal,
+           round(rv.rss / CAST(rv.rn AS DOUBLE), 9) AS remainder_msq
+    FROM seas s JOIN rv USING (event_type)
+    ORDER BY event_type, phase
+"""
+
+
+def _q_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' single-outlier statistic per event type over quantized
+    values (spark/temporal.py grubbs_stat): G = max|x - mean|/sd with the
+    arg-max row identified by an INTEGER deviation comparison (n*x - S
+    over cent-quantized BIGINTs), so the flagged id is deterministic
+    cross-engine. Two map-side-combined scans, zero windows."""
+    from gos2_spark.spark.temporal import grubbs_stat
+
+    ev = _load(spark, sf_dir, "events")
+    return grubbs_stat(ev, "event_type", "event_id", "value", scale=100).orderBy(
+        "event_type"
+    )
+
+
+_GRUBBS_ORACLE = """
+    WITH v AS (
+      SELECT event_type AS k, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    stats AS (
+      SELECT k, count(*) AS n, sum(x) AS s, sum(x * x) AS sxx
+      FROM v GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.k, v.id, abs(stats.n * v.x - stats.s) AS d
+      FROM v JOIN stats USING (k)
+    ),
+    top AS (
+      SELECT k, id, d FROM dev
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY d DESC, id DESC) = 1
+    )
+    SELECT s.k AS event_type, CAST(s.n AS BIGINT) AS n_obs,
+           t.id AS flagged_id,
+           round((CAST(t.d AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / sqrt((CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                         - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+                        / (CAST(s.n AS DOUBLE)
+                           * (CAST(s.n AS DOUBLE) - 1.0))), 9) AS grubbs_g
+    FROM stats s JOIN top t USING (k) ORDER BY event_type
+"""
+
+
+def _q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector over each event type's daily
+    counts (spark/temporal.py page_hinkley): PH_t accumulates
+    (x - running-mean - delta) with 9-digit-quantized terms so both
+    engines sum identical doubles in identical (running-frame) order;
+    alarm day = first crossing of PH - min(PH) > lambda. Three stacked
+    running windows on ONE (type, day) sort."""
+    from gos2_spark.spark.temporal import page_hinkley
+
+    daily = _r4o_daily(spark, sf_dir)
+    out = page_hinkley(daily, "event_type", "day", "n", delta=0.0, lam=30.0)
+    return out.select(
+        "event_type",
+        "n_obs",
+        "max_ph_rise",
+        F.coalesce(F.col("alarm_at"), F.lit(-1)).cast("long").alias("alarm_at"),
+    ).orderBy("event_type")
+
+
+_PAGE_HINKLEY_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    seq AS (
+      SELECT event_type AS k, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             sum(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily
+    ),
+    terms AS (
+      SELECT k, day,
+             round(CAST(i * n - s AS DOUBLE) / CAST(i AS DOUBLE) - 0.0, 9)
+                 AS term
+      FROM seq
+    ),
+    ph AS (
+      SELECT k, day, sum(term) OVER w AS ph
+      FROM terms
+      WINDOW w AS (PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    phm AS (
+      SELECT k, day, ph, min(ph) OVER w AS phmin
+      FROM ph
+      WINDOW w AS (PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    alarm AS (
+      SELECT k, min(day) AS alarm_at FROM phm
+      WHERE ph - phmin > 30.0 GROUP BY 1
+    ),
+    summ AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_obs,
+             round(max(ph - phmin), 6) AS max_ph_rise
+      FROM phm GROUP BY 1
+    )
+    SELECT s.k AS event_type, s.n_obs, s.max_ph_rise,
+           CAST(coalesce(a.alarm_at, -1) AS BIGINT) AS alarm_at
+    FROM summ s LEFT JOIN alarm a USING (k) ORDER BY event_type
+"""
+
+
+def _q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series regularization per sampled user (spark/temporal.py
+    gap_fill_linear): materialize the full first..last day range and
+    linearly interpolate missing days from nearest present neighbors via
+    the count-of-non-null carry trick (no IGNORE NULLS dependence).
+    Interpolation is integer day/count arithmetic with ONE division —
+    exact cross-engine; the rollup sums 9-digit-quantized fills."""
+    from gos2_spark.spark.temporal import gap_fill_linear
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.where(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id", F.floor(us / 86_400_000_000).cast("long").alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    filled = gap_fill_linear(daily, "user_id", "day", "n")
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("was_missing").cast("long")).alias("n_missing"),
+            F.round(F.sum("filled_value"), 6).alias("filled_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_GAP_FILL_ORACLE = """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(CAST(date_diff('microsecond',
+                  TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                  / 86400000000) AS BIGINT) AS day,
+             count(*) AS n
+      FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    days AS (
+      SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+    ),
+    g AS (
+      SELECT days.user_id, days.day, daily.n AS v
+      FROM days LEFT JOIN daily USING (user_id, day)
+    ),
+    g2 AS (
+      SELECT user_id, day, v,
+             max(CASE WHEN v IS NOT NULL THEN day END)
+                 OVER (PARTITION BY user_id ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pd,
+             min(CASE WHEN v IS NOT NULL THEN day END)
+                 OVER (PARTITION BY user_id ORDER BY day DESC
+                       ROWS UNBOUNDED PRECEDING) AS nd
+      FROM g
+    ),
+    g3 AS (
+      SELECT g2.*, p.n AS pv, q.n AS nv
+      FROM g2
+      LEFT JOIN daily p ON p.user_id = g2.user_id AND p.day = g2.pd
+      LEFT JOIN daily q ON q.user_id = g2.user_id AND q.day = g2.nd
+    ),
+    f AS (
+      SELECT user_id, v IS NULL AS was_missing,
+             round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                        WHEN pd IS NULL THEN CAST(nv AS DOUBLE)
+                        WHEN nd IS NULL THEN CAST(pv AS DOUBLE)
+                        ELSE CAST(pv AS DOUBLE)
+                             + CAST(nv - pv AS DOUBLE)
+                               * CAST(day - pd AS DOUBLE)
+                               / CAST(nd - pd AS DOUBLE)
+                   END, 9) AS fv
+      FROM g3
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN was_missing THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           round(sum(fv), 6) AS filled_sum
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -11674,6 +12068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "domain_cap_sample": _q_domain_cap_sample,
         "trajectory_lengths": _q_trajectory_lengths,
+        "spearman_daily": _q_spearman_daily,
+        "ks_value_drift": _q_ks_value_drift,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "grubbs_outliers": _q_grubbs_outliers,
+        "page_hinkley_drift": _q_page_hinkley,
+        "gap_fill_daily": _q_gap_fill_daily,
     }
 
 
@@ -14978,4 +15378,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions": _STREAMING_SESSIONS_ORACLE,
         "st_dbscan_clusters": _ST_DBSCAN_ORACLE,
         "cell_term_affinity": _cell_term_affinity_oracle_sql(),
+        "spearman_daily": _SPEARMAN_ORACLE,
+        "ks_value_drift": _KS_ORACLE,
+        "seasonal_decompose": _SEASONAL_ORACLE,
+        "grubbs_outliers": _GRUBBS_ORACLE,
+        "page_hinkley_drift": _PAGE_HINKLEY_ORACLE,
+        "gap_fill_daily": _GAP_FILL_ORACLE,
     }

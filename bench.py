@@ -235,6 +235,12 @@ BENCH_QUERIES = [
     "katz_centrality",
     "st_dbscan_clusters",
     "cell_term_affinity",
+    "spearman_daily",
+    "ks_value_drift",
+    "seasonal_decompose",
+    "grubbs_outliers",
+    "page_hinkley_drift",
+    "gap_fill_daily",
 ]
 
 

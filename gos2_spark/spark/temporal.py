@@ -642,3 +642,416 @@ def holt_winters(
             st.getItem(0) + st.getItem(1) + st.getItem(2), 6
         ).alias("forecast_1"),
     )
+
+
+def rank_correlation(
+    pairs: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per key over paired observations —
+    computed as Pearson over tie-averaged ranks (the textbook tie-safe
+    form). The monitoring question behind it: "do these two event
+    streams co-move day by day?", robust to monotone scale differences
+    that break raw Pearson.
+
+    Exactness: the average rank of a value is rank() + (ties-1)/2 — a
+    half-integer, exactly representable. With n <= a few thousand the
+    rank products stay inside the double integer window, so the Pearson
+    sufficient statistics (sum r, sum r^2, sum ra*rb) are EXACT in both
+    engines and the final rho is one fixed-order double expression.
+
+    Plan: two rank windows + one map-side-combined groupBy(key); no
+    self-joins. At 10^12 rows the window sort shards by key — skew only
+    matters if one key dominates, the usual per-series cardinality here.
+    """
+    from pyspark.sql import Window
+
+    p = pairs.select(
+        F.col(key_col).alias("_k"),
+        F.col(a_col).cast("double").alias("_a"),
+        F.col(b_col).cast("double").alias("_b"),
+    )
+
+    def _avg_rank(col: str) -> F.Column:
+        w = Window.partitionBy("_k").orderBy(col)
+        wt = Window.partitionBy("_k", col)
+        return F.rank().over(w) + (F.count("*").over(wt) - F.lit(1)) / 2.0
+
+    r = p.select(
+        "_k", _avg_rank("_a").alias("_ra"), _avg_rank("_b").alias("_rb")
+    )
+    agg = r.groupBy("_k").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_ra").alias("_sa"),
+        F.sum("_rb").alias("_sb"),
+        F.sum(F.col("_ra") * F.col("_ra")).alias("_saa"),
+        F.sum(F.col("_rb") * F.col("_rb")).alias("_sbb"),
+        F.sum(F.col("_ra") * F.col("_rb")).alias("_sab"),
+    )
+    n = F.col("n_obs").cast("double")
+    cov = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    rho = F.when(va * vb > 0, cov / F.sqrt(va * vb)).otherwise(F.lit(None))
+    return agg.select(
+        F.col("_k").alias(key_col), "n_obs", F.round(rho, 9).alias("spearman_rho")
+    )
+
+
+def ks_two_sample(
+    samples: DataFrame,
+    key_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per key: the sup-norm
+    distance between the two empirical CDFs — the standard distribution-
+    drift gate between cohorts (A/B arms, this-week vs last-week).
+
+    Exactness: D is computed as max |cum1*n2 - cum2*n1| over BIGINT
+    cumulative counts grouped BY VALUE (so cross-sample ties advance both
+    CDFs before the difference is taken — the correct ECDF convention),
+    divided once at the end: D = max_int / (n1*n2). Integer max, one
+    division — bit-identical cross-engine.
+
+    Plan: groupBy(key, value) count pivot -> one cumulative window per
+    key -> map-side max. One shuffle on key; linear in distinct values.
+    ``side_col`` must be 0/1.
+    """
+    from pyspark.sql import Window
+
+    s = samples.select(
+        F.col(key_col).alias("_k"),
+        F.col(side_col).cast("int").alias("_s"),
+        F.col(value_col).alias("_v"),
+    )
+    byval = s.groupBy("_k", "_v").agg(
+        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("_c0"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("_c1"),
+    )
+    w = Window.partitionBy("_k").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.partitionBy("_k")
+    cum = byval.select(
+        "_k",
+        F.sum("_c0").over(w).alias("_f0"),
+        F.sum("_c1").over(w).alias("_f1"),
+    ).select(
+        "_k",
+        "_f0",
+        "_f1",
+        F.max("_f0").over(wfull).alias("_n0"),
+        F.max("_f1").over(wfull).alias("_n1"),
+    )
+    agg = cum.groupBy("_k").agg(
+        F.max("_n0").alias("n0"),
+        F.max("_n1").alias("n1"),
+        F.max(
+            F.abs(F.col("_f0") * F.col("_n1") - F.col("_f1") * F.col("_n0"))
+        ).alias("_dnum"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n0",
+        "n1",
+        F.round(
+            F.col("_dnum").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double")),
+            9,
+        ).alias("ks_d"),
+    )
+
+
+def ma_decompose(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical moving-average seasonal decomposition per key (the STL-
+    lite a dashboard runs per tile/type): trend = centered ``period``-row
+    average over the ordered INTEGER series, seasonal = per-phase mean of
+    the detrended values, remainder = what's left. Returns one row per
+    (key, phase) with the seasonal component plus per-key remainder
+    variance — the "is this series seasonal or noisy" summary.
+
+    Exactness: with integer inputs the detrended value is the rational
+    (period*x - S)/period with BIGINT numerator; phase means sum those
+    numerators EXACTLY and divide once. The remainder variance is a sum
+    of squared doubles (no cancellation: squares are nonnegative), well
+    inside the 1e-9 gate both engines share.
+
+    Plan: one centered window + two map-side-combined groupBys, all on
+    the key shuffle. ``period`` must be odd (centered window).
+    """
+    from pyspark.sql import Window
+
+    assert period % 2 == 1, "centered MA needs an odd period"
+    half = period // 2
+    s = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    w = Window.partitionBy("_k").orderBy("_o").rowsBetween(-half, half)
+    t = s.select(
+        "_k",
+        "_o",
+        "_x",
+        F.sum("_x").over(w).alias("_S"),
+        F.count("*").over(w).alias("_wn"),
+    ).where(F.col("_wn") == period)
+    # detrended numerator: period*x - S  (exact BIGINT)
+    t = t.select(
+        "_k",
+        "_o",
+        (F.col("_x") * period - F.col("_S")).alias("_dnum"),
+        (F.col("_o") % period).alias("_phase"),
+    )
+    seas = t.groupBy("_k", "_phase").agg(
+        F.count("*").alias("_pn"), F.sum("_dnum").alias("_psum")
+    )
+    joined = t.join(seas, ["_k", "_phase"])
+    # remainder = dnum/period - psum/(period*pn)  (doubles, fixed order)
+    rem = (
+        F.col("_dnum").cast("double") / float(period)
+        - F.col("_psum").cast("double")
+        / (float(period) * F.col("_pn").cast("double"))
+    )
+    remvar = joined.groupBy("_k").agg(
+        F.count("*").alias("_rn"), F.sum(rem * rem).alias("_rss")
+    )
+    out = (
+        seas.join(remvar, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_phase").alias("phase"),
+            F.col("_pn").alias("n_phase"),
+            F.round(
+                F.col("_psum").cast("double")
+                / (float(period) * F.col("_pn").cast("double")),
+                9,
+            ).alias("seasonal"),
+            F.round(F.col("_rss") / F.col("_rn").cast("double"), 9).alias(
+                "remainder_msq"
+            ),
+        )
+    )
+    return out
+
+
+def grubbs_stat(
+    values: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Grubbs' outlier statistic per key: G = max|x - mean| / sd with the
+    arg-max row identified — "which single reading is most suspicious,
+    and is it beyond the critical band".
+
+    Exactness: values are first quantized to integers (``round(x*scale)``
+    — cents for money-like doubles), so |n*x - S| is an exact BIGINT
+    numerator, the arg-max is an INTEGER comparison (no float-tie
+    nondeterminism cross-engine), and mean/sd come from exact integer
+    sufficient statistics with one fixed-order double expression at the
+    end.
+
+    Plan: one map-side-combined groupBy for (n, S, Sxx) + one max-struct
+    pass for the arg-max — two scans, zero joins beyond the stat
+    broadcast, zero windows.
+    """
+    v = values.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * scale).cast("long").alias("_x"),
+    )
+    stats = v.groupBy("_k").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_S"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_Sxx"),
+    )
+    j = v.join(F.broadcast(stats), "_k")
+    dev = F.abs(F.col("_n") * F.col("_x") - F.col("_S"))
+    top = j.groupBy("_k").agg(
+        F.max(F.struct(dev.alias("_d"), F.col("_id").alias("_i"))).alias("_m")
+    )
+    out = stats.join(top, "_k")
+    n = F.col("_n").cast("double")
+    var_num = n * F.col("_Sxx").cast("double") - F.col("_S").cast(
+        "double"
+    ) * F.col("_S").cast("double")
+    sd = F.sqrt(var_num / (n * (n - 1.0)))
+    g = F.when(
+        var_num > 0, (F.col("_m._d").cast("double") / n) / sd
+    ).otherwise(F.lit(None))
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias("n_obs"),
+        F.col("_m._i").alias("flagged_id"),
+        F.round(g, 9).alias("grubbs_g"),
+    )
+
+
+def page_hinkley(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 25.0,
+) -> DataFrame:
+    """Page-Hinkley mean-drift detector per key over an ordered INTEGER
+    series (daily counts): PH_t = sum_{i<=t} (x_i - mean_{1..i} - delta),
+    alarm at the first t where PH_t - min_{s<=t} PH_s > lambda. The
+    streaming change-detector run per tile/type to catch level shifts.
+
+    Exactness: each term is (i*x_i - S_i)/i - delta with BIGINT i*x-S
+    (running sums over an ORDERED window are evaluated in frame order by
+    both engines, so the double accumulation sequence is identical), and
+    the alarm row is selected by integer order — deterministic
+    cross-engine.
+
+    Plan: three stacked running windows over one (key, order) sort — one
+    shuffle, no joins.
+    """
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    run = Window.partitionBy("_k").orderBy("_o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = s.select(
+        "_k",
+        "_o",
+        (
+            (
+                F.row_number()
+                .over(Window.partitionBy("_k").orderBy("_o"))
+                * F.col("_x")
+                - F.sum("_x").over(run)
+            ).cast("double")
+            / F.row_number()
+            .over(Window.partitionBy("_k").orderBy("_o"))
+            .cast("double")
+            - F.lit(float(delta))
+        ).alias("_t0"),
+    )
+    # quantize terms so both engines sum IDENTICAL doubles (running-frame
+    # accumulation order is sequential in both, association drift ~1e-16)
+    s = s.select(
+        "_k",
+        "_o",
+        F.round("_t0", 9).alias("_term"),
+    )
+    s = s.select("_k", "_o", F.sum("_term").over(run).alias("_ph"))
+    s = s.select(
+        "_k", "_o", "_ph", F.min("_ph").over(run).alias("_phmin")
+    )
+    alarm = (
+        s.where(F.col("_ph") - F.col("_phmin") > float(lam))
+        .groupBy("_k")
+        .agg(F.min("_o").alias("alarm_at"))
+    )
+    summary = s.groupBy("_k").agg(
+        F.count("*").alias("n_obs"),
+        F.round(F.max(F.col("_ph") - F.col("_phmin")), 6).alias("max_ph_rise"),
+    )
+    return (
+        summary.join(alarm, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col), "n_obs", "max_ph_rise", "alarm_at"
+        )
+    )
+
+
+def gap_fill_linear(
+    series: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Regularize a per-key daily series: materialize every calendar day
+    between the key's first and last observation and linearly interpolate
+    the missing days from the nearest present neighbors — the gap-fill a
+    training pipeline runs before windowed features so "no data" and
+    "zero" stop aliasing.
+
+    Exactness: interpolation is prev + (next-prev)*(d-pd)/(nd-pd) over
+    INTEGER day ordinals and integer values — one division, fixed order.
+    Forward/backward carry uses the count-of-non-null grouping trick
+    (no IGNORE NULLS dependence), identical in both engines.
+
+    Plan: per-key day range via sequence+explode (no driver loop), one
+    left join onto observations, two running windows for the carries.
+    """
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(key_col).alias("_k"),
+        F.col(day_col).cast("long").alias("_d"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    span = s.groupBy("_k").agg(
+        F.min("_d").alias("_d0"), F.max("_d").alias("_d1")
+    )
+    days = span.select(
+        "_k", F.explode(F.sequence("_d0", "_d1")).alias("_d")
+    )
+    g = days.join(s, ["_k", "_d"], "left")
+    fwd = Window.partitionBy("_k").orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bwd = Window.partitionBy("_k").orderBy(F.col("_d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = g.select(
+        "_k",
+        "_d",
+        "_v",
+        F.max(F.when(F.col("_v").isNotNull(), F.col("_d"))).over(fwd).alias("_pd"),
+        F.min(F.when(F.col("_v").isNotNull(), F.col("_d"))).over(bwd).alias("_nd"),
+    )
+    byday = s.select(
+        F.col("_k"), F.col("_d").alias("_rd"), F.col("_v").alias("_rv")
+    )
+    g = (
+        g.join(
+            byday.withColumnRenamed("_rd", "_pd").withColumnRenamed("_rv", "_pv"),
+            ["_k", "_pd"],
+            "left",
+        )
+        .join(
+            byday.withColumnRenamed("_rd", "_nd").withColumnRenamed("_rv", "_nv"),
+            ["_k", "_nd"],
+            "left",
+        )
+    )
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .when(
+            F.col("_pd").isNull(), F.col("_nv").cast("double")
+        )
+        .when(F.col("_nd").isNull(), F.col("_pv").cast("double"))
+        .otherwise(
+            F.col("_pv").cast("double")
+            + (F.col("_nv") - F.col("_pv")).cast("double")
+            * (F.col("_d") - F.col("_pd")).cast("double")
+            / (F.col("_nd") - F.col("_pd")).cast("double")
+        )
+    )
+    return g.select(
+        F.col("_k").alias(key_col),
+        F.col("_d").alias("day_ord"),
+        F.col("_v").isNull().alias("was_missing"),
+        F.round(filled, 9).alias("filled_value"),
+    )

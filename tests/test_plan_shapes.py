@@ -605,3 +605,41 @@ def test_round4n_queries_kernel_only_python(spark, name):
     assert "BatchEvalPython" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "spearman_daily",
+        "ks_value_drift",
+        "seasonal_decompose",
+        "grubbs_outliers",
+        "page_hinkley_drift",
+        "gap_fill_daily",
+    ],
+)
+def test_round4o_queries_pure_catalyst(spark, name):
+    """The series-statistics batch is pure window/groupBy Catalyst: no
+    Python stages anywhere."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # daily rollup + rank/cum windows + pair agg; bounded fan-in joins
+        ("spearman_daily", 8),
+        ("ks_value_drift", 8),
+        ("seasonal_decompose", 8),
+        # two grouped scans + broadcast stat join only
+        ("grubbs_outliers", 5),
+        ("page_hinkley_drift", 6),
+        # span agg + day explode + carry windows + neighbor value joins
+        ("gap_fill_daily", 10),
+    ],
+)
+def test_round4o_exchange_ceiling(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
