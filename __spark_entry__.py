@@ -11435,6 +11435,341 @@ def _cell_term_affinity_oracle_sql(level: int = 4) -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-4 continuation batch p: diameter / O-ring / effective-area /
+# cross-track / closest-pair spatial operators
+# ---------------------------------------------------------------------------
+
+def _q_nation_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation point-set diameter with the achieving pair
+    (spark/spatialstats.py group_diameter): group-keyed self-join of xyz
+    unit vectors, exact atan2 angle (r3/vector.go:96-98 op order), ONE
+    max-struct aggregation whose INTEGER tie-break keys make the arg-max
+    pair deterministic cross-engine. Quadratic in the GROUP only (hull
+    prefilter documented for planet-scale groups)."""
+    from gos2_spark.spark.spatialstats import group_diameter
+
+    c = _load(spark, sf_dir, "customer")
+    pts = _cust_points(spark, sf_dir).join(
+        c.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_nationkey").cast("long").alias("nation_key"),
+        ),
+        "key",
+    )
+    return group_diameter(
+        pts, "nation_key", point_key="key"
+    ).orderBy("nation_key")
+
+
+_NATION_DIAMETER_ORACLE = f"""
+    WITH p AS (
+      SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nk,
+             -60.0 + (c_custkey * 7 % 120) + (c_custkey % 97) / 97.0 AS lat,
+             -170.0 + (c_custkey * 13 % 340) + (c_custkey % 89) / 89.0 AS lng
+      FROM customer
+    ),
+    v AS (
+      SELECT id, nk,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM p
+    ),
+    pairs AS (
+      SELECT a.nk, a.id AS ia, b.id AS ib,
+             atan2(sqrt(
+                 (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+               + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.z * b.z) AS d
+      FROM v a JOIN v b ON a.nk = b.nk AND a.id < b.id
+    ),
+    top AS (
+      SELECT nk, ia, ib, d FROM pairs
+      QUALIFY row_number() OVER (
+          PARTITION BY nk ORDER BY d DESC, ia DESC, ib DESC) = 1
+    ),
+    counts AS (SELECT nk, count(*) AS n FROM v GROUP BY 1)
+    SELECT c.nk AS nation_key, CAST(c.n AS BIGINT) AS n_points,
+           t.ia AS key_a, t.ib AS key_b, round(t.d, 9) AS diameter_rad
+    FROM counts c LEFT JOIN top t USING (nk)
+    ORDER BY nation_key
+"""
+
+
+def _q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-ring pair-correlation g(h) over customer points
+    (spark/spatialstats.py pair_correlation): annulus pair counts from
+    the cell-blocked within-radius self-join (never all-pairs) divided
+    by the EXACT spherical-cap ring-area fraction — the non-cumulative
+    companion of the green ripley_k_function. Ring counts are BIGINTs;
+    the brute O(n^2) oracle certifies zero false negatives in the
+    blocked enumeration."""
+    from gos2_spark.spark.spatialstats import pair_correlation
+
+    pts = _cust_points(spark, sf_dir)
+    return pair_correlation(
+        pts, max_radius_deg=5.0, n_bins=5, point_key="key"
+    ).orderBy("bin_idx")
+
+
+def _pair_correlation_oracle_sql() -> str:
+    import math as _m
+
+    r = _m.radians(5.0)
+    binw = _m.radians(5.0) / 5.0
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        v AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        pairs AS (
+          SELECT atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z) AS d
+          FROM v a JOIN v b ON a.key < b.key
+        ),
+        binned AS (
+          SELECT least(CAST(floor(d / {binw!r}) AS BIGINT), 4) AS bin_idx
+          FROM pairs WHERE d <= {r!r}
+        ),
+        agg AS (SELECT bin_idx, count(*) AS n_pairs FROM binned GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM v)
+        SELECT bin_idx,
+               CAST(bin_idx AS DOUBLE) * {binw!r} AS h_lo_rad,
+               (CAST(bin_idx AS DOUBLE) + 1.0) * {binw!r} AS h_hi_rad,
+               n_pairs,
+               round((CAST(n_pairs AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+                     / ((cos(CAST(bin_idx AS DOUBLE) * {binw!r})
+                         - cos((CAST(bin_idx AS DOUBLE) + 1.0) * {binw!r}))
+                        / 2.0), 9) AS g
+        FROM agg, tot ORDER BY bin_idx
+    """
+
+
+def _q_effective_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam-Whyatt effective-area screen per user trajectory
+    (spark/trajectory.py effective_area): one-pass triangle importance
+    at every interior vertex via lag/lead, per-user keep counts at the
+    0.5 deg^2 threshold — the window-only sibling of the recursive
+    Douglas-Peucker in trajectory_simplify (which stays rows-only; this
+    one is exactly SQL-replayable)."""
+    from gos2_spark.spark.trajectory import effective_area
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+    return effective_area(pts, keep_threshold_deg2=0.5).orderBy("user_id")
+
+
+_EFFECTIVE_AREA_ORACLE = f"""
+    WITH pts AS ({_EVENTS_LATLNG_SQL}),
+    tri AS (
+      SELECT user_id,
+             abs(lag(lng) OVER w * (lat - lead(lat) OVER w)
+                 + lng * (lead(lat) OVER w - lag(lat) OVER w)
+                 + lead(lng) OVER w * (lag(lat) OVER w - lat)) AS a2
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN a2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_interior,
+           CAST(coalesce(sum(CASE WHEN a2 >= 0.5 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_keep,
+           coalesce(round(sum(a2), 6), 0.0) AS area2_sum
+    FROM tri GROUP BY 1 ORDER BY user_id
+"""
+
+
+def _q_cross_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-relative decomposition of every customer point against the
+    NYC->London great circle (spark/functions.py cross_track_rad /
+    along_track_rad): signed cross-track via asin(sin(d13)sin(b13-b12)),
+    along-track via acos(cos(d13)/cos(xt)) — all engine-haversine +
+    forward-azimuth compositions in whole-stage codegen, clamped, with
+    the identical literal expressions constant-folded by both engines."""
+    from gos2_spark.spark.functions import along_track_rad, cross_track_rad
+
+    pts = _cust_points(spark, sf_dir)
+    a_lat, a_lng = F.lit(40.7128), F.lit(-74.0060)
+    b_lat, b_lng = F.lit(51.5074), F.lit(-0.1278)
+    return pts.select(
+        "key",
+        F.round(
+            cross_track_rad(
+                a_lat, a_lng, b_lat, b_lng, F.col("lat"), F.col("lng")
+            ),
+            9,
+        ).alias("xt_rad"),
+        F.round(
+            along_track_rad(
+                a_lat, a_lng, b_lat, b_lng, F.col("lat"), F.col("lng")
+            ),
+            9,
+        ).alias("at_rad"),
+    ).orderBy("key")
+
+
+def _cross_track_oracle_sql() -> str:
+    two_pi = repr(2.0 * math.pi)
+    d13 = _hav_sql(40.7128, -74.0060)
+
+    def brg(qlat: float, qlng: float, lat: str, lng: str) -> str:
+        raw = (
+            f"atan2(sin(radians({lng}) - radians({qlng!r}))"
+            f" * cos(radians({lat})),"
+            f" cos(radians({qlat!r})) * sin(radians({lat}))"
+            f" - sin(radians({qlat!r})) * cos(radians({lat}))"
+            f" * cos(radians({lng}) - radians({qlng!r})))"
+        )
+        return (
+            f"(CASE WHEN {raw} < 0.0 THEN {raw} + {two_pi} ELSE {raw} END)"
+        )
+
+    b13 = brg(40.7128, -74.0060, "lat", "lng")
+    b12 = brg(40.7128, -74.0060, "51.5074", "-0.1278")
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        s AS (
+          SELECT key, {d13} AS d13, {b13} AS b13, {b12} AS b12
+          FROM pts
+        ),
+        x AS (
+          SELECT key, d13,
+                 asin(least(1.0, greatest(-1.0,
+                      sin(d13) * sin(b13 - b12)))) AS xt
+          FROM s
+        )
+        SELECT key, round(xt, 9) AS xt_rad,
+               round(acos(least(1.0, greatest(-1.0,
+                     cos(d13) / cos(xt)))), 9) AS at_rad
+        FROM x ORDER BY key
+    """
+
+
+def _q_closest_pair_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest pair per level-4 cell over customer points: group the
+    leaf-encoded points by Parent(4) (pure bitwise SQL), enumerate pairs
+    inside each cell, keep the MIN-struct pair — the per-tile "minimum
+    separation" screen (dedup radius calibration, sensor-collision
+    detection). Integer tie-break keys make the arg-min deterministic;
+    the level bounds the group so the quadratic term is per-cell (pick
+    the level by density — adaptive_density_tiles is the calibration
+    op)."""
+    from gos2_spark.spark.functions import s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir).select(
+        "key", "lat", "lng", s2_parent_sql(F.col("cell_id"), 4).alias("cell4")
+    )
+    v = pts.select(
+        "key",
+        "cell4",
+        (F.cos(F.radians("lng")) * F.cos(F.radians("lat"))).alias("_x"),
+        (F.sin(F.radians("lng")) * F.cos(F.radians("lat"))).alias("_y"),
+        F.sin(F.radians("lat")).alias("_z"),
+    )
+    a = v.select(
+        "cell4", F.col("key").alias("_ia"), F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"), F.col("_z").alias("_az"),
+    )
+    b = v.select(
+        "cell4", F.col("key").alias("_ib"), F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"), F.col("_z").alias("_bz"),
+    )
+    cx = F.col("_ay") * F.col("_bz") - F.col("_az") * F.col("_by")
+    cy = F.col("_az") * F.col("_bx") - F.col("_ax") * F.col("_bz")
+    cz = F.col("_ax") * F.col("_by") - F.col("_ay") * F.col("_bx")
+    dot = (
+        F.col("_ax") * F.col("_bx")
+        + F.col("_ay") * F.col("_by")
+        + F.col("_az") * F.col("_bz")
+    )
+    d = F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
+    pairs = a.join(b, "cell4").where(F.col("_ia") < F.col("_ib"))
+    best = pairs.groupBy("cell4").agg(
+        F.min(
+            F.struct(
+                d.alias("_d"), F.col("_ia").alias("_a"), F.col("_ib").alias("_b")
+            )
+        ).alias("_m"),
+        F.count("*").alias("n_pairs"),
+    )
+    counts = v.groupBy("cell4").agg(F.count("*").alias("n_points"))
+    return (
+        counts.join(best, "cell4")
+        .select(
+            s2_token(F.col("cell4")).alias("cell_token"),
+            "n_points",
+            "n_pairs",
+            F.col("_m._a").alias("key_a"),
+            F.col("_m._b").alias("key_b"),
+            F.round(F.col("_m._d"), 9).alias("min_dist_rad"),
+        )
+        .orderBy("cell_token")
+    )
+
+
+def _closest_pair_oracle_sql(level: int = 4) -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    lsb = 1 << (2 * (30 - level))
+    tok = _DO._token(f"((c.cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        g AS (
+          SELECT c.key, c.lat, c.lng, {tok} AS cell_token
+          FROM cells c
+        ),
+        v AS (
+          SELECT key, cell_token,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM g
+        ),
+        pairs AS (
+          SELECT a.cell_token, a.key AS ia, b.key AS ib,
+                 atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z) AS d
+          FROM v a JOIN v b
+            ON a.cell_token = b.cell_token AND a.key < b.key
+        ),
+        best AS (
+          SELECT cell_token, ia, ib, d,
+                 count(*) OVER (PARTITION BY cell_token) AS n_pairs
+          FROM pairs
+          QUALIFY row_number() OVER (
+              PARTITION BY cell_token ORDER BY d ASC, ia ASC, ib ASC) = 1
+        ),
+        counts AS (
+          SELECT cell_token, count(*) AS n_points FROM v GROUP BY 1
+        )
+        SELECT b.cell_token, CAST(c.n_points AS BIGINT) AS n_points,
+               CAST(b.n_pairs AS BIGINT) AS n_pairs,
+               b.ia AS key_a, b.ib AS key_b, round(b.d, 9) AS min_dist_rad
+        FROM best b JOIN counts c USING (cell_token)
+        ORDER BY cell_token
+    """
+
+
+# ---------------------------------------------------------------------------
 # round-4 continuation batch o: classical series statistics over daily counts
 # ---------------------------------------------------------------------------
 
@@ -12074,6 +12409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs_outliers": _q_grubbs_outliers,
         "page_hinkley_drift": _q_page_hinkley,
         "gap_fill_daily": _q_gap_fill_daily,
+        "nation_diameter": _q_nation_diameter,
+        "pair_correlation_rings": _q_pair_correlation,
+        "traj_effective_area": _q_effective_area,
+        "cross_track_route": _q_cross_track,
+        "closest_pair_cells": _q_closest_pair_cells,
     }
 
 
@@ -15384,4 +15724,9 @@ def oracle_sql() -> dict[str, str]:
         "grubbs_outliers": _GRUBBS_ORACLE,
         "page_hinkley_drift": _PAGE_HINKLEY_ORACLE,
         "gap_fill_daily": _GAP_FILL_ORACLE,
+        "nation_diameter": _NATION_DIAMETER_ORACLE,
+        "pair_correlation_rings": _pair_correlation_oracle_sql(),
+        "traj_effective_area": _EFFECTIVE_AREA_ORACLE,
+        "cross_track_route": _cross_track_oracle_sql(),
+        "closest_pair_cells": _closest_pair_oracle_sql(),
     }

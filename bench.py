@@ -241,6 +241,11 @@ BENCH_QUERIES = [
     "grubbs_outliers",
     "page_hinkley_drift",
     "gap_fill_daily",
+    "nation_diameter",
+    "pair_correlation_rings",
+    "traj_effective_area",
+    "cross_track_route",
+    "closest_pair_cells",
 ]
 
 

@@ -677,3 +677,40 @@ def gc_interpolate(
     lat_o = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
     lng_o = F.degrees(F.atan2(y, x))
     return F.struct(lat_o.alias("lat"), lng_o.alias("lng"))
+
+
+def cross_track_rad(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column,
+    lat3: Column, lng3: Column,
+) -> Column:
+    """[SQL] Signed cross-track distance (radians) of point 3 from the
+    great circle through 1->2: asin(sin(d13) * sin(brg13 - brg12)) —
+    positive = right of track. Composes the engine haversine
+    (latlng.go:32-40) with the forward azimuth; native codegen,
+    DuckDB-mirrorable (same float-op order). The reference exposes the
+    xyz primitive (edgeutil.go DistanceFromSegment); this is the
+    navigation-chart composition."""
+    d13 = haversine_rad(lat1, lng1, lat3, lng3)
+    b13 = initial_bearing_rad(lat1, lng1, lat3, lng3)
+    b12 = initial_bearing_rad(lat1, lng1, lat2, lng2)
+    return F.asin(
+        F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(-1.0), F.sin(d13) * F.sin(b13 - b12)),
+        )
+    )
+
+
+def along_track_rad(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column,
+    lat3: Column, lng3: Column,
+) -> Column:
+    """[SQL] Along-track distance (radians): how far along the 1->2 great
+    circle the closest-point foot of point 3 sits from point 1 —
+    acos(cos(d13)/cos(xt)), clamped. With cross_track_rad this is the
+    full (cross, along) route-relative decomposition."""
+    d13 = haversine_rad(lat1, lng1, lat3, lng3)
+    xt = cross_track_rad(lat1, lng1, lat2, lng2, lat3, lng3)
+    return F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.cos(d13) / F.cos(xt)))
+    )

@@ -1020,3 +1020,137 @@ def cross_k(
         )
         rows = one if rows is None else rows.union(one)
     return rows
+
+
+def pair_correlation(
+    points: DataFrame,
+    max_radius_deg: float,
+    n_bins: int,
+    point_key: str = "key",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """O-ring / pair-correlation function: the non-cumulative companion of
+    Ripley's K — pair counts per distance ANNULUS, normalized by the CSR
+    expectation for that ring, so g(r) > 1 reads "clustered at this
+    scale" and g(r) < 1 "inhibited", scale by scale.
+
+        g(h) = (|pairs in ring h| / (n(n-1)/2)) / ((cos h_lo - cos h_hi)/2)
+
+    (the denominator is the exact fraction of the sphere's area in the
+    ring — spherical-cap algebra, no flat-earth approximation).
+
+    Plan: pair enumeration is the engine's cell-blocked within-radius
+    self-join (``joins.distance_join`` — never all-pairs), ring counts
+    are one group-by over at most ``n_bins`` groups, and the total count
+    joins via ONE broadcast scalar. Ring counts are exact BIGINTs; g is
+    a fixed-order double expression.
+
+    Output: (bin_idx, h_lo_rad, h_hi_rad, n_pairs, g) ordered by bin.
+    """
+    from .joins import distance_join
+
+    binw = math.radians(max_radius_deg) / float(n_bins)
+    pairs = distance_join(
+        points, radius_deg=max_radius_deg, point_key=point_key,
+        cell_col=cell_col,
+    )
+    bin_idx = F.least(
+        F.floor(F.col("dist_rad") / F.lit(binw)).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    binned = (
+        pairs.select(bin_idx.alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = points.agg(F.count("*").alias("_n"))
+    lo = F.col("bin_idx").cast("double") * F.lit(binw)
+    hi = (F.col("bin_idx").cast("double") + F.lit(1.0)) * F.lit(binw)
+    nd = F.col("_n").cast("double")
+    pair_frac = F.col("n_pairs").cast("double") / (nd * (nd - 1.0) / 2.0)
+    ring_frac = (F.cos(lo) - F.cos(hi)) / 2.0
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            "bin_idx",
+            lo.alias("h_lo_rad"),
+            hi.alias("h_hi_rad"),
+            "n_pairs",
+            F.round(pair_frac / ring_frac, 9).alias("g"),
+        )
+        .orderBy("bin_idx")
+    )
+
+
+def group_diameter(
+    points: DataFrame,
+    group_col: str,
+    point_key: str = "key",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-group point-set diameter: the maximum pairwise great-circle
+    distance inside each group, with the achieving pair identified —
+    "how spread out is this nation's footprint, and between which two
+    points".
+
+    Plan: xyz once per point, then a group-keyed self-join with
+    ``key_a < key_b`` canonicalization and ONE max-struct aggregation.
+    Cost is quadratic IN THE GROUP — bounded by the largest group size,
+    never all-pairs across groups; for planet-scale groups prefilter to
+    the convex hull first (``spark/hull.py::convex_hull_vertices``
+    shrinks candidates to the boundary; chart-hull/great-circle
+    disagreement makes that a heuristic, which is why the exact form
+    here enumerates the group). The arg-max pair is selected through
+    the struct ordering (dist, key_a, key_b) — distances are identical
+    doubles cross-engine (same op order), so ties break to the largest
+    key pair deterministically.
+
+    Output: (group, n_points, key_a, key_b, diameter_rad).
+    """
+    v = points.select(
+        F.col(group_col).alias("_g"),
+        F.col(point_key).alias("_id"),
+        (F.cos(F.radians(lng_col)) * F.cos(F.radians(lat_col))).alias("_x"),
+        (F.sin(F.radians(lng_col)) * F.cos(F.radians(lat_col))).alias("_y"),
+        F.sin(F.radians(lat_col)).alias("_z"),
+    )
+    a = v.select(
+        F.col("_g"),
+        F.col("_id").alias("_ia"),
+        F.col("_x").alias("_ax"),
+        F.col("_y").alias("_ay"),
+        F.col("_z").alias("_az"),
+    )
+    b = v.select(
+        F.col("_g"),
+        F.col("_id").alias("_ib"),
+        F.col("_x").alias("_bx"),
+        F.col("_y").alias("_by"),
+        F.col("_z").alias("_bz"),
+    )
+    cx = F.col("_ay") * F.col("_bz") - F.col("_az") * F.col("_by")
+    cy = F.col("_az") * F.col("_bx") - F.col("_ax") * F.col("_bz")
+    cz = F.col("_ax") * F.col("_by") - F.col("_ay") * F.col("_bx")
+    dot = (
+        F.col("_ax") * F.col("_bx")
+        + F.col("_ay") * F.col("_by")
+        + F.col("_az") * F.col("_bz")
+    )
+    d = F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
+    pairs = a.join(b, "_g").where(F.col("_ia") < F.col("_ib"))
+    top = pairs.groupBy("_g").agg(
+        F.max(
+            F.struct(
+                d.alias("_d"), F.col("_ia").alias("_a"), F.col("_ib").alias("_b")
+            )
+        ).alias("_m")
+    )
+    counts = v.groupBy("_g").agg(F.count("*").alias("n_points"))
+    return counts.join(top, "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n_points",
+        F.col("_m._a").alias("key_a"),
+        F.col("_m._b").alias("key_b"),
+        F.round(F.col("_m._d"), 9).alias("diameter_rad"),
+    )

@@ -507,3 +507,62 @@ def erp_distance_col(xyz_a: Column, xyz_b: Column) -> Column:
         ),
     )
     return F.element_at(dp, -1)
+
+
+def effective_area(
+    points: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    keep_threshold_deg2: float = 0.5,
+) -> DataFrame:
+    """Visvalingam-Whyatt effective area, single pass: for every interior
+    vertex of each key's ordered trajectory, TWICE the chart-space
+    triangle area spanned with its immediate neighbors —
+
+        area2 = |x1(y2-y3) + x2(y3-y1) + x3(y1-y2)|
+
+    — the importance score Visvalingam simplification ranks on. This is
+    the one-sweep screen (drop everything below a fixed area threshold);
+    the reference's Douglas-Peucker (see simplify_trajectories) remains
+    the recursive alternative. Unlike iterative V-W, one pass is
+    order-independent and expressible as pure lag/lead windows —
+    deterministic and exactly replayable in SQL.
+
+    Plan: one (key, order) window sort feeding lag+lead, then ONE
+    map-side-combined rollup per key. Output: (key, n_points,
+    n_interior, n_keep, area2_sum) — area2 in squared chart degrees.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x1, y1 = F.lag(lng_col).over(w), F.lag(lat_col).over(w)
+    x3, y3 = F.lead(lng_col).over(w), F.lead(lat_col).over(w)
+    area2 = F.abs(
+        x1 * (F.col(lat_col) - y3)
+        + F.col(lng_col) * (y3 - y1)
+        + x3 * (y1 - F.col(lat_col))
+    )
+    t = points.select(
+        F.col(key_col).alias("_k"),
+        area2.alias("_a2"),
+    )
+    return (
+        t.groupBy("_k")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("_a2").isNotNull().cast("long")).alias("n_interior"),
+            F.sum(
+                (F.col("_a2") >= float(keep_threshold_deg2)).cast("long")
+            ).alias("n_keep"),
+            F.round(F.sum("_a2"), 6).alias("area2_sum"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_points",
+            "n_interior",
+            F.coalesce("n_keep", F.lit(0)).alias("n_keep"),
+            F.coalesce("area2_sum", F.lit(0.0)).alias("area2_sum"),
+        )
+    )

@@ -643,3 +643,43 @@ def test_round4o_queries_pure_catalyst(spark, name):
 def test_round4o_exchange_ceiling(spark, name, max_exchanges):
     plan = _plan(spark, name)
     assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "nation_diameter",
+        "pair_correlation_rings",
+        "traj_effective_area",
+        "cross_track_route",
+        "closest_pair_cells",
+    ],
+)
+def test_round4p_queries_kernel_only_python(spark, name):
+    """The spatial batch allows only the S2 encode/neighborhood Arrow
+    kernels (point fixtures + the blocked pair join); everything else —
+    xyz algebra, pair joins, max/min-struct argopt, window triangles —
+    is codegen. No grouped-pandas, row-python, or cartesian anywhere."""
+    plan = _plan(spark, name)
+    arrows = set(re.findall(r"ArrowEvalPython \[(\w+)", plan))
+    assert arrows <= {
+        "s2_neighborhood", "s2_cellid", "s2_covering", "s2_token",
+    }, (name, arrows)
+    assert "BatchEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        ("nation_diameter", 7),
+        ("pair_correlation_rings", 9),
+        ("traj_effective_area", 3),
+        ("cross_track_route", 2),
+        ("closest_pair_cells", 9),
+    ],
+)
+def test_round4p_exchange_ceiling(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
