@@ -12163,6 +12163,321 @@ _GAP_FILL_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch q: geostatistics (spark/geostat.py) — EB rate
+# smoothing, closed-form 3-NN simple kriging, spatial-lag OLS.  All three
+# reduce to fixed-order native column expressions (Cramer's-rule 3x3 solve),
+# so the oracles replay every float term for term.
+# ---------------------------------------------------------------------------
+
+
+def _solve3_sql(a, b):
+    """Textual twin of gos2_spark.spark.geostat.solve3: the SAME fixed
+    first-row-cofactor determinant expansion, emitted as SQL strings, so
+    DuckDB reproduces the engine's float sequence bit-for-bit."""
+    (a11, a12, a13), (a21, a22, a23), (a31, a32, a33) = a
+    b1, b2, b3 = b
+
+    def det(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        return (
+            f"({m11} * ({m22} * {m33} - {m23} * {m32})"
+            f" - {m12} * ({m21} * {m33} - {m23} * {m31})"
+            f" + {m13} * ({m21} * {m32} - {m22} * {m31}))"
+        )
+
+    d0 = det(a11, a12, a13, a21, a22, a23, a31, a32, a33)
+    d1 = det(b1, a12, a13, b2, a22, a23, b3, a32, a33)
+    d2 = det(a11, b1, a13, a21, b2, a23, a31, b3, a33)
+    d3 = det(a11, a12, b1, a21, a22, b2, a31, a32, b3)
+    return f"({d1} / {d0})", f"({d2} / {d0})", f"({d3} / {d0})"
+
+
+def _angle_sql(lat_a: str, lng_a: str, lat_b: str, lng_b: str) -> str:
+    """SQL twin of gos2_spark.spark.geostat._angle_rad — great-circle
+    angle via atan2(|a x b|, a . b), identical op order."""
+    ax = f"(cos(radians({lng_a})) * cos(radians({lat_a})))"
+    ay = f"(sin(radians({lng_a})) * cos(radians({lat_a})))"
+    az = f"(sin(radians({lat_a})))"
+    bx = f"(cos(radians({lng_b})) * cos(radians({lat_b})))"
+    by = f"(sin(radians({lng_b})) * cos(radians({lat_b})))"
+    bz = f"(sin(radians({lat_b})))"
+    cx = f"({ay} * {bz} - {az} * {by})"
+    cy = f"({az} * {bx} - {ax} * {bz})"
+    cz = f"({ax} * {by} - {ay} * {bx})"
+    dot = f"({ax} * {bx} + {ay} * {by} + {az} * {bz})"
+    return f"atan2(sqrt({cx} * {cx} + {cy} * {cy} + {cz} * {cz}), {dot})"
+
+
+def _q_eb_rate_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marshall empirical-Bayes rate smoothing per level-5 cell: cases =
+    customers with key % 5 == 0, population = all customers in the cell.
+    Low-population cells shrink hard toward the global rate; dense cells
+    keep their raw rate.  All sufficient statistics except one DOUBLE sum
+    (sum c^2/p) are exact BIGINTs; two jobs, no shuffle beyond the cell
+    agg (geostat.py::eb_rate_smoothing)."""
+    from gos2_spark.spark.functions import s2_token
+    from gos2_spark.spark.geostat import eb_rate_smoothing
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    counts = (
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell"))
+        .agg(
+            F.sum(F.when(F.col("key") % 5 == 0, 1).otherwise(0)).alias("cases"),
+            F.count("*").alias("pop"),
+        )
+        .select(s2_token(F.col("cell")).alias("cell_token"), "cases", "pop")
+    )
+    return (
+        eb_rate_smoothing(counts, area_col="cell_token")
+        .withColumnRenamed("area", "cell_token")
+        .orderBy("cell_token")
+    )
+
+
+def _eb_rate_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (
+          SELECT {tok} AS cell_token,
+                 CAST(sum(CASE WHEN key % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c,
+                 count(*) AS p
+          FROM cells GROUP BY 1
+        ),
+        g AS (
+          SELECT count(*) AS n_areas,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(p) AS BIGINT) AS sp,
+                 sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                     / CAST(p AS DOUBLE)) AS scc
+          FROM cnt
+        ),
+        x AS (
+          SELECT cnt.cell_token, cnt.c, cnt.p,
+                 CAST(g.sc AS DOUBLE) / CAST(g.sp AS DOUBLE) AS m,
+                 greatest(
+                   (g.scc - (CAST(g.sc AS DOUBLE) / CAST(g.sp AS DOUBLE))
+                          * (CAST(g.sc AS DOUBLE) / CAST(g.sp AS DOUBLE))
+                          * CAST(g.sp AS DOUBLE)) / CAST(g.sp AS DOUBLE)
+                   - (CAST(g.sc AS DOUBLE) / CAST(g.sp AS DOUBLE))
+                     / (CAST(g.sp AS DOUBLE) / CAST(g.n_areas AS DOUBLE)),
+                   0.0) AS big_a
+          FROM cnt, g
+        ),
+        w AS (
+          SELECT cell_token, c, p, m,
+                 big_a / (big_a + m / CAST(p AS DOUBLE)) AS wgt,
+                 CAST(c AS DOUBLE) / CAST(p AS DOUBLE) AS r
+          FROM x
+        )
+        SELECT cell_token, c AS cases, p AS pop,
+               round(r, 9) AS raw_rate,
+               round(wgt, 9) AS shrink_weight,
+               round(wgt * r + (1.0 - wgt) * m, 9) AS eb_rate
+        FROM w ORDER BY cell_token
+    """
+
+
+def _q_kriging_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple kriging at 24 deterministic targets from the customer
+    point cloud (z = key % 100), exponential covariance, 3 nearest
+    neighbors, Cramer's-rule closed-form solve — the whole predictor is
+    one native column expression (geostat.py::simple_kriging_3nn)."""
+    from gos2_spark.spark.geostat import simple_kriging_3nn
+
+    pts = _cust_points(spark, sf_dir).withColumn(
+        "value", (F.col("key") % 100).cast("double")
+    )
+    t = spark.range(24).select(
+        F.col("id").alias("target_key"),
+        (F.lit(-55.0) + F.col("id").cast("double") * 110.0 / 24.0
+         + F.lit(0.3)).alias("lat"),
+        (F.lit(-170.0) + (F.col("id") * 47 % 340).cast("double")
+         + F.lit(0.7)).alias("lng"),
+    )
+    return simple_kriging_3nn(pts, t).orderBy("target_key")
+
+
+def _kriging_oracle_sql() -> str:
+    rng = "0.2"
+    one = "1.05"  # 1.0 + nugget, same double as F.lit(1.0 + 0.05)
+    c12, c13, c23 = "c12", "c13", "c23"
+    k1, k2, k3 = "k1", "k2", "k3"
+    w1, w2, w3 = _solve3_sql(
+        ((one, c12, c13), (c12, one, c23), (c13, c23, one)), (k1, k2, k3)
+    )
+    zhat = (
+        f"gmean + ({w1} * (z1 - gmean) + {w2} * (z2 - gmean)"
+        f" + {w3} * (z3 - gmean))"
+    )
+    kvar = f"{one} - ({w1} * {k1} + {w2} * {k2} + {w3} * {k3})"
+    return f"""
+        WITH pts AS (
+          SELECT key AS pk, lat AS plat, lng AS plng,
+                 CAST(key % 100 AS DOUBLE) AS z
+          FROM ({_CUST_LATLNG_SQL})
+        ),
+        tgt AS (
+          SELECT CAST(id AS BIGINT) AS tk,
+                 (-55.0 + (CAST(id AS DOUBLE) * 110.0) / 24.0) + 0.3 AS tlat,
+                 (-170.0 + CAST(id * 47 % 340 AS DOUBLE)) + 0.7 AS tlng
+          FROM range(24) AS r(id)
+        ),
+        gm AS (
+          SELECT sum(z) / CAST(count(*) AS DOUBLE) AS gmean FROM pts
+        ),
+        cand AS (
+          SELECT t.tk, p.pk, p.plat, p.plng, p.z,
+                 {_angle_sql('t.tlat', 't.tlng', 'p.plat', 'p.plng')} AS d
+          FROM pts p CROSS JOIN tgt t
+        ),
+        top AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY tk ORDER BY d ASC, pk ASC) AS rn
+          FROM cand QUALIFY rn <= 3
+        ),
+        piv AS (
+          SELECT tk,
+                 max(CASE WHEN rn = 1 THEN pk END) AS pk1,
+                 max(CASE WHEN rn = 2 THEN pk END) AS pk2,
+                 max(CASE WHEN rn = 3 THEN pk END) AS pk3,
+                 max(CASE WHEN rn = 1 THEN plat END) AS plat1,
+                 max(CASE WHEN rn = 2 THEN plat END) AS plat2,
+                 max(CASE WHEN rn = 3 THEN plat END) AS plat3,
+                 max(CASE WHEN rn = 1 THEN plng END) AS plng1,
+                 max(CASE WHEN rn = 2 THEN plng END) AS plng2,
+                 max(CASE WHEN rn = 3 THEN plng END) AS plng3,
+                 max(CASE WHEN rn = 1 THEN z END) AS z1,
+                 max(CASE WHEN rn = 2 THEN z END) AS z2,
+                 max(CASE WHEN rn = 3 THEN z END) AS z3,
+                 max(CASE WHEN rn = 1 THEN d END) AS d1,
+                 max(CASE WHEN rn = 2 THEN d END) AS d2,
+                 max(CASE WHEN rn = 3 THEN d END) AS d3
+          FROM top GROUP BY tk
+        ),
+        cov AS (
+          SELECT piv.*, gm.gmean,
+                 exp(-{_angle_sql('plat1', 'plng1', 'plat2', 'plng2')}
+                     / {rng}) AS c12,
+                 exp(-{_angle_sql('plat1', 'plng1', 'plat3', 'plng3')}
+                     / {rng}) AS c13,
+                 exp(-{_angle_sql('plat2', 'plng2', 'plat3', 'plng3')}
+                     / {rng}) AS c23,
+                 exp(-d1 / {rng}) AS k1,
+                 exp(-d2 / {rng}) AS k2,
+                 exp(-d3 / {rng}) AS k3
+          FROM piv, gm
+        )
+        SELECT tk AS target_key,
+               pk1 AS nn1, pk2 AS nn2, pk3 AS nn3,
+               round({w1}, 9) AS w1,
+               round({w2}, 9) AS w2,
+               round({w3}, 9) AS w3,
+               round({zhat}, 9) AS zhat,
+               round({kvar}, 9) AS kriging_var
+        FROM cov ORDER BY target_key
+    """
+
+
+def _q_lag_ols_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-lag OLS over level-5 cells: y = customer count, x = count
+    of even keys, lag = SUM of the 4 edge-neighbors' y (binary spatial
+    weights, wrap-aware neighbor arithmetic).  Every normal-equation sum
+    is an exact integer-valued double, so the Cramer's-rule betas are
+    bit-identical cross-engine (geostat.py::lag_ols)."""
+    from gos2_spark.pipeline.graph import _default_materialize
+    from gos2_spark.spark.functions import s2_edge_neighbors
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    from gos2_spark.spark.geostat import lag_ols
+
+    pts = _cust_points(spark, sf_dir)
+    counts = _default_materialize(spark)(
+        pts.groupBy(s2_parent_sql(F.col("cell_id"), 5).alias("cell")).agg(
+            F.count("*").alias("y"),
+            F.sum(F.when(F.col("key") % 2 == 0, 1).otherwise(0)).alias("x"),
+        )
+    )
+    nb = counts.select(
+        F.col("cell"), F.explode(s2_edge_neighbors(F.col("cell"))).alias("cj")
+    )
+    lag = (
+        nb.join(counts.select(F.col("cell").alias("cj"),
+                              F.col("y").alias("yj")), "cj")
+        .groupBy("cell")
+        .agg(F.sum("yj").alias("lag"))
+    )
+    obs = counts.join(lag, "cell", "left").withColumn(
+        "lag", F.coalesce(F.col("lag"), F.lit(0))
+    )
+    return lag_ols(obs, "y", "x", "lag")
+
+
+def _lag_ols_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=5
+    )
+    lsb = 1 << 50  # level 5
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    n = "CAST(n_obs AS DOUBLE)"
+    sx, sl = "CAST(sx AS DOUBLE)", "CAST(sl AS DOUBLE)"
+    sxx, sxl, sll = ("CAST(sxx AS DOUBLE)", "CAST(sxl AS DOUBLE)",
+                     "CAST(sll AS DOUBLE)")
+    sy, sxy, sly, syy = ("CAST(sy AS DOUBLE)", "CAST(sxy AS DOUBLE)",
+                         "CAST(sly AS DOUBLE)", "CAST(syy AS DOUBLE)")
+    b0, b1, b2 = _solve3_sql(
+        ((n, sx, sl), (sx, sxx, sxl), (sl, sxl, sll)), (sy, sxy, sly)
+    )
+    sse = f"({syy} - ({b0} * {sy} + {b1} * {sxy} + {b2} * {sly}))"
+    sst = f"({syy} - {sy} * {sy} / {n})"
+    return f"""
+        WITH pairs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        cnt AS (
+          SELECT {tok} AS token,
+                 count(*) AS y,
+                 CAST(sum(CASE WHEN key % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS x
+          FROM cells GROUP BY 1
+        ),
+        lg AS (
+          SELECT p.token, CAST(sum(c2.y) AS BIGINT) AS lag
+          FROM pairs p JOIN cnt c2 ON c2.token = p.nbr_token
+          GROUP BY 1
+        ),
+        obs AS (
+          SELECT c.y, c.x, coalesce(lg.lag, 0) AS l
+          FROM cnt c LEFT JOIN lg ON lg.token = c.token
+        ),
+        s AS (
+          SELECT count(*) AS n_obs,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(l) AS BIGINT) AS sl,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * l) AS BIGINT) AS sxl,
+                 CAST(sum(l * l) AS BIGINT) AS sll,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(l * y) AS BIGINT) AS sly,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM obs
+        )
+        SELECT n_obs,
+               round({b0}, 9) AS beta0,
+               round({b1}, 9) AS beta_x,
+               round({b2}, 9) AS beta_lag,
+               round(1.0 - {sse} / {sst}, 9) AS r2
+        FROM s
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -12414,6 +12729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_effective_area": _q_effective_area,
         "cross_track_route": _q_cross_track,
         "closest_pair_cells": _q_closest_pair_cells,
+        "eb_rate_cells": _q_eb_rate_cells,
+        "kriging_targets": _q_kriging_targets,
+        "lag_ols_cells": _q_lag_ols_cells,
     }
 
 
@@ -15729,4 +16047,7 @@ def oracle_sql() -> dict[str, str]:
         "traj_effective_area": _EFFECTIVE_AREA_ORACLE,
         "cross_track_route": _cross_track_oracle_sql(),
         "closest_pair_cells": _closest_pair_oracle_sql(),
+        "eb_rate_cells": _eb_rate_oracle_sql(),
+        "kriging_targets": _kriging_oracle_sql(),
+        "lag_ols_cells": _lag_ols_oracle_sql(),
     }
