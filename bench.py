@@ -406,30 +406,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     headline = {
-        "metric": "spatial-join + S2-tiling bench (flagship pip pages + driver queries)",
+        # keep this dict SMALL: the printed line must stay well under the
+        # driver's stdout-tail capture window (~2 KB; target <300 bytes).
+        # Rounds 1-3 were tail-truncated by inline per-query timings — those
+        # now live ONLY in BENCH/bench_raw_latest.json.
+        "metric": "pip pages/sec + query-suite sec",
         "value": total,
         "unit": "sec",
         "sf": SF_DIR,
-        "pages_rows": PAGES_ROWS,
         "pages_per_sec": round(pages_per_sec, 1),
         "flagship_sec": timings["flagship_pip_pages"],
         "e2e_sec": timings["flagship_e2e_geoparse"],
         "n_queries": len(timings),
         "cpus": int(CPUS),
         "runs_per_query": RUNS,
-        # the driver's schema expects a "queries" key; only the two flagship
-        # entries go inline (full per-query timings live in the raw file —
-        # 130 inline entries is what tail-truncated rounds 2-3)
-        "queries": {
-            "flagship_pip_pages": timings["flagship_pip_pages"],
-            "flagship_e2e_geoparse": timings["flagship_e2e_geoparse"],
-        },
+        "queries": {"flagship_pip_pages": timings["flagship_pip_pages"]},
     }
     # Full payload (raw per-run times, tile counts, protocol notes) goes to a
     # file: round 2's stdout line carried raw_runs inline, exceeded the
     # driver's capture window, and was tail-truncated into unparseable JSON.
     full = dict(headline)
     full.update({
+        "pages_rows": PAGES_ROWS,
         "queries": timings,
         "note": ("'value' sums ALL timed queries; the query set GROWS as "
                  "operators are added, so compare rounds on flagship_sec/"
