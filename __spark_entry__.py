@@ -12478,6 +12478,249 @@ def _lag_ols_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch r: rank-based nonparametric tests
+# (spark/nonparam.py) — Mann-Whitney U, Kruskal-Wallis H, Cramér-von Mises.
+# All sufficient statistics are BIGINT (doubled tie-averaged ranks / expanded
+# CvM integrand); the one unavoidable float sum (KW's per-group terms) is a
+# fixed-order fold both engines replay sequentially.
+# ---------------------------------------------------------------------------
+
+
+def _q_mw_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per event type between a deterministic hash-split of
+    users (arm = xxhash64(user_id || '#mw') parity — the ab_conversion_ztest
+    assignment model): does arm 1 see shifted values?  Doubled tie-averaged
+    ranks keep the rank sum BIGINT; z is tie-corrected
+    (spark/nonparam.py::mann_whitney_u)."""
+    from gos2_spark.spark.nonparam import mann_whitney_u
+
+    ev = _load(spark, sf_dir, "events")
+    samples = ev.select(
+        "event_type",
+        F.pmod(
+            F.xxhash64(F.concat(F.col("user_id").cast("string"), F.lit("#mw"))),
+            F.lit(2),
+        ).alias("side"),
+        "value",
+    )
+    return mann_whitney_u(samples, "event_type", "side", "value").orderBy(
+        "event_type"
+    )
+
+
+def _mw_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[CAST(user_id AS VARCHAR) || '#mw']"
+    h = f"({xxh64_list_sql(salted)})[1]"
+    return f"""
+        WITH samples AS (
+          SELECT event_type,
+                 CAST((({h}) % 2 + 2) % 2 AS INT) AS side,
+                 value AS v
+          FROM events
+        ),
+        byval AS (
+          SELECT event_type, v,
+                 sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+          FROM samples GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, c0, c1,
+                 sum(c0) OVER w AS f0, sum(c1) OVER w AS f1
+          FROM byval
+          WINDOW w AS (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING)
+        ),
+        cum2 AS (
+          SELECT *, max(f0) OVER (PARTITION BY event_type) AS n0,
+                    max(f1) OVER (PARTITION BY event_type) AS n1
+          FROM cum
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(max(n0) AS BIGINT) AS n0,
+                 CAST(max(n1) AS BIGINT) AS n1,
+                 CAST(sum(c0 * (2 * (f0 + f1 - c0 - c1) + c0 + c1 + 1))
+                      AS BIGINT) AS r0_2,
+                 CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1))
+                      AS BIGINT) AS tie
+          FROM cum2 GROUP BY 1
+        )
+        SELECT event_type, n0, n1,
+               round(CAST(r0_2 - n0 * (n0 + 1) AS DOUBLE) / 2.0, 9) AS u_stat,
+               round(CASE WHEN (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+                               * ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0)
+                                  - CAST(tie AS DOUBLE)
+                                    / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                                       * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0))) > 0
+                     THEN (CAST(r0_2 - n0 * (n0 + 1) AS DOUBLE) / 2.0
+                           - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+                          / sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+                                 * ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0)
+                                    - CAST(tie AS DOUBLE)
+                                      / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                                         * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0))))
+                     ELSE NULL END, 9) AS mw_z
+        FROM agg ORDER BY event_type
+    """
+
+
+def _q_kruskal_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H per epoch-weekday (datediff-from-1970 mod 7 — the
+    engine-neutral weekday key): do the five event types' value
+    distributions differ within a weekday?  Pooled doubled ranks at the
+    distinct-value level, BIGINT rank sums per type, fixed-order fold of
+    the five float terms (spark/nonparam.py::kruskal_wallis)."""
+    from gos2_spark.spark.nonparam import kruskal_wallis
+
+    ev = _load(spark, sf_dir, "events")
+    samples = ev.select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7
+        ).alias("weekday"),
+        "event_type",
+        "value",
+    )
+    return kruskal_wallis(samples, "weekday", "event_type", "value").orderBy(
+        "weekday"
+    )
+
+
+_KRUSKAL_ORACLE = """
+    WITH samples AS (
+      SELECT (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS weekday,
+             event_type AS g, value AS v
+      FROM events
+    ),
+    bygv AS (
+      SELECT weekday, g, v, count(*) AS cg FROM samples GROUP BY 1, 2, 3
+    ),
+    byval AS (
+      SELECT weekday, v, sum(cg) AS c FROM bygv GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT weekday, v, c,
+             2 * (sum(c) OVER w - c) + c + 1 AS rank2
+      FROM byval
+      WINDOW w AS (PARTITION BY weekday ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    pergroup AS (
+      SELECT b.weekday, b.g,
+             CAST(sum(b.cg) AS BIGINT) AS ng,
+             CAST(sum(b.cg * r.rank2) AS BIGINT) AS rg2
+      FROM bygv b JOIN ranked r ON b.weekday = r.weekday AND b.v = r.v
+      GROUP BY 1, 2
+    ),
+    ties AS (
+      SELECT weekday, CAST(sum(c * c * c - c) AS BIGINT) AS tie,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM byval GROUP BY 1
+    ),
+    folded AS (
+      SELECT weekday, count(*) AS k_groups,
+             list_reduce(
+               list_transform(
+                 list_sort(list({'g': g,
+                                 't': CAST(rg2 AS DOUBLE) * CAST(rg2 AS DOUBLE)
+                                      / (4.0 * CAST(ng AS DOUBLE))})),
+                 x -> x.t),
+               (a, b) -> a + b) AS sum_terms
+      FROM pergroup GROUP BY 1
+    )
+    SELECT f.weekday, CAST(f.k_groups AS BIGINT) AS k_groups,
+           t.n AS n_total,
+           round(CASE WHEN 1.0 - CAST(t.tie AS DOUBLE)
+                           / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                              * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)) > 0
+                 THEN (12.0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+                       * (0.0 + f.sum_terms) - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(t.tie AS DOUBLE)
+                         / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                            * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+                 ELSE NULL END, 9) AS h_stat
+    FROM folded f JOIN ties t ON f.weekday = t.weekday
+    ORDER BY f.weekday
+"""
+
+
+def _q_cvm_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises criterion between the value distributions of every
+    event-type pair (the L2 companion of ks_value_drift's sup-norm — sees
+    spread-out drift a single sup point misses).  The integrand is expanded
+    into three BIGINT sums so no float is engine-order accumulated
+    (spark/nonparam.py::cramer_von_mises)."""
+    from gos2_spark.spark.nonparam import cramer_von_mises
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "value")
+    types = ev.select("event_type").distinct().select(
+        F.col("event_type").alias("other")
+    )
+    samples = ev.join(
+        F.broadcast(types), F.col("other") != F.col("event_type")
+    ).select(
+        F.when(
+            F.col("event_type") < F.col("other"),
+            F.concat_ws("|", "event_type", "other"),
+        )
+        .otherwise(F.concat_ws("|", "other", "event_type"))
+        .alias("pair"),
+        F.when(F.col("event_type") < F.col("other"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "value",
+    )
+    return cramer_von_mises(samples, "pair", "side", "value").orderBy("pair")
+
+
+_CVM_ORACLE = """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    samples AS (
+      SELECT CASE WHEN e.event_type < t.event_type
+                  THEN concat(e.event_type, '|', t.event_type)
+                  ELSE concat(t.event_type, '|', e.event_type) END AS pair,
+             CASE WHEN e.event_type < t.event_type THEN 0 ELSE 1 END AS side,
+             e.value AS v
+      FROM events e JOIN types t ON t.event_type <> e.event_type
+    ),
+    byval AS (
+      SELECT pair, v,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+      FROM samples GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT pair, c0, c1, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1
+      FROM byval
+      WINDOW w AS (PARTITION BY pair ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    cum2 AS (
+      SELECT *, max(f0) OVER (PARTITION BY pair) AS n0,
+                max(f1) OVER (PARTITION BY pair) AS n1
+      FROM cum
+    ),
+    agg AS (
+      SELECT pair,
+             CAST(max(n0) AS BIGINT) AS n0,
+             CAST(max(n1) AS BIGINT) AS n1,
+             CAST(sum((c0 + c1) * f0 * f0) AS BIGINT) AS saa,
+             CAST(sum((c0 + c1) * f0 * f1) AS BIGINT) AS sab,
+             CAST(sum((c0 + c1) * f1 * f1) AS BIGINT) AS sbb
+      FROM cum2 GROUP BY 1
+    )
+    SELECT pair, n0, n1,
+           round((CAST(saa AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  - 2.0 * CAST(sab AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  + CAST(sbb AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                 / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+                    * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 9) AS cvm_t
+    FROM agg ORDER BY pair
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -12732,6 +12975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_rate_cells": _q_eb_rate_cells,
         "kriging_targets": _q_kriging_targets,
         "lag_ols_cells": _q_lag_ols_cells,
+        "mw_value_shift": _q_mw_value_shift,
+        "kruskal_wallis_weekday": _q_kruskal_weekday,
+        "cvm_value_drift": _q_cvm_value_drift,
     }
 
 
@@ -16050,4 +16296,7 @@ def oracle_sql() -> dict[str, str]:
         "eb_rate_cells": _eb_rate_oracle_sql(),
         "kriging_targets": _kriging_oracle_sql(),
         "lag_ols_cells": _lag_ols_oracle_sql(),
+        "mw_value_shift": _mw_oracle_sql(),
+        "kruskal_wallis_weekday": _KRUSKAL_ORACLE,
+        "cvm_value_drift": _CVM_ORACLE,
     }

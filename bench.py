@@ -246,6 +246,12 @@ BENCH_QUERIES = [
     "traj_effective_area",
     "cross_track_route",
     "closest_pair_cells",
+    "eb_rate_cells",
+    "kriging_targets",
+    "lag_ols_cells",
+    "mw_value_shift",
+    "kruskal_wallis_weekday",
+    "cvm_value_drift",
 ]
 
 
