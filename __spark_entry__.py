@@ -12721,6 +12721,125 @@ _CVM_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch s: survival analysis (spark/survival.py) —
+# Kaplan-Meier + Nelson-Aalen over a real right-censoring structure
+# (time to a user's SECOND event of a type; single-event users censored
+# at the end of the observation window).
+# ---------------------------------------------------------------------------
+
+
+def _q_km_second_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-repeat per event type: duration =
+    whole days between a user's first and second event of that type
+    (+1), observed; single-event users are right-censored at the end of
+    the global observation window. Risk sets/death counts BIGINT; the KM
+    product and Nelson-Aalen sum ride a prefix fold in t-order both
+    engines replay bit-for-bit (spark/survival.py::kaplan_meier)."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.survival import kaplan_meier
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("us", "event_id")
+    seq = (
+        ev.select("event_type", "user_id", us.alias("us"), "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    horizon = ev.select(F.max(us).alias("us_max"))
+    per_user = (
+        seq.groupBy("event_type", "user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("us"))).alias("us1"),
+            F.min(F.when(F.col("rn") == 2, F.col("us"))).alias("us2"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type",
+            F.when(
+                F.col("us2").isNotNull(),
+                F.expr("(us2 - us1) div 86400000000") + 1,
+            )
+            .otherwise(F.expr("(us_max - us1) div 86400000000") + 1)
+            .alias("t"),
+            F.col("us2").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    return kaplan_meier(per_user, "event_type", "t", "observed").orderBy(
+        "event_type", "t"
+    )
+
+
+_KM_ORACLE = """
+    WITH ev AS (
+      SELECT event_type, user_id, event_id,
+             epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00') AS us
+      FROM events
+    ),
+    seq AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                   ORDER BY us, event_id) AS rn
+      FROM ev
+    ),
+    horizon AS (SELECT max(us) AS us_max FROM ev),
+    per_user AS (
+      SELECT s.event_type,
+             CASE WHEN min(CASE WHEN rn = 2 THEN us END) IS NOT NULL
+                  THEN (min(CASE WHEN rn = 2 THEN us END)
+                        - min(CASE WHEN rn = 1 THEN us END)) // 86400000000 + 1
+                  ELSE (max(h.us_max)
+                        - min(CASE WHEN rn = 1 THEN us END)) // 86400000000 + 1
+             END AS t,
+             CASE WHEN min(CASE WHEN rn = 2 THEN us END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS observed
+      FROM seq s CROSS JOIN horizon h
+      WHERE rn <= 2
+      GROUP BY s.event_type, s.user_id
+    ),
+    byt AS (
+      SELECT event_type, t, sum(observed) AS d, sum(1 - observed) AS c
+      FROM per_user GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT event_type, t, d, c,
+             sum(d + c) OVER (PARTITION BY event_type)
+             - sum(d + c) OVER (PARTITION BY event_type ORDER BY t
+                                ROWS UNBOUNDED PRECEDING)
+             + d + c AS n
+      FROM byt
+    ),
+    curve AS (
+      SELECT event_type,
+             list_sort(list({'t': t, 'd': d, 'n': n, 'c': c})) AS arr
+      FROM risk WHERE d > 0 GROUP BY 1
+    ),
+    rows_ AS (
+      SELECT event_type, arr, unnest(arr) AS r,
+             unnest(generate_series(1, len(arr))) AS i
+      FROM curve
+    )
+    SELECT event_type,
+           CAST(r.t AS BIGINT) AS t,
+           CAST(r.n AS BIGINT) AS n_risk,
+           CAST(r.d AS BIGINT) AS n_events,
+           CAST(r.c AS BIGINT) AS n_censored,
+           round(1.0 * list_reduce(
+                   list_transform(arr[1:i],
+                     x -> CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+                   (a, b) -> a * b), 9) AS survival,
+           round(0.0 + list_reduce(
+                   list_transform(arr[1:i],
+                     x -> CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+                   (a, b) -> a + b), 9) AS cum_hazard
+    FROM rows_
+    ORDER BY event_type, t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -12978,6 +13097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mw_value_shift": _q_mw_value_shift,
         "kruskal_wallis_weekday": _q_kruskal_weekday,
         "cvm_value_drift": _q_cvm_value_drift,
+        "km_second_event": _q_km_second_event,
     }
 
 
@@ -16299,4 +16419,5 @@ def oracle_sql() -> dict[str, str]:
         "mw_value_shift": _mw_oracle_sql(),
         "kruskal_wallis_weekday": _KRUSKAL_ORACLE,
         "cvm_value_drift": _CVM_ORACLE,
+        "km_second_event": _KM_ORACLE,
     }

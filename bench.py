@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "mw_value_shift",
     "kruskal_wallis_weekday",
     "cvm_value_drift",
+    "km_second_event",
 ]
 
 
