@@ -12840,6 +12840,185 @@ _KM_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch t: human-mobility metrics — radius of gyration
+# (spark/trajectory.py::radius_of_gyration), Levy-flight jump-length
+# histogram, per-user visited-location entropy.
+# ---------------------------------------------------------------------------
+
+_EV_POINTS_SQL = """
+    SELECT event_id AS key, user_id, ts,
+           -60.0 + (event_id * 11 % 120) + (event_id % 83) / 83.0 AS lat,
+           -170.0 + (event_id * 17 % 340) + (event_id % 79) / 79.0 AS lng
+    FROM events
+"""
+
+
+def _ev_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> deterministic per-event lat/lng (the trajectory_profiles
+    synthesis), carrying user_id and ts."""
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        F.col("event_id").alias("key"),
+        "user_id",
+        "ts",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    )
+
+
+def _q_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (Gonzalez et al. 2008) — RMS
+    great-circle distance from the spherical centroid; the mobility
+    range scale (spark/trajectory.py::radius_of_gyration). One mean-
+    vector agg + one co-partitioned join back; the |m|-invariant atan2
+    angle avoids a renormalize step."""
+    from gos2_spark.spark.trajectory import radius_of_gyration
+
+    pts = _ev_points(spark, sf_dir)
+    return radius_of_gyration(pts, key_col="user_id").orderBy("user_id")
+
+
+_ROG_ORACLE = f"""
+    WITH pts AS ({_EV_POINTS_SQL}),
+    p AS (
+      SELECT user_id,
+             cos(radians(lng)) * cos(radians(lat)) AS px,
+             sin(radians(lng)) * cos(radians(lat)) AS py,
+             sin(radians(lat)) AS pz
+      FROM pts
+    ),
+    m AS (
+      SELECT user_id, avg(px) AS mx, avg(py) AS my, avg(pz) AS mz
+      FROM p GROUP BY 1
+    ),
+    j AS (
+      SELECT p.user_id,
+             atan2(sqrt((my * pz - mz * py) * (my * pz - mz * py)
+                      + (mz * px - mx * pz) * (mz * px - mx * pz)
+                      + (mx * py - my * px) * (mx * py - my * px)),
+                   mx * px + my * py + mz * pz) AS ang
+      FROM p JOIN m ON p.user_id = m.user_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+           round(sqrt(avg(ang * ang)), 9) AS rog_rad
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_jump_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levy-flight diagnostic: corpus-wide histogram of consecutive
+    per-user displacement lengths in log2 bins (power-law jump-length
+    tails show as a linear bin profile). Counts are exact BIGINTs; one
+    user window + one tiny groupBy."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.functions import haversine_rad
+
+    pts = _ev_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "key")
+    leg = haversine_rad(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    return (
+        pts.select(leg.alias("leg"))
+        .where(F.col("leg").isNotNull() & (F.col("leg") > 0))
+        .select(F.floor(F.log2("leg")).alias("bin"), "leg")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_jumps"),
+            F.round(F.sum("leg"), 9).alias("sum_rad"),
+        )
+        .orderBy("bin")
+    )
+
+
+_JUMP_ORACLE = f"""
+    WITH pts AS ({_EV_POINTS_SQL}),
+    legs AS (
+      SELECT 2 * atan2(
+               sqrt(power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                    + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                      * cos(radians(plat)) * cos(radians(lat))),
+               sqrt(greatest(0.0, 1.0 - (
+                    power(sin(0.5 * (radians(lat) - radians(plat))), 2)
+                    + power(sin(0.5 * (radians(lng) - radians(plng))), 2)
+                      * cos(radians(plat)) * cos(radians(lat)))))) AS leg
+      FROM (
+        SELECT lat, lng,
+               lag(lat) OVER w AS plat, lag(lng) OVER w AS plng
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, key)
+      )
+      WHERE plat IS NOT NULL
+    )
+    SELECT CAST(floor(log2(leg)) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_jumps,
+           round(sum(leg), 9) AS sum_rad
+    FROM legs WHERE leg > 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user visited-location Shannon entropy over level-6 cells —
+    the uncorrelated-entropy term of the Song et al. predictability
+    bound. entropy = ln(n) - sum(c*ln(c))/n from BIGINT visit counts;
+    one cellid projection + two keyed aggs."""
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _ev_points(spark, sf_dir)
+    cells = pts.select(
+        "user_id",
+        s2_parent_sql(
+            s2_cellid(F.col("lat"), F.col("lng")), 6
+        ).alias("cell"),
+    )
+    percell = cells.groupBy("user_id", "cell").agg(F.count("*").alias("c"))
+    n = F.col("n_visits").cast("double")
+    return (
+        percell.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_visits"),
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_slc"),
+        )
+        .select(
+            "user_id",
+            "n_visits",
+            "n_cells",
+            F.round(F.log(n) - F.col("_slc") / n, 9).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _location_entropy_oracle_sql() -> str:
+    lsb = 1 << 48  # level 6
+    return f"""
+        WITH {_cellid_cte_duckdb(_EV_POINTS_SQL)},
+        percell AS (
+          SELECT e.user_id, ((c.cell_id & -{lsb}) | {lsb}) AS cell,
+                 count(*) AS c
+          FROM cells c JOIN events e ON e.event_id = c.key
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT user_id,
+                 CAST(sum(c) AS BIGINT) AS n_visits,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+          FROM percell GROUP BY 1
+        )
+        SELECT user_id, n_visits, n_cells,
+               round(ln(CAST(n_visits AS DOUBLE))
+                     - slc / CAST(n_visits AS DOUBLE), 9) AS entropy
+        FROM agg ORDER BY user_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -13098,6 +13277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis_weekday": _q_kruskal_weekday,
         "cvm_value_drift": _q_cvm_value_drift,
         "km_second_event": _q_km_second_event,
+        "radius_of_gyration": _q_radius_of_gyration,
+        "jump_length_hist": _q_jump_length_hist,
+        "location_entropy": _q_location_entropy,
     }
 
 
@@ -16420,4 +16602,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis_weekday": _KRUSKAL_ORACLE,
         "cvm_value_drift": _CVM_ORACLE,
         "km_second_event": _KM_ORACLE,
+        "radius_of_gyration": _ROG_ORACLE,
+        "jump_length_hist": _JUMP_ORACLE,
+        "location_entropy": _location_entropy_oracle_sql(),
     }

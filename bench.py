@@ -253,6 +253,9 @@ BENCH_QUERIES = [
     "kruskal_wallis_weekday",
     "cvm_value_drift",
     "km_second_event",
+    "radius_of_gyration",
+    "jump_length_hist",
+    "location_entropy",
 ]
 
 
