@@ -13019,6 +13019,155 @@ def _location_entropy_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch u: segment-intersection joins
+# (spark/joins.py::segment_crossing_join) — tile-blocked proper-crossing
+# pairs between users + per-user self-intersection counts, certified by a
+# BRUTE-FORCE all-pairs oracle (zero false negatives from the blocking).
+# ---------------------------------------------------------------------------
+
+_WALK_POINTS_SQL = """
+    SELECT event_id, user_id, ts,
+           -50 + ((user_id % 50) * 7 % 100)
+               + ((event_id * 11 % 41) / 10.0 - 2.0) AS lat,
+           -160 + ((user_id % 50) * 13 % 320)
+               + ((event_id * 17 % 37) / 10.0 - 1.8) AS lng
+    FROM events
+"""
+
+# bbox bounds are PLAIN COLUMNS in the segs CTE (not inline greatest/least
+# join predicates) — DuckDB 1.0's IEJoin hits an internal "flat vector"
+# assertion on chained computed range conditions; column-form avoids it.
+_WALK_SEGS_SQL = f"""
+    pts AS ({_WALK_POINTS_SQL}),
+    seq AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM pts
+    ),
+    segs AS (
+      SELECT s.user_id, s.event_id AS seg_id, s.rn,
+             s.lng AS sax, s.lat AS say, n.lng AS sbx, n.lat AS sby,
+             least(s.lng, n.lng) AS xmin, greatest(s.lng, n.lng) AS xmax,
+             least(s.lat, n.lat) AS ymin, greatest(s.lat, n.lat) AS ymax
+      FROM seq s JOIN seq n ON n.user_id = s.user_id AND n.rn = s.rn + 1
+      WHERE s.rn <= 12
+    )
+"""
+
+def _walk_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events -> local random-walk trajectories (user-centered base +
+    per-event jitter, all within a ~4x3.6 degree box) -> consecutive
+    segments. The locality makes tile blocking meaningful, unlike the
+    globe-spanning trajectory_profiles synthesis."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (-50 + ((u % 50) * 7 % 100) + ((e * 11 % 41) / 10.0 - 2.0)).alias("lat"),
+        (-160 + ((u % 50) * 13 % 320) + ((e * 17 % 37) / 10.0 - 1.8)).alias("lng"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # rn cap bounds the intrinsically quadratic co-located pair count —
+    # a QUERY choice (first ~11 legs per user), the join itself is generic
+    seq = pts.withColumn("rn", F.row_number().over(w))
+    nxt = seq.select(
+        F.col("user_id").alias("_u"),
+        (F.col("rn") - 1).alias("_rn"),
+        F.col("lng").alias("bx"),
+        F.col("lat").alias("by"),
+    )
+    return (
+        seq.join(
+            nxt,
+            (F.col("user_id") == F.col("_u")) & (F.col("rn") == F.col("_rn")),
+        )
+        .where(F.col("rn") <= 12)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seg_id"),
+            "rn",
+            F.col("lng").alias("ax"),
+            F.col("lat").alias("ay"),
+            "bx",
+            "by",
+        )
+    )
+
+
+def _q_path_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper crossings between DIFFERENT users' trajectory segments via
+    the tile-blocked segment join; the oracle runs the UNBLOCKED
+    all-pairs test, so a green row certifies the blocking loses
+    nothing."""
+    from gos2_spark.spark.joins import segment_crossing_join
+
+    segs = _walk_segs(spark, sf_dir)
+    return segment_crossing_join(
+        segs, id_col="seg_id", group_col="user_id", tile_deg=4.0
+    ).orderBy("seg_a", "seg_b")
+
+
+_PATH_CROSS_ORACLE = f"""
+    WITH {_WALK_SEGS_SQL}
+    SELECT a.user_id AS group_a, a.seg_id AS seg_a,
+           c.user_id AS group_b, c.seg_id AS seg_b
+    FROM segs a JOIN segs c
+      ON a.seg_id < c.seg_id AND a.user_id <> c.user_id
+     AND a.xmax >= c.xmin AND a.xmin <= c.xmax
+     AND a.ymax >= c.ymin AND a.ymin <= c.ymax
+    WHERE ((a.sbx - a.sax) * (c.say - a.say) - (a.sby - a.say) * (c.sax - a.sax))
+          * ((a.sbx - a.sax) * (c.sby - a.say) - (a.sby - a.say) * (c.sbx - a.sax)) < 0
+      AND ((c.sbx - c.sax) * (a.say - c.say) - (c.sby - c.say) * (a.sax - c.sax))
+          * ((c.sbx - c.sax) * (a.sby - c.say) - (c.sby - c.say) * (a.sbx - c.sax)) < 0
+    ORDER BY seg_a, seg_b
+"""
+
+
+def _q_self_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of proper self-intersections among non-adjacent
+    segments of the same trajectory (path tangledness — the IsValid
+    screen of polyline_test.go applied statistically). Same blocked
+    join, within_group=True; brute all-pairs oracle."""
+    from gos2_spark.spark.joins import segment_crossing_join
+
+    segs = _walk_segs(spark, sf_dir)
+    x = segment_crossing_join(
+        segs,
+        id_col="seg_id",
+        group_col="user_id",
+        seq_col="rn",
+        within_group=True,
+        tile_deg=4.0,
+    )
+    return (
+        x.groupBy(F.col("group_a").alias("user_id"))
+        .agg(F.count("*").alias("n_crossings"))
+        .orderBy("user_id")
+    )
+
+
+_SELF_CROSS_ORACLE = f"""
+    WITH {_WALK_SEGS_SQL},
+    x AS (
+      SELECT a.user_id
+      FROM segs a JOIN segs c
+        ON a.seg_id < c.seg_id AND a.user_id = c.user_id
+       AND abs(a.rn - c.rn) >= 2
+      WHERE ((a.sbx - a.sax) * (c.say - a.say) - (a.sby - a.say) * (c.sax - a.sax))
+            * ((a.sbx - a.sax) * (c.sby - a.say) - (a.sby - a.say) * (c.sbx - a.sax)) < 0
+        AND ((c.sbx - c.sax) * (a.say - c.say) - (c.sby - c.say) * (a.sax - c.sax))
+            * ((c.sbx - c.sax) * (a.sby - c.say) - (c.sby - c.say) * (a.sbx - c.sax)) < 0
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_crossings
+    FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -13280,6 +13429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_of_gyration": _q_radius_of_gyration,
         "jump_length_hist": _q_jump_length_hist,
         "location_entropy": _q_location_entropy,
+        "path_crossings": _q_path_crossings,
+        "self_intersections": _q_self_intersections,
     }
 
 
@@ -16605,4 +16756,6 @@ def oracle_sql() -> dict[str, str]:
         "radius_of_gyration": _ROG_ORACLE,
         "jump_length_hist": _JUMP_ORACLE,
         "location_entropy": _location_entropy_oracle_sql(),
+        "path_crossings": _PATH_CROSS_ORACLE,
+        "self_intersections": _SELF_CROSS_ORACLE,
     }

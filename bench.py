@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "radius_of_gyration",
     "jump_length_hist",
     "location_entropy",
+    "path_crossings",
+    "self_intersections",
 ]
 
 

@@ -1503,3 +1503,110 @@ def nearest_feature_join(
         F.col("_nf.nearest_fid").alias("nearest_fid"),
         F.col("_nf.nearest_dist_rad").alias("nearest_dist_rad"),
     ).drop("_nf")
+
+
+def segment_crossing_join(
+    segs: DataFrame,
+    id_col: str = "seg_id",
+    group_col: str = "group_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    seq_col: str | None = None,
+    within_group: bool = False,
+    tile_deg: float = 4.0,
+) -> DataFrame:
+    """Segment-intersection join in chart space: pairs of line segments
+    that PROPERLY cross (strict sign tests — shared endpoints and
+    touches excluded), the planar sibling of the spherical EdgeCrosser
+    chain (kernels/predicates.py::loop_crossing_batch; reference
+    edge_crossings.go SimpleCrossing). Trajectory use: conflicting
+    paths between users (``within_group=False``) or self-intersections
+    of one path (``within_group=True``, excluding adjacent segments via
+    ``seq_col``).
+
+    Blocking: each segment explodes to every ``tile_deg`` grid tile its
+    bounding box overlaps — a segment pair that crosses shares at least
+    one tile (the crossing point lies in both boxes), so candidate
+    recall is exact; ``distinct`` collapses multi-tile duplicates before
+    the O(1) crossing test. At 10^12 rows the explode factor is bounded
+    by segment length / tile_deg — short GPS legs cost ~1-4 tiles; the
+    join shuffles on (tile_x, tile_y), the usual spatial-grid
+    co-location.
+
+    Crossing test (both engines replay the same doubles):
+      ccw(p,q,r) = (qx-px)*(ry-py) - (qy-py)*(rx-px)
+      cross iff ccw(a,b,c)*ccw(a,b,d) < 0 AND ccw(c,d,a)*ccw(c,d,b) < 0.
+
+    Output: one row per unordered pair, left side = smaller ``id_col``:
+    (group_a, seg_a, group_b, seg_b).
+    """
+    t = float(tile_deg)
+    xmin = F.least(F.col(ax), F.col(bx))
+    xmax = F.greatest(F.col(ax), F.col(bx))
+    ymin = F.least(F.col(ay), F.col(by))
+    ymax = F.greatest(F.col(ay), F.col(by))
+    cols = [id_col, group_col, ax, ay, bx, by] + ([seq_col] if seq_col else [])
+    tiled = segs.select(
+        *cols,
+        F.explode(
+            F.sequence(
+                F.floor(xmin / t).cast("long"), F.floor(xmax / t).cast("long")
+            )
+        ).alias("_tx"),
+        ymin.alias("_ymin"),
+        ymax.alias("_ymax"),
+    ).select(
+        *cols,
+        "_tx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_ymin") / t).cast("long"),
+                F.floor(F.col("_ymax") / t).cast("long"),
+            )
+        ).alias("_ty"),
+    )
+    left = tiled.select(
+        *[F.col(c).alias(f"{c}_l") for c in cols], "_tx", "_ty"
+    )
+    right = tiled.select(
+        *[F.col(c).alias(f"{c}_r") for c in cols], "_tx", "_ty"
+    )
+    cand = left.join(right, ["_tx", "_ty"]).where(
+        F.col(f"{id_col}_l") < F.col(f"{id_col}_r")
+    )
+    if within_group:
+        cand = cand.where(
+            (F.col(f"{group_col}_l") == F.col(f"{group_col}_r"))
+            & (
+                F.abs(F.col(f"{seq_col}_l") - F.col(f"{seq_col}_r")) >= 2
+                if seq_col
+                else F.lit(True)
+            )
+        )
+    else:
+        cand = cand.where(F.col(f"{group_col}_l") != F.col(f"{group_col}_r"))
+    cand = cand.select(
+        f"{group_col}_l", f"{id_col}_l", f"{ax}_l", f"{ay}_l", f"{bx}_l", f"{by}_l",
+        f"{group_col}_r", f"{id_col}_r", f"{ax}_r", f"{ay}_r", f"{bx}_r", f"{by}_r",
+    ).distinct()
+
+    def ccw(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    a_x, a_y = F.col(f"{ax}_l"), F.col(f"{ay}_l")
+    b_x, b_y = F.col(f"{bx}_l"), F.col(f"{by}_l")
+    c_x, c_y = F.col(f"{ax}_r"), F.col(f"{ay}_r")
+    d_x, d_y = F.col(f"{bx}_r"), F.col(f"{by}_r")
+    abc = ccw(a_x, a_y, b_x, b_y, c_x, c_y)
+    abd = ccw(a_x, a_y, b_x, b_y, d_x, d_y)
+    cda = ccw(c_x, c_y, d_x, d_y, a_x, a_y)
+    cdb = ccw(c_x, c_y, d_x, d_y, b_x, b_y)
+    out = cand.where((abc * abd < 0) & (cda * cdb < 0))
+    return out.select(
+        F.col(f"{group_col}_l").alias("group_a"),
+        F.col(f"{id_col}_l").alias("seg_a"),
+        F.col(f"{group_col}_r").alias("group_b"),
+        F.col(f"{id_col}_r").alias("seg_b"),
+    )
