@@ -13168,6 +13168,94 @@ _SELF_CROSS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch v: raster terrain statistics on the S2 grid —
+# TRI (Riley ruggedness), TPI (Weiss position index) and roughness over a
+# deterministic hash-derived elevation surface, using the wrap-aware
+# EdgeNeighbors kernel + its full SQL replay. All sufficient statistics are
+# INTEGER (elevation = xxhash64(token) mod 4000), so the result is
+# bit-identical cross-engine with no float-order exposure.
+# ---------------------------------------------------------------------------
+
+
+def _q_terrain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain statistics per occupied level-8 cell: TRI = mean |elev
+    difference| to the 4 edge neighbors, TPI = elev - mean neighbor elev,
+    roughness = max-min over the cross neighborhood. Elevation is a
+    deterministic integer surface elev(cell) = xxhash64(token) mod 4000 —
+    defined for EVERY cell, so border cells need no occupancy fallback.
+    One neighbor explode (kernels/projection.py::edge_neighbors, wrap
+    cases included) + one keyed agg."""
+    from gos2_spark.spark.functions import s2_edge_neighbors, s2_token
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    def elev(tok):
+        return F.pmod(F.xxhash64(tok), F.lit(4000))
+
+    pts = _cust_points(spark, sf_dir)
+    occ = (
+        pts.select(s2_parent_sql(F.col("cell_id"), 8).alias("cell"))
+        .distinct()
+        .select("cell", s2_token(F.col("cell")).alias("token"))
+    )
+    nb = occ.select(
+        "token",
+        F.explode(s2_edge_neighbors(F.col("cell"))).alias("nbr"),
+    ).select(
+        "token",
+        elev(s2_token(F.col("nbr"))).alias("ne"),
+    )
+    agg = nb.groupBy("token").agg(
+        F.sum("ne").alias("_sn"),
+        F.sum(F.abs(F.col("ne") - elev(F.col("token")))).alias("_sad"),
+        F.max("ne").alias("_mx"),
+        F.min("ne").alias("_mn"),
+    )
+    e = elev(F.col("token"))
+    return agg.select(
+        "token",
+        e.alias("elev"),
+        F.round(F.col("_sad").cast("double") / 4.0, 9).alias("tri"),
+        F.round(e.cast("double") - F.col("_sn").cast("double") / 4.0, 9).alias(
+            "tpi"
+        ),
+        (F.greatest(F.col("_mx"), e) - F.least(F.col("_mn"), e)).alias(
+            "roughness"
+        ),
+    ).orderBy("token")
+
+
+def _terrain_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=8
+    )
+    h = lambda col: (  # noqa: E731
+        f"((({_DO.xxh64_list_sql(f'[{col}]')})[1] % 4000 + 4000) % 4000)"
+    )
+    return f"""
+        WITH pairs AS ({pairs}),
+        nbe AS (
+          SELECT token, {h('nbr_token')} AS ne, {h('token')} AS e
+          FROM pairs
+        ),
+        agg AS (
+          SELECT token, any_value(e) AS e,
+                 CAST(sum(ne) AS BIGINT) AS sn,
+                 CAST(sum(abs(ne - e)) AS BIGINT) AS sad,
+                 max(ne) AS mx, min(ne) AS mn
+          FROM nbe GROUP BY 1
+        )
+        SELECT token,
+               CAST(e AS BIGINT) AS elev,
+               round(CAST(sad AS DOUBLE) / 4.0, 9) AS tri,
+               round(CAST(e AS DOUBLE) - CAST(sn AS DOUBLE) / 4.0, 9) AS tpi,
+               CAST(greatest(mx, e) - least(mn, e) AS BIGINT) AS roughness
+        FROM agg ORDER BY token
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -13431,6 +13519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "location_entropy": _q_location_entropy,
         "path_crossings": _q_path_crossings,
         "self_intersections": _q_self_intersections,
+        "terrain_stats": _q_terrain_stats,
     }
 
 
@@ -16758,4 +16847,5 @@ def oracle_sql() -> dict[str, str]:
         "location_entropy": _location_entropy_oracle_sql(),
         "path_crossings": _PATH_CROSS_ORACLE,
         "self_intersections": _SELF_CROSS_ORACLE,
+        "terrain_stats": _terrain_oracle_sql(),
     }

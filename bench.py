@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "location_entropy",
     "path_crossings",
     "self_intersections",
+    "terrain_stats",
 ]
 
 
