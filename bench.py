@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "path_crossings",
     "self_intersections",
     "terrain_stats",
+    "sax_daily_words",
 ]
 
 

@@ -1055,3 +1055,94 @@ def gap_fill_linear(
         F.col("_v").isNull().alias("was_missing"),
         F.round(filled, 9).alias("filled_value"),
     )
+
+
+# Gaussian equiprobable breakpoints for SAX alphabets (Lin et al. 2003,
+# table 3) — written as full-precision literals so the engine CASE chain
+# and a SQL oracle compare against the SAME doubles.
+SAX_BREAKPOINTS: dict[int, tuple[float, ...]] = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729143, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729143),
+}
+
+
+def sax_symbols(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    word_len: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003): z-normalize each key's ordered
+    series, Piecewise-Aggregate-Approximate it into ``word_len`` frames,
+    and map each frame mean to a letter by the Gaussian equiprobable
+    breakpoints — the standard symbolic index for time-series motif /
+    anomaly search at corpus scale.
+
+    Exactness: frame assignment is INTEGER (floor(idx*word_len/n) over a
+    dense row_number), and every accumulated quantity (series n, sum,
+    sum-of-squares; frame count + sum) is a BIGINT — the z-scored PAA
+    value is one fixed-order float expression per frame, so symbols are
+    bit-identical cross-engine (breakpoint literals shared above).
+
+    Plan: one window (row_number + per-key totals) + one (key, frame)
+    agg; linear, one shuffle on the key.
+
+    Output: (key, frame, n_obs, paa_z, symbol) with symbol in
+    'a'..chr(96+alphabet) ordered low to high.
+    """
+    from pyspark.sql import Window
+
+    bps = SAX_BREAKPOINTS[alphabet]
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    wfull = Window.partitionBy(key_col)
+    x = F.col(value_col).cast("long")
+    t = series.select(
+        F.col(key_col).alias("_k"),
+        x.alias("_x"),
+        (F.row_number().over(w) - 1).alias("_idx"),
+        F.count("*").over(wfull).alias("_n"),
+        F.sum(x).over(wfull).alias("_sx"),
+        F.sum(x * x).over(wfull).alias("_sxx"),
+    ).select(
+        "_k",
+        "_x",
+        "_n",
+        "_sx",
+        "_sxx",
+        F.floor(F.col("_idx") * word_len / F.col("_n")).alias("_f"),
+    )
+    agg = t.groupBy("_k", "_f").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_x").alias("_fs"),
+        F.max("_n").alias("_n"),
+        F.max("_sx").alias("_sx"),
+        F.max("_sxx").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx").cast("double") / n
+    var_num = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    sd = F.sqrt(var_num) / n
+    paa = F.col("_fs").cast("double") / F.col("n_obs").cast("double")
+    z = F.when(sd > 0, (paa - mean) / sd)
+    sym = F.when(z.isNull(), F.lit(None).cast("string"))
+    letter = F.lit("a")
+    expr = None
+    for i, bp in enumerate(bps):
+        cond = z < F.lit(float(bp))
+        letter_i = F.lit(chr(ord("a") + i))
+        expr = F.when(cond, letter_i) if expr is None else expr.when(cond, letter_i)
+    expr = expr.otherwise(F.lit(chr(ord("a") + len(bps))))
+    sym = F.when(z.isNotNull(), expr)
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("_f").alias("frame"),
+        "n_obs",
+        F.round(z, 9).alias("paa_z"),
+        sym.alias("symbol"),
+    )
