@@ -13322,6 +13322,68 @@ _SAX_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch x: eigenvector centrality (pipeline/graph.py::
+# eigenvector_centrality) — BIGINT walk-count power iteration, one
+# end-of-run L2 normalize; completes the centrality family (pagerank /
+# katz / hits / closeness / ppr).
+# ---------------------------------------------------------------------------
+
+
+def _q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality after 4 unnormalized power steps over a
+    64-node functional graph (dst = 11*src+5 mod 64, distinct from the
+    katz synthesis). Walk counts stay BIGINT; the only floats are the
+    final divide + sqrt, so the oracle's chained-CTE replay is
+    bit-identical."""
+    from gos2_spark.pipeline.graph import eigenvector_centrality
+
+    c = _load(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 64).alias("src"),
+        ((F.col("c_custkey") * 11 + 5) % 64).alias("dst"),
+    )
+    out = eigenvector_centrality(edges, iterations=4)
+    return out.select(
+        "node", "walks", F.round("score", 9).alias("score")
+    ).orderBy("node")
+
+
+def _eigenvector_oracle_sql(iterations: int = 4) -> str:
+    sql = """
+        WITH e AS (
+          SELECT DISTINCT c_custkey % 64 AS src,
+                          (c_custkey * 11 + 5) % 64 AS dst
+          FROM customer
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        x0 AS (SELECT node, CAST(1 AS BIGINT) AS w FROM nodes)
+    """
+    prev = "x0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+        i{i} AS (
+          SELECT e.dst, CAST(sum({prev}.w) AS BIGINT) AS s
+          FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY 1
+        ),
+        x{i} AS (
+          SELECT nodes.node,
+                 CAST(coalesce(i{i}.s, 0) AS BIGINT) AS w
+          FROM nodes LEFT JOIN i{i} ON nodes.node = i{i}.dst
+        )
+    """
+        prev = f"x{i}"
+    sql += f""",
+        nrm AS (SELECT CAST(sum(w * w) AS BIGINT) AS n2 FROM {prev})
+        SELECT node, w AS walks,
+               round(CASE WHEN n2 > 0
+                     THEN CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+                     ELSE NULL END, 9) AS score
+        FROM {prev} CROSS JOIN nrm ORDER BY node
+    """
+    return sql
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -13587,6 +13649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_intersections": _q_self_intersections,
         "terrain_stats": _q_terrain_stats,
         "sax_daily_words": _q_sax_daily,
+        "eigenvector_centrality": _q_eigenvector_centrality,
     }
 
 
@@ -16916,4 +16979,5 @@ def oracle_sql() -> dict[str, str]:
         "self_intersections": _SELF_CROSS_ORACLE,
         "terrain_stats": _terrain_oracle_sql(),
         "sax_daily_words": _SAX_ORACLE,
+        "eigenvector_centrality": _eigenvector_oracle_sql(),
     }

@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "self_intersections",
     "terrain_stats",
     "sax_daily_words",
+    "eigenvector_centrality",
 ]
 
 
