@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "terrain_stats",
     "sax_daily_words",
     "eigenvector_centrality",
+    "lexical_richness",
+    "js_divergence_langs",
+    "hhi_cells",
 ]
 
 
