@@ -13653,6 +13653,242 @@ def _hhi_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch z: customer-analytics trio — RFM quintile
+# segmentation, ordered skip-gram event pairs, winsorized robust value
+# stats. Money rides as exact integer CENTS throughout.
+# ---------------------------------------------------------------------------
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: recency (days to the global
+    horizon), frequency, monetary (exact cents), each quintile-scored by
+    ntile(5) with a user_id tie-break so bucket edges are deterministic
+    cross-engine. 5=best by convention (most recent / most frequent /
+    biggest spender)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(us / 86_400_000_000).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    horizon = e.select(F.max("day").alias("max_day"))
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (F.col("max_day") - F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    )
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency"), F.col("user_id")))
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary_cents"), F.col("user_id"))
+    )
+    return p.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    ).orderBy("user_id")
+
+
+_RFM_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(CAST(date_diff('microsecond',
+                  TIMESTAMP '1970-01-01 00:00:00', ts) AS DOUBLE)
+                  / 86400000000) AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (SELECT max(day) AS max_day FROM e),
+    p AS (
+      SELECT user_id,
+             max(h.max_day) - max(day) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(cents) AS BIGINT) AS monetary_cents
+      FROM e CROSS JOIN h WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT)
+             AS m_score
+    FROM p ORDER BY user_id
+"""
+
+
+def _q_event_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type skip-grams: (earlier, later) type pairs within
+    a 5-event lookahead per user — the NON-contiguous generalization of
+    event_path_trigrams (catches A ... B funnels with noise between).
+    Pure BIGINT counts from one windowed self-join."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    ).withColumn("rn", F.row_number().over(w))
+    a = seq.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("type_a"),
+        F.col("rn").alias("_ra"),
+    )
+    b = seq.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("type_b"),
+        F.col("rn").alias("_rb"),
+    )
+    pairs = a.join(b, "_u").where(
+        (F.col("_rb") > F.col("_ra")) & (F.col("_rb") <= F.col("_ra") + 5)
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+_SKIPGRAM_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00'),
+                        event_id) AS rn
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM seq a JOIN seq b
+      ON a.user_id = b.user_id AND b.rn > a.rn AND b.rn <= a.rn + 5
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-winsorized value statistics per event type: order-statistic
+    fences at ranks ceil(0.1n) / n+1-ceil(0.1n) (value tie-broken by
+    event_id so the rank picks ONE deterministic row), then the clamped
+    mean over exact integer cents — robust to the heavy right tail
+    without dropping rows."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wfull = Window.partitionBy("event_type")
+    t = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wfull).alias("n"),
+    )
+    k = F.ceil(0.1 * F.col("n").cast("double")).cast("long")
+    fences = t.groupBy("event_type").agg(
+        F.max("n").alias("n_obs"),
+        F.max(F.when(F.col("rn") == F.greatest(k, F.lit(1)), F.col("cents"))).alias(
+            "_lo"
+        ),
+        F.max(
+            F.when(
+                F.col("rn") == F.col("n") + 1 - F.greatest(k, F.lit(1)),
+                F.col("cents"),
+            )
+        ).alias("_hi"),
+    )
+    j = e.join(fences, "event_type")
+    clamped = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("cents")))
+    agg = j.groupBy("event_type").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.max("_lo").alias("_lo"),
+        F.max("_hi").alias("_hi"),
+        F.sum(clamped).alias("_cs"),
+    )
+    return agg.select(
+        "event_type",
+        "n_obs",
+        (F.col("_lo").cast("double") / 100.0).alias("lo_fence"),
+        (F.col("_hi").cast("double") / 100.0).alias("hi_fence"),
+        F.round(
+            F.col("_cs").cast("double")
+            / F.col("n_obs").cast("double")
+            / 100.0,
+            9,
+        ).alias("winsorized_mean"),
+    ).orderBy("event_type")
+
+
+_WINSOR_ORACLE = """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    fences AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_obs,
+             CAST(max(CASE WHEN rn = greatest(
+                    CAST(ceil(0.1 * CAST(n AS DOUBLE)) AS BIGINT), 1)
+                  THEN cents END) AS BIGINT) AS lo,
+             CAST(max(CASE WHEN rn = n + 1 - greatest(
+                    CAST(ceil(0.1 * CAST(n AS DOUBLE)) AS BIGINT), 1)
+                  THEN cents END) AS BIGINT) AS hi
+      FROM t GROUP BY 1
+    ),
+    agg AS (
+      SELECT e.event_type, max(f.n_obs) AS n_obs,
+             max(f.lo) AS lo, max(f.hi) AS hi,
+             CAST(sum(greatest(f.lo, least(f.hi, e.cents))) AS BIGINT) AS cs
+      FROM e JOIN fences f ON f.event_type = e.event_type
+      GROUP BY 1
+    )
+    SELECT event_type, n_obs,
+           CAST(lo AS DOUBLE) / 100.0 AS lo_fence,
+           CAST(hi AS DOUBLE) / 100.0 AS hi_fence,
+           round(CAST(cs AS DOUBLE) / CAST(n_obs AS DOUBLE) / 100.0, 9)
+             AS winsorized_mean
+    FROM agg ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -13922,6 +14158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_richness": _q_lexical_richness,
         "js_divergence_langs": _q_js_divergence,
         "hhi_cells": _q_hhi_cells,
+        "rfm_segments": _q_rfm_segments,
+        "event_skipgrams": _q_event_skipgrams,
+        "winsorized_values": _q_winsorized_values,
     }
 
 
@@ -17255,4 +17494,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_richness": _LEXRICH_ORACLE,
         "js_divergence_langs": _JSD_ORACLE,
         "hhi_cells": _hhi_oracle_sql(),
+        "rfm_segments": _RFM_ORACLE,
+        "event_skipgrams": _SKIPGRAM_ORACLE,
+        "winsorized_values": _WINSOR_ORACLE,
     }

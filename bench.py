@@ -264,6 +264,9 @@ BENCH_QUERIES = [
     "lexical_richness",
     "js_divergence_langs",
     "hhi_cells",
+    "rfm_segments",
+    "event_skipgrams",
+    "winsorized_values",
 ]
 
 
