@@ -683,3 +683,49 @@ def test_round4p_queries_kernel_only_python(spark, name):
 def test_round4p_exchange_ceiling(spark, name, max_exchanges):
     plan = _plan(spark, name)
     assert _exchanges(plan) <= max_exchanges, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mw_value_shift",
+        "kruskal_wallis_weekday",
+        "cvm_value_drift",
+        "km_second_event",
+        "jump_length_hist",
+        "rfm_segments",
+        "event_skipgrams",
+        "winsorized_values",
+        "lexical_richness",
+        "js_divergence_langs",
+        "sax_daily_words",
+        "eigenvector_centrality",
+        "radius_of_gyration",
+        "path_crossings",
+        "self_intersections",
+    ],
+)
+def test_session_batches_no_python_stage(spark, name):
+    """The round-4 continuation batches (nonparametrics, survival,
+    mobility scalars, crossings, SAX, RFM, diversity) claim pure-Catalyst
+    plans — no Python evaluation of any kind."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_path_crossings_distinct_before_refine(spark):
+    """The tile-blocked crossing join must dedup candidates BEFORE the
+    sign tests (HashAggregate for the distinct) and keep the refine as a
+    codegen Filter — no cartesian product anywhere."""
+    plan = _plan(spark, "path_crossings")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_segment_crossing_bounded_exchanges(spark):
+    """Blocked crossing joins: tile-key hash joins plus the dedup and
+    final agg; exchange count stays small and fixed."""
+    for name, cap in (("path_crossings", 8), ("self_intersections", 9)):
+        plan = _plan(spark, name)
+        assert _exchanges(plan) <= cap, (name, _exchanges(plan))
