@@ -13889,6 +13889,253 @@ _WINSOR_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch aa: directed triad census, weighted Jaccard
+# host similarity, Gumbel block-maxima fit, component-size distribution.
+# ---------------------------------------------------------------------------
+
+
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed closed-triad census over a 64-node two-map functional
+    graph: cyclic triangles (a->b->c->a, rotation-deduped by /3) vs
+    transitive feed-forward triangles (a->b->c with shortcut a->c) —
+    the motif split that separates feedback from hierarchy in link
+    graphs. Three hash joins over a distinct edge table; exact BIGINTs."""
+    ev = _load(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    edges = (
+        ev.select((c % 64).alias("src"), ((c * 7 + 3) % 64).alias("dst"))
+        .union(ev.select((c % 64).alias("src"), ((c * 11 + 5) % 64).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c2"))
+    e3c = edges.select(F.col("src").alias("c2"), F.col("dst").alias("a2"))
+    paths = (
+        e1.join(e2, "b")
+        .where((F.col("c2") != F.col("a")))
+    )
+    cyc = (
+        paths.join(
+            e3c, (paths["c2"] == e3c["c2"]) & (paths["a"] == e3c["a2"])
+        )
+        .count()
+    )
+    e3t = edges.select(F.col("src").alias("a"), F.col("dst").alias("c2"))
+    ffl = paths.join(e3t, ["a", "c2"]).count()
+    return spark.createDataFrame(
+        [(int(cyc // 3), int(ffl))], "n_cyclic long, n_transitive long"
+    )
+
+
+_TRIAD_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT c_custkey % 64 AS src, (c_custkey * 7 + 3) % 64 AS dst
+        FROM customer
+        UNION ALL
+        SELECT c_custkey % 64, (c_custkey * 11 + 5) % 64 FROM customer
+      ) WHERE src <> dst
+    ),
+    paths AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c2
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+      WHERE e2.dst <> e1.src
+    )
+    SELECT CAST((SELECT count(*) FROM paths p
+                 JOIN e ON e.src = p.c2 AND e.dst = p.a) // 3 AS BIGINT)
+             AS n_cyclic,
+           CAST((SELECT count(*) FROM paths p
+                 JOIN e ON e.src = p.a AND e.dst = p.c2) AS BIGINT)
+             AS n_transitive
+"""
+
+
+def _q_weighted_jaccard_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard similarity between source hosts' outlink
+    MULTISETS (sum-min over sum-max) — the frequency-aware upgrade of
+    neighbor_jaccard_links. Only the common-destination join is needed:
+    sum-max = tot_a + tot_b - sum-min, so every statistic is BIGINT and
+    the join is bounded by co-citation pairs, not the full cross."""
+    ev = _load(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    w = (
+        ev.select((c % 32).alias("src"), ((c * 7 + 3) % 32).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    tot = w.groupBy("src").agg(F.sum("w").alias("tot"))
+    a = w.select(F.col("src").alias("sa"), "dst", F.col("w").alias("wa"))
+    b = w.select(F.col("src").alias("sb"), "dst", F.col("w").alias("wb"))
+    common = (
+        a.join(b, "dst")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.least(F.col("wa"), F.col("wb"))).alias("_smin"))
+    )
+    j = (
+        common.join(tot.select(F.col("src").alias("sa"), F.col("tot").alias("ta")), "sa")
+        .join(tot.select(F.col("src").alias("sb"), F.col("tot").alias("tb")), "sb")
+    )
+    return j.select(
+        "sa",
+        "sb",
+        F.col("_smin").alias("sum_min"),
+        (F.col("ta") + F.col("tb") - F.col("_smin")).alias("sum_max"),
+        F.round(
+            F.col("_smin").cast("double")
+            / (F.col("ta") + F.col("tb") - F.col("_smin")).cast("double"),
+            9,
+        ).alias("weighted_jaccard"),
+    ).orderBy("sa", "sb")
+
+
+_WJACCARD_ORACLE = """
+    WITH w AS (
+      SELECT c_custkey % 32 AS src, (c_custkey * 7 + 3) % 32 AS dst,
+             count(*) AS w
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(w) AS BIGINT) AS tot FROM w GROUP BY 1),
+    common AS (
+      SELECT a.src AS sa, b.src AS sb,
+             CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+      FROM w a JOIN w b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT c.sa, c.sb, c.smin AS sum_min,
+           ta.tot + tb.tot - c.smin AS sum_max,
+           round(CAST(c.smin AS DOUBLE)
+                 / CAST(ta.tot + tb.tot - c.smin AS DOUBLE), 9)
+             AS weighted_jaccard
+    FROM common c
+    JOIN tot ta ON ta.src = c.sa
+    JOIN tot tb ON tb.src = c.sb
+    ORDER BY c.sa, c.sb
+"""
+
+
+def _q_gumbel_weekly_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit (method of moments) to WEEKLY maxima of
+    each event type's daily counts: beta = sd*sqrt(6)/pi, mu = mean -
+    gamma*beta — the capacity-planning tail model ("what daily peak
+    should week N expect?"). Block maxima and moment sums are BIGINT;
+    mu/beta are one fixed-order float expression."""
+    daily = _r4o_daily(spark, sf_dir)
+    wk = (
+        daily.select(
+            "event_type",
+            (F.col("day") - (F.col("day") % 7)).alias("week"),
+            "n",
+        )
+        .groupBy("event_type", "week")
+        .agg(F.max("n").alias("m"))
+    )
+    agg = wk.groupBy("event_type").agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("m").alias("_sm"),
+        F.sum(F.col("m") * F.col("m")).alias("_smm"),
+    )
+    n = F.col("n_weeks").cast("double")
+    mean = F.col("_sm").cast("double") / n
+    sd = F.sqrt(
+        (F.col("n_weeks") * F.col("_smm") - F.col("_sm") * F.col("_sm")).cast(
+            "double"
+        )
+        / (n * (n - 1.0))
+    )
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    return agg.select(
+        "event_type",
+        "n_weeks",
+        F.round(mu, 9).alias("gumbel_mu"),
+        F.round(beta, 9).alias("gumbel_beta"),
+    ).orderBy("event_type")
+
+
+_GUMBEL_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    wk AS (
+      SELECT event_type, day - (day % 7) AS week, max(n) AS m
+      FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(m) AS BIGINT) AS sm,
+             CAST(sum(m * m) AS BIGINT) AS smm
+      FROM wk GROUP BY 1
+    )
+    SELECT event_type, n_weeks,
+           round(CAST(sm AS DOUBLE) / CAST(n_weeks AS DOUBLE)
+                 - 0.5772156649015329
+                   * (sqrt(CAST(n_weeks * smm - sm * sm AS DOUBLE)
+                           / (CAST(n_weeks AS DOUBLE)
+                              * (CAST(n_weeks AS DOUBLE) - 1.0)))
+                      * sqrt(6.0) / 3.141592653589793), 9) AS gumbel_mu,
+           round(sqrt(CAST(n_weeks * smm - sm * sm AS DOUBLE)
+                      / (CAST(n_weeks AS DOUBLE)
+                         * (CAST(n_weeks AS DOUBLE) - 1.0)))
+                 * sqrt(6.0) / 3.141592653589793, 9) AS gumbel_beta
+    FROM agg ORDER BY event_type
+"""
+
+
+def _q_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution of the spatial single-linkage graph —
+    the percolation readout (giant-component watch) on top of the
+    verified connected-components pipeline: how many clusters of each
+    size exist."""
+    comps = _q_spatial_components(spark, sf_dir)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+_SPATIAL_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE pts AS ({_CUST_LATLNG_SQL}),
+    v AS (
+      SELECT key,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    e AS (
+      SELECT a.key AS src, b.key AS dst
+      FROM v a JOIN v b ON a.key != b.key
+      WHERE atan2(sqrt(
+                (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+              + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+              + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+              a.x * b.x + a.y * b.y + a.z * b.z)
+            <= {math.radians(3.0)!r}
+    ),
+    reach(a, b) AS (
+      SELECT key, key FROM pts
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+    )
+    SELECT a AS key, min(b) AS component
+    FROM reach GROUP BY a ORDER BY key
+"""
+
+_COMPONENT_SIZE_ORACLE = f"""
+    WITH comps AS ({_SPATIAL_COMPONENTS_ORACLE})
+    SELECT size, CAST(count(*) AS BIGINT) AS n_components
+    FROM (
+      SELECT component, CAST(count(*) AS BIGINT) AS size
+      FROM comps GROUP BY 1
+    ) GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -14161,6 +14408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "event_skipgrams": _q_event_skipgrams,
         "winsorized_values": _q_winsorized_values,
+        "triad_census": _q_triad_census,
+        "weighted_jaccard_hosts": _q_weighted_jaccard_hosts,
+        "gumbel_weekly_maxima": _q_gumbel_weekly_maxima,
+        "component_size_dist": _q_component_size_dist,
     }
 
 
@@ -15518,33 +15769,7 @@ def oracle_sql() -> dict[str, str]:
         # Spatial single-linkage clustering: within-3deg edges (identical
         # float-op order as distance_join_pairs) -> recursive transitive
         # closure -> min reachable key per node:
-        "spatial_components": f"""
-            WITH RECURSIVE pts AS ({_CUST_LATLNG_SQL}),
-            v AS (
-              SELECT key,
-                     cos(radians(lng)) * cos(radians(lat)) AS x,
-                     sin(radians(lng)) * cos(radians(lat)) AS y,
-                     sin(radians(lat)) AS z
-              FROM pts
-            ),
-            e AS (
-              SELECT a.key AS src, b.key AS dst
-              FROM v a JOIN v b ON a.key != b.key
-              WHERE atan2(sqrt(
-                        (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
-                      + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
-                      + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
-                      a.x * b.x + a.y * b.y + a.z * b.z)
-                    <= {math.radians(3.0)!r}
-            ),
-            reach(a, b) AS (
-              SELECT key, key FROM pts
-              UNION
-              SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
-            )
-            SELECT a AS key, min(b) AS component
-            FROM reach GROUP BY a ORDER BY key
-        """,
+        "spatial_components": _SPATIAL_COMPONENTS_ORACLE,
         "simhash_signatures": _DO.simhash_oracle_sql(500),
         "simhash_candidate_pairs": _DO.simhash_candidates_oracle_sql(500, 6),
         "fingerprint_sizes": _DO.fingerprint_sizes_oracle_sql(200),
@@ -17497,4 +17722,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _RFM_ORACLE,
         "event_skipgrams": _SKIPGRAM_ORACLE,
         "winsorized_values": _WINSOR_ORACLE,
+        "triad_census": _TRIAD_ORACLE,
+        "weighted_jaccard_hosts": _WJACCARD_ORACLE,
+        "gumbel_weekly_maxima": _GUMBEL_ORACLE,
+        "component_size_dist": _COMPONENT_SIZE_ORACLE,
     }

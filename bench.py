@@ -267,6 +267,10 @@ BENCH_QUERIES = [
     "rfm_segments",
     "event_skipgrams",
     "winsorized_values",
+    "triad_census",
+    "weighted_jaccard_hosts",
+    "gumbel_weekly_maxima",
+    "component_size_dist",
 ]
 
 
