@@ -14136,6 +14136,318 @@ _COMPONENT_SIZE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch bb: sequential/information statistics —
+# Markov entropy rate, SPRT sequential A/B test, Chapman capture-recapture
+# coverage estimate, Good-Turing frequency-of-frequencies.
+# ---------------------------------------------------------------------------
+
+
+def _q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event-type Markov chain — the
+    predictability summary on top of markov_transitions: H = -sum_ij
+    (c_ij/T) ln(c_ij / r_i) over BIGINT transition counts, folded in
+    (from,to) order so no float is summed in engine-dependent order;
+    perplexity = exp(H)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select("user_id", "event_type", us.alias("us"), "event_id")
+    tr = (
+        seq.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    row = tr.groupBy("a").agg(F.sum("c").alias("r"))
+    tot = tr.agg(F.sum("c").alias("t"), F.count("*").alias("n_cells"))
+    term = (
+        -(F.col("c").cast("double") / F.col("t").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("r").cast("double"))
+    )
+    folded = (
+        tr.join(row, "a")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", term.alias("h"), "t")
+        .groupBy("t")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("a", "b", "h"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["h"],
+            ).alias("_h")
+        )
+    )
+    return folded.select(
+        F.col("t").alias("n_transitions"),
+        F.round("_h", 9).alias("entropy_rate"),
+        F.round(F.exp(F.col("_h")), 9).alias("perplexity"),
+    )
+
+
+_MARKOV_ENTROPY_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00'),
+                        event_id) AS nxt
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS a, nxt AS b, count(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    rw AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tr),
+    terms AS (
+      SELECT tr.a, tr.b,
+             -(CAST(tr.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+               * ln(CAST(tr.c AS DOUBLE) / CAST(rw.r AS DOUBLE)) AS h,
+             tot.t
+      FROM tr JOIN rw ON rw.a = tr.a CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT t,
+             list_reduce(
+               list_transform(list_sort(list({'a': a, 'b': b, 'h': h})),
+                              x -> x.h),
+               (x, y) -> x + y) AS h
+      FROM terms GROUP BY 1
+    )
+    SELECT t AS n_transitions, round(0.0 + h, 9) AS entropy_rate,
+           round(exp(0.0 + h), 9) AS perplexity
+    FROM folded
+"""
+
+# SPRT constants (H0 p=0.30 vs H1 p=0.35, alpha=beta=0.05), precomputed to
+# full double precision so both engines use the SAME literals
+_SPRT_LA = 0.15415067982725836   # ln(0.35/0.30)
+_SPRT_LB = -0.07410797215372197  # ln(0.65/0.70)
+_SPRT_THRESH = 2.9444389791664403  # ln((1-0.05)/0.05)
+
+
+def _q_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the user conversion stream (converted = any
+    purchase >= $200, users in user_id order as the deterministic
+    arrival sequence): the log-likelihood ratio walk LLR_n = k_n*ln(p1/
+    p0) + (n-k_n)*ln(q1/q0) and its FIRST boundary crossing at
+    +/- ln(19). Cumulative k_n is BIGINT; each LLR is one fixed-order
+    float; the arg-min crossing indexes are integer aggregates."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200.0)
+            ).cast("long")
+        ).alias("conv")
+    )
+    w = Window.orderBy("user_id")
+    t = per_user.select(
+        "user_id",
+        F.row_number().over(w).alias("n"),
+        F.sum("conv").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("k"),
+    )
+    llr = (
+        F.col("k").cast("double") * F.lit(_SPRT_LA)
+        + (F.col("n") - F.col("k")).cast("double") * F.lit(_SPRT_LB)
+    )
+    agg = t.select("n", "k", llr.alias("llr")).agg(
+        F.max("n").alias("n_users"),
+        F.max("k").alias("n_converted"),
+        F.min(F.when(F.col("llr") >= _SPRT_THRESH, F.col("n"))).alias("_up"),
+        F.min(F.when(F.col("llr") <= -_SPRT_THRESH, F.col("n"))).alias("_dn"),
+    )
+    first = F.least(
+        F.coalesce(F.col("_up"), F.lit(2**62)),
+        F.coalesce(F.col("_dn"), F.lit(2**62)),
+    )
+    decision = (
+        F.when(F.col("_up").isNull() & F.col("_dn").isNull(), F.lit("continue"))
+        .when(
+            F.coalesce(F.col("_up"), F.lit(2**62))
+            <= F.coalesce(F.col("_dn"), F.lit(2**62)),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+    )
+    return agg.select(
+        "n_users",
+        "n_converted",
+        F.when(first < 2**62, first).alias("first_cross_n"),
+        decision.alias("decision"),
+    )
+
+
+_SPRT_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value >= 200.0
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY user_id) AS n,
+             sum(conv) OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS k
+      FROM per_user
+    ),
+    l AS (
+      SELECT n, k,
+             CAST(k AS DOUBLE) * {_SPRT_LA!r}
+             + CAST(n - k AS DOUBLE) * {_SPRT_LB!r} AS llr
+      FROM t
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_users,
+             CAST(max(k) AS BIGINT) AS n_converted,
+             min(CASE WHEN llr >= {_SPRT_THRESH!r} THEN n END) AS up,
+             min(CASE WHEN llr <= -{_SPRT_THRESH!r} THEN n END) AS dn
+      FROM l
+    )
+    SELECT n_users, n_converted,
+           CAST(CASE WHEN least(coalesce(up, 4611686018427387904),
+                              coalesce(dn, 4611686018427387904))
+                          < 4611686018427387904
+                THEN least(coalesce(up, 4611686018427387904),
+                           coalesce(dn, 4611686018427387904)) END AS BIGINT)
+             AS first_cross_n,
+           CASE WHEN up IS NULL AND dn IS NULL THEN 'continue'
+                WHEN coalesce(up, 4611686018427387904)
+                     <= coalesce(dn, 4611686018427387904) THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM agg
+"""
+
+
+def _q_chapman_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of corpus size from two
+    independent hash-sampled 'crawls' (each keeps ~2/3 of docs): N_hat =
+    (n1+1)(n2+1)/(m+1) - 1 — the coverage check a crawl pipeline runs
+    without ever seeing the full population. Counts are BIGINT from the
+    replayable XXH64 membership; one float expression at the end."""
+    docs = _load(spark, sf_dir, "documents")
+    h1 = F.pmod(
+        F.xxhash64(F.concat(F.col("doc_id").cast("string"), F.lit("#c1"))),
+        F.lit(3),
+    )
+    h2 = F.pmod(
+        F.xxhash64(F.concat(F.col("doc_id").cast("string"), F.lit("#c2"))),
+        F.lit(3),
+    )
+    t = docs.select(
+        (h1 < 2).cast("long").alias("in1"), (h2 < 2).cast("long").alias("in2")
+    )
+    agg = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+    )
+    est = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        "n_docs", "n1", "n2", F.col("m").alias("n_both"),
+        F.round(est, 9).alias("chapman_estimate"),
+    )
+
+
+def _chapman_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    def mem(salt):
+        salted = "[CAST(doc_id AS VARCHAR) || '#" + salt + "']"
+        h = f"({xxh64_list_sql(salted)})[1]"
+        return f"CASE WHEN (({h}) % 3 + 3) % 3 < 2 THEN 1 ELSE 0 END"
+
+    return f"""
+        WITH t AS (
+          SELECT {mem('c1')} AS in1, {mem('c2')} AS in2 FROM documents
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(in1) AS BIGINT) AS n1,
+                 CAST(sum(in2) AS BIGINT) AS n2,
+                 CAST(sum(in1 * in2) AS BIGINT) AS m
+          FROM t
+        )
+        SELECT n_docs, n1, n2, m AS n_both,
+               round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+                     / CAST(m + 1 AS DOUBLE) - 1.0, 9) AS chapman_estimate
+        FROM agg
+    """
+
+
+def _q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies over the corpus vocabulary:
+    N_r for r <= 10 with the GT adjusted count r* = (r+1) N_{r+1}/N_r —
+    the unseen-mass estimator under every smoothing scheme. All counts
+    BIGINT; r* one division."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    fof = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    w = Window.orderBy("r")
+    t = fof.withColumn("_next_r", F.lead("r").over(w)).withColumn(
+        "_next_n", F.lead("n_r").over(w)
+    )
+    rstar = F.when(
+        F.col("_next_r") == F.col("r") + 1,
+        (F.col("r") + 1).cast("double")
+        * F.col("_next_n").cast("double")
+        / F.col("n_r").cast("double"),
+    )
+    return (
+        t.where(F.col("r") <= 10)
+        .select("r", "n_r", F.round(rstar, 9).alias("r_star"))
+        .orderBy("r")
+    )
+
+
+_GOOD_TURING_ORACLE = """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*) AS r FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+    t AS (
+      SELECT r, n_r,
+             lead(r) OVER (ORDER BY r) AS next_r,
+             lead(n_r) OVER (ORDER BY r) AS next_n
+      FROM fof
+    )
+    SELECT CAST(r AS BIGINT) AS r, n_r,
+           round(CASE WHEN next_r = r + 1
+                 THEN CAST(r + 1 AS DOUBLE) * CAST(next_n AS DOUBLE)
+                      / CAST(n_r AS DOUBLE) END, 9) AS r_star
+    FROM t WHERE r <= 10 ORDER BY r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -14412,6 +14724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_hosts": _q_weighted_jaccard_hosts,
         "gumbel_weekly_maxima": _q_gumbel_weekly_maxima,
         "component_size_dist": _q_component_size_dist,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "sprt_conversion": _q_sprt_conversion,
+        "chapman_overlap": _q_chapman_overlap,
+        "good_turing_counts": _q_good_turing,
     }
 
 
@@ -17726,4 +18042,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_jaccard_hosts": _WJACCARD_ORACLE,
         "gumbel_weekly_maxima": _GUMBEL_ORACLE,
         "component_size_dist": _COMPONENT_SIZE_ORACLE,
+        "markov_entropy_rate": _MARKOV_ENTROPY_ORACLE,
+        "sprt_conversion": _SPRT_ORACLE,
+        "chapman_overlap": _chapman_oracle_sql(),
+        "good_turing_counts": _GOOD_TURING_ORACLE,
     }

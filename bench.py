@@ -271,6 +271,10 @@ BENCH_QUERIES = [
     "weighted_jaccard_hosts",
     "gumbel_weekly_maxima",
     "component_size_dist",
+    "markov_entropy_rate",
+    "sprt_conversion",
+    "chapman_overlap",
+    "good_turing_counts",
 ]
 
 
