@@ -14448,6 +14448,204 @@ _GOOD_TURING_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch cc: spatial model validation — leave-one-out
+# IDW cross-validation error per nation, and the Hopkins clustering-
+# tendency statistic (real vs synthetic-uniform NN distances over the
+# cap-doubling kNN join).
+# ---------------------------------------------------------------------------
+
+
+def _q_idw_loo_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out IDW cross-validation: predict each customer point's
+    deterministic field value v = (key % 1000)/10 from its <=3-degree
+    neighbors (weight 1/(1e-3+d)^2 over the blocked distance join,
+    excluding self), report per-nation RMSE — the resolution-choice
+    diagnostic for any IDW surface. Weighted sums follow the established
+    rounded float-sum practice; the pair set itself is exact (the
+    distance_join recall proof)."""
+    from gos2_spark.spark.joins import distance_join
+
+    pts = _cust_points(spark, sf_dir)
+    pairs = distance_join(pts, 3.0, point_key="key")
+    sym = pairs.select(
+        F.col("key_a").alias("key"),
+        F.col("key_b").alias("nbr"),
+        "dist_rad",
+    ).union(
+        pairs.select(
+            F.col("key_b").alias("key"),
+            F.col("key_a").alias("nbr"),
+            "dist_rad",
+        )
+    )
+    v_nbr = (F.col("nbr") % 1000).cast("double") / 10.0
+    w = 1.0 / ((1e-3 + F.col("dist_rad")) * (1e-3 + F.col("dist_rad")))
+    per = sym.groupBy("key").agg(
+        F.sum(w * v_nbr).alias("_num"),
+        F.sum(w).alias("_den"),
+        F.count("*").alias("n_nbrs"),
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_nationkey"
+    )
+    err = (
+        per.join(cust, "key")
+        .select(
+            "c_nationkey",
+            (
+                F.col("_num") / F.col("_den")
+                - (F.col("key") % 1000).cast("double") / 10.0
+            ).alias("_e"),
+        )
+    )
+    return (
+        err.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 9).alias("rmse"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_IDW_LOO_ORACLE = f"""
+    WITH pts AS ({_CUST_LATLNG_SQL}),
+    v AS (
+      SELECT key,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    sym AS (
+      SELECT a.key AS key, b.key AS nbr,
+             atan2(sqrt(
+                 (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+               + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.z * b.z) AS d
+      FROM v a JOIN v b ON a.key != b.key
+    ),
+    filt AS (SELECT * FROM sym WHERE d <= {math.radians(3.0)!r}),
+    per AS (
+      SELECT key,
+             sum((1.0 / ((1e-3 + d) * (1e-3 + d)))
+                 * (CAST(nbr % 1000 AS DOUBLE) / 10.0)) AS num,
+             sum(1.0 / ((1e-3 + d) * (1e-3 + d))) AS den,
+             count(*) AS n_nbrs
+      FROM filt GROUP BY 1
+    ),
+    err AS (
+      SELECT c.c_nationkey,
+             per.num / per.den - CAST(per.key % 1000 AS DOUBLE) / 10.0 AS e
+      FROM per JOIN customer c ON c.c_custkey = per.key
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_points,
+           round(sqrt(avg(e * e)), 9) AS rmse
+    FROM err GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins clustering-tendency statistic: H = sum(w) / (sum(u) +
+    sum(w)) where u = each real point's NN distance among the other real
+    points and w = each of 300 deterministic synthetic probe points' NN
+    distance to the real set (H ~ 0.5 = CSR, -> 1 = clustered). Both NN
+    passes ride the cap-doubling kNN join (exact, tie-broken); the two
+    sums follow the rounded float-sum practice."""
+    from gos2_spark.spark.functions import s2_cellid
+    from gos2_spark.spark.joins import knn_join_df
+
+    pts = _cust_points(spark, sf_dir)
+    nn_real = (
+        knn_join_df(pts, pts.withColumnRenamed("key", "qid"), 2,
+                    point_key="key", query_key="qid")
+        .where(F.col("key") != F.col("qid"))
+        .groupBy("qid")
+        .agg(F.min("dist_rad").alias("u"))
+    )
+    ids = spark.range(1, 301).select(F.col("id").cast("long").alias("qid"))
+    synth = ids.select(
+        "qid",
+        (-60.0 + (F.col("qid") * 29 % 120) + (F.col("qid") % 71) / 71.0).alias(
+            "lat"
+        ),
+        (-170.0 + (F.col("qid") * 31 % 340) + (F.col("qid") % 67) / 67.0).alias(
+            "lng"
+        ),
+    ).withColumn("cell_id", s2_cellid(F.col("lat"), F.col("lng")))
+    nn_synth = knn_join_df(
+        pts, synth, 1, point_key="key", query_key="qid"
+    ).groupBy("qid").agg(F.min("dist_rad").alias("w"))
+    su = nn_real.agg(
+        F.count("*").alias("n_real"), F.sum("u").alias("_su")
+    )
+    sw = nn_synth.agg(
+        F.count("*").alias("n_synth"), F.sum("w").alias("_sw")
+    )
+    j = su.crossJoin(sw)
+    return j.select(
+        "n_real",
+        "n_synth",
+        F.round(F.col("_su"), 9).alias("sum_u"),
+        F.round(F.col("_sw"), 9).alias("sum_w"),
+        F.round(F.col("_sw") / (F.col("_su") + F.col("_sw")), 9).alias(
+            "hopkins_h"
+        ),
+    )
+
+
+_HOPKINS_ORACLE = f"""
+    WITH pts AS ({_CUST_LATLNG_SQL}),
+    v AS (
+      SELECT key,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM pts
+    ),
+    u AS (
+      SELECT a.key,
+             min(atan2(sqrt(
+                 (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+               + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.z * b.z)) AS u
+      FROM v a JOIN v b ON a.key != b.key GROUP BY 1
+    ),
+    synth AS (
+      SELECT i AS qid,
+             -60.0 + (i * 29 % 120) + (i % 71) / 71.0 AS lat,
+             -170.0 + (i * 31 % 340) + (i % 67) / 67.0 AS lng
+      FROM (SELECT range + 1 AS i FROM range(300))
+    ),
+    sv AS (
+      SELECT qid,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM synth
+    ),
+    w AS (
+      SELECT s.qid,
+             min(atan2(sqrt(
+                 (s.y * b.z - s.z * b.y) * (s.y * b.z - s.z * b.y)
+               + (s.z * b.x - s.x * b.z) * (s.z * b.x - s.x * b.z)
+               + (s.x * b.y - s.y * b.x) * (s.x * b.y - s.y * b.x)),
+               s.x * b.x + s.y * b.y + s.z * b.z)) AS w
+      FROM sv s CROSS JOIN v b GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_real,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_synth,
+           round((SELECT sum(u) FROM u), 9) AS sum_u,
+           round((SELECT sum(w) FROM w), 9) AS sum_w,
+           round((SELECT sum(w) FROM w)
+                 / ((SELECT sum(u) FROM u) + (SELECT sum(w) FROM w)), 9)
+             AS hopkins_h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -14728,6 +14926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_conversion": _q_sprt_conversion,
         "chapman_overlap": _q_chapman_overlap,
         "good_turing_counts": _q_good_turing,
+        "idw_loo_cv": _q_idw_loo_cv,
+        "hopkins_statistic": _q_hopkins_statistic,
     }
 
 
@@ -18046,4 +18246,6 @@ def oracle_sql() -> dict[str, str]:
         "sprt_conversion": _SPRT_ORACLE,
         "chapman_overlap": _chapman_oracle_sql(),
         "good_turing_counts": _GOOD_TURING_ORACLE,
+        "idw_loo_cv": _IDW_LOO_ORACLE,
+        "hopkins_statistic": _HOPKINS_ORACLE,
     }

@@ -275,6 +275,8 @@ BENCH_QUERIES = [
     "sprt_conversion",
     "chapman_overlap",
     "good_turing_counts",
+    "idw_loo_cv",
+    "hopkins_statistic",
 ]
 
 
