@@ -14646,6 +14646,209 @@ _HOPKINS_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch dd: multiple-testing + corpus-contrast —
+# Benjamini-Hochberg FDR over the Gi* hotspot field (normal survival
+# function via the shared Abramowitz-Stegun 26.2.17 polynomial, identical
+# literals both engines) and Monroe et al. "fightin' words" log-odds with
+# an informative Dirichlet prior.
+# ---------------------------------------------------------------------------
+
+_SQRT_2PI = 2.5066282746310002
+
+
+def _normal_sf_col(a):
+    """One-sided upper-tail P(Z > a) for a >= 0 — Abramowitz-Stegun
+    26.2.17 (|error| < 7.5e-8), Horner form. Same literals as the SQL
+    twin below, so both engines run the identical float ops."""
+    t = 1.0 / (1.0 + 0.2316419 * a)
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    return F.exp(-(a * a) / 2.0) / F.lit(_SQRT_2PI) * poly
+
+
+def _normal_sf_sql(a: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * {a}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937"
+        f" + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return f"(exp(-({a} * {a}) / 2.0) / {_SQRT_2PI!r} * {poly})"
+
+
+def _q_fdr_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (q=0.05) over the per-cell Gi*
+    z-field: two-sided p from the shared A&S normal-SF polynomial, BH
+    step-up via one rank window + one max — the multiple-testing gate a
+    hotspot map needs before claiming anything at 10^8 cells. Returns the
+    significant cells with their p and BH rank."""
+    from pyspark.sql import Window
+
+    gi = _q_gistar_cells(spark, sf_dir)
+    p = F.least(F.lit(1.0), 2.0 * _normal_sf_col(F.abs(F.col("gi_star"))))
+    t = gi.select("token", "gi_star", p.alias("p_value"))
+    w = Window.orderBy("p_value", "token")
+    wfull = Window.partitionBy()
+    ranked = t.select(
+        "*",
+        F.row_number().over(w).alias("bh_rank"),
+        F.count("*").over(wfull).alias("_m"),
+    )
+    passed = ranked.withColumn(
+        "_ok",
+        F.col("p_value")
+        <= F.col("bh_rank").cast("double") * 0.05 / F.col("_m").cast("double"),
+    )
+    kmax = passed.agg(
+        F.max(F.when(F.col("_ok"), F.col("bh_rank"))).alias("_k")
+    )
+    return (
+        passed.crossJoin(F.broadcast(kmax))
+        .where(F.col("bh_rank") <= F.col("_k"))
+        .select(
+            "token",
+            "gi_star",
+            F.round("p_value", 9).alias("p_value"),
+            "bh_rank",
+        )
+        .orderBy("bh_rank", "token")
+    )
+
+
+def _fdr_oracle_sql() -> str:
+    inner = _gistar_oracle_sql()
+    sf = _normal_sf_sql("abs(gi_star)")
+    return f"""
+        WITH gi AS ({inner}),
+        t AS (
+          SELECT token, gi_star,
+                 least(1.0, 2.0 * {sf}) AS p_value
+          FROM gi
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY p_value, token) AS bh_rank,
+                 count(*) OVER () AS m
+          FROM t
+        ),
+        k AS (
+          SELECT max(CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) * 0.05
+                              / CAST(m AS DOUBLE)
+                     THEN bh_rank END) AS kmax
+          FROM ranked
+        )
+        SELECT token, gi_star, round(p_value, 9) AS p_value,
+               CAST(bh_rank AS BIGINT) AS bh_rank
+        FROM ranked, k WHERE bh_rank <= kmax
+        ORDER BY bh_rank, token
+    """
+
+
+def _q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe/Colaresi/Quinn "fightin' words": informative-Dirichlet
+    log-odds z of each token for LANG vs the rest of the corpus (prior
+    a0=1000 spread by corpus frequency), top 10 distinctive tokens per
+    language. Every input to the per-token z is an exact BIGINT — there
+    is no cross-token float sum at all."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    per = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    corpus = per.groupBy("tok").agg(F.sum("c").alias("cc"))
+    nl = per.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    ntot = corpus.agg(F.sum("cc").alias("n_tot"))
+    g = (
+        per.join(corpus, "tok")
+        .join(nl, "lang")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "lang",
+            "tok",
+            "c",
+            "cc",
+            "n_l",
+            "n_tot",
+            (F.col("cc") - F.col("c")).alias("c_rest"),
+            (F.col("n_tot") - F.col("n_l")).alias("n_rest"),
+        )
+    )
+    a0 = F.lit(1000.0)
+    alpha = a0 * F.col("cc").cast("double") / F.col("n_tot").cast("double")
+    y1 = F.col("c").cast("double") + alpha
+    d1 = F.col("n_l").cast("double") + a0 - y1
+    y2 = F.col("c_rest").cast("double") + alpha
+    d2 = F.col("n_rest").cast("double") + a0 - y2
+    delta = F.log(y1 / d1) - F.log(y2 / d2)
+    var = 1.0 / y1 + 1.0 / y2
+    z = delta / F.sqrt(var)
+    scored = g.select("lang", "tok", "c", z.alias("_z"))
+    w = Window.partitionBy("lang").orderBy(F.col("_z").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "rank", "tok", "c", F.round("_z", 9).alias("log_odds_z"))
+        .orderBy("lang", "rank")
+    )
+
+
+_FIGHTIN_ORACLE = """
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM per GROUP BY 1),
+    nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM per GROUP BY 1),
+    ntot AS (SELECT CAST(sum(cc) AS BIGINT) AS n_tot FROM corpus),
+    g AS (
+      SELECT per.lang, per.tok, per.c, corpus.cc, nl.n_l, ntot.n_tot,
+             corpus.cc - per.c AS c_rest, ntot.n_tot - nl.n_l AS n_rest
+      FROM per JOIN corpus USING (tok) JOIN nl USING (lang) CROSS JOIN ntot
+    ),
+    scored AS (
+      SELECT lang, tok, c,
+             (ln((CAST(c AS DOUBLE)
+                  + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                 / (CAST(n_l AS DOUBLE) + 1000.0
+                    - (CAST(c AS DOUBLE)
+                       + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE))))
+              - ln((CAST(c_rest AS DOUBLE)
+                    + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / (CAST(n_rest AS DOUBLE) + 1000.0
+                      - (CAST(c_rest AS DOUBLE)
+                         + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE)))))
+             / sqrt(1.0 / (CAST(c AS DOUBLE)
+                           + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                    + 1.0 / (CAST(c_rest AS DOUBLE)
+                             + 1000.0 * CAST(cc AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+               AS z
+      FROM g
+    ),
+    ranked AS (
+      SELECT lang, tok, c, z,
+             row_number() OVER (PARTITION BY lang ORDER BY z DESC, tok) AS rank
+      FROM scored
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, tok, CAST(c AS BIGINT) AS c,
+           round(z, 9) AS log_odds_z
+    FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -14928,6 +15131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_counts": _q_good_turing,
         "idw_loo_cv": _q_idw_loo_cv,
         "hopkins_statistic": _q_hopkins_statistic,
+        "fdr_hotspots": _q_fdr_hotspots,
+        "fightin_words": _q_fightin_words,
     }
 
 
@@ -18248,4 +18453,6 @@ def oracle_sql() -> dict[str, str]:
         "good_turing_counts": _GOOD_TURING_ORACLE,
         "idw_loo_cv": _IDW_LOO_ORACLE,
         "hopkins_statistic": _HOPKINS_ORACLE,
+        "fdr_hotspots": _fdr_oracle_sql(),
+        "fightin_words": _FIGHTIN_ORACLE,
     }

@@ -277,6 +277,8 @@ BENCH_QUERIES = [
     "good_turing_counts",
     "idw_loo_cv",
     "hopkins_statistic",
+    "fdr_hotspots",
+    "fightin_words",
 ]
 
 
