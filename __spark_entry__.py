@@ -14849,6 +14849,442 @@ _FIGHTIN_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch ee: log-rank two-sample survival test,
+# rich-club coefficient, Dunning G^2 collocations.
+# ---------------------------------------------------------------------------
+
+
+def _q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between hash-split arms on time-to-second-click
+    survival (the inferential companion of km_second_event): at each
+    pooled death time, observed vs expected arm-1 deaths under the null,
+    with the hypergeometric variance; chi2 = (O-E)^2/V. Risk sets are
+    BIGINT; the per-time O-E and V terms are folded in t-order."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+    )
+    horizon = _load(spark, sf_dir, "events").select(
+        F.max(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ).alias("us_max")
+    )
+    arm = F.pmod(
+        F.xxhash64(F.concat(F.col("user_id").cast("string"), F.lit("#lr"))),
+        F.lit(2),
+    )
+    per_user = (
+        seq.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("us"))).alias("us1"),
+            F.min(F.when(F.col("rn") == 2, F.col("us"))).alias("us2"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            arm.alias("arm"),
+            F.when(
+                F.col("us2").isNotNull(),
+                F.expr("(us2 - us1) div 86400000000") + 1,
+            )
+            .otherwise(F.expr("(us_max - us1) div 86400000000") + 1)
+            .alias("t"),
+            F.col("us2").isNotNull().cast("int").alias("d"),
+        )
+    )
+    byt = per_user.groupBy("arm", "t").agg(
+        F.sum("d").alias("_d"), F.count("*").alias("_all")
+    )
+    times = byt.select("t").distinct()
+    arms = byt.select("arm").distinct()
+    grid = times.crossJoin(F.broadcast(arms))
+    g = grid.join(byt, ["arm", "t"], "left").select(
+        "arm",
+        "t",
+        F.coalesce(F.col("_d"), F.lit(0)).alias("d"),
+        F.coalesce(F.col("_all"), F.lit(0)).alias("c"),
+    )
+    wa = Window.partitionBy("arm").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("arm")
+    risk = g.select(
+        "arm",
+        "t",
+        "d",
+        (F.sum("c").over(wf) - F.sum("c").over(wa) + F.col("c")).alias("n"),
+    )
+    p = (
+        risk.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("d1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.sum("d").alias("dt"),
+            F.sum("n").alias("nt"),
+        )
+        .where(F.col("dt") > 0)
+    )
+    nt = F.col("nt").cast("double")
+    n1 = F.col("n1").cast("double")
+    dt = F.col("dt").cast("double")
+    e1 = dt * n1 / nt
+    v1 = F.when(
+        F.col("nt") > 1,
+        dt * (n1 / nt) * (1.0 - n1 / nt) * (nt - dt) / (nt - 1.0),
+    ).otherwise(F.lit(0.0))
+    terms = p.select(
+        "t",
+        F.col("d1").cast("double").alias("o1"),
+        e1.alias("e1"),
+        v1.alias("v1"),
+    )
+    folded = terms.agg(
+        F.sum("o1").cast("long").alias("_o1i"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "e1"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e1"],
+        ).alias("_e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "v1"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v1"],
+        ).alias("_v"),
+    )
+    chi2 = F.when(
+        F.col("_v") > 0,
+        (F.col("_o1i").cast("double") - F.col("_e1"))
+        * (F.col("_o1i").cast("double") - F.col("_e1"))
+        / F.col("_v"),
+    )
+    return folded.select(
+        F.col("_o1i").alias("observed_arm1"),
+        F.round("_e1", 9).alias("expected_arm1"),
+        F.round("_v", 9).alias("variance"),
+        F.round(chi2, 9).alias("logrank_chi2"),
+    )
+
+
+def _log_rank_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[CAST(user_id AS VARCHAR) || '#lr']"
+    h = f"CAST((({xxh64_list_sql(salted)})[1] % 2 + 2) % 2 AS BIGINT)"
+    return f"""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00') AS us
+          FROM events WHERE event_type = 'click'
+        ),
+        seq AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS rn
+          FROM ev
+        ),
+        h AS (SELECT max(epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00'))
+                       AS us_max FROM events),
+        per_user0 AS (
+          SELECT seq.user_id,
+                 min(CASE WHEN rn = 1 THEN us END) AS us1,
+                 min(CASE WHEN rn = 2 THEN us END) AS us2,
+                 max(hh.us_max) AS us_max
+          FROM seq CROSS JOIN h hh
+          WHERE rn <= 2 GROUP BY seq.user_id
+        ),
+        per_user AS (
+          SELECT {h} AS arm,
+                 CASE WHEN us2 IS NOT NULL
+                      THEN (us2 - us1) // 86400000000 + 1
+                      ELSE (us_max - us1) // 86400000000 + 1 END AS t,
+                 CASE WHEN us2 IS NOT NULL THEN 1 ELSE 0 END AS d
+          FROM per_user0
+        ),
+        byt AS (
+          SELECT arm, t, sum(d) AS d, count(*) AS c
+          FROM per_user GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT t, arm FROM (SELECT DISTINCT t FROM byt)
+          CROSS JOIN (SELECT DISTINCT arm FROM byt)
+        ),
+        g AS (
+          SELECT grid.arm, grid.t,
+                 coalesce(byt.d, 0) AS d, coalesce(byt.c, 0) AS c
+          FROM grid LEFT JOIN byt ON byt.arm = grid.arm AND byt.t = grid.t
+        ),
+        risk AS (
+          SELECT arm, t, d,
+                 sum(c) OVER (PARTITION BY arm)
+                 - sum(c) OVER (PARTITION BY arm ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) + c AS n
+          FROM g
+        ),
+        p AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN arm = 1 THEN d END) AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+                 CAST(sum(d) AS BIGINT) AS dt,
+                 CAST(sum(n) AS BIGINT) AS nt
+          FROM risk GROUP BY 1 HAVING sum(d) > 0
+        ),
+        terms AS (
+          SELECT t, CAST(d1 AS DOUBLE) AS o1,
+                 CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / CAST(nt AS DOUBLE) AS e1,
+                 CASE WHEN nt > 1
+                      THEN CAST(dt AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                           / (CAST(nt AS DOUBLE) - 1.0)
+                      ELSE 0.0 END AS v1
+          FROM p
+        ),
+        folded AS (
+          SELECT CAST(sum(o1) AS BIGINT) AS o1i,
+                 list_reduce(list_transform(list_sort(list({{'t': t, 'x': e1}})),
+                                            x -> x.x), (a, b) -> a + b) AS e1,
+                 list_reduce(list_transform(list_sort(list({{'t': t, 'x': v1}})),
+                                            x -> x.x), (a, b) -> a + b) AS v
+          FROM terms
+        )
+        SELECT o1i AS observed_arm1,
+               round(0.0 + e1, 9) AS expected_arm1,
+               round(0.0 + v, 9) AS variance,
+               round(CASE WHEN v > 0
+                     THEN (CAST(o1i AS DOUBLE) - (0.0 + e1))
+                          * (CAST(o1i AS DOUBLE) - (0.0 + e1)) / (0.0 + v)
+                     END, 9) AS logrank_chi2
+        FROM folded
+    """
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the symmetrized two-map graph:
+    density among nodes of degree > k, for every k up to the max degree
+    - 1 — the elite-interconnection diagnostic. All counts BIGINT via a
+    broadcast k-grid; exact."""
+    ev = _load(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    directed = (
+        ev.select((c % 64).alias("a"), ((c * 7 + 3) % 64).alias("b"))
+        .union(ev.select((c % 64).alias("a"), ((c * 11 + 5) % 64).alias("b")))
+        .where(F.col("a") != F.col("b"))
+    )
+    und = (
+        directed.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    maxk = deg.agg(F.max("deg").alias("m"))
+    ks = (
+        maxk.select(F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("k"))
+    )
+    nodes_k = (
+        F.broadcast(ks)
+        .crossJoin(deg)
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    edges_k = (
+        F.broadcast(ks)
+        .crossJoin(e)
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    out = nodes_k.join(edges_k, "k", "left").select(
+        "k",
+        "n_nodes",
+        F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        F.when(
+            F.col("n_nodes") >= 2,
+            2.0
+            * F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+            / (
+                F.col("n_nodes").cast("double")
+                * (F.col("n_nodes").cast("double") - 1.0)
+            ),
+        ).alias("phi"),
+    )
+    return out.select(
+        "k", "n_nodes", "n_edges", F.round("phi", 9).alias("phi")
+    ).orderBy("k")
+
+
+_RICH_CLUB_ORACLE = """
+    WITH directed AS (
+      SELECT c_custkey % 64 AS a, (c_custkey * 7 + 3) % 64 AS b FROM customer
+      UNION ALL
+      SELECT c_custkey % 64, (c_custkey * 11 + 5) % 64 FROM customer
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM directed WHERE a <> b
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY 1
+    ),
+    ks AS (
+      SELECT unnest(generate_series(0, (SELECT max(deg) FROM deg) - 1)) AS k
+    ),
+    nodes_k AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM ks, deg WHERE deg > k GROUP BY 1
+    ),
+    e AS (
+      SELECT und.u, und.v, du.deg AS du, dv.deg AS dv
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ),
+    edges_k AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+      FROM ks, e WHERE du > k AND dv > k GROUP BY 1
+    )
+    SELECT n.k, n.n_nodes, coalesce(e.n_edges, 0) AS n_edges,
+           round(CASE WHEN n.n_nodes >= 2
+                 THEN 2.0 * CAST(coalesce(e.n_edges, 0) AS DOUBLE)
+                      / (CAST(n.n_nodes AS DOUBLE)
+                         * (CAST(n.n_nodes AS DOUBLE) - 1.0)) END, 9) AS phi
+    FROM nodes_k n LEFT JOIN edges_k e ON e.k = n.k
+    ORDER BY n.k
+"""
+
+
+def _q_dunning_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G^2) collocations over adjacent
+    token bigrams — the small-count-safe alternative to PMI. Every cell
+    of the 2x2 table is BIGINT; G^2 = 2*sum O ln(O/E) is one fixed-order
+    per-row expression (no cross-row sums). Ranking uses the raw double
+    (correctly-rounded from integer inputs); top-20 with bigram
+    tie-break."""
+    docs = _load(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    d = docs.select(arr.alias("w")).where(F.size("w") >= 2)
+    n = F.size("w")
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n - 1).alias("w1"),
+                F.slice("w", 2, n - 1).alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ca = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    cb = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    tot = bg.agg(F.count("*").alias("nn"))
+    g = (
+        cab.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("c12") >= 5)
+    )
+    o11 = F.col("c12").cast("double")
+    o12 = (F.col("c1") - F.col("c12")).cast("double")
+    o21 = (F.col("c2") - F.col("c12")).cast("double")
+    o22 = (F.col("nn") - F.col("c1") - F.col("c2") + F.col("c12")).cast("double")
+    nn = F.col("nn").cast("double")
+    r1 = F.col("c1").cast("double")
+    r2 = nn - r1
+    k1 = F.col("c2").cast("double")
+    k2 = nn - k1
+
+    def cell(o, e):
+        return F.when(o > 0, 2.0 * o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = (
+        cell(o11, r1 * k1 / nn)
+        + cell(o12, r1 * k2 / nn)
+        + cell(o21, r2 * k1 / nn)
+        + cell(o22, r2 * k2 / nn)
+    )
+    scored = g.select("w1", "w2", "c12", g2.alias("_g2"))
+    return (
+        scored.orderBy(F.col("_g2").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c12", F.round("_g2", 9).alias("g2"))
+    )
+
+
+_DUNNING_ORACLE = """
+    WITH d AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    dd AS (SELECT w FROM d WHERE len(w) >= 2),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM dd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    cb AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+    tot AS (SELECT count(*) AS nn FROM bg),
+    g AS (
+      SELECT cab.w1, cab.w2, cab.c12, ca.c1, cb.c2, tot.nn
+      FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+      WHERE cab.c12 >= 5
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+        (CASE WHEN CAST(c12 AS DOUBLE) > 0
+              THEN 2.0 * CAST(c12 AS DOUBLE)
+                   * ln(CAST(c12 AS DOUBLE)
+                        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                           / CAST(nn AS DOUBLE))) ELSE 0.0 END
+       + CASE WHEN CAST(c1 - c12 AS DOUBLE) > 0
+              THEN 2.0 * CAST(c1 - c12 AS DOUBLE)
+                   * ln(CAST(c1 - c12 AS DOUBLE)
+                        / (CAST(c1 AS DOUBLE)
+                           * (CAST(nn AS DOUBLE) - CAST(c2 AS DOUBLE))
+                           / CAST(nn AS DOUBLE))) ELSE 0.0 END
+       + CASE WHEN CAST(c2 - c12 AS DOUBLE) > 0
+              THEN 2.0 * CAST(c2 - c12 AS DOUBLE)
+                   * ln(CAST(c2 - c12 AS DOUBLE)
+                        / ((CAST(nn AS DOUBLE) - CAST(c1 AS DOUBLE))
+                           * CAST(c2 AS DOUBLE) / CAST(nn AS DOUBLE)))
+              ELSE 0.0 END
+       + CASE WHEN CAST(nn - c1 - c2 + c12 AS DOUBLE) > 0
+              THEN 2.0 * CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                   * ln(CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                        / ((CAST(nn AS DOUBLE) - CAST(c1 AS DOUBLE))
+                           * (CAST(nn AS DOUBLE) - CAST(c2 AS DOUBLE))
+                           / CAST(nn AS DOUBLE))) ELSE 0.0 END) AS g2
+      FROM g
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, round(g2, 9) AS g2
+    FROM scored ORDER BY g2 DESC, w1, w2 LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -15133,6 +15569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopkins_statistic": _q_hopkins_statistic,
         "fdr_hotspots": _q_fdr_hotspots,
         "fightin_words": _q_fightin_words,
+        "log_rank_test": _q_log_rank_test,
+        "rich_club_coefficient": _q_rich_club,
+        "dunning_g2_bigrams": _q_dunning_g2,
     }
 
 
@@ -18455,4 +18894,7 @@ def oracle_sql() -> dict[str, str]:
         "hopkins_statistic": _HOPKINS_ORACLE,
         "fdr_hotspots": _fdr_oracle_sql(),
         "fightin_words": _FIGHTIN_ORACLE,
+        "log_rank_test": _log_rank_oracle_sql(),
+        "rich_club_coefficient": _RICH_CLUB_ORACLE,
+        "dunning_g2_bigrams": _DUNNING_ORACLE,
     }

@@ -279,6 +279,9 @@ BENCH_QUERIES = [
     "hopkins_statistic",
     "fdr_hotspots",
     "fightin_words",
+    "log_rank_test",
+    "rich_club_coefficient",
+    "dunning_g2_bigrams",
 ]
 
 
