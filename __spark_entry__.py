@@ -15285,6 +15285,316 @@ _DUNNING_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch ff: resampling statistics — deterministic
+# half-sample bootstrap CI, delete-one-block jackknife, Zipf log-log fit.
+# ---------------------------------------------------------------------------
+
+
+def _q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap CI for the mean event value: 32
+    half-sample replicates selected by salted XXH64 parity (replayable,
+    resharding-invariant — no RNG), replicate means from BIGINT cent
+    sums, CI = 2nd-smallest/2nd-largest replicate mean (a ~94% interval
+    at R=32). The R-fold explode is the standard bag-of-little-bootstraps
+    cost and is a broadcast literal, not a shuffle."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    reps = F.array(*[F.lit(r) for r in range(32)])
+    t = ev.select(
+        "cents",
+        F.explode(reps).alias("r"),
+        F.col("event_id").cast("string").alias("eid"),
+    ).where(
+        F.pmod(
+            F.xxhash64(
+                F.concat(F.col("eid"), F.lit("#b"), F.col("r").cast("string"))
+            ),
+            F.lit(2),
+        )
+        == 0
+    )
+    means = t.groupBy("r").agg(
+        (F.sum("cents").cast("double") / F.count("*").cast("double")).alias(
+            "_m"
+        )
+    )
+    w = Window.orderBy("_m", "r")
+    ranked = means.select(
+        "_m", F.row_number().over(w).alias("_rk"), F.count("*").over(Window.partitionBy()).alias("_n")
+    )
+    full = ev.agg(
+        (F.sum("cents").cast("double") / F.count("*").cast("double")).alias(
+            "_full"
+        )
+    )
+    agg = ranked.agg(
+        F.max("_n").alias("n_reps"),
+        F.max(F.when(F.col("_rk") == 2, F.col("_m"))).alias("_lo"),
+        F.max(F.when(F.col("_rk") == F.col("_n") - 1, F.col("_m"))).alias("_hi"),
+    )
+    return agg.crossJoin(F.broadcast(full)).select(
+        "n_reps",
+        F.round(F.col("_full") / 100.0, 9).alias("mean_value"),
+        F.round(F.col("_lo") / 100.0, 9).alias("ci_lo"),
+        F.round(F.col("_hi") / 100.0, 9).alias("ci_hi"),
+    )
+
+
+def _bootstrap_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import xxh64_list_sql
+
+    salted = "[CAST(event_id AS VARCHAR) || '#b' || CAST(r AS VARCHAR)]"
+    h = f"({xxh64_list_sql(salted)})[1]"
+    return f"""
+        WITH ev AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        t AS (
+          SELECT cents, r FROM ev,
+               (SELECT unnest(generate_series(0, 31)) AS r)
+          WHERE (({h}) % 2 + 2) % 2 = 0
+        ),
+        means AS (
+          SELECT r, CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+          FROM t GROUP BY 1
+        ),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m, r) AS rk,
+                 count(*) OVER () AS n
+          FROM means
+        ),
+        agg AS (
+          SELECT CAST(max(n) AS BIGINT) AS n_reps,
+                 max(CASE WHEN rk = 2 THEN m END) AS lo,
+                 max(CASE WHEN rk = n - 1 THEN m END) AS hi
+          FROM ranked
+        ),
+        fullm AS (
+          SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS f
+          FROM ev
+        )
+        SELECT n_reps, round(f / 100.0, 9) AS mean_value,
+               round(lo / 100.0, 9) AS ci_lo, round(hi / 100.0, 9) AS ci_hi
+        FROM agg CROSS JOIN fullm
+    """
+
+
+def _q_jackknife_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife SE for the mean account balance with
+    nations as blocks: every leave-one-out mean is an exact rational of
+    BIGINT cent sums; the J-term variance is folded in block order.
+    The grouped-data uncertainty answer that needs no RNG at all."""
+    c = _load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    blocks = c.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    tot = blocks.agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt"), F.count("*").alias("j")
+    )
+    g = blocks.crossJoin(F.broadcast(tot))
+    loo = (
+        (F.col("st") - F.col("s")).cast("double")
+        / (F.col("nt") - F.col("n")).cast("double")
+    )
+    t = g.select("c_nationkey", loo.alias("_loo"), "st", "nt", "j")
+    folded = t.groupBy("st", "nt", "j").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("c_nationkey", "_loo"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_loo"],
+        ).alias("_sl"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("c_nationkey", "_loo"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_loo"] * x["_loo"],
+        ).alias("_sll"),
+    )
+    j = F.col("j").cast("double")
+    var = (
+        (j - 1.0)
+        / j
+        * (F.col("_sll") - F.col("_sl") * F.col("_sl") / j)
+    )
+    return folded.select(
+        F.col("j").alias("n_blocks"),
+        F.round(
+            F.col("st").cast("double") / F.col("nt").cast("double") / 100.0, 9
+        ).alias("mean_value"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / 100.0, 9).alias(
+            "jackknife_se"
+        ),
+    )
+
+
+_JACKKNIFE_ORACLE = """
+    WITH c AS (
+      SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    blocks AS (
+      SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS j
+      FROM blocks
+    ),
+    t AS (
+      SELECT b.c_nationkey,
+             CAST(tot.st - b.s AS DOUBLE) / CAST(tot.nt - b.n AS DOUBLE)
+               AS loo,
+             tot.st, tot.nt, tot.j
+      FROM blocks b CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT st, nt, j,
+             list_reduce(list_transform(
+               list_sort(list({'k': c_nationkey, 'v': loo})), x -> x.v),
+               (a, b) -> a + b) AS sl,
+             list_reduce(list_transform(
+               list_sort(list({'k': c_nationkey, 'v': loo})), x -> x.v * x.v),
+               (a, b) -> a + b) AS sll
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT j AS n_blocks,
+           round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 9)
+             AS mean_value,
+           round(sqrt(greatest(
+                 (CAST(j AS DOUBLE) - 1.0) / CAST(j AS DOUBLE)
+                 * ((0.0 + sll) - (0.0 + sl) * (0.0 + sl)
+                    / CAST(j AS DOUBLE)), 0.0)) / 100.0, 9) AS jackknife_se
+    FROM folded
+"""
+
+
+def _q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit: OLS of ln(count) on ln(rank) over the top-50
+    corpus tokens (the zipf_top_tokens table) — slope ~ -1 is Zipf's
+    law. The 50 (x, y) pairs fold in rank order; counts/ranks are exact
+    integers underneath."""
+    from gos2_spark.pipeline.text import zipf_top_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    top = zipf_top_tokens(docs, top_k=50).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("_x"),
+        F.log(F.col("n_occurrences").cast("double")).alias("_y"),
+    )
+    folded = top.agg(
+        F.count("*").alias("n_points"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "_x"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_x"],
+        ).alias("_sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "_y"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_y"],
+        ).alias("_sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "_x"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_x"] * x["_x"],
+        ).alias("_sxx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "_x", "_y"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_x"] * x["_y"],
+        ).alias("_sxy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "_y"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_y"] * x["_y"],
+        ).alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    sxx, sxy, syy = F.col("_sxx"), F.col("_sxy"), F.col("_syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return folded.select(
+        "n_points",
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(intercept, 9).alias("zipf_intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+_ZIPF_FIT_ORACLE = """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occurrences
+      FROM toks WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+      FROM counts
+    ),
+    top AS (
+      SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+             ln(CAST(n_occurrences AS DOUBLE)) AS y
+      FROM ranked WHERE rank <= 50
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             list_reduce(list_transform(list_sort(list({'r': rank, 'v': x})),
+                                        q -> q.v), (a, b) -> a + b) AS sx,
+             list_reduce(list_transform(list_sort(list({'r': rank, 'v': y})),
+                                        q -> q.v), (a, b) -> a + b) AS sy,
+             list_reduce(list_transform(list_sort(list({'r': rank, 'v': x})),
+                                        q -> q.v * q.v), (a, b) -> a + b)
+               AS sxx,
+             list_reduce(list_transform(
+                 list_sort(list({'r': rank, 'a': x, 'b': y})),
+                 q -> q.a * q.b), (a, b) -> a + b) AS sxy,
+             list_reduce(list_transform(list_sort(list({'r': rank, 'v': y})),
+                                        q -> q.v * q.v), (a, b) -> a + b)
+               AS syy
+      FROM top
+    )
+    SELECT n_points,
+           round((CAST(n_points AS DOUBLE) * (0.0 + sxy)
+                  - (0.0 + sx) * (0.0 + sy))
+                 / (CAST(n_points AS DOUBLE) * (0.0 + sxx)
+                    - (0.0 + sx) * (0.0 + sx)), 9) AS zipf_slope,
+           round(((0.0 + sy)
+                  - ((CAST(n_points AS DOUBLE) * (0.0 + sxy)
+                      - (0.0 + sx) * (0.0 + sy))
+                     / (CAST(n_points AS DOUBLE) * (0.0 + sxx)
+                        - (0.0 + sx) * (0.0 + sx))) * (0.0 + sx))
+                 / CAST(n_points AS DOUBLE), 9) AS zipf_intercept,
+           round((CAST(n_points AS DOUBLE) * (0.0 + sxy)
+                  - (0.0 + sx) * (0.0 + sy))
+                 * (CAST(n_points AS DOUBLE) * (0.0 + sxy)
+                    - (0.0 + sx) * (0.0 + sy))
+                 / ((CAST(n_points AS DOUBLE) * (0.0 + sxx)
+                     - (0.0 + sx) * (0.0 + sx))
+                    * (CAST(n_points AS DOUBLE) * (0.0 + syy)
+                       - (0.0 + sy) * (0.0 + sy))), 9) AS r2
+    FROM folded
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -15572,6 +15882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_rank_test": _q_log_rank_test,
         "rich_club_coefficient": _q_rich_club,
         "dunning_g2_bigrams": _q_dunning_g2,
+        "bootstrap_mean_ci": _q_bootstrap_mean_ci,
+        "jackknife_nation_mean": _q_jackknife_nation_mean,
+        "zipf_slope_fit": _q_zipf_slope_fit,
     }
 
 
@@ -18897,4 +19210,7 @@ def oracle_sql() -> dict[str, str]:
         "log_rank_test": _log_rank_oracle_sql(),
         "rich_club_coefficient": _RICH_CLUB_ORACLE,
         "dunning_g2_bigrams": _DUNNING_ORACLE,
+        "bootstrap_mean_ci": _bootstrap_oracle_sql(),
+        "jackknife_nation_mean": _JACKKNIFE_ORACLE,
+        "zipf_slope_fit": _ZIPF_FIT_ORACLE,
     }

@@ -282,6 +282,9 @@ BENCH_QUERIES = [
     "log_rank_test",
     "rich_club_coefficient",
     "dunning_g2_bigrams",
+    "bootstrap_mean_ci",
+    "jackknife_nation_mean",
+    "zipf_slope_fit",
 ]
 
 
