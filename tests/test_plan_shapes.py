@@ -729,3 +729,27 @@ def test_segment_crossing_bounded_exchanges(spark):
     for name, cap in (("path_crossings", 8), ("self_intersections", 9)):
         plan = _plan(spark, name)
         assert _exchanges(plan) <= cap, (name, _exchanges(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "weighted_jaccard_hosts",
+        "gumbel_weekly_maxima",
+        "markov_entropy_rate",
+        "sprt_conversion",
+        "chapman_overlap",
+        "good_turing_counts",
+        "bootstrap_mean_ci",
+        "jackknife_nation_mean",
+        "zipf_slope_fit",
+        "log_rank_test",
+        "dunning_g2_bigrams",
+        "fightin_words",
+    ],
+)
+def test_late_batches_no_python_stage(spark, name):
+    """Statistics/graph/text batches ee-ff claim pure-Catalyst plans."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
