@@ -15595,6 +15595,376 @@ _ZIPF_FIT_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch gg: classical inference — one-way ANOVA,
+# Brown-Forsythe (median) Levene test, Wald-Wolfowitz runs test,
+# Durbin-Watson autocorrelation. Money/counts ride as exact integers; the
+# only folds are tiny per-group term sums in fixed order.
+# ---------------------------------------------------------------------------
+
+
+def _anova_from_cents(t: DataFrame, val_col: str) -> DataFrame:
+    """Shared one-way-ANOVA tail: input (g, <val_col>) with INTEGER
+    values; F from BIGINT sufficient statistics, the k per-group
+    S_g^2/n_g terms folded in group order."""
+    per = t.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(val_col).alias("s"),
+        F.sum(F.col(val_col) * F.col(val_col)).alias("ss"),
+    )
+    term = F.col("s").cast("double") * F.col("s").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    folded = per.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("_st"),
+        F.sum("ss").alias("_sst"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", term.alias("t")))),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("_sb"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k").cast("double")
+    grand = F.col("_st").cast("double") * F.col("_st").cast("double") / n
+    ssb = F.col("_sb") - grand
+    ssw = F.col("_sst").cast("double") - F.col("_sb")
+    fstat = F.when(
+        (F.col("k") > 1) & (ssw > 0),
+        (ssb / (k - 1.0)) / (ssw / (n - k)),
+    )
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 9).alias("f_stat"),
+    )
+
+
+def _q_anova_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value (exact cents) across the five event
+    types — do the types' mean values differ? All sufficient statistics
+    BIGINT; the five between-group terms folded in type order."""
+    ev = _load(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return _anova_from_cents(t, "v")
+
+
+_ANOVA_TAIL_SQL = """
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS ss
+      FROM t GROUP BY 1
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             list_reduce(list_transform(
+               list_sort(list({'g': g,
+                               't': CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE)})),
+               q -> q.t), (a, b) -> a + b) AS sb
+      FROM per
+    )
+    SELECT k AS k_groups, n_total,
+           round((0.0 + sb) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 6) AS ss_between,
+           round(CAST(sst AS DOUBLE) - (0.0 + sb), 6) AS ss_within,
+           round(CASE WHEN k > 1 AND CAST(sst AS DOUBLE) - (0.0 + sb) > 0
+                 THEN (((0.0 + sb) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                      / ((CAST(sst AS DOUBLE) - (0.0 + sb))
+                         / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END, 9) AS f_stat
+    FROM folded
+"""
+
+_ANOVA_ORACLE = f"""
+    WITH t AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    {_ANOVA_TAIL_SQL}
+"""
+
+
+def _q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test (variance homogeneity across event
+    types): ANOVA on |cents - per-type lower-median| — the median keeps
+    the deviations EXACT INTEGERS, so the whole test is the same
+    BIGINT machinery as anova_values."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("g").orderBy("c", "event_id")
+    wf = Window.partitionBy("g")
+    t0 = e.select(
+        "g",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wf).alias("n"),
+    )
+    med = t0.groupBy("g").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("c"))
+        ).alias("m")
+    )
+    t = e.join(med, "g").select("g", F.abs(F.col("c") - F.col("m")).alias("v"))
+    return _anova_from_cents(t, "v")
+
+
+_LEVENE_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c,
+             event_id
+      FROM events
+    ),
+    t0 AS (
+      SELECT g, c,
+             row_number() OVER (PARTITION BY g ORDER BY c, event_id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT g, CAST(max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT)
+               AS m
+      FROM t0 GROUP BY 1
+    ),
+    t AS (
+      SELECT e.g, abs(e.c - med.m) AS v FROM e JOIN med ON med.g = e.g
+    ),
+    {_ANOVA_TAIL_SQL}
+"""
+
+
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on the daily count series
+    vs its lower median (ties dropped, the standard convention): too few
+    runs = trending, too many = oscillating. Runs/N1/N2 are exact
+    integers; z is one fixed-order float expression."""
+    from pyspark.sql import Window
+
+    daily = _r4o_daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    wf = Window.partitionBy("event_type")
+    t0 = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wf).alias("cnt"),
+    )
+    med = t0.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("n"))
+        ).alias("m")
+    )
+    s = (
+        daily.join(med, "event_type")
+        .where(F.col("n") != F.col("m"))
+        .select(
+            "event_type", "day", (F.col("n") > F.col("m")).cast("int").alias("a")
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    r = s.select(
+        "event_type",
+        "a",
+        (F.lag("a").over(wd).isNull() | (F.lag("a").over(wd) != F.col("a")))
+        .cast("long")
+        .alias("new_run"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.sum("new_run").alias("runs"),
+        F.sum("a").alias("n1"),
+        F.sum(1 - F.col("a")).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sig2 = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = F.when(sig2 > 0, (F.col("runs").cast("double") - mu) / F.sqrt(sig2))
+    return agg.select(
+        "event_type", "runs", "n1", "n2", F.round(z, 9).alias("runs_z")
+    ).orderBy("event_type")
+
+
+_RUNS_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    t0 AS (
+      SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM daily
+    ),
+    med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS m
+      FROM t0 GROUP BY 1
+    ),
+    s AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.n > med.m THEN 1 ELSE 0 END AS a
+      FROM daily d JOIN med ON med.event_type = d.event_type
+      WHERE d.n <> med.m
+    ),
+    r AS (
+      SELECT event_type, a,
+             CASE WHEN lag(a) OVER w IS NULL OR lag(a) OVER w <> a
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    agg AS (
+      SELECT event_type, CAST(sum(new_run) AS BIGINT) AS runs,
+             CAST(sum(a) AS BIGINT) AS n1,
+             CAST(sum(1 - a) AS BIGINT) AS n2
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, runs, n1, n2,
+           round(CASE WHEN 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) > 0
+                 THEN (CAST(runs AS DOUBLE)
+                       - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+                      / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                   - 1.0)))
+                 END, 9) AS runs_z
+    FROM agg ORDER BY event_type
+"""
+
+
+def _q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation of the residuals of each type's
+    daily-count linear trend (y = a + b*day, both from BIGINT normal
+    equations): DW ~ 2 = no autocorrelation, -> 0 positive. Residuals
+    are exact-rational doubles; the two residual sums fold in day
+    order."""
+    from pyspark.sql import Window
+
+    daily = _r4o_daily(spark, sf_dir)
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("day") * F.col("n")).alias("sxy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    j = daily.join(
+        s.select("event_type", b.alias("_b"), a.alias("_a")), "event_type"
+    )
+    resid = F.col("n").cast("double") - (
+        F.col("_a") + F.col("_b") * F.col("day").cast("double")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    t = j.select(
+        "event_type",
+        "day",
+        resid.alias("e"),
+        (resid - F.lag(resid).over(wd)).alias("de"),
+    )
+    folded = t.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", F.col("e").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"] * x["v"],
+        ).alias("_see"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("de").isNotNull(), F.struct("day", F.col("de").alias("v")))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"] * x["v"],
+        ).alias("_sdd"),
+    )
+    dw = F.when(F.col("_see") > 0, F.col("_sdd") / F.col("_see"))
+    return folded.select(
+        "event_type", "n_days", F.round(dw, 9).alias("durbin_watson")
+    ).orderBy("event_type")
+
+
+_DW_ORACLE = f"""
+    WITH daily AS ({_R4O_DAILY_SQL}),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(day * day) AS BIGINT) AS sxx,
+             CAST(sum(n) AS BIGINT) AS sy,
+             CAST(sum(day * n) AS BIGINT) AS sxy
+      FROM daily GROUP BY 1
+    ),
+    ab AS (
+      SELECT event_type,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a
+      FROM s
+    ),
+    t AS (
+      SELECT d.event_type, d.day,
+             CAST(d.n AS DOUBLE) - (ab.a + ab.b * CAST(d.day AS DOUBLE)) AS e
+      FROM daily d JOIN ab ON ab.event_type = d.event_type
+    ),
+    t2 AS (
+      SELECT event_type, day, e, e - lag(e) OVER w AS de
+      FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    folded AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list_reduce(list_transform(
+               list_sort(list({{'d': day, 'v': e}})), q -> q.v * q.v),
+               (a, b) -> a + b) AS see,
+             list_reduce(list_transform(
+               list_sort(list({{'d': day, 'v': de}})
+                         FILTER (WHERE de IS NOT NULL)),
+               q -> q.v * q.v), (a, b) -> a + b) AS sdd
+      FROM t2 GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(CASE WHEN see > 0 THEN (0.0 + sdd) / (0.0 + see) END, 9)
+             AS durbin_watson
+    FROM folded ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -15885,6 +16255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": _q_bootstrap_mean_ci,
         "jackknife_nation_mean": _q_jackknife_nation_mean,
         "zipf_slope_fit": _q_zipf_slope_fit,
+        "anova_values": _q_anova_values,
+        "levene_test": _q_levene_test,
+        "runs_test": _q_runs_test,
+        "durbin_watson": _q_durbin_watson,
     }
 
 
@@ -19213,4 +19587,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean_ci": _bootstrap_oracle_sql(),
         "jackknife_nation_mean": _JACKKNIFE_ORACLE,
         "zipf_slope_fit": _ZIPF_FIT_ORACLE,
+        "anova_values": _ANOVA_ORACLE,
+        "levene_test": _LEVENE_ORACLE,
+        "runs_test": _RUNS_ORACLE,
+        "durbin_watson": _DW_ORACLE,
     }

@@ -285,6 +285,10 @@ BENCH_QUERIES = [
     "bootstrap_mean_ci",
     "jackknife_nation_mean",
     "zipf_slope_fit",
+    "anova_values",
+    "levene_test",
+    "runs_test",
+    "durbin_watson",
 ]
 
 
