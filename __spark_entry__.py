@@ -15965,6 +15965,199 @@ _DW_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch hh: quadkey pyramid rollup, directional
+# (anisotropic) variogram, fixed-window crawl rate limiter.
+# ---------------------------------------------------------------------------
+
+
+def _q_quadkey_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator quadkey pyramid: point counts at z=5 rolled up to
+    every ancestor zoom 1..5 by quadkey PREFIX (the string form of the
+    parent-bit arithmetic cell_pyramid does on S2 ids). Pure codegen;
+    counts exact."""
+    from gos2_spark.spark.webmercator import wm_quadkey, wm_tile_x, wm_tile_y
+
+    z = 5
+    pts = _cust_points(spark, sf_dir)
+    base = pts.select(
+        wm_tile_x(F.col("lng"), z).alias("xt"),
+        wm_tile_y(F.col("lat"), z).alias("yt"),
+    ).withColumn("qk", wm_quadkey("xt", "yt", z))
+    levels = F.explode(F.sequence(F.lit(1), F.lit(z))).alias("zoom")
+    return (
+        base.select("qk", levels)
+        .select("zoom", F.col("qk").substr(F.lit(1), F.col("zoom")).alias("quadkey"))
+        .groupBy("zoom", "quadkey")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("zoom", "quadkey")
+    )
+
+
+def _quadkey_pyramid_oracle_sql() -> str:
+    # reuse the committed z=5 quadkey construction from the
+    # webmercator_tiles oracle by rebuilding it inline
+    return f"""
+        WITH pts AS ({_CUST_LATLNG_SQL}),
+        t0 AS (
+          SELECT CAST(floor((lng + 180.0) / 360.0 * 32) AS BIGINT) AS x0,
+                 CAST(floor((1.0 - ln(tan(radians(lat))
+                             + 1.0 / cos(radians(lat))) / 3.141592653589793)
+                            / 2.0 * 32) AS BIGINT) AS y0
+          FROM pts
+        ),
+        t AS (
+          SELECT greatest(0, least(31, x0)) AS xt,
+                 greatest(0, least(31, y0)) AS yt
+          FROM t0
+        ),
+        qk AS (
+          SELECT array_to_string(list_transform(
+                     generate_series(5, 1, -1),
+                     i -> CAST((xt >> (i - 1)) % 2
+                               + 2 * ((yt >> (i - 1)) % 2) AS VARCHAR)),
+                     '') AS qk
+          FROM t
+        ),
+        lv AS (SELECT unnest(generate_series(1, 5)) AS zoom)
+        SELECT zoom, substr(qk, 1, CAST(zoom AS INT)) AS quadkey,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM qk CROSS JOIN lv
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _q_directional_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropic semivariogram: gamma(h) split by axis sector (NS when
+    |dlat| > |dlng| else EW) over the cell-blocked within-radius join —
+    detects direction-dependent spatial correlation the isotropic
+    semivariogram_bins averages away. Field and squared-diff sums are
+    exact BIGINTs; the brute oracle certifies both binning and recall."""
+    from gos2_spark.spark.joins import distance_join
+
+    pts = _cust_points(spark, sf_dir).withColumn(
+        "z", (3 * F.floor("lat") + F.floor("lng")).cast("long")
+    )
+    pairs = distance_join(pts, 5.0, point_key="key")
+    a = pts.select(
+        F.col("key").alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lng").alias("lng_a"),
+        F.col("z").alias("za"),
+    )
+    b = pts.select(
+        F.col("key").alias("key_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lng").alias("lng_b"),
+        F.col("z").alias("zb"),
+    )
+    j = pairs.join(a, "key_a").join(b, "key_b")
+    sector = F.when(
+        F.abs(F.col("lat_a") - F.col("lat_b"))
+        > F.abs(F.col("lng_a") - F.col("lng_b")),
+        F.lit("ns"),
+    ).otherwise(F.lit("ew"))
+    bin_ = F.floor(F.degrees(F.col("dist_rad")))
+    d2 = (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    out = (
+        j.select(sector.alias("sector"), bin_.alias("bin"), d2.alias("d2"))
+        .groupBy("sector", "bin")
+        .agg(F.count("*").alias("n_pairs"), F.sum("d2").alias("_sd2"))
+    )
+    return out.select(
+        "sector",
+        "bin",
+        "n_pairs",
+        F.round(
+            F.col("_sd2").cast("double")
+            / (2.0 * F.col("n_pairs").cast("double")),
+            9,
+        ).alias("gamma"),
+    ).orderBy("sector", "bin")
+
+
+_DIRVARIO_ORACLE = f"""
+    WITH pts AS ({_CUST_LATLNG_SQL}),
+    p AS (
+      SELECT key, lat, lng,
+             CAST(3 * floor(lat) + floor(lng) AS BIGINT) AS z,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS zz
+      FROM pts
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, a.lat AS lat_a, a.lng AS lng_a, a.z AS za,
+             b.lat AS lat_b, b.lng AS lng_b, b.z AS zb,
+             atan2(sqrt(
+                 (a.y * b.zz - a.zz * b.y) * (a.y * b.zz - a.zz * b.y)
+               + (a.zz * b.x - a.x * b.zz) * (a.zz * b.x - a.x * b.zz)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.zz * b.zz) AS d
+      FROM p a JOIN p b ON a.key < b.key
+    ),
+    filt AS (SELECT * FROM pairs WHERE d <= {math.radians(5.0)!r}),
+    lab AS (
+      SELECT CASE WHEN abs(lat_a - lat_b) > abs(lng_a - lng_b)
+                  THEN 'ns' ELSE 'ew' END AS sector,
+             CAST(floor(degrees(d)) AS BIGINT) AS bin,
+             (za - zb) * (za - zb) AS d2
+      FROM filt
+    )
+    SELECT sector, bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(d2) AS DOUBLE)
+                 / (2.0 * CAST(count(*) AS DOUBLE)), 9) AS gamma
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_rate_limit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window politeness rate limiter audit per crawl host (host =
+    user_id mod 20, limit 3 requests / 10 s window): how many requests a
+    per-host limiter would have throttled, and the peak window load —
+    the crawl-frontier pacing readout. All BIGINT."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    t = ev.select(
+        F.concat(F.lit("site"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 10000000"
+        ).alias("w"),
+    )
+    per = t.groupBy("host", "w").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("c").alias("n_requests"),
+            F.count("*").alias("n_windows"),
+            F.sum(F.greatest(F.col("c") - 3, F.lit(0))).alias("n_throttled"),
+            F.max("c").alias("max_window_load"),
+        )
+        .orderBy("host")
+    )
+
+
+_RATE_LIMIT_ORACLE = """
+    WITH t AS (
+      SELECT 'site' || CAST(user_id % 20 AS VARCHAR) AS host,
+             epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00') // 10000000 AS w
+      FROM events
+    ),
+    per AS (SELECT host, w, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT host,
+           CAST(sum(c) AS BIGINT) AS n_requests,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(greatest(c - 3, 0)) AS BIGINT) AS n_throttled,
+           CAST(max(c) AS BIGINT) AS max_window_load
+    FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -16259,6 +16452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levene_test": _q_levene_test,
         "runs_test": _q_runs_test,
         "durbin_watson": _q_durbin_watson,
+        "quadkey_pyramid": _q_quadkey_pyramid,
+        "directional_variogram": _q_directional_variogram,
+        "rate_limit_windows": _q_rate_limit_windows,
     }
 
 
@@ -19591,4 +19787,7 @@ def oracle_sql() -> dict[str, str]:
         "levene_test": _LEVENE_ORACLE,
         "runs_test": _RUNS_ORACLE,
         "durbin_watson": _DW_ORACLE,
+        "quadkey_pyramid": _quadkey_pyramid_oracle_sql(),
+        "directional_variogram": _DIRVARIO_ORACLE,
+        "rate_limit_windows": _RATE_LIMIT_ORACLE,
     }

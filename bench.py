@@ -289,6 +289,9 @@ BENCH_QUERIES = [
     "levene_test",
     "runs_test",
     "durbin_watson",
+    "quadkey_pyramid",
+    "directional_variogram",
+    "rate_limit_windows",
 ]
 
 
