@@ -16158,6 +16158,295 @@ _RATE_LIMIT_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch ii: categorical assortativity (Newman),
+# peaks-over-threshold GPD tail fit, grid percolation (giant component of
+# the occupied-cell adjacency graph).
+# ---------------------------------------------------------------------------
+
+
+def _q_modularity_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity of the two-map graph with node
+    category = node mod 5: r = (sum e_ii - sum a_i b_i) / (1 - sum a_i
+    b_i) over the directed-edge mixing matrix — all BIGINT counts, the
+    5 marginal products folded in category order."""
+    ev = _load(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    edges = (
+        ev.select((c % 64).alias("src"), ((c * 7 + 3) % 64).alias("dst"))
+        .union(ev.select((c % 64).alias("src"), ((c * 11 + 5) % 64).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            (F.col("src") % 5).alias("ca"), (F.col("dst") % 5).alias("cb")
+        )
+    )
+    mix = edges.groupBy("ca", "cb").agg(F.count("*").alias("m"))
+    tot = mix.agg(F.sum("m").alias("mt"))
+    a = mix.groupBy("ca").agg(F.sum("m").alias("ma"))
+    b = mix.groupBy("cb").agg(F.sum("m").alias("mb"))
+    diag = mix.where(F.col("ca") == F.col("cb")).agg(
+        F.sum("m").alias("mdiag")
+    )
+    ab = (
+        a.join(b, a["ca"] == b["cb"])
+        .select(
+            F.col("ca").alias("cat"),
+            (F.col("ma").cast("double") * F.col("mb").cast("double")).alias(
+                "_p"
+            ),
+        )
+    )
+    folded = ab.agg(
+        F.count("*").alias("k_categories"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("cat", "_p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_p"],
+        ).alias("_sab"),
+    )
+    j = folded.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(diag))
+    m2 = F.col("mt").cast("double") * F.col("mt").cast("double")
+    e_ii = F.col("mdiag").cast("double") / F.col("mt").cast("double")
+    sab = F.col("_sab") / m2
+    r = F.when(sab < 1.0, (e_ii - sab) / (1.0 - sab))
+    return j.select(
+        "k_categories",
+        F.col("mt").alias("n_edges"),
+        F.col("mdiag").alias("n_within"),
+        F.round(r, 9).alias("assortativity_r"),
+    )
+
+
+_MODULARITY_ORACLE = """
+    WITH edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT c_custkey % 64 AS src, (c_custkey * 7 + 3) % 64 AS dst
+        FROM customer
+        UNION ALL
+        SELECT c_custkey % 64, (c_custkey * 11 + 5) % 64 FROM customer
+      ) WHERE src <> dst
+    ),
+    cats AS (SELECT src % 5 AS ca, dst % 5 AS cb FROM edges),
+    mix AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS m FROM cats GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS mt FROM mix),
+    a AS (SELECT ca, CAST(sum(m) AS BIGINT) AS ma FROM mix GROUP BY 1),
+    b AS (SELECT cb, CAST(sum(m) AS BIGINT) AS mb FROM mix GROUP BY 1),
+    diag AS (SELECT CAST(coalesce(sum(m), 0) AS BIGINT) AS mdiag
+             FROM mix WHERE ca = cb),
+    ab AS (
+      SELECT a.ca AS cat, CAST(ma AS DOUBLE) * CAST(mb AS DOUBLE) AS p
+      FROM a JOIN b ON b.cb = a.ca
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_categories,
+             list_reduce(list_transform(list_sort(list({'c': cat, 'p': p})),
+                                        q -> q.p), (x, y) -> x + y) AS sab
+      FROM ab
+    )
+    SELECT k_categories, mt AS n_edges, mdiag AS n_within,
+           round(CASE WHEN (0.0 + sab) / (CAST(mt AS DOUBLE)
+                                          * CAST(mt AS DOUBLE)) < 1.0
+                 THEN (CAST(mdiag AS DOUBLE) / CAST(mt AS DOUBLE)
+                       - (0.0 + sab) / (CAST(mt AS DOUBLE) * CAST(mt AS DOUBLE)))
+                      / (1.0 - (0.0 + sab) / (CAST(mt AS DOUBLE)
+                                              * CAST(mt AS DOUBLE)))
+                 END, 9) AS assortativity_r
+    FROM folded CROSS JOIN tot CROSS JOIN diag
+"""
+
+
+def _q_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD fit (method of moments) per event type:
+    threshold = p90 order statistic of cents (deterministic rank), and
+    from the BIGINT excess moments  xi = (1 - mean^2/var)/2,
+    sigma = mean*(mean^2/var + 1)/2  — the heavy-tail model behind
+    extreme-quantile extrapolation; the EVT companion of
+    gumbel_weekly_maxima."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wf = Window.partitionBy("event_type")
+    t0 = e.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wf).alias("n"),
+    )
+    thr = t0.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n").cast("double")).cast("long"),
+                F.col("c"),
+            )
+        ).alias("u")
+    )
+    ex = (
+        e.join(thr, "event_type")
+        .where(F.col("c") > F.col("u"))
+        .select("event_type", "u", (F.col("c") - F.col("u")).alias("x"))
+    )
+    agg = ex.groupBy("event_type").agg(
+        F.max("u").alias("u"),
+        F.count("*").alias("n_exceed"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+    )
+    n = F.col("n_exceed").cast("double")
+    mean = F.col("_sx").cast("double") / n
+    var = (
+        (F.col("n_exceed") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+            "double"
+        )
+        / (n * (n - 1.0))
+    )
+    ratio = mean * mean / var
+    xi = (1.0 - ratio) / 2.0
+    sigma = mean * (ratio + 1.0) / 2.0
+    return agg.select(
+        "event_type",
+        (F.col("u").cast("double") / 100.0).alias("threshold"),
+        "n_exceed",
+        F.round(xi, 9).alias("gpd_xi"),
+        F.round(sigma / 100.0, 9).alias("gpd_sigma"),
+    ).orderBy("event_type")
+
+
+_GPD_ORACLE = """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id
+      FROM events
+    ),
+    t0 AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    thr AS (
+      SELECT event_type,
+             CAST(max(CASE WHEN rn = CAST(ceil(0.9 * CAST(n AS DOUBLE))
+                                          AS BIGINT)
+                      THEN c END) AS BIGINT) AS u
+      FROM t0 GROUP BY 1
+    ),
+    ex AS (
+      SELECT e.event_type, thr.u, e.c - thr.u AS x
+      FROM e JOIN thr ON thr.event_type = e.event_type
+      WHERE e.c > thr.u
+    ),
+    agg AS (
+      SELECT event_type, CAST(max(u) AS BIGINT) AS u,
+             CAST(count(*) AS BIGINT) AS n_exceed,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ex GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(u AS DOUBLE) / 100.0 AS threshold,
+           n_exceed,
+           round((1.0 - (CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                        / (CAST(n_exceed * sxx - sx * sx AS DOUBLE)
+                           / (CAST(n_exceed AS DOUBLE)
+                              * (CAST(n_exceed AS DOUBLE) - 1.0)))) / 2.0, 9)
+             AS gpd_xi,
+           round((CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                 * ((CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                    / (CAST(n_exceed * sxx - sx * sx AS DOUBLE)
+                       / (CAST(n_exceed AS DOUBLE)
+                          * (CAST(n_exceed AS DOUBLE) - 1.0))) + 1.0)
+                 / 2.0 / 100.0, 9) AS gpd_sigma
+    FROM agg ORDER BY event_type
+"""
+
+
+def _q_grid_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid percolation readout: connected components of the OCCUPIED
+    level-6 cell adjacency graph (wrap-aware 4-edge neighbors), giant
+    component size and fraction — 'does the occupied region percolate?'.
+    Components via the verified hash-to-min CC; the oracle resolves the
+    same adjacency with a recursive closure over the full EdgeNeighbors
+    replay."""
+    from gos2_spark.pipeline.graph import connected_components
+    from gos2_spark.spark.functions import s2_edge_neighbors
+    from gos2_spark.spark.pages import s2_parent_sql
+
+    pts = _cust_points(spark, sf_dir)
+    occ = (
+        pts.select(s2_parent_sql(F.col("cell_id"), 6).alias("cell"))
+        .distinct()
+    )
+    nb = occ.select(
+        F.col("cell").alias("a"),
+        F.explode(s2_edge_neighbors(F.col("cell"))).alias("b"),
+    )
+    edges = nb.join(
+        occ.select(F.col("cell").alias("b")), "b"
+    ).select("a", "b")
+    comps = connected_components(
+        occ.select(F.col("cell").alias("key")),
+        edges.select(F.col("a").alias("key_a"), F.col("b").alias("key_b")),
+    )
+    sizes = comps.groupBy("component").agg(F.count("*").alias("sz"))
+    agg = sizes.agg(
+        F.sum("sz").alias("n_occupied"),
+        F.count("*").alias("n_components"),
+        F.max("sz").alias("giant_size"),
+    )
+    return agg.select(
+        "n_occupied",
+        "n_components",
+        "giant_size",
+        F.round(
+            F.col("giant_size").cast("double")
+            / F.col("n_occupied").cast("double"),
+            9,
+        ).alias("giant_frac"),
+    )
+
+
+def _grid_percolation_oracle_sql() -> str:
+    from gos2_spark.pipeline import duckdb_oracles as _DO
+
+    pairs = _DO.edge_neighbors_l8_oracle_sql(
+        _cellid_cte_duckdb(_CUST_LATLNG_SQL), level=6
+    )
+    lsb = 1 << 48
+    tok = _DO._token(f"((cell_id & -{lsb}) | {lsb})")
+    return f"""
+        WITH RECURSIVE nbrs AS ({pairs}),
+        {_cellid_cte_duckdb(_CUST_LATLNG_SQL)},
+        occ AS (SELECT DISTINCT {tok} AS token FROM cells),
+        e0 AS (
+          SELECT n.token AS a, n.nbr_token AS b
+          FROM nbrs n JOIN occ ON occ.token = n.nbr_token
+        ),
+        e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        reach(a, b) AS (
+          SELECT token, token FROM occ
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        ),
+        comp AS (SELECT a AS token, min(b) AS component FROM reach GROUP BY 1),
+        sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+        SELECT CAST(sum(sz) AS BIGINT) AS n_occupied,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(max(sz) AS BIGINT) AS giant_size,
+               round(CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE), 9)
+                 AS giant_frac
+        FROM sizes
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -16455,6 +16744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_pyramid": _q_quadkey_pyramid,
         "directional_variogram": _q_directional_variogram,
         "rate_limit_windows": _q_rate_limit_windows,
+        "modularity_by_group": _q_modularity_by_group,
+        "gpd_tail_fit": _q_gpd_tail_fit,
+        "grid_percolation": _q_grid_percolation,
     }
 
 
@@ -19790,4 +20082,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_pyramid": _quadkey_pyramid_oracle_sql(),
         "directional_variogram": _DIRVARIO_ORACLE,
         "rate_limit_windows": _RATE_LIMIT_ORACLE,
+        "modularity_by_group": _MODULARITY_ORACLE,
+        "gpd_tail_fit": _GPD_ORACLE,
+        "grid_percolation": _grid_percolation_oracle_sql(),
     }

@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "quadkey_pyramid",
     "directional_variogram",
     "rate_limit_windows",
+    "modularity_by_group",
+    "gpd_tail_fit",
+    "grid_percolation",
 ]
 
 
