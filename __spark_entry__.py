@@ -16447,6 +16447,219 @@ def _grid_percolation_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch jj: NDCG@10 retrieval evaluation, exact
+# streaming windowed distinct, Brier calibration of the quality
+# classifier (1e-9-grid integer terms, the bm25 snap trick).
+# ---------------------------------------------------------------------------
+
+
+def _q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 rankings against deterministic graded
+    relevance rel = doc_id mod 4: DCG with the standard 2^rel-1 /
+    log2(rank+1) discount, IDCG over the ideal reordering OF THE
+    RETRIEVED SET (documented convention). Ten terms per query folded in
+    rank order; relevance and ranks are exact integers."""
+    from pyspark.sql import Window
+
+    ranked = _q_bm25_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id", (F.col("doc_id") % 4).alias("rel")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0) / F.log2(
+        F.col("rank").cast("double") + 1.0
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "doc_id"
+    )
+    ideal = ranked.select(
+        "query_id", "rel", F.row_number().over(wi).alias("irank")
+    )
+    igain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0) / F.log2(
+        F.col("irank").cast("double") + 1.0
+    )
+    dcg = ranked.select("query_id", "rank", gain.alias("g")).groupBy(
+        "query_id"
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "g"))),
+            F.lit(0.0),
+            lambda a, x: a + x["g"],
+        ).alias("_dcg")
+    )
+    idcg = ideal.select("query_id", "irank", igain.alias("g")).groupBy(
+        "query_id"
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("irank", "g"))),
+            F.lit(0.0),
+            lambda a, x: a + x["g"],
+        ).alias("_idcg")
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            F.round("_dcg", 9).alias("dcg"),
+            F.round("_idcg", 9).alias("idcg"),
+            F.round(
+                F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")), 9
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle_sql() -> str:
+    inner = _bm25_oracle_sql(10)
+    return f"""
+        WITH bm AS ({inner}),
+        r AS (SELECT query_id, rank, doc_id, doc_id % 4 AS rel FROM bm),
+        ideal AS (
+          SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id) AS irank
+          FROM r
+        ),
+        dcg AS (
+          SELECT query_id,
+                 list_reduce(list_transform(
+                   list_sort(list({{'r': rank,
+                                    'g': (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                                         / log2(CAST(rank AS DOUBLE) + 1.0)}})),
+                   q -> q.g), (a, b) -> a + b) AS dcg
+          FROM r GROUP BY 1
+        ),
+        idcg AS (
+          SELECT query_id,
+                 list_reduce(list_transform(
+                   list_sort(list({{'r': irank,
+                                    'g': (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                                         / log2(CAST(irank AS DOUBLE) + 1.0)}})),
+                   q -> q.g), (a, b) -> a + b) AS idcg
+          FROM ideal GROUP BY 1
+        )
+        SELECT d.query_id, round(0.0 + d.dcg, 9) AS dcg,
+               round(0.0 + i.idcg, 9) AS idcg,
+               round(CASE WHEN i.idcg > 0
+                     THEN (0.0 + d.dcg) / (0.0 + i.idcg) END, 9) AS ndcg
+        FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+        ORDER BY d.query_id
+    """
+
+
+def _q_streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per tumbling 6h window computed on a REPLAYED
+    STREAM (4 parquet micro-batches, stateful dropDuplicates on (user,
+    window) — spark/streaming.py::streaming_window_distinct). The batch
+    COUNT(DISTINCT) oracle pins every window the stream emits: live ==
+    backfill."""
+    import shutil
+    import tempfile
+
+    from gos2_spark.spark.streaming import (
+        run_to_memory,
+        streaming_window_distinct,
+    )
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(us).alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="gos2_stream_distinct_")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    out = streaming_window_distinct(stream, ts_col="ts", key_col="user_id")
+    q = run_to_memory(out, name="window_distinct")
+    q.processAllAvailable()
+    q.stop()
+    res = (
+        spark.table("window_distinct")
+        .orderBy("window_start")
+        .cache()
+    )
+    res.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+_STREAM_DISTINCT_ORACLE = """
+    SELECT (epoch_us(ts - TIMESTAMP '1970-01-01 00:00:00')
+            // 21600000000) * 21600 AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_brier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the hashed linear quality classifier: Brier
+    score of p = sigmoid(score) against the deterministic label
+    y = (doc_id mod 3 == 0), per language. Each per-doc squared error
+    snaps to a 1e-9 integer grid BEFORE summation (the bm25 trick), so
+    the mean is an exact BIGINT ratio — no float-order exposure."""
+    from gos2_spark.pipeline.classify import hashed_linear_score
+
+    docs = _load(spark, sf_dir, "documents")
+    out = hashed_linear_score(docs, n_features=4096)
+    d = docs.select(F.col("doc_id").alias("key"), "lang")
+    j = out.join(d, "key").select(
+        "key",
+        "lang",
+        (1.0 / (1.0 + F.exp(-F.col("score")))).alias("p"),
+        ((F.col("key") % 3) == 0).cast("int").alias("y"),
+    )
+    err9 = F.round(
+        (F.col("p") - F.col("y").cast("double"))
+        * (F.col("p") - F.col("y").cast("double"))
+        * 1e9
+    ).cast("long")
+    agg = j.select("lang", "y", err9.alias("e9")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("y").alias("n_positive"),
+        F.sum("e9").alias("_se9"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_positive",
+        F.round(
+            F.col("_se9").cast("double") / F.col("n_docs").cast("double") / 1e9,
+            9,
+        ).alias("brier"),
+    ).orderBy("lang")
+
+
+def _brier_oracle_sql() -> str:
+    from gos2_spark.pipeline.duckdb_oracles import classifier_scores_cte_sql
+
+    return f"""
+        WITH {classifier_scores_cte_sql(4096)},
+        j AS (
+          SELECT s.doc_id AS key, s.lang,
+                 1.0 / (1.0 + exp(-s.score)) AS p,
+                 CASE WHEN s.doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+          FROM s
+        ),
+        t AS (
+          SELECT lang, y,
+                 CAST(round((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))
+                            * 1e9) AS BIGINT) AS e9
+          FROM j
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_positive,
+               round(CAST(sum(e9) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 1e9, 9) AS brier
+        FROM t GROUP BY 1 ORDER BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -16747,6 +16960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_by_group": _q_modularity_by_group,
         "gpd_tail_fit": _q_gpd_tail_fit,
         "grid_percolation": _q_grid_percolation,
+        "ndcg_bm25": _q_ndcg_bm25,
+        "streaming_window_distinct": _q_streaming_window_distinct,
+        "brier_quality": _q_brier_quality,
     }
 
 
@@ -20085,4 +20301,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_by_group": _MODULARITY_ORACLE,
         "gpd_tail_fit": _GPD_ORACLE,
         "grid_percolation": _grid_percolation_oracle_sql(),
+        "ndcg_bm25": _ndcg_oracle_sql(),
+        "streaming_window_distinct": _STREAM_DISTINCT_ORACLE,
+        "brier_quality": _brier_oracle_sql(),
     }

@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "modularity_by_group",
     "gpd_tail_fit",
     "grid_percolation",
+    "ndcg_bm25",
+    "streaming_window_distinct",
+    "brier_quality",
 ]
 
 

@@ -770,19 +770,18 @@ def contamination_oracle_sql(n: int = 5, bench_mod: int = 37) -> str:
     """
 
 
-def classifier_oracle_sql(n_features: int = 4096) -> str:
-    """Mirror of pipeline.classify.hashed_linear_score aggregated per lang.
-    Replays xxhash64 token hashing (SQL XXH64 model), pmod bucketing, the
-    closed-form weight, and the engine's exact SEQUENTIAL fold order
-    (list_reduce, matching Spark's F.aggregate) so the keep flag's
-    score > 0 knife-edge cannot drift."""
+def classifier_scores_cte_sql(n_features: int = 4096) -> str:
+    """Composable WITH-body ending in ``s(doc_id, lang, n_tok, score)`` —
+    per-document hashed-linear scores with the engine's exact sequential
+    fold order. Shared by the per-lang rollup oracle and downstream
+    calibration oracles."""
     hashes = xxh64_list_sql("tk")
     w = (
         f"((((((h % {n_features}) + {n_features}) % {n_features})"
         f" * 2654435761) % 1000) / 999.0 - 0.5)"
     )
     return f"""
-        WITH toks AS (
+        toks AS (
           SELECT doc_id, lang, trim(text) AS ttext,
                  regexp_split_to_array(trim(text), '\\s+') AS tk
           FROM documents
@@ -801,6 +800,17 @@ def classifier_oracle_sql(n_features: int = 4096) -> str:
                  ELSE 0.0 END AS score
           FROM h
         )
+    """
+
+
+def classifier_oracle_sql(n_features: int = 4096) -> str:
+    """Mirror of pipeline.classify.hashed_linear_score aggregated per lang.
+    Replays xxhash64 token hashing (SQL XXH64 model), pmod bucketing, the
+    closed-form weight, and the engine's exact SEQUENTIAL fold order
+    (list_reduce, matching Spark's F.aggregate) so the keep flag's
+    score > 0 knife-edge cannot drift."""
+    return f"""
+        WITH {classifier_scores_cte_sql(n_features)}
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -295,3 +295,34 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def streaming_window_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "6 hours",
+) -> DataFrame:
+    """EXACT distinct-key counts per tumbling window on an unbounded
+    stream: stateful dropDuplicates on (key, window) — each key counts
+    once per window no matter how many times or in which micro-batch it
+    arrives — then a windowed count. The streaming twin of the batch
+    COUNT(DISTINCT) rollup, and the pattern to reach for when HLL error
+    is not acceptable.
+
+    State is one row per live (key, window) pair; with a watermark on
+    ``ts_col`` upstream the expired windows age out. Output:
+    (window_start, n_keys).
+    """
+    win = F.window(F.col(ts_col), window)
+    deduped = events.select(
+        F.col(key_col).alias("_k"), win.alias("_w")
+    ).dropDuplicates(["_k", "_w"])
+    return (
+        deduped.groupBy("_w")
+        .agg(F.count("*").alias("n_keys"))
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+            "n_keys",
+        )
+    )
