@@ -16660,6 +16660,246 @@ def _brier_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch kk: spatial-autocorrelation extensions —
+# Moran correlogram by distance band and bivariate Moran's I. Same
+# integer-sufficient-statistic discipline as morans_i_cells: every
+# accumulated quantity is BIGINT, one fixed-order float per output row.
+# ---------------------------------------------------------------------------
+
+
+def _q_moran_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I per 1-degree distance band up to 5 degrees over the
+    deterministic integer field z = 3*floor(lat)+floor(lng) at customer
+    points — the correlogram showing how far spatial autocorrelation
+    reaches (the I companion of semivariogram_bins' gamma). Pair sums
+    per band are BIGINT from the blocked within-radius join; the brute
+    oracle certifies banding + recall."""
+    from gos2_spark.spark.joins import distance_join
+
+    pts = _cust_points(spark, sf_dir).withColumn(
+        "z", (3 * F.floor("lat") + F.floor("lng")).cast("long")
+    )
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    pairs = distance_join(pts, 5.0, point_key="key")
+    zmap_a = pts.select(F.col("key").alias("key_a"), F.col("z").alias("za"))
+    zmap_b = pts.select(F.col("key").alias("key_b"), F.col("z").alias("zb"))
+    banded = (
+        pairs.join(zmap_a, "key_a")
+        .join(zmap_b, "key_b")
+        .select(
+            F.floor(F.degrees(F.col("dist_rad"))).alias("band"),
+            "za",
+            "zb",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("_w2"),
+            F.sum(F.col("za") * F.col("zb")).alias("_p"),
+            F.sum("za").alias("_sa"),
+            F.sum("zb").alias("_sb"),
+        )
+    )
+    j = banded.crossJoin(F.broadcast(g))
+    n = F.col("n").cast("double")
+    mean = F.col("sz").cast("double") / n
+    # symmetric weights: each unordered pair contributes twice
+    w = 2.0 * F.col("_w2").cast("double")
+    num = 2.0 * (
+        F.col("_p").cast("double")
+        - mean * (F.col("_sa") + F.col("_sb")).cast("double")
+        + F.col("_w2").cast("double") * mean * mean
+    )
+    den = F.col("szz").cast("double") - n * mean * mean
+    i = F.when(den > 0, (n / w) * (num / den))
+    return j.select(
+        "band",
+        (2 * F.col("_w2")).alias("w_pairs"),
+        F.round(i, 9).alias("morans_i"),
+    ).orderBy("band")
+
+
+_MORAN_CORR_ORACLE = f"""
+    WITH pts AS ({_CUST_LATLNG_SQL}),
+    p AS (
+      SELECT key, CAST(3 * floor(lat) + floor(lng) AS BIGINT) AS z,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS zz
+      FROM pts
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(z * z) AS BIGINT) AS szz
+      FROM p
+    ),
+    pr AS (
+      SELECT a.z AS za, b.z AS zb,
+             atan2(sqrt(
+                 (a.y * b.zz - a.zz * b.y) * (a.y * b.zz - a.zz * b.y)
+               + (a.zz * b.x - a.x * b.zz) * (a.zz * b.x - a.x * b.zz)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.zz * b.zz) AS d
+      FROM p a JOIN p b ON a.key < b.key
+    ),
+    banded AS (
+      SELECT CAST(floor(degrees(d)) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS w2,
+             CAST(sum(za * zb) AS BIGINT) AS pp,
+             CAST(sum(za) AS BIGINT) AS sa,
+             CAST(sum(zb) AS BIGINT) AS sb
+      FROM pr WHERE d <= {math.radians(5.0)!r}
+      GROUP BY 1
+    )
+    SELECT band, 2 * w2 AS w_pairs,
+           round(CASE WHEN CAST(szz AS DOUBLE)
+                           - CAST(n AS DOUBLE)
+                             * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) / (2.0 * CAST(w2 AS DOUBLE)))
+                      * ((2.0 * (CAST(pp AS DOUBLE)
+                           - (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                             * CAST(sa + sb AS DOUBLE)
+                           + CAST(w2 AS DOUBLE)
+                             * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))))
+                         / (CAST(szz AS DOUBLE)
+                            - CAST(n AS DOUBLE)
+                              * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))))
+                 END, 9) AS morans_i
+    FROM banded CROSS JOIN g ORDER BY band
+"""
+
+
+def _q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Moran's I between two deterministic fields (x = the
+    spatial field z, y = key mod 7) over within-2-degree neighbor pairs:
+    does x here predict y nearby? Cross-product sums BIGINT; one
+    fixed-order float expression."""
+    from gos2_spark.spark.joins import distance_join
+
+    pts = (
+        _cust_points(spark, sf_dir)
+        .withColumn("zx", (3 * F.floor("lat") + F.floor("lng")).cast("long"))
+        .withColumn("zy", (F.col("key") % 7).cast("long"))
+    )
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("zx").alias("sx"),
+        F.sum(F.col("zx") * F.col("zx")).alias("sxx"),
+        F.sum("zy").alias("sy"),
+        F.sum(F.col("zy") * F.col("zy")).alias("syy"),
+    )
+    pairs = distance_join(pts, 2.0, point_key="key")
+    a = pts.select(
+        F.col("key").alias("key_a"), F.col("zx").alias("xa"), F.col("zy").alias("ya")
+    )
+    b = pts.select(
+        F.col("key").alias("key_b"), F.col("zx").alias("xb"), F.col("zy").alias("yb")
+    )
+    # symmetric: x_i * y_j summed over BOTH directions of each pair
+    s = (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .agg(
+            F.count("*").alias("_w2"),
+            F.sum(F.col("xa") * F.col("yb") + F.col("xb") * F.col("ya")).alias(
+                "_pxy"
+            ),
+            F.sum(F.col("xa") + F.col("xb")).alias("_psx"),
+            F.sum(F.col("ya") + F.col("yb")).alias("_psy"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(g))
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    w = 2.0 * F.col("_w2").cast("double")
+    num = (
+        F.col("_pxy").cast("double")
+        - my * F.col("_psx").cast("double")
+        - mx * F.col("_psy").cast("double")
+        + w * mx * my
+    )
+    vx = F.col("sxx").cast("double") - n * mx * mx
+    vy = F.col("syy").cast("double") - n * my * my
+    i = F.when(
+        (F.col("_w2") > 0) & (vx > 0) & (vy > 0),
+        (n / w) * num / F.sqrt(vx * vy),
+    )
+    return j.select(
+        (2 * F.coalesce(F.col("_w2"), F.lit(0))).alias("w_pairs"),
+        F.round(i, 9).alias("bivariate_i"),
+    )
+
+
+_BIV_MORAN_ORACLE = f"""
+    WITH pts AS ({_CUST_LATLNG_SQL}),
+    p AS (
+      SELECT key, CAST(3 * floor(lat) + floor(lng) AS BIGINT) AS zx,
+             CAST(key % 7 AS BIGINT) AS zy,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS zz
+      FROM pts
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(zx) AS BIGINT) AS sx,
+             CAST(sum(zx * zx) AS BIGINT) AS sxx,
+             CAST(sum(zy) AS BIGINT) AS sy,
+             CAST(sum(zy * zy) AS BIGINT) AS syy
+      FROM p
+    ),
+    pr AS (
+      SELECT a.zx AS xa, a.zy AS ya, b.zx AS xb, b.zy AS yb
+      FROM p a JOIN p b ON a.key < b.key
+      WHERE atan2(sqrt(
+                (a.y * b.zz - a.zz * b.y) * (a.y * b.zz - a.zz * b.y)
+              + (a.zz * b.x - a.x * b.zz) * (a.zz * b.x - a.x * b.zz)
+              + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+              a.x * b.x + a.y * b.y + a.zz * b.zz) <= {math.radians(2.0)!r}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS w2,
+             CAST(sum(xa * yb + xb * ya) AS BIGINT) AS pxy,
+             CAST(sum(xa + xb) AS BIGINT) AS psx,
+             CAST(sum(ya + yb) AS BIGINT) AS psy
+      FROM pr
+    )
+    SELECT 2 * w2 AS w_pairs,
+           round(CASE WHEN w2 > 0
+                      AND CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                      AND CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
+                          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) / (2.0 * CAST(w2 AS DOUBLE)))
+                      * (CAST(pxy AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                           * CAST(psx AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * CAST(psy AS DOUBLE)
+                         + 2.0 * CAST(w2 AS DOUBLE)
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                      / sqrt((CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+                              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                             * (CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
+                                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+                 END, 9) AS bivariate_i
+    FROM s CROSS JOIN g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -16963,6 +17203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_bm25": _q_ndcg_bm25,
         "streaming_window_distinct": _q_streaming_window_distinct,
         "brier_quality": _q_brier_quality,
+        "moran_correlogram": _q_moran_correlogram,
+        "bivariate_moran": _q_bivariate_moran,
     }
 
 
@@ -20304,4 +20546,6 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_bm25": _ndcg_oracle_sql(),
         "streaming_window_distinct": _STREAM_DISTINCT_ORACLE,
         "brier_quality": _brier_oracle_sql(),
+        "moran_correlogram": _MORAN_CORR_ORACLE,
+        "bivariate_moran": _BIV_MORAN_ORACLE,
     }

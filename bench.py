@@ -298,6 +298,8 @@ BENCH_QUERIES = [
     "ndcg_bm25",
     "streaming_window_distinct",
     "brier_quality",
+    "moran_correlogram",
+    "bivariate_moran",
 ]
 
 
