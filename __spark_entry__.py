@@ -16900,6 +16900,63 @@ _BIV_MORAN_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch ll: UTM projection (Snyder transverse-
+# Mercator series, textual-twin steps) + per-zone aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _q_utm_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM zone/easting/northing for every customer point via the shared
+    expression chain (spark/geodesy.py::utm_steps — the same
+    one-op-order textual-twin discipline as the Vincenty chains), rolled
+    up per (zone, hemisphere) with micrometer-rounded coordinate sums as
+    the value check."""
+    from gos2_spark.spark.geodesy import utm_project
+
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    utm = utm_project(pts)
+    return (
+        utm.groupBy("zone", "hemisphere")
+        .agg(
+            F.count("*").alias("n_points"),
+            # micrometer-quantized BIGINT sums: exact in any order
+            (
+                F.sum(F.round(F.col("easting") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_easting"),
+            (
+                F.sum(F.round(F.col("northing") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_northing"),
+        )
+        .orderBy("zone", "hemisphere")
+    )
+
+
+def _utm_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte, utm_steps
+
+    base = f"g0 AS (SELECT key, lat, lng FROM ({_CUST_LATLNG_SQL}))"
+    body, last = duckdb_steps_cte(base, utm_steps())
+    return f"""
+        WITH {body}
+        SELECT zone,
+               CASE WHEN lat < 0.0 THEN 'S' ELSE 'N' END AS hemisphere,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CAST(round(easting * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_easting,
+               CAST(sum(CAST(round(northing * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_northing
+        FROM {last}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -17205,6 +17262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_quality": _q_brier_quality,
         "moran_correlogram": _q_moran_correlogram,
         "bivariate_moran": _q_bivariate_moran,
+        "utm_coordinates": _q_utm_coordinates,
     }
 
 
@@ -20548,4 +20606,5 @@ def oracle_sql() -> dict[str, str]:
         "brier_quality": _brier_oracle_sql(),
         "moran_correlogram": _MORAN_CORR_ORACLE,
         "bivariate_moran": _BIV_MORAN_ORACLE,
+        "utm_coordinates": _utm_oracle_sql(),
     }

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "brier_quality",
     "moran_correlogram",
     "bivariate_moran",
+    "utm_coordinates",
 ]
 
 

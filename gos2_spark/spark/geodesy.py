@@ -290,3 +290,73 @@ def rhumb_line(df: DataFrame) -> DataFrame:
     steps = rhumb_steps()
     tmp = [n for n, _ in steps if n not in ("rhumb_m", "rhumb_brg_deg")]
     return apply_steps(df, steps).drop(*tmp)
+
+
+def utm_steps() -> list[tuple[str, str]]:
+    """(name, sql_expr) chain: lat/lng degrees -> UTM zone, easting,
+    northing (Snyder 1987 transverse-Mercator series on WGS84, k0 =
+    0.9996 — the formulation PROJ's +proj=utm approximates to sub-mm).
+    Same textual-twin discipline as the Vincenty chains: one op order,
+    both engines."""
+    f = _F
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    a = repr(_A)
+    # meridian-arc coefficients (exact python doubles -> shared literals)
+    m0 = repr(1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0 - 5.0 * e2**3 / 256.0)
+    m2 = repr(3.0 * e2 / 8.0 + 3.0 * e2 * e2 / 32.0 + 45.0 * e2**3 / 1024.0)
+    m4 = repr(15.0 * e2 * e2 / 256.0 + 45.0 * e2**3 / 1024.0)
+    m6 = repr(35.0 * e2**3 / 3072.0)
+    e2r = repr(e2)
+    ep2r = repr(ep2)
+    return [
+        ("zone", "CAST(floor((lng + 180.0) / 6.0) + 1 AS BIGINT)"),
+        ("lam0", "radians(CAST(zone AS DOUBLE) * 6.0 - 183.0)"),
+        ("phi", "radians(lat)"),
+        ("sphi", "sin(phi)"),
+        ("cphi", "cos(phi)"),
+        ("nn", f"{a} / sqrt(1.0 - {e2r} * sphi * sphi)"),
+        ("tt", "(sphi / cphi) * (sphi / cphi)"),
+        ("cc", f"{ep2r} * cphi * cphi"),
+        ("aa", "(radians(lng) - lam0) * cphi"),
+        (
+            "mm",
+            f"{a} * ({m0} * phi - {m2} * sin(2.0 * phi)"
+            f" + {m4} * sin(4.0 * phi) - {m6} * sin(6.0 * phi))",
+        ),
+        (
+            "easting",
+            "0.9996 * nn * (aa + (1.0 - tt + cc) * aa * aa * aa / 6.0"
+            " + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc"
+            f" - 58.0 * {ep2r}) * aa * aa * aa * aa * aa / 120.0)"
+            " + 500000.0",
+        ),
+        (
+            "northing_raw",
+            "0.9996 * (mm + nn * (sphi / cphi) * (aa * aa / 2.0"
+            " + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc)"
+            " * aa * aa * aa * aa / 24.0"
+            " + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc"
+            f" - 330.0 * {ep2r}) * aa * aa * aa * aa * aa * aa / 720.0))",
+        ),
+        (
+            "northing",
+            "CASE WHEN lat < 0.0 THEN northing_raw + 10000000.0"
+            " ELSE northing_raw END",
+        ),
+    ]
+
+
+def utm_project(df: DataFrame) -> DataFrame:
+    """Append UTM (zone, hemisphere, easting, northing) to a lat/lng
+    degree-column DataFrame. Pure codegen, zero shuffles."""
+    steps = utm_steps()
+    tmp = [
+        n
+        for n, _ in steps
+        if n not in ("zone", "easting", "northing")
+    ]
+    out = apply_steps(df, steps)
+    return out.withColumn(
+        "hemisphere", F.when(F.col("lat") < 0.0, F.lit("S")).otherwise(F.lit("N"))
+    ).drop(*tmp)
