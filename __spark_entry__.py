@@ -16957,6 +16957,78 @@ def _utm_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# round-4 continuation batch mm: MGRS 100km grid squares on top of the UTM
+# chain (military-grid naming: latitude band + AA-scheme square letters).
+# ---------------------------------------------------------------------------
+
+_MGRS_COLS = "ABCDEFGHJKLMNPQRSTUVWXYZ"   # 24 letters, I/O omitted
+_MGRS_ROWS = "ABCDEFGHJKLMNPQRSTUV"       # 20 letters
+_MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"      # 8-degree bands, -80..84
+
+
+def _q_mgrs_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MGRS 100km square ids (zone + latitude band + AA-scheme column/
+    row letters) for the customer points, rolled up per square — the
+    military-grid naming layer over the UTM chain. All letter indices
+    are integer arithmetic on the quantized easting/northing; both
+    engines index the same literal alphabets."""
+    from gos2_spark.spark.geodesy import utm_project
+
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    utm = utm_project(pts).where((F.col("lat") >= -80.0) & (F.col("lat") < 84.0))
+    band_idx = F.floor((F.col("lat") + 80.0) / 8.0).cast("int")
+    e100 = F.floor(F.col("easting") / 100000.0).cast("long")
+    n100 = F.floor(F.col("northing") / 100000.0).cast("long")
+    col_idx = F.pmod(e100 - 1 + 8 * F.pmod(F.col("zone") - 1, F.lit(3)), F.lit(24))
+    row_idx = F.pmod(n100 + 5 * F.pmod(F.col("zone") - 1, F.lit(2)), F.lit(20))
+    m = utm.select(
+        "zone",
+        F.substring(F.lit(_MGRS_BANDS), 1, 20)
+        .substr(band_idx + 1, F.lit(1))
+        .alias("band"),
+        F.substring(F.lit(_MGRS_COLS), 1, 24)
+        .substr(col_idx.cast("int") + 1, F.lit(1))
+        .alias("col_letter"),
+        F.substring(F.lit(_MGRS_ROWS), 1, 20)
+        .substr(row_idx.cast("int") + 1, F.lit(1))
+        .alias("row_letter"),
+    )
+    return (
+        m.groupBy("zone", "band", "col_letter", "row_letter")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("zone", "band", "col_letter", "row_letter")
+    )
+
+
+def _mgrs_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte, utm_steps
+
+    base = f"g0 AS (SELECT key, lat, lng FROM ({_CUST_LATLNG_SQL}))"
+    body, last = duckdb_steps_cte(base, utm_steps())
+    return f"""
+        WITH {body},
+        m AS (
+          SELECT zone,
+                 substr('{_MGRS_BANDS}',
+                        CAST(floor((lat + 80.0) / 8.0) AS INT) + 1, 1) AS band,
+                 substr('{_MGRS_COLS}',
+                        CAST(((CAST(floor(easting / 100000.0) AS BIGINT) - 1
+                               + 8 * (((zone - 1) % 3 + 3) % 3)) % 24 + 24)
+                             % 24 AS INT) + 1, 1) AS col_letter,
+                 substr('{_MGRS_ROWS}',
+                        CAST(((CAST(floor(northing / 100000.0) AS BIGINT)
+                               + 5 * (((zone - 1) % 2 + 2) % 2)) % 20 + 20)
+                             % 20 AS INT) + 1, 1) AS row_letter
+          FROM {last}
+          WHERE lat >= -80.0 AND lat < 84.0
+        )
+        SELECT zone, band, col_letter, row_letter,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM m GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -17263,6 +17335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_correlogram": _q_moran_correlogram,
         "bivariate_moran": _q_bivariate_moran,
         "utm_coordinates": _q_utm_coordinates,
+        "mgrs_squares": _q_mgrs_squares,
     }
 
 
@@ -20607,4 +20680,5 @@ def oracle_sql() -> dict[str, str]:
         "moran_correlogram": _MORAN_CORR_ORACLE,
         "bivariate_moran": _BIV_MORAN_ORACLE,
         "utm_coordinates": _utm_oracle_sql(),
+        "mgrs_squares": _mgrs_oracle_sql(),
     }

@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "moran_correlogram",
     "bivariate_moran",
     "utm_coordinates",
+    "mgrs_squares",
 ]
 
 
