@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "bivariate_moran",
     "utm_coordinates",
     "mgrs_squares",
+    "geohash_pyramid",
 ]
 
 

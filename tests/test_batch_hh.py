@@ -129,3 +129,20 @@ def test_rate_limit_matches_python(spark):
         r = got[h]
         assert (r["n_requests"], r["n_windows"]) == (nr, nw)
         assert (r["n_throttled"], r["max_window_load"]) == (nt, mx)
+
+
+def test_geohash_pyramid_prefix_consistency(spark):
+    rows = entry.queries()["geohash_pyramid"](spark, SF_DIR).collect()
+    by_lvl = defaultdict(dict)
+    for r in rows:
+        by_lvl[r["lvl"]][r["prefix"]] = r["n_points"]
+        assert len(r["prefix"]) == r["lvl"]
+    total = sum(by_lvl[4].values())
+    for lvl in range(1, 5):
+        assert sum(by_lvl[lvl].values()) == total
+    for lvl in range(1, 4):
+        for p, n in by_lvl[lvl].items():
+            kids = sum(
+                v for k, v in by_lvl[lvl + 1].items() if k.startswith(p)
+            )
+            assert kids == n
