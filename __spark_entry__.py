@@ -17072,11 +17072,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries; round 4 rotates the 52 never-driver-checked exact-oracle
     # queries (everything registered after unigram_logprob in round 3) into
     # positions 1-50.  The 2 that do not fit (label_propagation, kcore_peel)
-    # sit at 51-52 and lead the round-5 window together with round-4
-    # additions.  trajectory_simplify is rows-only by design (data-dependent
-    # Douglas-Peucker recursion has no SQL form) and stays OUT of the window
-    # so every slot carries an EXACT oracle.  All entries remain value-
-    # checked locally via tools/oracle_check.py regardless of position.
+    # sit at 51-52 and should LEAD the round-5 window together with the
+    # round-4 batches registered after them (cosine_text_join ...
+    # geohash_pyramid — rotate the next 50 of those into positions 1-50 at
+    # the start of round 5).  trajectory_simplify is rows-only by design
+    # (data-dependent Douglas-Peucker recursion has no SQL form) and stays
+    # OUT of the window so every slot carries an EXACT oracle.  All entries
+    # are value-checked locally via tools/oracle_check.py regardless of
+    # position — the round-4 full-registry sweep is green.
     return {
         # --- positions 1-50: never driver-checked, all exact oracles ---
         "vincenty_rhumb": _q_vincenty_rhumb,
