@@ -17066,6 +17066,255 @@ def _geohash_pyramid_oracle_sql() -> str:
     """
 
 
+def _traj_graph(spark: SparkSession, sf_dir: str):
+    """Shared trajectory-transition graph for the graph-structure
+    metrics batch: nodes are 10x10-degree grid tiles of the standard
+    derived event lat/lng, directed edges are DISTINCT consecutive
+    (prev_tile -> tile) moves per user (time-ordered, ties broken by
+    event_id, self-loops dropped). Unlike a functional-map graph this
+    has organic degree variance and genuinely bidirectional links, so
+    assortativity / clustering / reciprocity are all non-degenerate.
+    Returns (directed, undirected) edge DataFrames."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    node = (
+        (F.floor(lat / 10.0) + 6) * 34 + F.floor(lng / 10.0) + 17
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id", us.alias("us"), "event_id", node.alias("node")
+    ).withColumn("prev", F.lag("node").over(w))
+    directed = (
+        seq.where(F.col("prev").isNotNull() & (F.col("prev") != F.col("node")))
+        .select(F.col("prev").alias("a"), F.col("node").alias("b"))
+        .distinct()
+    )
+    und = (
+        directed.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    return directed, und
+
+
+_TRAJ_DIRECTED_SQL = """
+    SELECT DISTINCT prev AS src, node AS dst FROM (
+      SELECT user_id,
+             lag(node) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS prev,
+             node
+      FROM (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST((floor((-60.0 + (event_id * 11 % 120)
+                            + (event_id % 83) / 83.0) / 10.0) + 6) * 34
+                    + floor((-170.0 + (event_id * 17 % 340)
+                             + (event_id % 79) / 79.0) / 10.0) + 17
+                    AS BIGINT) AS node
+        FROM events
+      )
+    ) WHERE prev IS NOT NULL AND prev <> node
+"""
+
+_TRAJ_UND_SQL = f"""
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ({_TRAJ_DIRECTED_SQL})
+"""
+
+
+def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity r of the symmetrized trajectory
+    transition graph:
+    Pearson correlation of endpoint degrees over directed stubs (each
+    undirected edge contributes both orientations, so the marginals are
+    identical and r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2)). Every sum is an
+    exact BIGINT before the single double division — one degree groupBy
+    plus two broadcast-size joins, no shuffle wider than the edge list."""
+    _, und = _traj_graph(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    stubs = und.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("du"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dv"))
+    s = (
+        stubs.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("du").alias("sx"),
+            F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+            F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        )
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / den.cast("double"),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )
+
+
+_DEGREE_ASSORT_ORACLE = f"""
+    WITH und AS ({_TRAJ_UND_SQL}),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY 1
+    ),
+    stubs AS (
+      SELECT u AS x, v AS y FROM und
+      UNION ALL SELECT v, u FROM und
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(dx.deg) AS sx,
+             sum(dx.deg * dy.deg) AS sxy, sum(dx.deg * dx.deg) AS sxx
+      FROM stubs
+      JOIN deg dx ON dx.node = stubs.x
+      JOIN deg dy ON dy.node = stubs.y
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sx AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+           ELSE 0.0 END AS assortativity
+    FROM s
+"""
+
+
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the symmetrized
+    trajectory transition graph: edges among a node's neighbors over deg*(deg-1)/2 — the
+    node-level companion of the global triangle count. Neighbor pairs
+    come from a self-join of the adjacency list (bounded by max degree,
+    64 nodes) probed against the undirected edge table; triangle counts
+    and degrees stay BIGINT, one rounded double per node."""
+    _, und = _traj_graph(spark, sf_dir)
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a1 = adj.select("node", F.col("nbr").alias("n1"))
+    a2 = adj.select("node", F.col("nbr").alias("n2"))
+    pairs = a1.join(a2, "node").where(F.col("n1") < F.col("n2"))
+    tri = (
+        pairs.join(
+            und,
+            (pairs["n1"] == und["u"]) & (pairs["n2"] == und["v"]),
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    return out.orderBy("node")
+
+
+_LOCAL_CLUSTERING_ORACLE = f"""
+    WITH und AS ({_TRAJ_UND_SQL}),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM und
+      UNION ALL SELECT v, u FROM und
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+    pairs AS (
+      SELECT a1.node, a1.nbr AS n1, a2.nbr AS n2
+      FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nbr < a2.nbr
+    ),
+    tri AS (
+      SELECT p.node, count(*) AS n_tri
+      FROM pairs p JOIN und ON und.u = p.n1 AND und.v = p.n2
+      GROUP BY 1
+    )
+    SELECT deg.node, deg.deg,
+           CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN deg.deg >= 2 THEN
+             round(2.0 * CAST(coalesce(tri.n_tri, 0) AS DOUBLE)
+                   / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 9)
+           ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    ORDER BY deg.node
+"""
+
+
+def _q_reciprocity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reciprocity of the DIRECTED trajectory transition
+    graph: of each
+    node's distinct out-links, how many have the reverse link present —
+    the mutual-citation diagnostic for host link graphs. One self-join
+    of the distinct edge table on the swapped key; counts exact."""
+    directed, _ = _traj_graph(spark, sf_dir)
+    rev = directed.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("_has")
+    )
+    marked = directed.join(rev, ["a", "b"], "left")
+    out = marked.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("out_deg"),
+        F.sum(F.coalesce(F.col("_has"), F.lit(0))).cast("long").alias(
+            "n_reciprocal"
+        ),
+    )
+    return out.select(
+        "node",
+        "out_deg",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double")
+            / F.col("out_deg").cast("double"),
+            9,
+        ).alias("reciprocity"),
+    ).orderBy("node")
+
+
+_RECIPROCITY_ORACLE = f"""
+    WITH e AS ({_TRAJ_DIRECTED_SQL})
+    SELECT e.src AS node, count(*) AS out_deg,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocal,
+           round(CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+             AS reciprocity
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -17377,6 +17626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_coordinates": _q_utm_coordinates,
         "mgrs_squares": _q_mgrs_squares,
         "geohash_pyramid": _q_geohash_pyramid,
+        "degree_assortativity": _q_degree_assortativity,
+        "local_clustering": _q_local_clustering,
+        "reciprocity_links": _q_reciprocity_links,
     }
 
 
@@ -20723,4 +20975,7 @@ def oracle_sql() -> dict[str, str]:
         "utm_coordinates": _utm_oracle_sql(),
         "mgrs_squares": _mgrs_oracle_sql(),
         "geohash_pyramid": _geohash_pyramid_oracle_sql(),
+        "degree_assortativity": _DEGREE_ASSORT_ORACLE,
+        "local_clustering": _LOCAL_CLUSTERING_ORACLE,
+        "reciprocity_links": _RECIPROCITY_ORACLE,
     }
