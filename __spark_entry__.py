@@ -17315,6 +17315,299 @@ _RECIPROCITY_ORACLE = f"""
 """
 
 
+def _q_nn_ffunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-space F-function + J-function (spark/spatialstats.py
+    empty_space_fj) at radii 1 / 2.5 / 5 degrees: F from a deterministic
+    12x34 ten-degree test grid into the 1-in-20 event subsample, G from
+    the subsample against itself, J = (1-G)/(1-F) (NULL where F = 1).
+    Completes the G/F/J distance-based point-pattern triple alongside
+    nn_gfunction. Both NN passes are the distributed cap-doubling kNN;
+    the oracle brute-forces every true NN with the identical atan2
+    distance, so counts must match exactly."""
+    from gos2_spark.spark.functions import add_cellid_sql
+    from gos2_spark.spark.spatialstats import empty_space_fj
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    pts = add_cellid_sql(
+        ev.select(
+            "event_id",
+            (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+            (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+        ).where(e % 20 == 0),
+        "lat", "lng", "cell_id",
+    )
+    grid = add_cellid_sql(
+        spark.range(12 * 34).select(
+            F.col("id").alias("tid"),
+            (-55.0 + (F.col("id") / 34).cast("long") * 10).cast(
+                "double"
+            ).alias("lat"),
+            (-165.0 + (F.col("id") % 34) * 10).cast("double").alias("lng"),
+        ),
+        "lat", "lng", "cell_id",
+    )
+    return empty_space_fj(
+        pts, grid, radii_deg=[1.0, 2.5, 5.0], point_key="event_id",
+        test_key="tid",
+    ).orderBy("r_deg")
+
+
+def _nn_ffunction_oracle_sql() -> str:
+    import math as _m
+
+    rows = []
+    for r in (1.0, 2.5, 5.0):
+        rr = _m.radians(r)
+        rows.append(f"""
+          SELECT {float(r)!r} AS r_deg, n_test, n_points,
+                 round(CAST((SELECT count(*) FROM fnn
+                             WHERE nn_rad <= {rr!r}) AS DOUBLE)
+                       / CAST(n_test AS DOUBLE), 9) AS f_hat,
+                 round(CAST((SELECT count(*) FROM gnn
+                             WHERE nn_rad <= {rr!r}) AS DOUBLE)
+                       / CAST(n_points AS DOUBLE), 9) AS g_hat
+          FROM nt, np""")
+    sel = " UNION ALL ".join(rows)
+    return f"""
+        WITH pts0 AS ({_EVENTS_LATLNG_SQL}),
+        sub AS (
+          SELECT event_id, lat, lng FROM pts0 WHERE event_id % 20 = 0
+        ),
+        v AS (
+          SELECT event_id,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM sub
+        ),
+        grid AS (
+          SELECT i * 34 + j AS tid,
+                 -55.0 + i * 10 AS lat, -165.0 + j * 10 AS lng
+          FROM (SELECT unnest(generate_series(0, 11)) AS i),
+               (SELECT unnest(generate_series(0, 33)) AS j)
+        ),
+        gv AS (
+          SELECT tid,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM grid
+        ),
+        fnn AS (
+          SELECT g.tid,
+                 min(atan2(sqrt(
+                     (g.y * b.z - g.z * b.y) * (g.y * b.z - g.z * b.y)
+                   + (g.z * b.x - g.x * b.z) * (g.z * b.x - g.x * b.z)
+                   + (g.x * b.y - g.y * b.x) * (g.x * b.y - g.y * b.x)),
+                   g.x * b.x + g.y * b.y + g.z * b.z)) AS nn_rad
+          FROM gv g CROSS JOIN v b GROUP BY 1
+        ),
+        gnn AS (
+          SELECT a.event_id,
+                 min(atan2(sqrt(
+                     (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+                   + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+                   + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+                   a.x * b.x + a.y * b.y + a.z * b.z)) AS nn_rad
+          FROM v a JOIN v b ON a.event_id != b.event_id GROUP BY 1
+        ),
+        nt AS (SELECT count(*) AS n_test FROM fnn),
+        np AS (SELECT count(*) AS n_points FROM gnn)
+        SELECT r_deg, CAST(n_test AS BIGINT) AS n_test,
+               CAST(n_points AS BIGINT) AS n_points, f_hat, g_hat,
+               CASE WHEN f_hat < 1.0
+                    THEN round((1.0 - g_hat) / (1.0 - f_hat), 9)
+               END AS j_hat
+        FROM ({sel}) ORDER BY r_deg
+    """
+
+
+def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G over ten-degree event tiles with queen
+    contiguity (8-neighbor, no wrap): observed G = sum of x_i*x_j over
+    adjacent ordered pairs / over all distinct ordered pairs, vs the
+    CSR expectation W / (n(n-1)). The GLOBAL companion of the local
+    gistar_hotspots — G_ratio > 1 means high values cluster next to
+    high values. Numerator via an 8-offset explode + equi-join (no
+    theta join); every sufficient statistic is an exact BIGINT and the
+    two fractions are single pinned divisions."""
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    tiles = (
+        ev.select(
+            (F.floor(lat / 10.0) + 6).cast("long").alias("r"),
+            (F.floor(lng / 10.0) + 17).cast("long").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("x"))
+    )
+    offs = spark.createDataFrame(
+        [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+         if (dr, dc) != (0, 0)],
+        "dr long, dc long",
+    )
+    nbr = (
+        tiles.crossJoin(F.broadcast(offs))  # 8-row offset table
+        .select(
+            (F.col("r") + F.col("dr")).alias("r2"),
+            (F.col("c") + F.col("dc")).alias("c2"),
+            F.col("x").alias("xi"),
+        )
+        .join(
+            tiles.select(
+                F.col("r").alias("r2"), F.col("c").alias("c2"),
+                F.col("x").alias("xj"),
+            ),
+            ["r2", "c2"],
+        )
+        .agg(
+            F.count("*").alias("w_pairs"),
+            F.sum(F.col("xi") * F.col("xj")).alias("num"),
+        )
+    )
+    tot = tiles.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("sx") * F.col("sx") - F.col("sxx")
+    g_obs = F.col("num").cast("double") / den.cast("double")
+    g_exp = F.col("w_pairs").cast("double") / (
+        F.col("n_cells") * (F.col("n_cells") - 1)
+    ).cast("double")
+    return (
+        nbr.crossJoin(F.broadcast(tot))  # two 1-row aggregates
+        .select(
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("w_pairs").cast("long").alias("w_pairs"),
+            F.col("num").cast("long").alias("num"),
+            den.cast("long").alias("den"),
+            F.round(g_obs, 9).alias("g_obs"),
+            F.round(g_exp, 9).alias("g_exp"),
+            F.round(g_obs / g_exp, 9).alias("g_ratio"),
+        )
+    )
+
+
+_GENERAL_G_ORACLE = f"""
+    WITH pts AS ({_EVENTS_LATLNG_SQL}),
+    tiles AS (
+      SELECT CAST(floor(lat / 10.0) + 6 AS BIGINT) AS r,
+             CAST(floor(lng / 10.0) + 17 AS BIGINT) AS c,
+             count(*) AS x
+      FROM pts GROUP BY 1, 2
+    ),
+    offs AS (
+      SELECT dr, dc
+      FROM (SELECT unnest([-1, 0, 1]) AS dr),
+           (SELECT unnest([-1, 0, 1]) AS dc)
+      WHERE NOT (dr = 0 AND dc = 0)
+    ),
+    nbr AS (
+      SELECT count(*) AS w_pairs, sum(a.x * b.x) AS num
+      FROM tiles a CROSS JOIN offs
+      JOIN tiles b ON b.r = a.r + offs.dr AND b.c = a.c + offs.dc
+    ),
+    tot AS (
+      SELECT count(*) AS n_cells, sum(x) AS sx, sum(x * x) AS sxx
+      FROM tiles
+    )
+    SELECT CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(w_pairs AS BIGINT) AS w_pairs,
+           CAST(num AS BIGINT) AS num,
+           CAST(sx * sx - sxx AS BIGINT) AS den,
+           round(CAST(num AS DOUBLE) / CAST(sx * sx - sxx AS DOUBLE), 9)
+             AS g_obs,
+           round(CAST(w_pairs AS DOUBLE)
+                 / CAST(n_cells * (n_cells - 1) AS DOUBLE), 9) AS g_exp,
+           round((CAST(num AS DOUBLE) / CAST(sx * sx - sxx AS DOUBLE))
+                 / (CAST(w_pairs AS DOUBLE)
+                    / CAST(n_cells * (n_cells - 1) AS DOUBLE)), 9)
+             AS g_ratio
+    FROM nbr, tot
+"""
+
+
+def _q_central_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central feature (exact 1-medoid) of the 1-in-40 event subsample:
+    the observed point minimizing the SUM of angular distances to all
+    others — the ArcGIS spatial-statistics companion of std_dev_ellipse
+    (which gives the mean center; the central feature must be a real
+    observation). Exact medoid is intrinsically quadratic: the pair set
+    is cohort-bounded by the fixed subsample (2.5k points at sf0.1 =
+    6.25M JVM-codegen pairs, one broadcast side), same justification as
+    user_tile_similarity. Deterministic (sum_dist, event_id) tie-break."""
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    sub = ev.select(
+        "event_id",
+        (-60.0 + (e * 11 % 120) + (e % 83) / 83.0).alias("lat"),
+        (-170.0 + (e * 17 % 340) + (e % 79) / 79.0).alias("lng"),
+    ).where(e % 40 == 0)
+    v = sub.select(
+        "event_id", "lat", "lng",
+        (F.cos(F.radians("lng")) * F.cos(F.radians("lat"))).alias("x"),
+        (F.sin(F.radians("lng")) * F.cos(F.radians("lat"))).alias("y"),
+        F.sin(F.radians("lat")).alias("z"),
+    )
+    b = v.select(
+        F.col("event_id").alias("bid"), F.col("x").alias("bx"),
+        F.col("y").alias("by"), F.col("z").alias("bz"),
+    )
+    cx = F.col("y") * F.col("bz") - F.col("z") * F.col("by")
+    cy = F.col("z") * F.col("bx") - F.col("x") * F.col("bz")
+    cz = F.col("x") * F.col("by") - F.col("y") * F.col("bx")
+    dot = F.col("x") * F.col("bx") + F.col("y") * F.col("by") + F.col(
+        "z"
+    ) * F.col("bz")
+    d = F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot)
+    sums = (
+        v.crossJoin(F.broadcast(b))  # bounded 1-in-40 subsample medoid
+        .where(F.col("event_id") != F.col("bid"))
+        .groupBy("event_id", "lat", "lng")
+        .agg(F.sum(d).alias("sum_dist"))
+    )
+    return sums.orderBy(
+        F.col("sum_dist").asc(), F.col("event_id").asc()
+    ).limit(1).select(
+        "event_id",
+        F.round("lat", 9).alias("lat"),
+        F.round("lng", 9).alias("lng"),
+        F.round("sum_dist", 9).alias("sum_dist_rad"),
+    )
+
+
+_CENTRAL_FEATURE_ORACLE = f"""
+    WITH pts AS ({_EVENTS_LATLNG_SQL}),
+    sub AS (
+      SELECT event_id, lat, lng FROM pts WHERE event_id % 40 = 0
+    ),
+    v AS (
+      SELECT event_id, lat, lng,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM sub
+    ),
+    sums AS (
+      SELECT a.event_id, a.lat, a.lng,
+             sum(atan2(sqrt(
+                 (a.y * b.z - a.z * b.y) * (a.y * b.z - a.z * b.y)
+               + (a.z * b.x - a.x * b.z) * (a.z * b.x - a.x * b.z)
+               + (a.x * b.y - a.y * b.x) * (a.x * b.y - a.y * b.x)),
+               a.x * b.x + a.y * b.y + a.z * b.z)) AS sum_dist
+      FROM v a JOIN v b ON a.event_id != b.event_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_id, round(lat, 9) AS lat, round(lng, 9) AS lng,
+           round(sum_dist, 9) AS sum_dist_rad
+    FROM sums ORDER BY sum_dist, event_id LIMIT 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -17629,6 +17922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "local_clustering": _q_local_clustering,
         "reciprocity_links": _q_reciprocity_links,
+        "nn_ffunction": _q_nn_ffunction,
+        "general_g": _q_general_g,
+        "central_feature": _q_central_feature,
     }
 
 
@@ -20978,4 +21274,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _DEGREE_ASSORT_ORACLE,
         "local_clustering": _LOCAL_CLUSTERING_ORACLE,
         "reciprocity_links": _RECIPROCITY_ORACLE,
+        "nn_ffunction": _nn_ffunction_oracle_sql(),
+        "general_g": _GENERAL_G_ORACLE,
+        "central_feature": _CENTRAL_FEATURE_ORACLE,
     }

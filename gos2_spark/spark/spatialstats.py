@@ -1154,3 +1154,84 @@ def group_diameter(
         F.col("_m._b").alias("key_b"),
         F.round(F.col("_m._d"), 9).alias("diameter_rad"),
     )
+
+
+def empty_space_fj(
+    points: DataFrame,
+    test_points: DataFrame,
+    radii_deg: Sequence[float],
+    point_key: str = "key",
+    test_key: str = "tid",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Empty-space function F(r) and J-function J(r) = (1-G)/(1-F) —
+    the companions of ``nn_gfunction`` that complete the classical
+    distance-based point-pattern triple (G, F, J). F is the CDF of the
+    distance from REFERENCE locations (a deterministic test grid) to the
+    nearest event; J > 1 indicates regularity, J < 1 clustering, J = 1
+    CSR — without needing the intensity estimate either CDF alone needs.
+
+    Both nearest-neighbor passes run through the distributed cap-doubling
+    kNN (``joins.knn_join_df``): k=1 from each test point into the event
+    set for F, k=2 of the event set against itself for G (self-match
+    dropped). Counts are exact BIGINTs; each published fraction is one
+    pinned division, and J is NULL where F = 1 (denominator vanishes).
+
+    Output: (r_deg, n_test, n_points, f_hat, g_hat, j_hat) ordered by r.
+    """
+    from .joins import knn_join_df
+
+    fnn = knn_join_df(
+        points, test_points, k=1, point_key=point_key, query_key=test_key,
+        cell_col=cell_col,
+    )
+    fd = fnn.groupBy(test_key).agg(F.min("dist_rad").alias("nn_rad"))
+    qs = points.select(
+        F.col(point_key).alias("__q"), "lat", "lng", F.col(cell_col)
+    )
+    gnn = knn_join_df(
+        points, qs, k=2, point_key=point_key, query_key="__q",
+        cell_col=cell_col,
+    )
+    gd = (
+        gnn.where(F.col("__q") != F.col(point_key))
+        .groupBy("__q")
+        .agg(F.min("dist_rad").alias("nn_rad"))
+    )
+
+    def _cdf_counts(d: DataFrame, n_name: str, prefix: str) -> DataFrame:
+        aggs = [F.count("*").alias(n_name)] + [
+            F.sum(
+                (F.col("nn_rad") <= F.lit(math.radians(r))).cast("long")
+            ).alias(f"{prefix}{i}")
+            for i, r in enumerate(radii_deg)
+        ]
+        return d.agg(*aggs)
+
+    fc = _cdf_counts(fd, "n_test", "_f")
+    gc = _cdf_counts(gd, "n_points", "_g")
+    both = fc.crossJoin(F.broadcast(gc))  # two 1-row aggregates
+    rows = None
+    for i, r in enumerate(radii_deg):
+        f_hat = F.round(
+            F.coalesce(F.col(f"_f{i}"), F.lit(0)).cast("double")
+            / F.col("n_test").cast("double"),
+            9,
+        )
+        g_hat = F.round(
+            F.coalesce(F.col(f"_g{i}"), F.lit(0)).cast("double")
+            / F.col("n_points").cast("double"),
+            9,
+        )
+        one = both.select(
+            F.lit(float(r)).alias("r_deg"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_points").cast("long").alias("n_points"),
+            f_hat.alias("f_hat"),
+            g_hat.alias("g_hat"),
+            F.when(
+                f_hat < 1.0, F.round((1.0 - g_hat) / (1.0 - f_hat), 9)
+            ).alias("j_hat"),
+        )
+        rows = one if rows is None else rows.union(one)
+    return rows
