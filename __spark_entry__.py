@@ -17608,6 +17608,267 @@ _CENTRAL_FEATURE_ORACLE = f"""
 """
 
 
+def _q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (spark/nonparam.py welch_t) per
+    event type between a deterministic multiplicative-hash split of
+    users — the parametric companion of mw_value_shift on the same
+    design. Values ride as exact integer cents so the per-side
+    (n, sum, sum-of-squares) statistics are BIGINTs; t and df are
+    fixed-order scalar expressions, bit-identical cross-engine."""
+    from gos2_spark.spark.nonparam import welch_t
+
+    ev = _load(spark, sf_dir, "events")
+    samples = ev.select(
+        "event_type",
+        (F.col("user_id") * 2654435761 % 97 % 2).alias("side"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    return welch_t(
+        samples, "event_type", "side", "v_cents", scale=100.0
+    ).orderBy("event_type")
+
+
+_WELCH_ORACLE = """
+    WITH s AS (
+      SELECT event_type,
+             (user_id * 2654435761) % 97 % 2 AS side,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, side, count(*) AS n, sum(v) AS s,
+             sum(v * v) AS ss
+      FROM s GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type,
+             a.n AS n0, a.s AS s0, a.ss AS ss0,
+             b.n AS n1, b.s AS s1, b.ss AS ss1
+      FROM per a JOIN per b ON a.event_type = b.event_type
+      WHERE a.side = 0 AND b.side = 1 AND a.n >= 2 AND b.n >= 2
+    ),
+    e AS (
+      SELECT event_type, n0, n1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+               / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+               / CAST(n0 AS DOUBLE) AS se0,
+             ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+               / CAST(n1 AS DOUBLE) AS se1
+      FROM j
+    )
+    SELECT event_type, n0, n1,
+           round(m0 / 100.0, 9) AS mean0,
+           round(m1 / 100.0, 9) AS mean1,
+           round((m1 - m0) / sqrt(se0 + se1), 9) AS t_welch,
+           round((se0 + se1) * (se0 + se1)
+                 / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
+                    + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)), 9)
+             AS df_welch
+    FROM e ORDER BY event_type
+"""
+
+
+# ln(m!) via an identical Stirling-series expression in BOTH engines:
+# exact CASE ladder below 8, 3-term Stirling correction above (relative
+# error < 1e-12 at m >= 8; determinism matters, not the last bits of
+# lgamma — both engines evaluate the SAME fixed-order expression).
+_LNFACT_CASE = (
+    "CASE {m} WHEN 0 THEN 0.0 WHEN 1 THEN 0.0"
+    " WHEN 2 THEN 0.6931471805599453 WHEN 3 THEN 1.791759469228055"
+    " WHEN 4 THEN 3.1780538303479458 WHEN 5 THEN 4.787491742782046"
+    " WHEN 6 THEN 6.579251212010101 WHEN 7 THEN 8.525161361065415"
+    " ELSE (CAST({m} AS DOUBLE) + 0.5) * ln(CAST({m} AS DOUBLE))"
+    " - CAST({m} AS DOUBLE) + 0.9189385332046727"
+    " + 1.0 / (12.0 * CAST({m} AS DOUBLE))"
+    " - 1.0 / (360.0 * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)"
+    " * CAST({m} AS DOUBLE)) END"
+)
+
+
+def _lnfact(col: str) -> str:
+    return _LNFACT_CASE.format(m=col)
+
+
+def _q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (two-sided) per event type on the 2x2 table
+    arm x rare-success (value > 200, ~p99 tail): p = sum of
+    hypergeometric pmfs no larger than the observed table's, over the
+    full support k in [max(0, r1+c1-n), min(r1, c1)]. The pmf uses the
+    shared Stirling ln-factorial (identical fixed-order expression in
+    Spark and DuckDB, so the sum and the <= comparison are
+    deterministic cross-engine; the 1e-7 relative slack absorbs the
+    conventional pmf-equality tolerance). The support explodes from a
+    per-type sequence — bounded by the success count, never by n."""
+    ev = _load(spark, sf_dir, "events")
+    tab = ev.select(
+        "event_type",
+        (F.col("user_id") * 48271 % 2147483647 % 2).alias("arm"),
+        (F.col("value") > 200.0).cast("long").alias("succ"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("arm").alias("r1"),
+        F.sum("succ").alias("c1"),
+        F.sum(F.col("arm") * F.col("succ")).alias("x"),
+    )
+    tab.createOrReplaceTempView("_fx_tab")
+    lnc = lambda n, k: (  # noqa: E731 — ln C(n,k) from the shared ladder
+        f"({_lnfact(n)} - {_lnfact(k)} - {_lnfact(f'({n} - {k})')})"
+    )
+    pmf = (
+        f"exp({lnc('r1', 'k')} + {lnc('(n - r1)', '(c1 - k)')}"
+        f" - {lnc('n', 'c1')})"
+    )
+    pmf_obs = (
+        f"exp({lnc('r1', 'x')} + {lnc('(n - r1)', '(c1 - x)')}"
+        f" - {lnc('n', 'c1')})"
+    )
+    return spark.sql(f"""
+        WITH ks AS (
+          SELECT event_type, n, r1, c1, x,
+                 explode(sequence(greatest(0L, r1 + c1 - n),
+                                  least(r1, c1))) AS k
+          FROM _fx_tab
+        ),
+        p AS (
+          SELECT event_type, n, r1, c1, x, k, {pmf} AS pk,
+                 {pmf_obs} AS pobs
+          FROM ks
+        )
+        SELECT event_type, n, r1, c1, x,
+               round(max(pobs), 9) AS pmf_obs,
+               round(sum(CASE WHEN pk <= pobs * (1.0 + 1e-7)
+                              THEN pk ELSE 0.0 END), 9) AS p_two_sided
+        FROM p
+        GROUP BY event_type, n, r1, c1, x
+        ORDER BY event_type
+    """)
+
+
+def _fisher_oracle_sql() -> str:
+    lnc = lambda n, k: (  # noqa: E731
+        f"({_lnfact(n)} - {_lnfact(k)} - {_lnfact(f'({n} - {k})')})"
+    )
+    pmf = (
+        f"exp({lnc('r1', 'k')} + {lnc('(n - r1)', '(c1 - k)')}"
+        f" - {lnc('n', 'c1')})"
+    )
+    pmf_obs = (
+        f"exp({lnc('r1', 'x')} + {lnc('(n - r1)', '(c1 - x)')}"
+        f" - {lnc('n', 'c1')})"
+    )
+    return f"""
+        WITH tab AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((user_id * 48271) % 2147483647 % 2)
+                      AS BIGINT) AS r1,
+                 CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                 CAST(sum(((user_id * 48271) % 2147483647 % 2)
+                     * CASE WHEN value > 200.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ),
+        ks AS (
+          SELECT event_type, n, r1, c1, x, unnest(generate_series(
+                   greatest(0, r1 + c1 - n), least(r1, c1))) AS k
+          FROM tab
+        ),
+        p AS (
+          SELECT event_type, n, r1, c1, x, k, {pmf} AS pk,
+                 {pmf_obs} AS pobs
+          FROM ks
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(r1 AS BIGINT) AS r1, CAST(c1 AS BIGINT) AS c1,
+               CAST(x AS BIGINT) AS x,
+               round(max(pobs), 9) AS pmf_obs,
+               round(sum(CASE WHEN pk <= pobs * (1.0 + 1e-7)
+                              THEN pk ELSE 0.0 END), 9) AS p_two_sided
+        FROM p
+        GROUP BY event_type, n, r1, c1, x
+        ORDER BY event_type
+    """
+
+
+def _q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic hash 'raters' bucketing
+    documents into 3 classes (rater B agrees with A on 3/4 of docs by
+    construction): kappa = (po - pe) / (1 - pe). Both the agreement
+    count and the chance-expectation numerator sum(na_c * nb_c) are
+    exact BIGINTs, so kappa is a single pinned division — the
+    inter-annotator reliability gate of a labeling pipeline."""
+    d = _load(spark, sf_dir, "documents")
+    ra = (F.col("doc_id") * 48271 + 7) % 3
+    rb = F.when(
+        (F.col("doc_id") * 69069 + 1) % 4 == 0, (ra + 1) % 3
+    ).otherwise(ra)
+    r = d.select(ra.alias("ra"), rb.alias("rb"))
+    cm = r.groupBy("ra", "rb").agg(F.count("*").alias("c"))
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .alias("agree"),
+    )
+    na = cm.groupBy("ra").agg(F.sum("c").alias("na"))
+    nb = cm.groupBy("rb").agg(F.sum("c").alias("nb"))
+    pe_num = (
+        na.join(nb, na["ra"] == nb["rb"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe_num))  # two 1-row aggregates
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.round(
+                F.col("agree").cast("double") / F.col("n").cast("double"), 9
+            ).alias("po"),
+            F.round(
+                F.col("s").cast("double")
+                / (F.col("n") * F.col("n")).cast("double"),
+                9,
+            ).alias("pe"),
+            F.round(
+                (F.col("agree") * F.col("n") - F.col("s")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+                9,
+            ).alias("kappa"),
+        )
+    )
+
+
+_KAPPA_ORACLE = """
+    WITH r AS (
+      SELECT (doc_id * 48271 + 7) % 3 AS ra,
+             CASE WHEN (doc_id * 69069 + 1) % 4 = 0
+                  THEN ((doc_id * 48271 + 7) % 3 + 1) % 3
+                  ELSE (doc_id * 48271 + 7) % 3 END AS rb
+      FROM documents
+    ),
+    cm AS (SELECT ra, rb, count(*) AS c FROM r GROUP BY 1, 2),
+    tot AS (
+      SELECT sum(c) AS n,
+             sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS agree
+      FROM cm
+    ),
+    pe AS (
+      SELECT sum(na.s * nb.s) AS s FROM
+        (SELECT ra, sum(c) AS s FROM cm GROUP BY 1) na
+        JOIN (SELECT rb, sum(c) AS s FROM cm GROUP BY 1) nb
+          ON na.ra = nb.rb
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po,
+           round(CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE), 9) AS pe,
+           round(CAST(agree * n - s AS DOUBLE)
+                 / CAST(n * n - s AS DOUBLE), 9) AS kappa
+    FROM tot, pe
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -17925,6 +18186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_ffunction": _q_nn_ffunction,
         "general_g": _q_general_g,
         "central_feature": _q_central_feature,
+        "welch_ttest": _q_welch_ttest,
+        "fisher_exact": _q_fisher_exact,
+        "cohens_kappa": _q_cohens_kappa,
     }
 
 
@@ -21277,4 +21541,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_ffunction": _nn_ffunction_oracle_sql(),
         "general_g": _GENERAL_G_ORACLE,
         "central_feature": _CENTRAL_FEATURE_ORACLE,
+        "welch_ttest": _WELCH_ORACLE,
+        "fisher_exact": _fisher_oracle_sql(),
+        "cohens_kappa": _KAPPA_ORACLE,
     }

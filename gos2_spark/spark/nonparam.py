@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mann_whitney_u", "kruskal_wallis", "cramer_von_mises"]
+__all__ = ["mann_whitney_u", "kruskal_wallis", "cramer_von_mises", "welch_t"]
 
 
 def _byval_cum(samples: DataFrame, key_col: str, side_col: str, value_col: str):
@@ -246,4 +246,68 @@ def cramer_von_mises(
         "n0",
         "n1",
         F.round(t_stat, 9).alias("cvm_t"),
+    )
+
+
+def welch_t(
+    samples: DataFrame,
+    key_col: str,
+    side_col: str,
+    value_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Welch's unequal-variance t-test per key between side 0 and side 1:
+    t = (m1 - m0) / sqrt(s0^2/n0 + s1^2/n1) with the Welch-Satterthwaite
+    degrees of freedom. The parametric companion of ``mann_whitney_u``
+    over the same hash-split design.
+
+    Exactness (repo-wide pattern): ``value_col`` must be an INTEGER
+    column (pre-scale fixed-point values by ``scale`` in the caller, e.g.
+    cents with scale=100) so the per-side (n, sum, sum-of-squares)
+    sufficient statistics are exact BIGINTs from ONE map-side combinable
+    aggregation — t and df are then fixed-order scalar expressions on the
+    single result row per key, bit-identical cross-engine; t and df are
+    scale-invariant, means are unscaled for display.
+
+    Output: (key, n0, n1, mean0, mean1, t_welch, df_welch) — keys where
+    either side has fewer than 2 observations are dropped (variance
+    undefined)."""
+    v = F.col(value_col).cast("long")
+    per = samples.groupBy(key_col, side_col).agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    s0 = per.where(F.col(side_col) == 0).select(
+        F.col(key_col),
+        F.col("n").alias("n0"), F.col("s").alias("s0"),
+        F.col("ss").alias("ss0"),
+    )
+    s1 = per.where(F.col(side_col) == 1).select(
+        F.col(key_col),
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    j = s0.join(s1, key_col).where((F.col("n0") >= 2) & (F.col("n1") >= 2))
+    # all-double fixed-order scalar expressions over exact BIGINT stats
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
+    m0 = s0d / n0d
+    m1 = s1d / n1d
+    var0 = (F.col("ss0").cast("double") - s0d * s0d / n0d) / (n0d - 1.0)
+    var1 = (F.col("ss1").cast("double") - s1d * s1d / n1d) / (n1d - 1.0)
+    se0 = var0 / n0d
+    se1 = var1 / n1d
+    t = (m1 - m0) / F.sqrt(se0 + se1)
+    df = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (n0d - 1.0) + se1 * se1 / (n1d - 1.0)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(m0 / F.lit(scale), 9).alias("mean0"),
+        F.round(m1 / F.lit(scale), 9).alias("mean1"),
+        F.round(t, 9).alias("t_welch"),
+        F.round(df, 9).alias("df_welch"),
     )
