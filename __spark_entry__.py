@@ -17869,6 +17869,187 @@ _KAPPA_ORACLE = """
 """
 
 
+# --- Horn-kernel raster batch: shared deterministic elevation surface ---
+# elev(r, c) on the 2-degree grid (r = floor(lat/2), c = floor(lng/2)),
+# defined for EVERY cell so border cells need no occupancy fallback.
+# The +100 offsets keep the hash argument non-negative for every kernel
+# tap (including one step beyond the r >= -30 / c >= -85 data range), so
+# % has identical non-negative semantics in Spark, DuckDB, and Python.
+
+
+def _grid_elev_sql(r: str, c: str) -> str:
+    return (
+        f"((({r} + 100) * 1299721 + ({c} + 100) * 7919) * 48271"
+        f" % 1000003 % 4000)"
+    )
+
+
+_GRID_OCC_SQL = """
+    SELECT DISTINCT
+           CAST(floor((-60.0 + (event_id * 11 % 120)
+                       + (event_id % 83) / 83.0) / 2.0) AS BIGINT) AS r,
+           CAST(floor((-170.0 + (event_id * 17 % 340)
+                       + (event_id % 79) / 79.0) / 2.0) AS BIGINT) AS c
+    FROM events
+"""
+
+
+def _grid_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    return (
+        ev.select(
+            F.floor(lat / 2.0).cast("long").alias("r"),
+            F.floor(lng / 2.0).cast("long").alias("c"),
+        )
+        .distinct()
+    )
+
+
+def _horn_gradients_sql():
+    """dz/dx, dz/dy SQL fragments of the Horn 3x3 kernel at (r, c) —
+    elevations are pure expressions, so no neighbor join at all."""
+    z = {
+        (dr, dc): _grid_elev_sql(f"(r + {dr})", f"(c + {dc})")
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    # rows: north = r+1; a..i laid out N->S, W->E (a=NW, i=SE)
+    a, b_, cc = z[(1, -1)], z[(1, 0)], z[(1, 1)]
+    d, f_, g = z[(0, -1)], z[(0, 1)], z[(-1, -1)]
+    h, i = z[(-1, 0)], z[(-1, 1)]
+    dzdx = (
+        f"(CAST(({cc} + 2 * {f_} + {i}) - ({a} + 2 * {d} + {g})"
+        f" AS DOUBLE) / 8.0)"
+    )
+    dzdy = (
+        f"(CAST(({g} + 2 * {h} + {i}) - ({a} + 2 * {b_} + {cc})"
+        f" AS DOUBLE) / 8.0)"
+    )
+    return dzdx, dzdy
+
+
+def _q_horn_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn 3x3 slope/aspect per occupied 2-degree grid cell over the
+    deterministic hash-elevation surface — the gradient companion of
+    terrain_stats (TRI/TPI on the S2 grid). Because elevation is a pure
+    expression of (r, c), all nine kernel taps are scalar expressions:
+    the whole operator is one distinct + one codegen projection, ZERO
+    joins — the cheapest possible 100-TB plan. slope = atan(|grad|),
+    aspect = atan2(dz/dy, -dz/dx), both radians rounded 9."""
+    _grid_occ(spark, sf_dir).createOrReplaceTempView("_horn_occ")
+    dzdx, dzdy = _horn_gradients_sql()
+    return spark.sql(f"""
+        SELECT r, c, {_grid_elev_sql('r', 'c')} AS elev,
+               round(atan(sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy})), 9)
+                 AS slope_rad,
+               round(atan2({dzdy}, -{dzdx}), 9) AS aspect_rad
+        FROM _horn_occ ORDER BY r, c
+    """)
+
+
+def _horn_oracle_sql() -> str:
+    dzdx, dzdy = _horn_gradients_sql()
+    return f"""
+        WITH occ AS ({_GRID_OCC_SQL})
+        SELECT r, c, {_grid_elev_sql('r', 'c')} AS elev,
+               round(atan(sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy})), 9)
+                 AS slope_rad,
+               round(atan2({dzdy}, -{dzdx}), 9) AS aspect_rad
+        FROM occ ORDER BY r, c
+    """
+
+
+def _q_hillshade_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard analytical hillshade (sun azimuth 315 deg, altitude 45
+    deg) from the Horn gradients on the shared hash-elevation grid:
+    shade = 255 * max(0, cos(zen)*cos(slope) +
+    sin(zen)*sin(slope)*cos(az - aspect)). Same zero-join plan as
+    horn_slope_aspect; int shade 0..255 plus the float value rounded 9."""
+    _grid_occ(spark, sf_dir).createOrReplaceTempView("_hs_occ")
+    dzdx, dzdy = _horn_gradients_sql()
+    zen = "0.7853981633974483"   # 45 deg
+    az = "5.497787143782138"     # 315 deg in rad
+    slope = f"atan(sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy}))"
+    aspect = f"atan2({dzdy}, -{dzdx})"
+    shade = (
+        f"greatest(0.0, cos({zen}) * cos({slope})"
+        f" + sin({zen}) * sin({slope}) * cos({az} - {aspect}))"
+    )
+    return spark.sql(f"""
+        SELECT r, c,
+               CAST(floor(255.0 * {shade}) AS BIGINT) AS shade,
+               round(255.0 * {shade}, 9) AS shade_f
+        FROM _hs_occ ORDER BY r, c
+    """)
+
+
+def _hillshade_oracle_sql() -> str:
+    dzdx, dzdy = _horn_gradients_sql()
+    zen = "0.7853981633974483"
+    az = "5.497787143782138"
+    slope = f"atan(sqrt({dzdx} * {dzdx} + {dzdy} * {dzdy}))"
+    aspect = f"atan2({dzdy}, -{dzdx})"
+    shade = (
+        f"greatest(0.0, cos({zen}) * cos({slope})"
+        f" + sin({zen}) * sin({slope}) * cos({az} - {aspect}))"
+    )
+    return f"""
+        WITH occ AS ({_GRID_OCC_SQL})
+        SELECT r, c,
+               CAST(floor(255.0 * {shade}) AS BIGINT) AS shade,
+               round(255.0 * {shade}, 9) AS shade_f
+        FROM occ ORDER BY r, c
+    """
+
+
+def _q_flow_direction_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 steepest-descent flow direction per occupied grid cell on the
+    hash-elevation surface (the square-grid classic next to the
+    hex-grid hex_flow_directions): direction 0..7 (E,NE,N,NW,W,SW,S,SE)
+    of the largest distance-normalized drop (diagonals / sqrt(2)),
+    lowest direction index wins exact ties, dir = -1 for sinks (no
+    positive drop; drop_norm then reports the best non-positive drop). Pure scalar expressions again — zero joins; the
+    GREATEST + CASE-first-match ladder is deterministic cross-engine."""
+    _grid_occ(spark, sf_dir).createOrReplaceTempView("_d8_occ")
+    sql = _d8_select_sql("_d8_occ")
+    return spark.sql(sql)
+
+
+_D8_DIRS = [  # (dir, dr, dc) in E,NE,N,NW,W,SW,S,SE order
+    (0, 0, 1), (1, 1, 1), (2, 1, 0), (3, 1, -1),
+    (4, 0, -1), (5, -1, -1), (6, -1, 0), (7, -1, 1),
+]
+
+
+def _d8_select_sql(src: str) -> str:
+    e0 = _grid_elev_sql("r", "c")
+    drops = []
+    for d, dr, dc in _D8_DIRS:
+        en = _grid_elev_sql(f"(r + {dr})", f"(c + {dc})")
+        dist = "1.4142135623730951" if dr != 0 and dc != 0 else "1.0"
+        drops.append(f"(CAST({e0} - {en} AS DOUBLE) / {dist})")
+    g = "greatest(" + ", ".join(drops) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {drops[d]} = _g THEN {d}" for d, _, _ in _D8_DIRS
+    ) + " END"
+    return f"""
+        SELECT r, c, elev,
+               CASE WHEN _g > 0 THEN {case} ELSE -1 END AS d8_dir,
+               round(_g, 9) AS drop_norm
+        FROM (
+          SELECT r, c, {e0} AS elev, {g} AS _g FROM {src}
+        ) ORDER BY r, c
+    """
+
+
+def _d8_oracle_sql() -> str:
+    inner = _d8_select_sql("occ")
+    return f"WITH occ AS ({_GRID_OCC_SQL}) {inner}"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -18189,6 +18370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": _q_welch_ttest,
         "fisher_exact": _q_fisher_exact,
         "cohens_kappa": _q_cohens_kappa,
+        "horn_slope_aspect": _q_horn_slope_aspect,
+        "hillshade_grid": _q_hillshade_grid,
+        "flow_direction_d8": _q_flow_direction_d8,
     }
 
 
@@ -21544,4 +21728,7 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": _WELCH_ORACLE,
         "fisher_exact": _fisher_oracle_sql(),
         "cohens_kappa": _KAPPA_ORACLE,
+        "horn_slope_aspect": _horn_oracle_sql(),
+        "hillshade_grid": _hillshade_oracle_sql(),
+        "flow_direction_d8": _d8_oracle_sql(),
     }
