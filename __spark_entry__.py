@@ -18050,6 +18050,438 @@ def _d8_oracle_sql() -> str:
     return f"WITH occ AS ({_GRID_OCC_SQL}) {inner}"
 
 
+def _q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta authorship distance between document sources over
+    the 30 corpus-wide most-frequent tokens: z-score each source's
+    relative frequency per token (mean/std across sources), then
+    Delta(a,b) = mean |z_a - z_b|. The stylometry classic for attributing
+    web text to origins. Every cross-row float sum (per-token moments,
+    per-pair token sum) runs as a sort_array+aggregate FOLD in key order
+    — the kruskal_wallis determinism pattern — so doubles are
+    bit-identical cross-engine; zero-count grid cells are materialized
+    explicitly so every source scores every top token."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("source", "token").agg(F.count("*").alias("n"))
+    tot = toks.groupBy("source").agg(F.count("*").alias("nt"))
+    corpus = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cn"))
+        .orderBy(F.desc("cn"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    grid = tot.crossJoin(F.broadcast(corpus))  # sources x top-30 tokens
+    fr = grid.join(cnt, ["source", "token"], "left").select(
+        "source",
+        "token",
+        (
+            F.coalesce(F.col("n"), F.lit(0)).cast("double")
+            / F.col("nt").cast("double")
+        ).alias("f"),
+    )
+    st = fr.groupBy("token").agg(
+        F.count("*").alias("s_n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "f"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["f"],
+        ).alias("sum_f"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "f"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["f"] * x["f"],
+        ).alias("sum_f2"),
+    )
+    mu = F.col("sum_f") / F.col("s_n").cast("double")
+    sig = F.sqrt(F.col("sum_f2") / F.col("s_n").cast("double") - mu * mu)
+    z = fr.join(F.broadcast(st), "token").select(
+        "source",
+        "token",
+        F.when(sig > 0, (F.col("f") - mu) / sig).otherwise(F.lit(0.0)).alias(
+            "z"
+        ),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "token", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "token", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "token").where(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "token",
+                                F.abs(F.col("za") - F.col("zb")).alias("d"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["d"],
+                )
+                / 30.0,
+                9,
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_BURROWS_ORACLE = """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               t -> length(t) > 0)) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY 1
+    ),
+    corpus AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS cn FROM toks GROUP BY 1
+      ) ORDER BY cn DESC, token LIMIT 30
+    ),
+    fr AS (
+      SELECT g.source, g.token,
+             CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(g.nt AS DOUBLE) AS f
+      FROM (SELECT t.source, t.nt, k.token
+            FROM tot t CROSS JOIN corpus k) g
+      LEFT JOIN cnt c ON c.source = g.source AND c.token = g.token
+    ),
+    st AS (
+      SELECT token, count(*) AS s_n,
+             list_reduce(list_prepend(0.0, list(f ORDER BY source)),
+                         (a, b) -> a + b) AS sum_f,
+             list_reduce(list_prepend(0.0, list(f * f ORDER BY source)),
+                         (a, b) -> a + b) AS sum_f2
+      FROM fr GROUP BY 1
+    ),
+    z AS (
+      SELECT fr.source, fr.token,
+             CASE WHEN sqrt(st.sum_f2 / CAST(st.s_n AS DOUBLE)
+                            - (st.sum_f / CAST(st.s_n AS DOUBLE))
+                              * (st.sum_f / CAST(st.s_n AS DOUBLE))) > 0
+                  THEN (fr.f - st.sum_f / CAST(st.s_n AS DOUBLE))
+                       / sqrt(st.sum_f2 / CAST(st.s_n AS DOUBLE)
+                              - (st.sum_f / CAST(st.s_n AS DOUBLE))
+                                * (st.sum_f / CAST(st.s_n AS DOUBLE)))
+                  ELSE 0.0 END AS z
+      FROM fr JOIN st ON st.token = fr.token
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(list_reduce(
+                   list_prepend(0.0, list(abs(a.z - b.z) ORDER BY a.token)),
+                   (x, y) -> x + y) / 30.0, 9) AS delta
+    FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_HOUR_US = 3600 * 1000 * 1000
+
+
+def _q_ccf_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation function between the hourly 'click' and
+    'view' event-count series at lags -24..+24 hours (zero-filled over
+    the full hour range, so the overlap at lag L is exactly N - |L|
+    points): the lead/lag diagnostic between two web metrics. Every
+    sufficient statistic (n, Sx, Sy, Sxy, Sxx, Syy) is an exact BIGINT;
+    r is one fixed-order scalar expression, NULL when either side has
+    zero variance in the overlap window."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    hr = ev.select(
+        (us / _HOUR_US).cast("long").alias("h"), "event_type"
+    )
+    x = hr.where(F.col("event_type") == "click").groupBy("h").agg(
+        F.count("*").alias("x")
+    )
+    y = hr.where(F.col("event_type") == "view").groupBy("h").agg(
+        F.count("*").alias("y")
+    )
+    rng = hr.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = rng.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    xs = grid.join(x, "h", "left").select(
+        "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    ys = grid.join(y, "h", "left").select(
+        F.col("h").alias("h2"), F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    lags = spark.range(-24, 25).select(F.col("id").alias("lag"))
+    j = (
+        xs.crossJoin(F.broadcast(lags))  # 49-row lag table
+        .withColumn("h2", F.col("h") + F.col("lag"))
+        .join(ys, "h2")
+    )
+    agg = j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        "lag",
+        F.col("n").cast("long").alias("n_hours"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 9
+            ),
+        ).alias("r_ccf"),
+    ).orderBy("lag")
+
+
+_CCF_ORACLE = """
+    WITH hr AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events
+    ),
+    rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM hr),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM rng
+    ),
+    xs AS (
+      SELECT g.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g LEFT JOIN (
+        SELECT h, count(*) AS n FROM hr WHERE event_type = 'click'
+        GROUP BY 1) c ON c.h = g.h
+    ),
+    ys AS (
+      SELECT g.h AS h2, CAST(coalesce(c.n, 0) AS BIGINT) AS y
+      FROM grid g LEFT JOIN (
+        SELECT h, count(*) AS n FROM hr WHERE event_type = 'view'
+        GROUP BY 1) c ON c.h = g.h
+    ),
+    j AS (
+      SELECT l.lag, xs.x, ys.y
+      FROM xs CROSS JOIN (
+        SELECT unnest(generate_series(-24, 24)) AS lag) l
+      JOIN ys ON ys.h2 = xs.h + l.lag
+    ),
+    agg AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT lag, n AS n_hours,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+           END AS r_ccf
+    FROM agg ORDER BY lag
+"""
+
+
+def _q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the hourly
+    total event-count series (zero-filled): for block sizes m in
+    {8,16,32,64}, R = range of the mean-adjusted cumulative sum within
+    each complete block, S = population std (from exact BIGINT block
+    sums), H = OLS slope of log2(mean R/S) on log2(m) — with the fixed
+    abscissae 3..6 the slope is a closed-form weighted sum. The
+    long-memory diagnostic for traffic series. The only float
+    accumulations (the in-block cumulative walk and the cross-block R/S
+    mean) run as deterministic folds in index order."""
+    from pyspark.sql import Window as _W
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    hr = ev.select((us / _HOUR_US).cast("long").alias("h"))
+    cnts = hr.groupBy("h").agg(F.count("*").alias("x"))
+    rng = hr.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    series = (
+        rng.select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+            F.col("h0"),
+        )
+        .join(cnts, "h", "left")
+        .select(
+            (F.col("h") - F.col("h0")).alias("i"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    ms = spark.createDataFrame([(8,), (16,), (32,), (64,)], "m long")
+    blocks = (
+        series.crossJoin(F.broadcast(ms))
+        .withColumn("blk", (F.col("i") / F.col("m")).cast("long"))
+        .withColumn("n_total", F.count("*").over(_W.partitionBy("m")))
+    )
+    complete = blocks.where(
+        F.col("blk") < (F.col("n_total") / F.col("m")).cast("long")
+    )
+    per = complete.groupBy("m", "blk").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("i"), F.col("x").cast("double").alias("v"))
+            )
+        ).alias("vals"),
+    )
+    mean = F.col("sx").cast("double") / F.col("m").cast("double")
+    walk = F.aggregate(
+        F.col("vals"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),  # (cum, max, min)
+        lambda acc, v: F.array(
+            acc[0] + v["v"] - mean,
+            F.greatest(acc[1], acc[0] + v["v"] - mean),
+            F.least(acc[2], acc[0] + v["v"] - mean),
+        ),
+    )
+    s2 = F.col("sxx").cast("double") / F.col("m").cast("double") - mean * mean
+    rs = per.select(
+        "m",
+        "blk",
+        ((walk[1] - walk[2]) / F.sqrt(s2)).alias("rs"),
+        s2.alias("s2"),
+    ).where(F.col("s2") > 0)
+    bym = rs.groupBy("m").agg(
+        F.count("*").alias("n_blocks"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("blk", "rs"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["rs"],
+            )
+            / F.count("*").cast("double")
+        ).alias("mean_rs"),
+    )
+    piv = bym.agg(
+        *[
+            F.max(
+                F.when(F.col("m") == mm, F.log2(F.col("mean_rs")))
+            ).alias(f"y{mm}")
+            for mm in (8, 16, 32, 64)
+        ]
+    )
+    hurst = (
+        (
+            -1.5 * F.col("y8")
+            - 0.5 * F.col("y16")
+            + 0.5 * F.col("y32")
+            + 1.5 * F.col("y64")
+        )
+        / 5.0
+    )
+    return (
+        bym.crossJoin(F.broadcast(piv.select(hurst.alias("hurst"))))
+        .select(
+            "m",
+            "n_blocks",
+            F.round("mean_rs", 9).alias("mean_rs"),
+            F.round("hurst", 9).alias("hurst"),
+        )
+        .orderBy("m")
+    )
+
+
+_HURST_ORACLE = """
+    WITH hr AS (
+      SELECT epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    rng0 AS (SELECT min(h) AS h0, max(h) AS h1 FROM hr),
+    series AS (
+      SELECT g.h - r.h0 AS i, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM rng0) g
+      CROSS JOIN rng0 r
+      LEFT JOIN (SELECT h, count(*) AS n FROM hr GROUP BY 1) c
+        ON c.h = g.h
+    ),
+    ms AS (SELECT unnest([8, 16, 32, 64]) AS m),
+    blocks AS (
+      SELECT s.i, s.x, ms.m, s.i // ms.m AS blk,
+             (SELECT count(*) FROM series) AS n_total
+      FROM series s CROSS JOIN ms
+    ),
+    complete AS (
+      SELECT * FROM blocks WHERE blk < n_total // m
+    ),
+    per AS (
+      SELECT m, blk, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             list(CAST(x AS DOUBLE) ORDER BY i) AS vals
+      FROM complete GROUP BY 1, 2
+    ),
+    walked AS (
+      SELECT m, blk, sx, sxx,
+             CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0],
+                 list_transform(vals, v -> [v, 0.0, 0.0])),
+               (acc, v) -> [
+                 acc[1] + v[1] - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE),
+                 greatest(acc[2],
+                   acc[1] + v[1] - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)),
+                 least(acc[3],
+                   acc[1] + v[1] - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+               ]) AS w
+      FROM per
+    ),
+    rs AS (
+      SELECT m, blk,
+             (w[2] - w[3]) / sqrt(CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+                                  - mean * mean) AS rs
+      FROM walked
+      WHERE CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE) - mean * mean > 0
+    ),
+    bym AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+             list_reduce(list_prepend(0.0, list(rs ORDER BY blk)),
+                         (a, b) -> a + b) / CAST(count(*) AS DOUBLE)
+               AS mean_rs
+      FROM rs GROUP BY 1
+    ),
+    piv AS (
+      SELECT (-1.5 * max(CASE WHEN m = 8 THEN log2(mean_rs) END)
+              - 0.5 * max(CASE WHEN m = 16 THEN log2(mean_rs) END)
+              + 0.5 * max(CASE WHEN m = 32 THEN log2(mean_rs) END)
+              + 1.5 * max(CASE WHEN m = 64 THEN log2(mean_rs) END)) / 5.0
+               AS hurst
+      FROM bym
+    )
+    SELECT m, n_blocks, round(mean_rs, 9) AS mean_rs,
+           round(hurst, 9) AS hurst
+    FROM bym CROSS JOIN piv ORDER BY m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -18373,6 +18805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horn_slope_aspect": _q_horn_slope_aspect,
         "hillshade_grid": _q_hillshade_grid,
         "flow_direction_d8": _q_flow_direction_d8,
+        "burrows_delta": _q_burrows_delta,
+        "ccf_clicks_views": _q_ccf_clicks_views,
+        "hurst_rs": _q_hurst_rs,
     }
 
 
@@ -21731,4 +22166,7 @@ def oracle_sql() -> dict[str, str]:
         "horn_slope_aspect": _horn_oracle_sql(),
         "hillshade_grid": _hillshade_oracle_sql(),
         "flow_direction_d8": _d8_oracle_sql(),
+        "burrows_delta": _BURROWS_ORACLE,
+        "ccf_clicks_views": _CCF_ORACLE,
+        "hurst_rs": _HURST_ORACLE,
     }
