@@ -18482,6 +18482,238 @@ _HURST_ORACLE = """
 """
 
 
+def _q_home_work_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor detection per user: the modal 2-degree grid tile
+    during night hours (00-06 local, 'home') vs working hours (09-17,
+    'work'), with the great-circle distance between tile centers as the
+    commute length — the standard mobility-mining anchor model. Modal
+    pick is a deterministic (count DESC, r, c) row_number; users lacking
+    either period are dropped. Counts exact; one distance per user."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    hod = (us / _HOUR_US).cast("long") % 24
+    base = ev.select(
+        "user_id",
+        hod.alias("hod"),
+        F.floor(lat / 2.0).cast("long").alias("r"),
+        F.floor(lng / 2.0).cast("long").alias("c"),
+    ).withColumn(
+        "period",
+        F.when(F.col("hod") <= 6, F.lit("home"))
+        .when((F.col("hod") >= 9) & (F.col("hod") <= 17), F.lit("work")),
+    ).where(F.col("period").isNotNull())
+    cnt = base.groupBy("user_id", "period", "r", "c").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id", "period").orderBy(
+        F.desc("n"), F.asc("r"), F.asc("c")
+    )
+    modal = cnt.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    home = modal.where(F.col("period") == "home").select(
+        "user_id",
+        F.col("r").alias("home_r"), F.col("c").alias("home_c"),
+        F.col("n").alias("n_home"),
+    )
+    work = modal.where(F.col("period") == "work").select(
+        "user_id",
+        F.col("r").alias("work_r"), F.col("c").alias("work_c"),
+        F.col("n").alias("n_work"),
+    )
+    j = home.join(work, "user_id")
+
+    def _v(rr, cc):
+        la = F.radians(2.0 * F.col(rr) + 1.0)
+        lo = F.radians(2.0 * F.col(cc) + 1.0)
+        return (
+            F.cos(lo) * F.cos(la), F.sin(lo) * F.cos(la), F.sin(la)
+        )
+
+    ax, ay, az = _v("home_r", "home_c")
+    bx, by, bz = _v("work_r", "work_c")
+    cx, cy, cz = ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+    dist = F.atan2(
+        F.sqrt(cx * cx + cy * cy + cz * cz), ax * bx + ay * by + az * bz
+    )
+    return j.select(
+        "user_id", "home_r", "home_c", "n_home", "work_r", "work_c",
+        "n_work", F.round(dist, 9).alias("commute_rad"),
+    ).orderBy("user_id")
+
+
+_HOMEWORK_ORACLE = """
+    WITH base AS (
+      SELECT user_id,
+             CASE WHEN (epoch_us(ts) // 3600000000) % 24 <= 6 THEN 'home'
+                  WHEN (epoch_us(ts) // 3600000000) % 24 BETWEEN 9 AND 17
+                    THEN 'work' END AS period,
+             CAST(floor((-60.0 + (event_id * 11 % 120)
+                         + (event_id % 83) / 83.0) / 2.0) AS BIGINT) AS r,
+             CAST(floor((-170.0 + (event_id * 17 % 340)
+                         + (event_id % 79) / 79.0) / 2.0) AS BIGINT) AS c
+      FROM events
+    ),
+    cnt AS (
+      SELECT user_id, period, r, c, count(*) AS n
+      FROM base WHERE period IS NOT NULL GROUP BY 1, 2, 3, 4
+    ),
+    modal AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, period
+                                   ORDER BY n DESC, r, c) AS rn
+      FROM cnt
+    ),
+    j AS (
+      SELECT h.user_id,
+             h.r AS home_r, h.c AS home_c, CAST(h.n AS BIGINT) AS n_home,
+             w.r AS work_r, w.c AS work_c, CAST(w.n AS BIGINT) AS n_work
+      FROM modal h JOIN modal w
+        ON w.user_id = h.user_id AND w.period = 'work' AND w.rn = 1
+      WHERE h.period = 'home' AND h.rn = 1
+    ),
+    v AS (
+      SELECT j.*,
+             cos(radians(2.0 * home_c + 1.0))
+               * cos(radians(2.0 * home_r + 1.0)) AS ax,
+             sin(radians(2.0 * home_c + 1.0))
+               * cos(radians(2.0 * home_r + 1.0)) AS ay,
+             sin(radians(2.0 * home_r + 1.0)) AS az,
+             cos(radians(2.0 * work_c + 1.0))
+               * cos(radians(2.0 * work_r + 1.0)) AS bx,
+             sin(radians(2.0 * work_c + 1.0))
+               * cos(radians(2.0 * work_r + 1.0)) AS by_,
+             sin(radians(2.0 * work_r + 1.0)) AS bz
+      FROM j
+    )
+    SELECT user_id, home_r, home_c, n_home, work_r, work_c, n_work,
+           round(atan2(sqrt(
+                   (ay * bz - az * by_) * (ay * bz - az * by_)
+                 + (az * bx - ax * bz) * (az * bx - ax * bz)
+                 + (ax * by_ - ay * bx) * (ax * by_ - ay * bx)),
+                 ax * bx + ay * by_ + az * bz), 9) AS commute_rad
+    FROM v ORDER BY user_id
+"""
+
+
+def _q_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram per user in ORDER-OF-MAGNITUDE buckets:
+    bucket = decimal digit count of the gap in microseconds (0 for
+    exact-tie timestamps) — an integer-exact log-scale binning that
+    needs no float log2 at bucket edges. One user-keyed lag window + one
+    global agg; min/max per bucket are exact BIGINT microseconds."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select((F.col("us") - F.col("prev")).alias("gap_us"))
+    )
+    bucket = F.when(F.col("gap_us") == 0, F.lit(0)).otherwise(
+        F.length(F.col("gap_us").cast("string"))
+    )
+    return (
+        gaps.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_GAP_HIST_ORACLE = """
+    WITH gaps AS (
+      SELECT us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)
+    )
+    SELECT CAST(CASE WHEN gap_us = 0 THEN 0
+                     ELSE length(CAST(gap_us AS VARCHAR)) END AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_dwell_time_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile dwell time: each event contributes the microseconds
+    until ITS USER's next event to the 2-degree tile the event sits in
+    (last event per user contributes nothing) — the time-weighted
+    popularity surface behind stay_points. One user-keyed lead window +
+    one tile agg; totals exact BIGINT, mean one pinned division."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    rows = (
+        ev.select(
+            "user_id", us.alias("us"), "event_id",
+            F.floor(lat / 2.0).cast("long").alias("r"),
+            F.floor(lng / 2.0).cast("long").alias("c"),
+        )
+        .withColumn("nxt", F.lead("us").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    return (
+        rows.groupBy("r", "c")
+        .agg(
+            F.count("*").alias("n_visits"),
+            F.sum(F.col("nxt") - F.col("us")).alias("total_dwell_us"),
+        )
+        .select(
+            "r", "c", "n_visits", "total_dwell_us",
+            F.round(
+                F.col("total_dwell_us").cast("double")
+                / F.col("n_visits").cast("double"),
+                9,
+            ).alias("mean_dwell_us"),
+        )
+        .orderBy("r", "c")
+    )
+
+
+_DWELL_ORACLE = """
+    WITH rows_ AS (
+      SELECT CAST(floor((-60.0 + (event_id * 11 % 120)
+                         + (event_id % 83) / 83.0) / 2.0) AS BIGINT) AS r,
+             CAST(floor((-170.0 + (event_id * 17 % 340)
+                         + (event_id % 79) / 79.0) / 2.0) AS BIGINT) AS c,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               - us AS dwell
+      FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)
+    )
+    SELECT r, c, CAST(count(*) AS BIGINT) AS n_visits,
+           CAST(sum(dwell) AS BIGINT) AS total_dwell_us,
+           round(CAST(sum(dwell) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+             AS mean_dwell_us
+    FROM rows_ WHERE dwell IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -18808,6 +19040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": _q_burrows_delta,
         "ccf_clicks_views": _q_ccf_clicks_views,
         "hurst_rs": _q_hurst_rs,
+        "home_work_cells": _q_home_work_cells,
+        "gap_log_histogram": _q_gap_log_histogram,
+        "dwell_time_cells": _q_dwell_time_cells,
     }
 
 
@@ -22169,4 +22404,7 @@ def oracle_sql() -> dict[str, str]:
         "burrows_delta": _BURROWS_ORACLE,
         "ccf_clicks_views": _CCF_ORACLE,
         "hurst_rs": _HURST_ORACLE,
+        "home_work_cells": _HOMEWORK_ORACLE,
+        "gap_log_histogram": _GAP_HIST_ORACLE,
+        "dwell_time_cells": _DWELL_ORACLE,
     }
