@@ -18714,6 +18714,220 @@ _DWELL_ORACLE = """
 """
 
 
+def _q_albers_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albers equal-area conic projection (spark/geodesy.py
+    albers_steps, Snyder 1987 sec. 14, contiguous-US parameters) of the
+    customer points, rolled up per 10-degree latitude band with
+    micrometer-quantized BIGINT coordinate sums — the equal-area
+    companion of utm_coordinates, same textual-twin chain discipline."""
+    from gos2_spark.spark.geodesy import albers_steps, apply_steps
+
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    prj = apply_steps(pts, albers_steps())
+    return (
+        prj.groupBy(F.floor(F.col("lat") / 10.0).cast("long").alias("band"))
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.sum(F.round(F.col("x_albers") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_x"),
+            (
+                F.sum(F.round(F.col("y_albers") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_y"),
+        )
+        .orderBy("band")
+    )
+
+
+def _albers_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import albers_steps, duckdb_steps_cte
+
+    base = f"g0 AS (SELECT key, lat, lng FROM ({_CUST_LATLNG_SQL}))"
+    body, last = duckdb_steps_cte(base, albers_steps())
+    return f"""
+        WITH {body}
+        SELECT CAST(floor(lat / 10.0) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CAST(round(x_albers * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_x,
+               CAST(sum(CAST(round(y_albers * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_y
+        FROM {last}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _q_lcc_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert conformal conic projection (spark/geodesy.py lcc_steps,
+    Snyder 1987 sec. 15) of the customer points, same 10-degree-band
+    micrometer-quantized rollup as albers_coordinates — the conformal
+    member completing the UTM / web-Mercator / Albers / LCC projection
+    family."""
+    from gos2_spark.spark.geodesy import apply_steps, lcc_steps
+
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    prj = apply_steps(pts, lcc_steps())
+    return (
+        prj.groupBy(F.floor(F.col("lat") / 10.0).cast("long").alias("band"))
+        .agg(
+            F.count("*").alias("n_points"),
+            (
+                F.sum(F.round(F.col("x_lcc") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_x"),
+            (
+                F.sum(F.round(F.col("y_lcc") * 1e6).cast("long")).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sum_y"),
+        )
+        .orderBy("band")
+    )
+
+
+def _lcc_oracle_sql() -> str:
+    from gos2_spark.spark.geodesy import duckdb_steps_cte, lcc_steps
+
+    base = f"g0 AS (SELECT key, lat, lng FROM ({_CUST_LATLNG_SQL}))"
+    body, last = duckdb_steps_cte(base, lcc_steps())
+    return f"""
+        WITH {body}
+        SELECT CAST(floor(lat / 10.0) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CAST(round(x_lcc * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_x,
+               CAST(sum(CAST(round(y_lcc * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_y
+        FROM {last}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _gci_body_sql(src: str) -> str:
+    """Dialect-shared SQL from a (key, lat, lng) relation to pairwise
+    great-circle segment intersections of the 8 segments spanned by the
+    16 smallest keys. The closed-form GetIntersection construction
+    (geometry/boolean_ops.py:28; s2's edge crossing): candidate point
+    i = (a1 x b1) x (a2 x b2); i (or -i) intersects iff it lies on the
+    minor arc of BOTH segments via the cross(a,p).n / cross(p,b).n sign
+    tests. atan2 recovers lat/lng without normalizing."""
+    return f"""
+        WITH sel AS (
+          SELECT key, lat, lng FROM {src} ORDER BY key LIMIT 16
+        ),
+        rn AS (
+          SELECT lat, lng,
+                 row_number() OVER (ORDER BY key) - 1 AS idx
+          FROM sel
+        ),
+        ends AS (
+          SELECT CAST(idx % 8 AS BIGINT) AS seg,
+                 CAST(floor(idx / 8.0) AS BIGINT) AS ep, lat, lng
+          FROM rn
+        ),
+        segs AS (
+          SELECT seg,
+                 max(CASE WHEN ep = 0 THEN lat END) AS la0,
+                 max(CASE WHEN ep = 0 THEN lng END) AS lo0,
+                 max(CASE WHEN ep = 1 THEN lat END) AS la1,
+                 max(CASE WHEN ep = 1 THEN lng END) AS lo1
+          FROM ends GROUP BY 1
+        ),
+        v AS (
+          SELECT seg,
+                 cos(radians(lo0)) * cos(radians(la0)) AS ax,
+                 sin(radians(lo0)) * cos(radians(la0)) AS ay,
+                 sin(radians(la0)) AS az,
+                 cos(radians(lo1)) * cos(radians(la1)) AS bx,
+                 sin(radians(lo1)) * cos(radians(la1)) AS by_,
+                 sin(radians(la1)) AS bz
+          FROM segs
+        ),
+        n AS (
+          SELECT seg, ax, ay, az, bx, by_, bz,
+                 ay * bz - az * by_ AS nx,
+                 az * bx - ax * bz AS ny,
+                 ax * by_ - ay * bx AS nz
+          FROM v
+        ),
+        pairs AS (
+          SELECT i.seg AS seg_a, j.seg AS seg_b,
+                 i.ax AS a1x, i.ay AS a1y, i.az AS a1z,
+                 i.bx AS b1x, i.by_ AS b1y, i.bz AS b1z,
+                 i.nx AS n1x, i.ny AS n1y, i.nz AS n1z,
+                 j.ax AS a2x, j.ay AS a2y, j.az AS a2z,
+                 j.bx AS b2x, j.by_ AS b2y, j.bz AS b2z,
+                 j.nx AS n2x, j.ny AS n2y, j.nz AS n2z,
+                 i.ny * j.nz - i.nz * j.ny AS ix,
+                 i.nz * j.nx - i.nx * j.nz AS iy,
+                 i.nx * j.ny - i.ny * j.nx AS iz
+          FROM n i JOIN n j ON i.seg < j.seg
+        ),
+        tests AS (
+          SELECT *,
+                 ((a1y * iz - a1z * iy) * n1x + (a1z * ix - a1x * iz) * n1y
+                  + (a1x * iy - a1y * ix) * n1z) >= 0
+                 AND ((iy * b1z - iz * b1y) * n1x + (iz * b1x - ix * b1z) * n1y
+                  + (ix * b1y - iy * b1x) * n1z) >= 0
+                 AND ((a2y * iz - a2z * iy) * n2x + (a2z * ix - a2x * iz) * n2y
+                  + (a2x * iy - a2y * ix) * n2z) >= 0
+                 AND ((iy * b2z - iz * b2y) * n2x + (iz * b2x - ix * b2z) * n2y
+                  + (ix * b2y - iy * b2x) * n2z) >= 0 AS pos_in,
+                 ((a1y * (-iz) - a1z * (-iy)) * n1x
+                  + (a1z * (-ix) - a1x * (-iz)) * n1y
+                  + (a1x * (-iy) - a1y * (-ix)) * n1z) >= 0
+                 AND (((-iy) * b1z - (-iz) * b1y) * n1x
+                  + ((-iz) * b1x - (-ix) * b1z) * n1y
+                  + ((-ix) * b1y - (-iy) * b1x) * n1z) >= 0
+                 AND ((a2y * (-iz) - a2z * (-iy)) * n2x
+                  + (a2z * (-ix) - a2x * (-iz)) * n2y
+                  + (a2x * (-iy) - a2y * (-ix)) * n2z) >= 0
+                 AND (((-iy) * b2z - (-iz) * b2y) * n2x
+                  + ((-iz) * b2x - (-ix) * b2z) * n2y
+                  + ((-ix) * b2y - (-iy) * b2x) * n2z) >= 0 AS neg_in
+          FROM pairs
+        )
+        SELECT seg_a, seg_b,
+               CAST(pos_in OR neg_in AS BOOLEAN) AS intersects,
+               CASE WHEN pos_in THEN
+                 round(degrees(atan2(iz, sqrt(ix * ix + iy * iy))), 9)
+               WHEN neg_in THEN
+                 round(degrees(atan2(-iz, sqrt(ix * ix + iy * iy))), 9)
+               ELSE 0.0 END AS int_lat,
+               CASE WHEN pos_in THEN round(degrees(atan2(iy, ix)), 9)
+               WHEN neg_in THEN round(degrees(atan2(-iy, -ix)), 9)
+               ELSE 0.0 END AS int_lng
+        FROM tests ORDER BY seg_a, seg_b
+    """
+
+
+def _q_gc_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise great-circle segment intersections (see _gci_body_sql;
+    GetIntersection parity with geometry/boolean_ops.py:28) of the 8
+    route segments spanned by the 16 smallest customer points. The
+    entire op is the closed-form double-cross-product construction in
+    shared SQL text, so both engines run identical fixed-order IEEE
+    math; pairwise over route sets, not data-quadratic. Segment s joins
+    the s-th and (s+8)-th smallest keys, giving hemisphere-scale arcs
+    that genuinely cross."""
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    pts.createOrReplaceTempView("_gci_pts")
+    return spark.sql(_gci_body_sql("_gci_pts"))
+
+
+def _gci_oracle_sql() -> str:
+    return _gci_body_sql(f"({_CUST_LATLNG_SQL})")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -19043,6 +19257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "home_work_cells": _q_home_work_cells,
         "gap_log_histogram": _q_gap_log_histogram,
         "dwell_time_cells": _q_dwell_time_cells,
+        "albers_coordinates": _q_albers_coordinates,
+        "lcc_coordinates": _q_lcc_coordinates,
+        "gc_intersections": _q_gc_intersections,
     }
 
 
@@ -22407,4 +22624,7 @@ def oracle_sql() -> dict[str, str]:
         "home_work_cells": _HOMEWORK_ORACLE,
         "gap_log_histogram": _GAP_HIST_ORACLE,
         "dwell_time_cells": _DWELL_ORACLE,
+        "albers_coordinates": _albers_oracle_sql(),
+        "lcc_coordinates": _lcc_oracle_sql(),
+        "gc_intersections": _gci_oracle_sql(),
     }

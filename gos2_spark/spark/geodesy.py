@@ -360,3 +360,96 @@ def utm_project(df: DataFrame) -> DataFrame:
     return out.withColumn(
         "hemisphere", F.when(F.col("lat") < 0.0, F.lit("S")).otherwise(F.lit("N"))
     ).drop(*tmp)
+
+
+def albers_steps() -> list[tuple[str, str]]:
+    """(name, sql_expr) chain: lat/lng degrees -> Albers equal-area
+    conic x/y on WGS84 (Snyder 1987 section 14, the contiguous-US
+    parameterization: standard parallels 29.5/45.5, origin 23N 96W).
+    Same textual-twin discipline as utm_steps: every constant is a fully
+    evaluated Python double inlined by repr, one op order, both engines."""
+    import math as _m
+
+    f = _F
+    e2 = f * (2.0 - f)
+    e = _m.sqrt(e2)
+
+    def q_of(phi):
+        s = _m.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * _m.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def m_of(phi):
+        s, c = _m.sin(phi), _m.cos(phi)
+        return c / _m.sqrt(1.0 - e2 * s * s)
+
+    phi1, phi2 = _m.radians(29.5), _m.radians(45.5)
+    phi0, lam0 = _m.radians(23.0), _m.radians(-96.0)
+    m1, m2 = m_of(phi1), m_of(phi2)
+    q0, q1, q2 = q_of(phi0), q_of(phi1), q_of(phi2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = _A * _m.sqrt(c - n * q0) / n
+    e2r, er = repr(e2), repr(e)
+    return [
+        ("phi", "radians(lat)"),
+        ("sphi", "sin(phi)"),
+        (
+            "q",
+            f"(1.0 - {e2r}) * (sphi / (1.0 - {e2r} * sphi * sphi)"
+            f" - (1.0 / (2.0 * {er}))"
+            f" * ln((1.0 - {er} * sphi) / (1.0 + {er} * sphi)))",
+        ),
+        ("rho", f"{_A!r} * sqrt({c!r} - {n!r} * q) / {n!r}"),
+        ("theta", f"{n!r} * (radians(lng) - {lam0!r})"),
+        ("x_albers", "rho * sin(theta)"),
+        ("y_albers", f"{rho0!r} - rho * cos(theta)"),
+    ]
+
+
+def lcc_steps() -> list[tuple[str, str]]:
+    """(name, sql_expr) chain: lat/lng degrees -> Lambert conformal
+    conic x/y on WGS84 (Snyder 1987 section 15, standard parallels
+    33/45, origin 23N 96W). Textual-twin discipline as albers_steps."""
+    import math as _m
+
+    f = _F
+    e2 = f * (2.0 - f)
+    e = _m.sqrt(e2)
+
+    def m_of(phi):
+        s, c = _m.sin(phi), _m.cos(phi)
+        return c / _m.sqrt(1.0 - e2 * s * s)
+
+    def t_of(phi):
+        s = _m.sin(phi)
+        return _m.tan(_m.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    phi1, phi2 = _m.radians(33.0), _m.radians(45.0)
+    phi0, lam0 = _m.radians(23.0), _m.radians(-96.0)
+    n = (_m.log(m_of(phi1)) - _m.log(m_of(phi2))) / (
+        _m.log(t_of(phi1)) - _m.log(t_of(phi2))
+    )
+    big_f = m_of(phi1) / (n * t_of(phi1) ** n)
+    rho0 = _A * big_f * t_of(phi0) ** n
+    er = repr(e)
+    return [
+        ("phi", "radians(lat)"),
+        ("sphi", "sin(phi)"),
+        (
+            "t",
+            f"tan({_m.pi / 4.0!r} - phi / 2.0)"
+            f" / power((1.0 - {er} * sphi) / (1.0 + {er} * sphi),"
+            f" {e / 2.0!r})",
+        ),
+        # a*F premultiplied in Python (one double product) — DuckDB would
+        # otherwise parse the two literals as DECIMALs and overflow
+        ("rho", f"{_A * big_f!r} * power(t, {n!r})"),
+        ("theta", f"{n!r} * (radians(lng) - {lam0!r})"),
+        ("x_lcc", "rho * sin(theta)"),
+        ("y_lcc", f"{rho0!r} - rho * cos(theta)"),
+    ]
