@@ -18928,6 +18928,299 @@ def _gci_oracle_sql() -> str:
     return _gci_body_sql(f"({_CUST_LATLNG_SQL})")
 
 
+def _q_mrr_map_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 of the BM25 rankings against the same
+    deterministic graded relevance as ndcg_bm25 (rel = doc_id mod 4;
+    binary-relevant = rel >= 2): reciprocal rank of the first relevant
+    hit (0 when none) and average precision over the retrieved set
+    (precision@k summed at relevant ranks / relevant-in-top-10,
+    documented convention matching the NDCG one). Cumulative hits are an
+    exact-rank window; AP folds precision terms in rank order."""
+    from pyspark.sql import Window
+
+    ranked = _q_bm25_topk(spark, sf_dir).select(
+        "query_id", "rank", "doc_id",
+        ((F.col("doc_id") % 4) >= 2).cast("long").alias("is_rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranked.withColumn("hits", F.sum("is_rel").over(w))
+    per = cum.groupBy("query_id").agg(
+        F.sum("is_rel").alias("n_rel"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("_first"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        (
+                            F.col("is_rel").cast("double")
+                            * F.col("hits").cast("double")
+                            / F.col("rank").cast("double")
+                        ).alias("p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["p"],
+        ).alias("_psum"),
+    )
+    return per.select(
+        "query_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.coalesce(F.col("_first"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.round(
+            F.when(
+                F.col("_first").isNotNull(),
+                1.0 / F.col("_first").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("rr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("_psum") / F.col("n_rel").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("ap"),
+    ).orderBy("query_id")
+
+
+def _mrr_map_oracle_sql() -> str:
+    inner = _bm25_oracle_sql(10)
+    return f"""
+        WITH bm AS ({inner}),
+        r AS (
+          SELECT query_id, rank,
+                 CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS is_rel
+          FROM bm
+        ),
+        cum AS (
+          SELECT query_id, rank, is_rel,
+                 sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS hits
+          FROM r
+        ),
+        per AS (
+          SELECT query_id,
+                 CAST(sum(is_rel) AS BIGINT) AS n_rel,
+                 min(CASE WHEN is_rel = 1 THEN rank END) AS first_,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(is_rel AS DOUBLE) * CAST(hits AS DOUBLE)
+                        / CAST(rank AS DOUBLE) ORDER BY rank)),
+                   (a, b) -> a + b) AS psum
+          FROM cum GROUP BY 1
+        )
+        SELECT query_id, n_rel,
+               CAST(coalesce(first_, 0) AS BIGINT) AS first_rel_rank,
+               round(CASE WHEN first_ IS NOT NULL
+                          THEN 1.0 / CAST(first_ AS DOUBLE)
+                          ELSE 0.0 END, 9) AS rr,
+               round(CASE WHEN n_rel > 0
+                          THEN psum / CAST(n_rel AS DOUBLE)
+                          ELSE 0.0 END, 9) AS ap
+        FROM per ORDER BY query_id
+    """
+
+
+def _q_pearson_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the zero-filled daily
+    count series of every event-type pair — the parametric companion of
+    spearman_daily. All sufficient statistics (n, Sx, Sy, Sxy, Sxx, Syy)
+    are exact BIGINTs over the shared day grid; one guarded fixed-order
+    division per pair."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    d = ev.select(
+        (us / (86400 * 1000 * 1000)).cast("long").alias("day"), "event_type"
+    )
+    cnt = d.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = rng.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    types = d.select("event_type").distinct()
+    full = (
+        grid.crossJoin(F.broadcast(types))  # day grid x small type dim
+        .join(cnt, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("x"),
+        )
+    )
+    a = full.select(
+        "day", F.col("event_type").alias("type_a"), F.col("x").alias("xa")
+    )
+    b = full.select(
+        "day", F.col("event_type").alias("type_b"), F.col("x").alias("xb")
+    )
+    j = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    agg = j.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "type_a", "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
+_PEARSON_MATRIX_ORACLE = """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+    ),
+    rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+    grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+    types AS (SELECT DISTINCT event_type FROM d),
+    full_ AS (
+      SELECT g.day, t.event_type,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS x
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN (SELECT day, event_type, count(*) AS n FROM d
+                 GROUP BY 1, 2) c
+        ON c.day = g.day AND c.event_type = t.event_type
+    ),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.x AS xa, b.x AS xb
+      FROM full_ a JOIN full_ b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    agg AS (
+      SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+             CAST(sum(xa * xb) AS BIGINT) AS sxy,
+             CAST(sum(xa * xa) AS BIGINT) AS sxx,
+             CAST(sum(xb * xb) AS BIGINT) AS syy
+      FROM j GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+                ELSE 0.0 END AS pearson_r
+    FROM agg ORDER BY 1, 2
+"""
+
+
+def _mec_body_sql(src: str) -> str:
+    """Dialect-shared SQL: exact minimum enclosing spherical cap of the
+    48 smallest-key points by brute candidate enumeration — every
+    2-point candidate (center = normalized midpoint) and every 3-point
+    candidate (center = +/- unit normal of the plane through the three
+    points, the spherical circumcenter), keep candidates covering ALL
+    points within radius + 1e-9, pick the minimum radius (candidate id
+    breaks exact ties). The classical MEC characterization: the optimum
+    is determined by 2 or 3 support points."""
+    return f"""
+        WITH sel AS (
+          SELECT key, lat, lng FROM {src} ORDER BY key LIMIT 48
+        ),
+        v AS (
+          SELECT key,
+                 cos(radians(lng)) * cos(radians(lat)) AS x,
+                 sin(radians(lng)) * cos(radians(lat)) AS y,
+                 sin(radians(lat)) AS z
+          FROM sel
+        ),
+        pair_c AS (
+          SELECT a.key * 1000000 + b.key AS cand_id,
+                 (a.x + b.x) / sqrt((a.x + b.x) * (a.x + b.x)
+                   + (a.y + b.y) * (a.y + b.y)
+                   + (a.z + b.z) * (a.z + b.z)) AS cx,
+                 (a.y + b.y) / sqrt((a.x + b.x) * (a.x + b.x)
+                   + (a.y + b.y) * (a.y + b.y)
+                   + (a.z + b.z) * (a.z + b.z)) AS cy,
+                 (a.z + b.z) / sqrt((a.x + b.x) * (a.x + b.x)
+                   + (a.y + b.y) * (a.y + b.y)
+                   + (a.z + b.z) * (a.z + b.z)) AS cz
+          FROM v a JOIN v b ON a.key < b.key
+        ),
+        tri_n AS (
+          SELECT a.key * 1000000000000 + b.key * 1000000 + c.key AS tid,
+                 (b.y - a.y) * (c.z - a.z) - (b.z - a.z) * (c.y - a.y) AS nx,
+                 (b.z - a.z) * (c.x - a.x) - (b.x - a.x) * (c.z - a.z) AS ny,
+                 (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) AS nz
+          FROM v a JOIN v b ON a.key < b.key JOIN v c ON b.key < c.key
+        ),
+        tri_c AS (
+          SELECT tid * 2 AS cand_id,
+                 nx / sqrt(nx * nx + ny * ny + nz * nz) AS cx,
+                 ny / sqrt(nx * nx + ny * ny + nz * nz) AS cy,
+                 nz / sqrt(nx * nx + ny * ny + nz * nz) AS cz
+          FROM tri_n WHERE nx * nx + ny * ny + nz * nz > 0
+          UNION ALL
+          SELECT tid * 2 + 1,
+                 -nx / sqrt(nx * nx + ny * ny + nz * nz),
+                 -ny / sqrt(nx * nx + ny * ny + nz * nz),
+                 -nz / sqrt(nx * nx + ny * ny + nz * nz)
+          FROM tri_n WHERE nx * nx + ny * ny + nz * nz > 0
+        ),
+        cands AS (
+          SELECT * FROM pair_c UNION ALL SELECT * FROM tri_c
+        ),
+        cov AS (
+          SELECT cand_id, cx, cy, cz,
+                 max(acos(greatest(-1.0, least(1.0,
+                   cx * v.x + cy * v.y + cz * v.z)))) AS radius
+          FROM cands CROSS JOIN v
+          GROUP BY 1, 2, 3, 4
+        ),
+        best AS (
+          SELECT * FROM cov ORDER BY radius, cand_id LIMIT 1
+        )
+        SELECT CAST(48 AS BIGINT) AS n_points,
+               CAST(cand_id AS BIGINT) AS cand_id,
+               round(degrees(atan2(cz, sqrt(cx * cx + cy * cy))), 9)
+                 AS center_lat,
+               round(degrees(atan2(cy, cx)), 9) AS center_lng,
+               round(radius, 9) AS radius_rad
+        FROM best
+    """
+
+
+def _q_min_enclosing_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact minimum enclosing spherical cap (see _mec_body_sql) of the
+    48 smallest customer points — the spherical smallest-enclosing-
+    circle problem solved by full support-set enumeration (pairs +
+    triples), the brute-exact companion of cap_bounds_per_user's
+    streaming CapBound. Cohort-bounded cubic enumeration (~36k
+    candidates x 48 coverage checks) in shared SQL text, identical
+    fixed-order IEEE math in both engines."""
+    pts = _cust_points(spark, sf_dir).select("key", "lat", "lng")
+    pts.createOrReplaceTempView("_mec_pts")
+    return spark.sql(_mec_body_sql("_mec_pts"))
+
+
+def _mec_oracle_sql() -> str:
+    return _mec_body_sql(f"({_CUST_LATLNG_SQL})")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -19260,6 +19553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "albers_coordinates": _q_albers_coordinates,
         "lcc_coordinates": _q_lcc_coordinates,
         "gc_intersections": _q_gc_intersections,
+        "mrr_map_bm25": _q_mrr_map_bm25,
+        "pearson_daily_matrix": _q_pearson_daily_matrix,
+        "min_enclosing_cap": _q_min_enclosing_cap,
     }
 
 
@@ -22627,4 +22923,7 @@ def oracle_sql() -> dict[str, str]:
         "albers_coordinates": _albers_oracle_sql(),
         "lcc_coordinates": _lcc_oracle_sql(),
         "gc_intersections": _gci_oracle_sql(),
+        "mrr_map_bm25": _mrr_map_oracle_sql(),
+        "pearson_daily_matrix": _PEARSON_MATRIX_ORACLE,
+        "min_enclosing_cap": _mec_oracle_sql(),
     }
