@@ -19221,6 +19221,279 @@ def _mec_oracle_sql() -> str:
     return _mec_body_sql(f"({_CUST_LATLNG_SQL})")
 
 
+def _q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + the 3 vectors FARTHEST from their
+    own label's centroid by cosine — the mislabel/contamination
+    screen a curation pipeline runs before training a classifier head.
+    Centroids are elementwise folds of the float32 vectors (cast to
+    double, summed in vec_id order — exact cross-engine); cosines are
+    64-term fixed-order index folds; top-3 via (cosine, vec_id)
+    row_number. One groupBy + one broadcast join — linear in vectors."""
+    from pyspark.sql import Window
+
+    emb = _load(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        vecd.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                F.array_repeat(F.lit(0.0), 64),
+                lambda acc, x: F.zip_with(acc, x["v"], lambda a, b: a + b),
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            "n",
+            F.transform(
+                "s", lambda e: e / F.col("n").cast("double")
+            ).alias("c"),
+        )
+    )
+    j = vecd.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.zip_with(F.col("c"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(
+        "label", "vec_id", (dot / (F.sqrt(nv) * F.sqrt(nc))).alias("cos")
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("label", "rank", "vec_id", F.round("cos", 9).alias("cosine"))
+        .orderBy("label", "rank")
+    )
+
+
+_EMB_OUTLIER_ORACLE = """
+    WITH vecd AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT label, count(*) AS n, list(v ORDER BY vec_id) AS vs
+      FROM vecd GROUP BY 1
+    ),
+    cent AS (
+      SELECT label, n,
+             list_transform(
+               list_reduce(vs, (a, b) ->
+                 list_transform(generate_series(1, 64), i -> a[i] + b[i])),
+               e -> e / CAST(n AS DOUBLE)) AS c
+      FROM cent0
+    ),
+    s AS (
+      SELECT vecd.label, vec_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> v[i] * c[i]), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> v[i] * v[i]), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                    i -> c[i] * c[i]), (a, b) -> a + b))) AS cos
+      FROM vecd JOIN cent ON cent.label = vecd.label
+    )
+    SELECT label, CAST(rank AS BIGINT) AS rank, vec_id,
+           round(cos, 9) AS cosine
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY cos, vec_id) AS rank
+      FROM s
+    ) WHERE rank <= 3 ORDER BY label, rank
+"""
+
+
+def _q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram perplexity under the add-1-smoothed corpus
+    LM (p(w) = (c_w + 1)/(T + V)), rolled up per source with the count
+    of documents above the 800-perplexity gate — the classic LM quality
+    filter of a pretraining pipeline (CCNet-style, with the corpus
+    itself as the LM). Doc log-likelihoods fold per-token terms in
+    token order; the per-source perplexity mean folds in doc order —
+    both deterministic cross-engine."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    dt = toks.groupBy("doc_id", "source", "token").agg(
+        F.count("*").alias("nwd")
+    )
+    corpus = toks.groupBy("token").agg(F.count("*").alias("cw"))
+    tv = corpus.agg(
+        F.sum("cw").alias("t_total"), F.count("*").alias("v_size")
+    )
+    jj = dt.join(corpus, "token").crossJoin(F.broadcast(tv))
+    lp = F.col("nwd").cast("double") * F.log(
+        (F.col("cw") + 1).cast("double")
+        / (F.col("t_total") + F.col("v_size")).cast("double")
+    )
+    per_doc = jj.groupBy("doc_id", "source").agg(
+        F.sum("nwd").alias("n_d"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", lp.alias("lp")))),
+            F.lit(0.0),
+            lambda a, x: a + x["lp"],
+        ).alias("ll"),
+    )
+    pp = F.exp(-F.col("ll") / F.col("n_d").cast("double"))
+    scored = per_doc.select("doc_id", "source", pp.alias("pp"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("pp") > 800.0).cast("long")).alias("n_flagged"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "pp"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x["pp"],
+                )
+                / F.count("*").cast("double"),
+                9,
+            ).alias("mean_pp"),
+        )
+        .orderBy("source")
+    )
+
+
+_PERPLEXITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               t -> length(t) > 0)) AS token
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS nwd
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    corpus AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY 1
+    ),
+    tv AS (
+      SELECT CAST(sum(cw) AS BIGINT) AS t_total,
+             CAST(count(*) AS BIGINT) AS v_size
+      FROM corpus
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(sum(nwd) AS BIGINT) AS n_d,
+             list_reduce(list_prepend(0.0,
+               list(CAST(nwd AS DOUBLE)
+                    * ln(CAST(cw + 1 AS DOUBLE)
+                         / CAST(t_total + v_size AS DOUBLE))
+                    ORDER BY token)),
+               (a, b) -> a + b) AS ll
+      FROM dt JOIN corpus USING (token) CROSS JOIN tv
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             exp(-ll / CAST(n_d AS DOUBLE)) AS pp
+      FROM per_doc
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pp > 800.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(list_reduce(list_prepend(0.0, list(pp ORDER BY doc_id)),
+                             (a, b) -> a + b)
+                 / CAST(count(*) AS DOUBLE), 9) AS mean_pp
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per BPE-ish token
+    and per whitespace token (pipeline/text.py bpe_ish_token_count) —
+    the compression diagnostic that decides tokenizer suitability per
+    language in a multilingual pretraining mix. All totals exact
+    BIGINTs; two pinned divisions per language."""
+    from gos2_spark.pipeline.text import bpe_ish_token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rows = docs.select(
+        "lang",
+        F.col("n_chars"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        ws.alias("n_ws"),
+    )
+    agg = rows.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bpe").alias("total_bpe"),
+        F.sum("n_ws").alias("total_ws"),
+    )
+    return agg.select(
+        "lang", "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_bpe").cast("long").alias("total_bpe"),
+        F.col("total_ws").cast("long").alias("total_ws"),
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("total_bpe").cast("double"),
+            9,
+        ).alias("chars_per_bpe"),
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("total_ws").cast("double"),
+            9,
+        ).alias("chars_per_ws"),
+    ).orderBy("lang")
+
+
+def _token_fertility_oracle_sql() -> str:
+    bpe = (
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    )
+    return f"""
+        WITH rows_ AS (
+          SELECT lang, n_chars,
+                 {bpe} AS n_bpe,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+          FROM documents
+        ),
+        agg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+                 CAST(sum(n_ws) AS BIGINT) AS total_ws
+          FROM rows_ GROUP BY 1
+        )
+        SELECT lang, n_docs, total_chars, total_bpe, total_ws,
+               round(CAST(total_chars AS DOUBLE)
+                     / CAST(total_bpe AS DOUBLE), 9) AS chars_per_bpe,
+               round(CAST(total_chars AS DOUBLE)
+                     / CAST(total_ws AS DOUBLE), 9) AS chars_per_ws
+        FROM agg ORDER BY lang
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -19556,6 +19829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr_map_bm25": _q_mrr_map_bm25,
         "pearson_daily_matrix": _q_pearson_daily_matrix,
         "min_enclosing_cap": _q_min_enclosing_cap,
+        "embedding_label_outliers": _q_embedding_label_outliers,
+        "perplexity_gate": _q_perplexity_gate,
+        "token_fertility": _q_token_fertility,
     }
 
 
@@ -22926,4 +23202,7 @@ def oracle_sql() -> dict[str, str]:
         "mrr_map_bm25": _mrr_map_oracle_sql(),
         "pearson_daily_matrix": _PEARSON_MATRIX_ORACLE,
         "min_enclosing_cap": _mec_oracle_sql(),
+        "embedding_label_outliers": _EMB_OUTLIER_ORACLE,
+        "perplexity_gate": _PERPLEXITY_ORACLE,
+        "token_fertility": _token_fertility_oracle_sql(),
     }
