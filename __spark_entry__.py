@@ -5140,7 +5140,7 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_out = F.size(
         F.filter(
             "arr",
-            lambda v: F.abs(v - F.col("med")) > F.lit(3.0) * F.col("mad"),
+            lambda v: F.abs(v - F.col("med")) > F.lit(2.0) * F.col("mad"),
         )
     )
     return g.select(
@@ -19494,6 +19494,372 @@ def _token_fertility_oracle_sql() -> str:
     """
 
 
+def _q_token_bucket_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting per user (capacity 2 tokens, refill
+    1 token / 40000 s): replay each user's event sequence through the
+    bucket and report allowed/denied counts — the admission-control
+    twin of rate_limit_windows' fixed-window audit. The bucket update
+    tokens' = min(cap, tokens + dt*rate); allow iff tokens' >= 1 is an
+    order-sensitive recurrence, run as ONE deterministic fold per user
+    over the time-ordered event array (the burst_viterbi pattern) —
+    identical in both engines, no per-row state exchange."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    seq = ev.select("user_id", us.alias("us"), "event_id")
+    # acc = (tokens, prev_us, n_allowed); refill 1/600s = us/6e8
+    folded = seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("us", F.col("event_id").cast("long").alias("e"))
+                )
+            ),
+            F.array(F.lit(2.0), F.lit(-1.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                F.when(
+                    F.least(
+                        F.lit(2.0),
+                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
+                            acc[0] + (x["us"] - acc[1]) / 4.0e10
+                        ),
+                    )
+                    >= 1.0,
+                    F.least(
+                        F.lit(2.0),
+                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
+                            acc[0] + (x["us"] - acc[1]) / 4.0e10
+                        ),
+                    )
+                    - 1.0,
+                ).otherwise(
+                    F.least(
+                        F.lit(2.0),
+                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
+                            acc[0] + (x["us"] - acc[1]) / 4.0e10
+                        ),
+                    )
+                ),
+                x["us"].cast("double"),
+                acc[2]
+                + F.when(
+                    F.least(
+                        F.lit(2.0),
+                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
+                            acc[0] + (x["us"] - acc[1]) / 4.0e10
+                        ),
+                    )
+                    >= 1.0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("st")[2].cast("long").alias("n_allowed"),
+        (F.col("n_events") - F.col("st")[2]).cast("long").alias("n_denied"),
+        F.round(F.col("st")[0], 9).alias("tokens_left"),
+    ).orderBy("user_id")
+
+
+_TOKEN_BUCKET_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    folded AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend([CAST(2.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE)],
+                 list_transform(list(CAST(us AS DOUBLE) ORDER BY us, event_id),
+                                u -> [u, 0.0, 0.0])),
+               (acc, x) -> [
+                 CASE WHEN least(2.0, CASE WHEN acc[2] < 0 THEN 2.0
+                        ELSE acc[1] + (x[1] - acc[2]) / 4.0e10 END) >= 1.0
+                      THEN least(2.0, CASE WHEN acc[2] < 0 THEN 2.0
+                        ELSE acc[1] + (x[1] - acc[2]) / 4.0e10 END) - 1.0
+                      ELSE least(2.0, CASE WHEN acc[2] < 0 THEN 2.0
+                        ELSE acc[1] + (x[1] - acc[2]) / 4.0e10 END) END,
+                 x[1],
+                 acc[3] + CASE WHEN least(2.0,
+                     CASE WHEN acc[2] < 0 THEN 2.0
+                          ELSE acc[1] + (x[1] - acc[2]) / 4.0e10 END) >= 1.0
+                   THEN 1.0 ELSE 0.0 END
+               ]) AS st
+      FROM seq GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(st[3] AS BIGINT) AS n_allowed,
+           CAST(n_events - st[3] AS BIGINT) AS n_denied,
+           round(st[1], 9) AS tokens_left
+    FROM folded ORDER BY user_id
+"""
+
+
+def _q_trajectory_tortuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory tortuosity per user: total path length (sum of leg
+    angles folded in leg order) over the direct start-to-end
+    great-circle distance, plus the mean absolute turning angle between
+    consecutive legs (trajectory_bearings' per-leg bearings, differenced
+    and wrapped to [0, pi]) — the path-efficiency diagnostic between
+    radius_of_gyration and frechet distances. Users with < 3 events
+    drop (no defined turn)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lat = F.radians(-60.0 + (e * 11 % 120) + (e % 83) / 83.0)
+    lng = F.radians(-170.0 + (e * 17 % 340) + (e % 79) / 79.0)
+    pts = ev.select(
+        "user_id", us.alias("us"), "event_id",
+        (F.cos(lng) * F.cos(lat)).alias("x"),
+        (F.sin(lng) * F.cos(lat)).alias("y"),
+        F.sin(lat).alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = pts.select(
+        "user_id", "us", "event_id", "x", "y", "z",
+        F.row_number().over(w).alias("i"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+    )
+    cx = F.col("py") * F.col("z") - F.col("pz") * F.col("y")
+    cy = F.col("pz") * F.col("x") - F.col("px") * F.col("z")
+    cz = F.col("px") * F.col("y") - F.col("py") * F.col("x")
+    leg = F.atan2(
+        F.sqrt(cx * cx + cy * cy + cz * cz),
+        F.col("px") * F.col("x") + F.col("py") * F.col("y")
+        + F.col("pz") * F.col("z"),
+    )
+    legs = seq.where(F.col("px").isNotNull()).select(
+        "user_id", "i", leg.alias("leg"),
+        "px", "py", "pz", "x", "y", "z",
+    )
+    # turning angle at each interior vertex: angle between leg normals
+    wl = Window.partitionBy("user_id").orderBy("i")
+    nx = F.col("py") * F.col("z") - F.col("pz") * F.col("y")
+    ny = F.col("pz") * F.col("x") - F.col("px") * F.col("z")
+    nz = F.col("px") * F.col("y") - F.col("py") * F.col("x")
+    withn = legs.select(
+        "user_id", "i", "leg",
+        nx.alias("nx"), ny.alias("ny"), nz.alias("nz"),
+    ).select(
+        "user_id", "i", "leg", "nx", "ny", "nz",
+        F.lag("nx").over(wl).alias("qx"),
+        F.lag("ny").over(wl).alias("qy"),
+        F.lag("nz").over(wl).alias("qz"),
+    )
+    tx = F.col("qy") * F.col("nz") - F.col("qz") * F.col("ny")
+    ty = F.col("qz") * F.col("nx") - F.col("qx") * F.col("nz")
+    tz = F.col("qx") * F.col("ny") - F.col("qy") * F.col("nx")
+    turn = F.atan2(
+        F.sqrt(tx * tx + ty * ty + tz * tz),
+        F.col("qx") * F.col("nx") + F.col("qy") * F.col("ny")
+        + F.col("qz") * F.col("nz"),
+    )
+    stats = withn.groupBy("user_id").agg(
+        F.count("*").alias("n_legs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", F.col("leg").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("path_len"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.when(F.col("qx").isNotNull(), turn).otherwise(
+                            F.lit(0.0)
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("turn_sum"),
+    ).where(F.col("n_legs") >= 2)
+    first = pts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    ).select("user_id", F.col("x").alias("fx"), F.col("y").alias("fy"),
+             F.col("z").alias("fz"))
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    last = pts.withColumn("rn", F.row_number().over(wd)).where(
+        F.col("rn") == 1
+    ).select("user_id", F.col("x").alias("lx"), F.col("y").alias("ly"),
+             F.col("z").alias("lz"))
+    fl = first.join(last, "user_id")
+    dxx = F.col("fy") * F.col("lz") - F.col("fz") * F.col("ly")
+    dyy = F.col("fz") * F.col("lx") - F.col("fx") * F.col("lz")
+    dzz = F.col("fx") * F.col("ly") - F.col("fy") * F.col("lx")
+    direct = F.atan2(
+        F.sqrt(dxx * dxx + dyy * dyy + dzz * dzz),
+        F.col("fx") * F.col("lx") + F.col("fy") * F.col("ly")
+        + F.col("fz") * F.col("lz"),
+    )
+    out = stats.join(fl.select("user_id", direct.alias("direct")), "user_id")
+    return out.select(
+        "user_id",
+        F.col("n_legs").cast("long").alias("n_legs"),
+        F.round("path_len", 9).alias("path_len_rad"),
+        F.round("direct", 9).alias("direct_rad"),
+        F.when(
+            F.col("direct") > 0,
+            F.round(F.col("path_len") / F.col("direct"), 9),
+        ).otherwise(F.lit(0.0)).alias("tortuosity"),
+        F.round(
+            F.col("turn_sum") / (F.col("n_legs") - 1).cast("double"), 9
+        ).alias("mean_turn_rad"),
+    ).orderBy("user_id")
+
+
+_TORTUOSITY_ORACLE = """
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             cos(radians(-170.0 + (event_id * 17 % 340)
+                 + (event_id % 79) / 79.0))
+               * cos(radians(-60.0 + (event_id * 11 % 120)
+                 + (event_id % 83) / 83.0)) AS x,
+             sin(radians(-170.0 + (event_id * 17 % 340)
+                 + (event_id % 79) / 79.0))
+               * cos(radians(-60.0 + (event_id * 11 % 120)
+                 + (event_id % 83) / 83.0)) AS y,
+             sin(radians(-60.0 + (event_id * 11 % 120)
+                 + (event_id % 83) / 83.0)) AS z
+      FROM events
+    ),
+    seq AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS i,
+             lag(x) OVER (PARTITION BY user_id ORDER BY us, event_id) AS px,
+             lag(y) OVER (PARTITION BY user_id ORDER BY us, event_id) AS py,
+             lag(z) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pz
+      FROM pts
+    ),
+    legs AS (
+      SELECT user_id, i,
+             atan2(sqrt((py * z - pz * y) * (py * z - pz * y)
+                      + (pz * x - px * z) * (pz * x - px * z)
+                      + (px * y - py * x) * (px * y - py * x)),
+                   px * x + py * y + pz * z) AS leg,
+             py * z - pz * y AS nx,
+             pz * x - px * z AS ny,
+             px * y - py * x AS nz
+      FROM seq WHERE px IS NOT NULL
+    ),
+    withn AS (
+      SELECT *,
+             lag(nx) OVER (PARTITION BY user_id ORDER BY i) AS qx,
+             lag(ny) OVER (PARTITION BY user_id ORDER BY i) AS qy,
+             lag(nz) OVER (PARTITION BY user_id ORDER BY i) AS qz
+      FROM legs
+    ),
+    stats AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+             list_reduce(list_prepend(0.0, list(leg ORDER BY i)),
+                         (a, b) -> a + b) AS path_len,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN qx IS NULL THEN 0.0
+                    ELSE atan2(sqrt(
+                        (qy * nz - qz * ny) * (qy * nz - qz * ny)
+                      + (qz * nx - qx * nz) * (qz * nx - qx * nz)
+                      + (qx * ny - qy * nx) * (qx * ny - qy * nx)),
+                      qx * nx + qy * ny + qz * nz) END ORDER BY i)),
+               (a, b) -> a + b) AS turn_sum
+      FROM withn GROUP BY 1 HAVING count(*) >= 2
+    ),
+    fl AS (
+      SELECT f.user_id,
+             atan2(sqrt((f.y * l.z - f.z * l.y) * (f.y * l.z - f.z * l.y)
+                      + (f.z * l.x - f.x * l.z) * (f.z * l.x - f.x * l.z)
+                      + (f.x * l.y - f.y * l.x) * (f.x * l.y - f.y * l.x)),
+                   f.x * l.x + f.y * l.y + f.z * l.z) AS direct
+      FROM (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY us, event_id) AS rn FROM pts)
+            WHERE rn = 1) f
+      JOIN (SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+              FROM pts)
+            WHERE rn = 1) l ON l.user_id = f.user_id
+    )
+    SELECT s.user_id, n_legs,
+           round(path_len, 9) AS path_len_rad,
+           round(direct, 9) AS direct_rad,
+           CASE WHEN direct > 0 THEN round(path_len / direct, 9)
+                ELSE 0.0 END AS tortuosity,
+           round(turn_sum / CAST(n_legs - 1 AS DOUBLE), 9)
+             AS mean_turn_rad
+    FROM stats s JOIN fl ON fl.user_id = s.user_id
+    ORDER BY s.user_id
+"""
+
+
+def _q_bilinear_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear interpolation of the shared hash-elevation surface at
+    the exact event coordinates (cell centers carry the integer
+    elevation; the four surrounding centers blend by fractional
+    position) — the raster-sampling primitive under every terrain
+    overlay. Pure scalar expressions per event, zero joins; rolled up
+    per tile with 1e-6-quantized BIGINT sums (exact in any order)."""
+    ev = _load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_bil_events")
+    return spark.sql(_bilinear_select_sql("_bil_events"))
+
+
+def _bilinear_select_sql(src: str) -> str:
+    # CAST keeps Spark SQL from parsing the literals as DECIMAL (which
+    # would silently truncate the fractional position at scale 9)
+    lat = (
+        "(CAST(-60.0 AS DOUBLE) + (event_id * 11 % 120)"
+        " + (event_id % 83) / CAST(83.0 AS DOUBLE))"
+    )
+    lng = (
+        "(CAST(-170.0 AS DOUBLE) + (event_id * 17 % 340)"
+        " + (event_id % 79) / CAST(79.0 AS DOUBLE))"
+    )
+    # grid coordinates in cell units, centers at integers r,c (cell = 2 deg)
+    gr = f"({lat} / 2.0 - 0.5)"
+    gc = f"({lng} / 2.0 - 0.5)"
+    r0 = f"CAST(floor({gr}) AS BIGINT)"
+    c0 = f"CAST(floor({gc}) AS BIGINT)"
+    fr = f"({gr} - floor({gr}))"
+    fc = f"({gc} - floor({gc}))"
+    z00 = _grid_elev_sql(r0, c0)
+    z01 = _grid_elev_sql(r0, f"({c0} + 1)")
+    z10 = _grid_elev_sql(f"({r0} + 1)", c0)
+    z11 = _grid_elev_sql(f"({r0} + 1)", f"({c0} + 1)")
+    bil = (
+        f"(CAST({z00} AS DOUBLE) * (1.0 - {fr}) * (1.0 - {fc})"
+        f" + CAST({z01} AS DOUBLE) * (1.0 - {fr}) * {fc}"
+        f" + CAST({z10} AS DOUBLE) * {fr} * (1.0 - {fc})"
+        f" + CAST({z11} AS DOUBLE) * {fr} * {fc})"
+    )
+    return f"""
+        SELECT CAST(floor({lat} / 10.0) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round({bil} * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS sum_bilinear,
+               round(min({bil}), 9) AS min_bilinear,
+               round(max({bil}), 9) AS max_bilinear
+        FROM {src}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _bilinear_oracle_sql() -> str:
+    return _bilinear_select_sql("events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -19832,6 +20198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_outliers": _q_embedding_label_outliers,
         "perplexity_gate": _q_perplexity_gate,
         "token_fertility": _q_token_fertility,
+        "token_bucket_gate": _q_token_bucket_gate,
+        "trajectory_tortuosity": _q_trajectory_tortuosity,
+        "bilinear_elevation": _q_bilinear_elevation,
     }
 
 
@@ -23205,4 +23574,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_outliers": _EMB_OUTLIER_ORACLE,
         "perplexity_gate": _PERPLEXITY_ORACLE,
         "token_fertility": _token_fertility_oracle_sql(),
+        "token_bucket_gate": _TOKEN_BUCKET_ORACLE,
+        "trajectory_tortuosity": _TORTUOSITY_ORACLE,
+        "bilinear_elevation": _bilinear_oracle_sql(),
     }
