@@ -753,3 +753,70 @@ def test_late_batches_no_python_stage(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
     assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "degree_assortativity",
+        "local_clustering",
+        "reciprocity_links",
+        "nn_ffunction",
+        "general_g",
+        "central_feature",
+        "welch_ttest",
+        "fisher_exact",
+        "cohens_kappa",
+        "horn_slope_aspect",
+        "hillshade_grid",
+        "flow_direction_d8",
+        "burrows_delta",
+        "ccf_clicks_views",
+        "hurst_rs",
+        "home_work_cells",
+        "gap_log_histogram",
+        "dwell_time_cells",
+        "albers_coordinates",
+        "lcc_coordinates",
+        "gc_intersections",
+        "mrr_map_bm25",
+        "pearson_daily_matrix",
+        "min_enclosing_cap",
+        "embedding_label_outliers",
+        "perplexity_gate",
+        "token_fertility",
+        "token_bucket_gate",
+        "trajectory_tortuosity",
+        "bilinear_elevation",
+    ],
+)
+def test_session2_batches_no_python_stage(spark, name):
+    """Every batch ll-uu operator claims a pure-Catalyst plan — folds run
+    as JVM higher-order functions, never Python."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_raster_ops_zero_exchange_past_distinct(spark):
+    """The Horn/hillshade/D8/bilinear raster ops are scalar-expression
+    plans: at most the occupancy-distinct (or band-agg) exchanges, no
+    joins at all."""
+    for name, cap in (
+        ("horn_slope_aspect", 2),
+        ("hillshade_grid", 2),
+        ("flow_direction_d8", 2),
+        ("bilinear_elevation", 2),
+    ):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert _exchanges(plan) <= cap, (name, _exchanges(plan))
+
+
+def test_mec_and_central_feature_broadcast_only(spark):
+    """The two documented quadratic/cubic cohort-bounded enumerations
+    must stay broadcast-nested-loop (one small broadcast side), never a
+    shuffled cartesian."""
+    for name in ("min_enclosing_cap", "central_feature"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
