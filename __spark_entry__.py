@@ -19860,6 +19860,382 @@ def _bilinear_oracle_sql() -> str:
     return _bilinear_select_sql("events")
 
 
+def _q_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) and memory
+    coefficient M (Pearson correlation of consecutive gaps) of each
+    user's inter-event gap sequence — the two-parameter
+    characterization of temporal clustering in human activity. Gap
+    moments and the lag-1 cross moments fold in gap order (gaps are
+    microsecond doubles too large for BIGINT squares); users with < 3
+    gaps drop (M undefined)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        ev.select("user_id", us.alias("us"), "event_id")
+        .withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ).alias("i"),
+            ((F.col("us") - F.col("prev")) / 1.0e6).alias("g"),
+        )
+    )
+    wg = Window.partitionBy("user_id").orderBy("i")
+    pairs = gaps.withColumn("gn", F.lead("g").over(wg))
+
+    def _fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", col.alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        )
+
+    agg = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        _fold(F.col("g")).alias("sg"),
+        _fold(F.col("g") * F.col("g")).alias("sgg"),
+        _fold(F.when(F.col("gn").isNotNull(), F.col("g")).otherwise(0.0)).alias("sa"),
+        _fold(F.when(F.col("gn").isNotNull(), F.col("gn")).otherwise(0.0)).alias("sb"),
+        _fold(
+            F.when(F.col("gn").isNotNull(), F.col("g") * F.col("gn")).otherwise(0.0)
+        ).alias("sab"),
+        _fold(
+            F.when(F.col("gn").isNotNull(), F.col("g") * F.col("g")).otherwise(0.0)
+        ).alias("saa"),
+        _fold(
+            F.when(F.col("gn").isNotNull(), F.col("gn") * F.col("gn")).otherwise(0.0)
+        ).alias("sbb"),
+    ).where(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    mu = F.col("sg") / nd
+    sig = F.sqrt(F.col("sgg") / nd - mu * mu)
+    m = nd - 1.0
+    va = m * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = m * F.col("sbb") - F.col("sb") * F.col("sb")
+    mem = F.when(
+        (va > 0) & (vb > 0),
+        (m * F.col("sab") - F.col("sa") * F.col("sb"))
+        / (F.sqrt(va) * F.sqrt(vb)),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mu, 9).alias("mean_gap_s"),
+        F.when(sig + mu > 0, F.round((sig - mu) / (sig + mu), 9))
+        .otherwise(F.lit(0.0))
+        .alias("burstiness"),
+        F.round(mem, 9).alias("memory_coeff"),
+    ).orderBy("user_id")
+
+
+_BURSTINESS_ORACLE = """
+    WITH gaps0 AS (
+      SELECT user_id, us, event_id,
+             lag(us) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS prev
+      FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)
+    ),
+    gaps AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS i,
+             (us - prev) / 1.0e6 AS g
+      FROM gaps0 WHERE prev IS NOT NULL
+    ),
+    pairs AS (
+      SELECT *, lead(g) OVER (PARTITION BY user_id ORDER BY i) AS gn
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(g ORDER BY i)),
+                         (a, b) -> a + b) AS sg,
+             list_reduce(list_prepend(0.0, list(g * g ORDER BY i)),
+                         (a, b) -> a + b) AS sgg,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN gn IS NULL THEN 0.0 ELSE g END ORDER BY i)),
+               (a, b) -> a + b) AS sa,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN gn IS NULL THEN 0.0 ELSE gn END ORDER BY i)),
+               (a, b) -> a + b) AS sb,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN gn IS NULL THEN 0.0 ELSE g * gn END ORDER BY i)),
+               (a, b) -> a + b) AS sab,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN gn IS NULL THEN 0.0 ELSE g * g END ORDER BY i)),
+               (a, b) -> a + b) AS saa,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN gn IS NULL THEN 0.0 ELSE gn * gn END ORDER BY i)),
+               (a, b) -> a + b) AS sbb
+      FROM pairs GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT user_id, n AS n_gaps,
+           round(sg / CAST(n AS DOUBLE), 9) AS mean_gap_s,
+           CASE WHEN sqrt(sgg / CAST(n AS DOUBLE)
+                          - (sg / CAST(n AS DOUBLE))
+                            * (sg / CAST(n AS DOUBLE)))
+                     + sg / CAST(n AS DOUBLE) > 0
+                THEN round((sqrt(sgg / CAST(n AS DOUBLE)
+                                 - (sg / CAST(n AS DOUBLE))
+                                   * (sg / CAST(n AS DOUBLE)))
+                            - sg / CAST(n AS DOUBLE))
+                           / (sqrt(sgg / CAST(n AS DOUBLE)
+                                   - (sg / CAST(n AS DOUBLE))
+                                     * (sg / CAST(n AS DOUBLE)))
+                              + sg / CAST(n AS DOUBLE)), 9)
+                ELSE 0.0 END AS burstiness,
+           CASE WHEN CAST(n - 1 AS DOUBLE) * saa - sa * sa > 0
+                 AND CAST(n - 1 AS DOUBLE) * sbb - sb * sb > 0
+                THEN round((CAST(n - 1 AS DOUBLE) * sab - sa * sb)
+                           / (sqrt(CAST(n - 1 AS DOUBLE) * saa - sa * sa)
+                              * sqrt(CAST(n - 1 AS DOUBLE) * sbb - sb * sb)),
+                           9)
+                ELSE 0.0 END AS memory_coeff
+    FROM agg ORDER BY user_id
+"""
+
+
+def _q_ransac_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC-style robust trend of the daily total event-count series:
+    every day pair proposes the line through its two points
+    (deterministic exhaustive 'sampling' — no RNG needed at 435
+    candidates), each candidate counts days within 15.0 counts of the
+    line, and the (most inliers, smallest candidate id) winner is
+    refit-free reported — the outlier-immune alternative to
+    value_trend_ols next to theil_sen's median slope. Bounded
+    candidate x day join (~13k rows at any SF)."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    daily = (
+        ev.select((us / (86400 * 1000 * 1000)).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("y"))
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    cand = a.join(b, F.col("d1") < F.col("d2")).select(
+        (F.col("d1") * 100000 + F.col("d2")).alias("cand_id"),
+        "d1", "y1", "d2", "y2",
+        # guarded: Catalyst may fuse this projection into the BNLJ stage
+        # and evaluate it before the d1 < d2 condition prunes the row
+        F.when(
+            F.col("d2") != F.col("d1"),
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double"),
+        ).alias("slope"),
+    ).withColumn(
+        "intercept",
+        F.col("y1").cast("double") - F.col("slope") * F.col("d1").cast("double"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .crossJoin(daily)  # bounded: C(n_days,2) x n_days
+        .where(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("d").cast("double"))
+            )
+            <= 15.0
+        )
+        .groupBy("cand_id", "d1", "d2", "slope", "intercept")
+        .agg(F.count("*").alias("n_inliers"))
+    )
+    return (
+        scored.orderBy(F.desc("n_inliers"), F.asc("cand_id"))
+        .limit(1)
+        .select(
+            "cand_id", "d1", "d2",
+            F.round("slope", 9).alias("slope"),
+            F.round("intercept", 9).alias("intercept"),
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+        )
+    )
+
+
+_RANSAC_ORACLE = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    cand AS (
+      SELECT a.d * 100000 + b.d AS cand_id,
+             a.d AS d1, a.y AS y1, b.d AS d2, b.y AS y2,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+             CAST(a.y AS DOUBLE)
+               - CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                 * CAST(a.d AS DOUBLE) AS intercept
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    scored AS (
+      SELECT cand_id, d1, d2, slope, intercept,
+             CAST(count(*) AS BIGINT) AS n_inliers
+      FROM cand CROSS JOIN daily
+      WHERE abs(CAST(y AS DOUBLE)
+                - (intercept + slope * CAST(d AS DOUBLE))) <= 15.0
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT cand_id, d1, d2, round(slope, 9) AS slope,
+           round(intercept, 9) AS intercept, n_inliers
+    FROM scored ORDER BY n_inliers DESC, cand_id LIMIT 1
+"""
+
+
+def _nw_dp_sql(el, seq, tf, pre, fold, mk) -> str:
+    """Needleman-Wunsch score as ONE flat fold over the n1*n2 cell
+    sequence in row-major order (match +1 / mismatch -1 / gap -1),
+    carrying the classic rolling DP row plus the diagonal in the
+    accumulator: acc = [diag, dp_0, dp_1, ..., dp_n2]. Dialect knobs:
+    ``el`` 1-indexed accessor (element_at / list_element), ``seq``
+    integer range (sequence / generate_series), ``tf`` array map
+    (transform / list_transform), ``pre(elem, arr)`` prepend,
+    ``fold(cells, init, body)`` reduction (Spark aggregate with explicit
+    init / DuckDB list_reduce over a prepended init), ``mk`` 1-element
+    array constructor — every other token is shared text. Returns the
+    SQL expression for the final DP row given columns sa, sb, n1, n2."""
+    xidx = f"{el}(x, 1)"
+    i = f"CAST(floor(CAST({xidx} AS DOUBLE) / CAST(n2 AS DOUBLE)) AS BIGINT)"
+    j = f"(CAST({xidx} AS BIGINT) % n2)"
+    ch_match = (
+        f"CASE WHEN substr(sa, CAST({i} + 1 AS INT), 1)"
+        f" = substr(sb, CAST({j} + 1 AS INT), 1) THEN 1.0 ELSE -1.0 END"
+    )
+    diag_used = f"CASE WHEN {j} = 0 THEN {el}(acc, 2) ELSE {el}(acc, 1) END"
+    left = (
+        f"CASE WHEN {j} = 0 THEN -CAST({i} + 1 AS DOUBLE)"
+        f" ELSE {el}(acc, CAST({j} + 2 AS INT)) END"
+    )
+    up = f"{el}(acc, CAST({j} + 3 AS INT))"
+    cur = f"greatest({up} - 1.0, {left} - 1.0, {diag_used} + {ch_match})"
+    newel = (
+        f"CASE WHEN p = 1 THEN {up}"
+        f" WHEN p = 2 AND {j} = 0 THEN -CAST({i} + 1 AS DOUBLE)"
+        f" WHEN p = CAST({j} + 3 AS BIGINT) THEN {cur}"
+        f" ELSE {el}(acc, CAST(p AS INT)) END"
+    )
+    neg_row = f"{tf}({seq}(1, CAST(n2 AS BIGINT)), q -> -CAST(q AS DOUBLE))"
+    init = pre("CAST(0.0 AS DOUBLE)", pre("CAST(0.0 AS DOUBLE)", neg_row))
+    cells = (
+        f"{tf}({seq}(0, CAST(n1 * n2 - 1 AS BIGINT)),"
+        f" v -> {mk}(CAST(v AS DOUBLE)))"
+    )
+    body = f"{tf}({seq}(1, CAST(n2 + 2 AS BIGINT)), p -> {newel})"
+    return fold(cells, init, body)
+
+
+def _nw_dp_spark() -> str:
+    return _nw_dp_sql(
+        "element_at", "sequence", "transform",
+        lambda e, a: f"array_prepend({a}, {e})",
+        lambda cells, init, body: (
+            f"aggregate({cells}, {init}, (acc, x) -> {body})"
+        ),
+        "array",
+    )
+
+
+def _nw_dp_duckdb() -> str:
+    return _nw_dp_sql(
+        "list_element", "generate_series", "list_transform",
+        lambda e, a: f"list_prepend({e}, {a})",
+        lambda cells, init, body: (
+            f"list_reduce(list_prepend({init}, {cells}),"
+            f" (acc, x) -> {body})"
+        ),
+        "list_value",
+    )
+
+
+def _q_needleman_wunsch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence alignment (Needleman-Wunsch, match +1 /
+    mismatch -1 / gap -1) between the event-type-initial strings (first
+    40 events, time-ordered) of the 8 smallest users, all 28 pairs —
+    the classic DP expressed as a single declarative fold over the
+    row-major cell sequence (see _nw_dp_sql), no UDF, no driver loop.
+    Scores are exact integers riding as doubles."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seqs = (
+        ev.select(
+            "user_id", us.alias("us"), "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 40)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", F.col("ch").alias("c")))
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+        .orderBy("user_id")
+        .limit(8)
+    )
+    seqs.createOrReplaceTempView("_nw_seqs")
+    dp = _nw_dp_spark()
+    return spark.sql(f"""
+        WITH pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.s AS sa, b.s AS sb,
+                 length(a.s) AS n1, length(b.s) AS n2
+          FROM _nw_seqs a JOIN _nw_seqs b ON a.user_id < b.user_id
+        )
+        SELECT user_a, user_b,
+               CAST(n1 AS BIGINT) AS len_a, CAST(n2 AS BIGINT) AS len_b,
+               CAST(element_at({dp}, CAST(n2 + 2 AS INT)) AS BIGINT)
+                 AS nw_score
+        FROM pairs ORDER BY user_a, user_b
+    """)
+
+
+def _nw_oracle_sql() -> str:
+    dp = _nw_dp_duckdb()
+    return f"""
+        WITH seqs AS (
+          SELECT user_id, string_agg(ch, '' ORDER BY rn) AS s
+          FROM (
+            SELECT user_id, substr(event_type, 1, 1) AS ch,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS rn
+            FROM (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                  FROM events)
+          ) WHERE rn <= 40
+          GROUP BY 1 ORDER BY 1 LIMIT 8
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.s AS sa, b.s AS sb,
+                 length(a.s) AS n1, length(b.s) AS n2
+          FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+        )
+        SELECT user_a, user_b,
+               CAST(n1 AS BIGINT) AS len_a, CAST(n2 AS BIGINT) AS len_b,
+               CAST(list_element({dp}, CAST(n2 + 2 AS INT)) AS BIGINT)
+                 AS nw_score
+        FROM pairs ORDER BY user_a, user_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -20201,6 +20577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bucket_gate": _q_token_bucket_gate,
         "trajectory_tortuosity": _q_trajectory_tortuosity,
         "bilinear_elevation": _q_bilinear_elevation,
+        "burstiness_memory": _q_burstiness_memory,
+        "ransac_trend": _q_ransac_trend,
+        "needleman_wunsch": _q_needleman_wunsch,
     }
 
 
@@ -23577,4 +23956,7 @@ def oracle_sql() -> dict[str, str]:
         "token_bucket_gate": _TOKEN_BUCKET_ORACLE,
         "trajectory_tortuosity": _TORTUOSITY_ORACLE,
         "bilinear_elevation": _bilinear_oracle_sql(),
+        "burstiness_memory": _BURSTINESS_ORACLE,
+        "ransac_trend": _RANSAC_ORACLE,
+        "needleman_wunsch": _nw_oracle_sql(),
     }
