@@ -20236,6 +20236,306 @@ def _nw_oracle_sql() -> str:
     """
 
 
+def _sw_dp_sql(el, seq, tf, pre, fold, mk) -> str:
+    """Smith-Waterman LOCAL alignment score via the same flat-fold
+    machinery as _nw_dp_sql, with the local-alignment changes: cells
+    clamp at 0, the boundary row/column are all zeros, and the
+    accumulator carries a running best in its last slot:
+    acc = [diag, dp_0..dp_n2, best]."""
+    xidx = f"{el}(x, 1)"
+    i = f"CAST(floor(CAST({xidx} AS DOUBLE) / CAST(n2 AS DOUBLE)) AS BIGINT)"
+    j = f"(CAST({xidx} AS BIGINT) % n2)"
+    ch_match = (
+        f"CASE WHEN substr(sa, CAST({i} + 1 AS INT), 1)"
+        f" = substr(sb, CAST({j} + 1 AS INT), 1) THEN 1.0 ELSE -1.0 END"
+    )
+    diag_used = f"CASE WHEN {j} = 0 THEN {el}(acc, 2) ELSE {el}(acc, 1) END"
+    left = (
+        f"CASE WHEN {j} = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE {el}(acc, CAST({j} + 2 AS INT)) END"
+    )
+    up = f"{el}(acc, CAST({j} + 3 AS INT))"
+    cur = (
+        f"greatest(CAST(0.0 AS DOUBLE), {up} - 1.0, {left} - 1.0,"
+        f" {diag_used} + {ch_match})"
+    )
+    newel = (
+        f"CASE WHEN p = 1 THEN {up}"
+        f" WHEN p = CAST({j} + 3 AS BIGINT) THEN {cur}"
+        f" WHEN p = CAST(n2 + 3 AS BIGINT)"
+        f" THEN greatest({el}(acc, CAST(n2 + 3 AS INT)), {cur})"
+        f" ELSE {el}(acc, CAST(p AS INT)) END"
+    )
+    # [diag=0, dp_0..dp_n2 = 0, best=0]
+    init = pre(
+        "CAST(0.0 AS DOUBLE)",
+        f"{tf}({seq}(1, CAST(n2 + 2 AS BIGINT)), q -> CAST(0.0 AS DOUBLE))",
+    )
+    cells = (
+        f"{tf}({seq}(0, CAST(n1 * n2 - 1 AS BIGINT)),"
+        f" v -> {mk}(CAST(v AS DOUBLE)))"
+    )
+    body = f"{tf}({seq}(1, CAST(n2 + 3 AS BIGINT)), p -> {newel})"
+    return fold(cells, init, body)
+
+
+def _q_smith_waterman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local alignment (match +1 / mismatch -1 / gap -1)
+    over the same 8-user event-type-initial strings as needleman_wunsch
+    — the best matching SUBSEQUENCE window rather than the global
+    alignment, again as one declarative fold (see _sw_dp_sql)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seqs = (
+        ev.select(
+            "user_id", us.alias("us"), "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 40)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", F.col("ch").alias("c")))
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+        .orderBy("user_id")
+        .limit(8)
+    )
+    seqs.createOrReplaceTempView("_sw_seqs")
+    dp = _sw_dp_sql(
+        "element_at", "sequence", "transform",
+        lambda e, a: f"array_prepend({a}, {e})",
+        lambda cells, init, body: (
+            f"aggregate({cells}, {init}, (acc, x) -> {body})"
+        ),
+        "array",
+    )
+    return spark.sql(f"""
+        WITH pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.s AS sa, b.s AS sb,
+                 length(a.s) AS n1, length(b.s) AS n2
+          FROM _sw_seqs a JOIN _sw_seqs b ON a.user_id < b.user_id
+        )
+        SELECT user_a, user_b,
+               CAST(element_at({dp}, CAST(n2 + 3 AS INT)) AS BIGINT)
+                 AS sw_score
+        FROM pairs ORDER BY user_a, user_b
+    """)
+
+
+def _sw_oracle_sql() -> str:
+    dp = _sw_dp_sql(
+        "list_element", "generate_series", "list_transform",
+        lambda e, a: f"list_prepend({e}, {a})",
+        lambda cells, init, body: (
+            f"list_reduce(list_prepend({init}, {cells}),"
+            f" (acc, x) -> {body})"
+        ),
+        "list_value",
+    )
+    return f"""
+        WITH seqs AS (
+          SELECT user_id, string_agg(ch, '' ORDER BY rn) AS s
+          FROM (
+            SELECT user_id, substr(event_type, 1, 1) AS ch,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS rn
+            FROM (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                  FROM events)
+          ) WHERE rn <= 40
+          GROUP BY 1 ORDER BY 1 LIMIT 8
+        ),
+        pairs AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.s AS sa, b.s AS sb,
+                 length(a.s) AS n1, length(b.s) AS n2
+          FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+        )
+        SELECT user_a, user_b,
+               CAST(list_element({dp}, CAST(n2 + 3 AS INT)) AS BIGINT)
+                 AS sw_score
+        FROM pairs ORDER BY user_a, user_b
+    """
+
+
+def _q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Bayesian A/B: with uniform Beta(1,1) priors on each arm's
+    conversion rate (conversion = value > 200, arms = the
+    ab_conversion_ztest hash split), P(pB > pA) has the closed form
+    sum_{i=0}^{aB-1} B(aA+i, bA+bB) / ((bB+i) B(1+i, bB) B(aA, bA))
+    (Cook's formula), evaluated with the shared Stirling ln-factorial
+    ladder (identical fixed-order expression both engines) over an
+    exploded i-range bounded by the B-arm success count. The posterior
+    companion of the frequentist ab_conversion_ztest."""
+    ev = _load(spark, sf_dir, "events")
+    tab = ev.select(
+        "event_type",
+        (F.col("user_id") * 48271 % 2147483647 % 2).alias("arm"),
+        (F.col("value") > 200.0).cast("long").alias("succ"),
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("succ"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("succ"))).alias("fa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("succ"))).alias("sb"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("succ"))).alias("fb"),
+    )
+    tab.createOrReplaceTempView("_bayes_tab")
+    return spark.sql(_bayes_body_sql("_bayes_tab", "explode", "sequence"))
+
+
+def _bayes_body_sql(src: str, explode_fn: str, seq_fn: str) -> str:
+    # Beta(1,1) priors: aA = sa+1, bA = fa+1, aB = sb+1, bB = fb+1.
+    # ln B(x, y) = lf(x-1) + lf(y-1) - lf(x+y-1) via the Stirling ladder.
+    def lnbeta(x, y):
+        return (
+            f"({_lnfact(f'({x} - 1)')} + {_lnfact(f'({y} - 1)')}"
+            f" - {_lnfact(f'({x} + {y} - 1)')})"
+        )
+
+    term = (
+        f"exp({lnbeta('(sa + 1 + i)', '(fa + 1 + fb + 1)')}"
+        f" - ln(CAST(fb + 1 + i AS DOUBLE))"
+        f" - {lnbeta('(1 + i)', '(fb + 1)')}"
+        f" - {lnbeta('(sa + 1)', '(fa + 1)')})"
+    )
+    return f"""
+        WITH ks AS (
+          SELECT event_type, sa, fa, sb, fb,
+                 {explode_fn}(
+                   {seq_fn}(CAST(0 AS BIGINT), CAST(sb AS BIGINT))) AS i
+          FROM {src}
+        ),
+        p AS (
+          SELECT event_type, sa, fa, sb, fb, {term} AS t FROM ks
+        )
+        SELECT event_type,
+               CAST(sa AS BIGINT) AS succ_a, CAST(fa AS BIGINT) AS fail_a,
+               CAST(sb AS BIGINT) AS succ_b, CAST(fb AS BIGINT) AS fail_b,
+               round(sum(t), 9) AS p_b_beats_a
+        FROM p GROUP BY 1, 2, 3, 4, 5
+        ORDER BY event_type
+    """
+
+
+def _bayes_oracle_sql() -> str:
+    body = _bayes_body_sql("tab", "unnest", "generate_series").replace(
+        "WITH ks AS", ", ks AS", 1
+    )
+    return f"""
+        WITH tab AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN (user_id * 48271) % 2147483647 % 2 = 0
+                           AND value > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sa,
+                 CAST(sum(CASE WHEN (user_id * 48271) % 2147483647 % 2 = 0
+                           AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fa,
+                 CAST(sum(CASE WHEN (user_id * 48271) % 2147483647 % 2 = 1
+                           AND value > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sb,
+                 CAST(sum(CASE WHEN (user_id * 48271) % 2147483647 % 2 = 1
+                           AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fb
+          FROM events GROUP BY 1
+        )
+        {body}
+    """
+
+
+def _q_hod_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day circular statistics per event type: mean phase (as an
+    hour), resultant length R, and the Rayleigh uniformity statistic
+    z = n*R^2 — does this event type concentrate at a time of day? The
+    wall-clock companion of bearing_circular_stats. Trig sums fold in
+    event order for cross-engine determinism."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    theta = (
+        (us % (86400 * 1000 * 1000)).cast("double")
+        / (86400.0 * 1000 * 1000)
+        * 2.0
+        * math.pi
+    )
+    rows = ev.select("event_type", "event_id", theta.alias("th"))
+    agg = rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("event_id", F.cos(F.col("th")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("sc"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("event_id", F.sin(F.col("th")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / nd
+    mean_hour = (
+        (F.atan2(F.col("ss"), F.col("sc")) + 2.0 * math.pi)
+        % (2.0 * math.pi)
+    ) / (2.0 * math.pi) * 24.0
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(mean_hour, 9).alias("mean_hour"),
+        F.round(r, 9).alias("resultant_r"),
+        F.round(nd * r * r, 9).alias("rayleigh_z"),
+    ).orderBy("event_type")
+
+
+_HOD_RAYLEIGH_ORACLE = f"""
+    WITH rows_ AS (
+      SELECT event_type, event_id,
+             CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+               / (86400.0 * 1000 * 1000) * 2.0 * {math.pi!r} AS th
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(cos(th) ORDER BY event_id)),
+                         (a, b) -> a + b) AS sc,
+             list_reduce(list_prepend(0.0, list(sin(th) ORDER BY event_id)),
+                         (a, b) -> a + b) AS ss
+      FROM rows_ GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           round(((atan2(ss, sc) + 2.0 * {math.pi!r})
+                  % (2.0 * {math.pi!r})) / (2.0 * {math.pi!r}) * 24.0, 9)
+             AS mean_hour,
+           round(sqrt(sc * sc + ss * ss) / CAST(n AS DOUBLE), 9)
+             AS resultant_r,
+           round(CAST(n AS DOUBLE)
+                 * (sqrt(sc * sc + ss * ss) / CAST(n AS DOUBLE))
+                 * (sqrt(sc * sc + ss * ss) / CAST(n AS DOUBLE)), 9)
+             AS rayleigh_z
+    FROM agg ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -20580,6 +20880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness_memory": _q_burstiness_memory,
         "ransac_trend": _q_ransac_trend,
         "needleman_wunsch": _q_needleman_wunsch,
+        "smith_waterman": _q_smith_waterman,
+        "bayes_ab": _q_bayes_ab,
+        "hod_rayleigh": _q_hod_rayleigh,
     }
 
 
@@ -23959,4 +24262,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness_memory": _BURSTINESS_ORACLE,
         "ransac_trend": _RANSAC_ORACLE,
         "needleman_wunsch": _nw_oracle_sql(),
+        "smith_waterman": _sw_oracle_sql(),
+        "bayes_ab": _bayes_oracle_sql(),
+        "hod_rayleigh": _HOD_RAYLEIGH_ORACLE,
     }
