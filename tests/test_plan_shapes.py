@@ -820,3 +820,23 @@ def test_mec_and_central_feature_broadcast_only(spark):
     for name in ("min_enclosing_cap", "central_feature"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "burstiness_memory",
+        "ransac_trend",
+        "needleman_wunsch",
+        "smith_waterman",
+        "bayes_ab",
+        "hod_rayleigh",
+    ],
+)
+def test_session3_batches_no_python_stage(spark, name):
+    """Batches vv-ww (DP folds, Bayesian posterior, circular stats)
+    claim pure-Catalyst plans — the NW/SW dynamic programs run as JVM
+    higher-order aggregate expressions, never Python."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
