@@ -5140,7 +5140,7 @@ def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_out = F.size(
         F.filter(
             "arr",
-            lambda v: F.abs(v - F.col("med")) > F.lit(2.0) * F.col("mad"),
+            lambda v: F.abs(v - F.col("med")) > F.lit(3.0) * F.col("mad"),
         )
     )
     return g.select(
