@@ -19497,72 +19497,20 @@ def _token_fertility_oracle_sql() -> str:
 def _q_token_bucket_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket rate limiting per user (capacity 2 tokens, refill
     1 token / 40000 s): replay each user's event sequence through the
-    bucket and report allowed/denied counts — the admission-control
-    twin of rate_limit_windows' fixed-window audit. The bucket update
-    tokens' = min(cap, tokens + dt*rate); allow iff tokens' >= 1 is an
-    order-sensitive recurrence, run as ONE deterministic fold per user
-    over the time-ordered event array (the burst_viterbi pattern) —
-    identical in both engines, no per-row state exchange."""
+    bucket (spark/ratelimit.py token_bucket — the order-sensitive
+    recurrence as one deterministic JVM fold per user, the
+    burst_viterbi pattern) and report allowed/denied counts — the
+    admission-control twin of rate_limit_windows' fixed-window audit."""
+    from gos2_spark.spark.ratelimit import token_bucket
+
     ev = _load(spark, sf_dir, "events")
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
     seq = ev.select("user_id", us.alias("us"), "event_id")
-    # acc = (tokens, prev_us, n_allowed); refill 1/600s = us/6e8
-    folded = seq.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("us", F.col("event_id").cast("long").alias("e"))
-                )
-            ),
-            F.array(F.lit(2.0), F.lit(-1.0), F.lit(0.0)),
-            lambda acc, x: F.array(
-                F.when(
-                    F.least(
-                        F.lit(2.0),
-                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
-                            acc[0] + (x["us"] - acc[1]) / 4.0e10
-                        ),
-                    )
-                    >= 1.0,
-                    F.least(
-                        F.lit(2.0),
-                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
-                            acc[0] + (x["us"] - acc[1]) / 4.0e10
-                        ),
-                    )
-                    - 1.0,
-                ).otherwise(
-                    F.least(
-                        F.lit(2.0),
-                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
-                            acc[0] + (x["us"] - acc[1]) / 4.0e10
-                        ),
-                    )
-                ),
-                x["us"].cast("double"),
-                acc[2]
-                + F.when(
-                    F.least(
-                        F.lit(2.0),
-                        F.when(acc[1] < 0, F.lit(2.0)).otherwise(
-                            acc[0] + (x["us"] - acc[1]) / 4.0e10
-                        ),
-                    )
-                    >= 1.0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(0.0)),
-            ),
-        ).alias("st"),
-    )
-    return folded.select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("st")[2].cast("long").alias("n_allowed"),
-        (F.col("n_events") - F.col("st")[2]).cast("long").alias("n_denied"),
-        F.round(F.col("st")[0], 9).alias("tokens_left"),
+    return token_bucket(
+        seq, "user_id", "us", "event_id",
+        capacity=2.0, refill_us_per_token=4.0e10,
     ).orderBy("user_id")
 
 
