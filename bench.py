@@ -303,6 +303,43 @@ BENCH_QUERIES = [
     "utm_coordinates",
     "mgrs_squares",
     "geohash_pyramid",
+    # round-4 continuation session 2 (batches ll-ww)
+    "degree_assortativity",
+    "local_clustering",
+    "reciprocity_links",
+    "nn_ffunction",
+    "general_g",
+    "central_feature",
+    "welch_ttest",
+    "fisher_exact",
+    "cohens_kappa",
+    "horn_slope_aspect",
+    "hillshade_grid",
+    "flow_direction_d8",
+    "burrows_delta",
+    "ccf_clicks_views",
+    "hurst_rs",
+    "home_work_cells",
+    "gap_log_histogram",
+    "dwell_time_cells",
+    "albers_coordinates",
+    "lcc_coordinates",
+    "gc_intersections",
+    "mrr_map_bm25",
+    "pearson_daily_matrix",
+    "min_enclosing_cap",
+    "embedding_label_outliers",
+    "perplexity_gate",
+    "token_fertility",
+    "token_bucket_gate",
+    "trajectory_tortuosity",
+    "bilinear_elevation",
+    "burstiness_memory",
+    "ransac_trend",
+    "needleman_wunsch",
+    "smith_waterman",
+    "bayes_ab",
+    "hod_rayleigh",
 ]
 
 
