@@ -17337,19 +17337,13 @@ def _q_nn_ffunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).where(e % 20 == 0),
         "lat", "lng", "cell_id",
     )
-    grid = add_cellid_sql(
-        spark.range(12 * 34).select(
-            F.col("id").alias("tid"),
-            (-55.0 + (F.col("id") / 34).cast("long") * 10).cast(
-                "double"
-            ).alias("lat"),
-            (-165.0 + (F.col("id") % 34) * 10).cast("double").alias("lng"),
-        ),
-        "lat", "lng", "cell_id",
-    )
+    grid = [
+        (i * 34 + j, -55.0 + i * 10, -165.0 + j * 10)
+        for i in range(12)
+        for j in range(34)
+    ]
     return empty_space_fj(
         pts, grid, radii_deg=[1.0, 2.5, 5.0], point_key="event_id",
-        test_key="tid",
     ).orderBy("r_deg")
 
 

@@ -1158,34 +1158,65 @@ def group_diameter(
 
 def empty_space_fj(
     points: DataFrame,
-    test_points: DataFrame,
+    test_points: Sequence[tuple],
     radii_deg: Sequence[float],
     point_key: str = "key",
-    test_key: str = "tid",
     cell_col: str = "cell_id",
 ) -> DataFrame:
     """Empty-space function F(r) and J-function J(r) = (1-G)/(1-F) —
     the companions of ``nn_gfunction`` that complete the classical
     distance-based point-pattern triple (G, F, J). F is the CDF of the
-    distance from REFERENCE locations (a deterministic test grid) to the
-    nearest event; J > 1 indicates regularity, J < 1 clustering, J = 1
-    CSR — without needing the intensity estimate either CDF alone needs.
+    distance from REFERENCE locations (a deterministic test grid, passed
+    as a fixed (tid, lat, lng) list) to the nearest event; J > 1
+    indicates regularity, J < 1 clustering, J = 1 CSR — without needing
+    the intensity estimate either CDF alone needs.
 
-    Both nearest-neighbor passes run through the distributed cap-doubling
-    kNN (``joins.knn_join_df``): k=1 from each test point into the event
-    set for F, k=2 of the event set against itself for G (self-match
-    dropped). Counts are exact BIGINTs; each published fraction is one
-    pinned division, and J is NULL where F = 1 (denominator vanishes).
+    Plan split by cardinality: the test grid is a FIXED handful of
+    reference locations, so its k=1 pass is the broadcast-brute design —
+    broadcast the grid, ONE codegen pass over the events computing all
+    |grid| distances per event, map-side-combined min per grid id. At
+    any event scale that is |grid| multiply-adds per event with zero
+    shuffle beyond a |grid|-key aggregate — cheaper and flatter than any
+    multi-round kNN for a reference set this small. The event set's k=2
+    self-pass stays on the distributed ``knn_join_df``. Counts are exact
+    BIGINTs; each published fraction is one pinned division, and J is
+    NULL where F = 1 (denominator vanishes).
 
     Output: (r_deg, n_test, n_points, f_hat, g_hat, j_hat) ordered by r.
     """
     from .joins import knn_join_df
 
-    fnn = knn_join_df(
-        points, test_points, k=1, point_key=point_key, query_key=test_key,
-        cell_col=cell_col,
+    spark = points.sparkSession
+    grid = spark.createDataFrame(
+        [(int(t), float(la), float(lo)) for t, la, lo in test_points],
+        "tid long, glat double, glng double",
+    ).select(
+        "tid",
+        (F.cos(F.radians("glng")) * F.cos(F.radians("glat"))).alias("gx"),
+        (F.sin(F.radians("glng")) * F.cos(F.radians("glat"))).alias("gy"),
+        F.sin(F.radians("glat")).alias("gz"),
     )
-    fd = fnn.groupBy(test_key).agg(F.min("dist_rad").alias("nn_rad"))
+    ev = points.select(
+        (F.cos(F.radians("lng")) * F.cos(F.radians("lat"))).alias("px"),
+        (F.sin(F.radians("lng")) * F.cos(F.radians("lat"))).alias("py"),
+        F.sin(F.radians("lat")).alias("pz"),
+    )
+    cx = F.col("gy") * F.col("pz") - F.col("gz") * F.col("py")
+    cy = F.col("gz") * F.col("px") - F.col("gx") * F.col("pz")
+    cz = F.col("gx") * F.col("py") - F.col("gy") * F.col("px")
+    dot = (
+        F.col("gx") * F.col("px") + F.col("gy") * F.col("py")
+        + F.col("gz") * F.col("pz")
+    )
+    fd = (
+        ev.crossJoin(F.broadcast(grid))  # fixed |grid|-row broadcast side
+        .select(
+            "tid",
+            F.atan2(F.sqrt(cx * cx + cy * cy + cz * cz), dot).alias("d"),
+        )
+        .groupBy("tid")
+        .agg(F.min("d").alias("nn_rad"))
+    )
     qs = points.select(
         F.col(point_key).alias("__q"), "lat", "lng", F.col(cell_col)
     )
@@ -1211,27 +1242,40 @@ def empty_space_fj(
     fc = _cdf_counts(fd, "n_test", "_f")
     gc = _cdf_counts(gd, "n_points", "_g")
     both = fc.crossJoin(F.broadcast(gc))  # two 1-row aggregates
-    rows = None
-    for i, r in enumerate(radii_deg):
-        f_hat = F.round(
-            F.coalesce(F.col(f"_f{i}"), F.lit(0)).cast("double")
-            / F.col("n_test").cast("double"),
-            9,
-        )
-        g_hat = F.round(
-            F.coalesce(F.col(f"_g{i}"), F.lit(0)).cast("double")
-            / F.col("n_points").cast("double"),
-            9,
-        )
-        one = both.select(
-            F.lit(float(r)).alias("r_deg"),
-            F.col("n_test").cast("long").alias("n_test"),
-            F.col("n_points").cast("long").alias("n_points"),
-            f_hat.alias("f_hat"),
-            g_hat.alias("g_hat"),
-            F.when(
-                f_hat < 1.0, F.round((1.0 - g_hat) / (1.0 - f_hat), 9)
-            ).alias("j_hat"),
-        )
-        rows = one if rows is None else rows.union(one)
-    return rows
+    # ONE posexplode instead of a per-radius union: a union would
+    # re-evaluate both kNN passes once per radius
+    k = len(radii_deg)
+    exploded = both.select(
+        "*",
+        F.posexplode(
+            F.array(*[F.lit(float(r)) for r in radii_deg])
+        ).alias("_i", "r_deg"),
+    )
+    fcnt = F.coalesce(
+        F.element_at(
+            F.array(*[F.col(f"_f{i}") for i in range(k)]), F.col("_i") + 1
+        ),
+        F.lit(0),
+    )
+    gcnt = F.coalesce(
+        F.element_at(
+            F.array(*[F.col(f"_g{i}") for i in range(k)]), F.col("_i") + 1
+        ),
+        F.lit(0),
+    )
+    f_hat = F.round(
+        fcnt.cast("double") / F.col("n_test").cast("double"), 9
+    )
+    g_hat = F.round(
+        gcnt.cast("double") / F.col("n_points").cast("double"), 9
+    )
+    return exploded.select(
+        "r_deg",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_points").cast("long").alias("n_points"),
+        f_hat.alias("f_hat"),
+        g_hat.alias("g_hat"),
+        F.when(
+            f_hat < 1.0, F.round((1.0 - g_hat) / (1.0 - f_hat), 9)
+        ).alias("j_hat"),
+    )
