@@ -20478,6 +20478,170 @@ _HOD_RAYLEIGH_ORACLE = f"""
 """
 
 
+def _q_zonal_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal overlay cross-tabulation: elevation class (hash surface
+    // 1000, 4 classes) x event-density class (decimal digit count of
+    the cell's event count) over occupied 2-degree cells, with row
+    totals — the confusion-matrix style raster overlay every map-algebra
+    stack ships. One count aggregate + one scalar class projection; all
+    BIGINT."""
+    ev = _load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    lat = -60.0 + (e * 11 % 120) + (e % 83) / 83.0
+    lng = -170.0 + (e * 17 % 340) + (e % 79) / 79.0
+    cells = (
+        ev.select(
+            F.floor(lat / 2.0).cast("long").alias("r"),
+            F.floor(lng / 2.0).cast("long").alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    cells.createOrReplaceTempView("_zov_cells")
+    elev_cls = (
+        f"CAST(floor({_grid_elev_sql('r', 'c')} / 1000.0) AS BIGINT)"
+    )
+    return spark.sql(f"""
+        WITH tab AS (
+          SELECT {elev_cls} AS elev_class,
+                 CAST(length(CAST(n AS STRING)) AS BIGINT) AS density_class,
+                 n
+          FROM _zov_cells
+        )
+        SELECT elev_class, density_class,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM tab GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+
+
+_ZONAL_OVERLAY_ORACLE = f"""
+    WITH cells AS (
+      SELECT CAST(floor((-60.0 + (event_id * 11 % 120)
+                         + (event_id % 83) / 83.0) / 2.0) AS BIGINT) AS r,
+             CAST(floor((-170.0 + (event_id * 17 % 340)
+                         + (event_id % 79) / 79.0) / 2.0) AS BIGINT) AS c,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tab AS (
+      SELECT CAST(floor({_grid_elev_sql('r', 'c')} / 1000.0) AS BIGINT)
+               AS elev_class,
+             CAST(length(CAST(n AS VARCHAR)) AS BIGINT) AS density_class,
+             n
+      FROM cells
+    )
+    SELECT elev_class, density_class,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM tab GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _viewshed_select_sql(src: str, seq: str, tf: str, fold) -> str:
+    """Grid viewshed from the observer at cell (0, 0), eye height 100
+    over the hash-elevation surface: a target cell is visible iff its
+    elevation angle exceeds every intermediate sample's along the
+    nearest-cell-rasterized ray (max(|dr|,|dc|) steps). The ray walk is
+    an inner fold over the step sequence — pure scalar, no joins."""
+    # BIGINT-cast observer coords: Spark's constant folder would
+    # otherwise evaluate the hash at INT32 and overflow
+    e0 = (
+        f"({_grid_elev_sql('CAST(0 AS BIGINT)', 'CAST(0 AS BIGINT)')}"
+        f" + 100)"
+    )
+    # sample position at step t of d: round to nearest cell
+    sr = "CAST(floor(CAST(r AS DOUBLE) * t / d + 0.5) AS BIGINT)"
+    sc = "CAST(floor(CAST(c AS DOUBLE) * t / d + 0.5) AS BIGINT)"
+    es = _grid_elev_sql(f"({sr})", f"({sc})")
+    tan_s = f"(CAST({es} - {e0} AS DOUBLE) / CAST(t AS DOUBLE))"
+    body = f"greatest(acc, {tan_s})"
+    walk = fold(
+        f"{tf}({seq}(1, CAST(d - 1 AS BIGINT)), s -> CAST(s AS DOUBLE))",
+        "CAST(-1.0e300 AS DOUBLE)",
+        body,
+    )
+    et = _grid_elev_sql("r", "c")
+    return f"""
+        SELECT r, c, d,
+               round(tan_t, 9) AS target_tan,
+               CASE WHEN d <= 1 THEN 0.0
+                    ELSE round(max_block, 9) END AS max_block_tan,
+               CAST(d <= 1 OR tan_t > max_block AS BOOLEAN) AS visible
+        FROM (
+          SELECT r, c, d,
+                 CAST({et} - {e0} AS DOUBLE) / CAST(d AS DOUBLE) AS tan_t,
+                 CASE WHEN d <= 1 THEN CAST(-1.0e300 AS DOUBLE)
+                      ELSE {walk} END AS max_block
+          FROM (
+            SELECT r, c, greatest(abs(r), abs(c)) AS d FROM {src}
+            WHERE NOT (r = 0 AND c = 0)
+          )
+        ) ORDER BY r, c
+    """
+
+
+def _q_viewshed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed over the occupied grid (see _viewshed_select_sql): the
+    line_of_sight primitive lifted to a whole-raster operator, with the
+    per-target ray walk as an inner JVM fold — zero joins, pure
+    codegen, the 100-TB-safe shape for an embarrassingly parallel
+    raster op. 't' inside the fold is the double-cast step index."""
+    _grid_occ(spark, sf_dir).createOrReplaceTempView("_vs_occ")
+    sql = _viewshed_select_sql(
+        "_vs_occ", "sequence", "transform",
+        lambda arr, init, body: (
+            f"aggregate({arr}, {init}, (acc, t) -> {body})"
+        ),
+    )
+    return spark.sql(sql)
+
+
+def _viewshed_oracle_sql() -> str:
+    return _viewshed_select_sql(
+        f"({_GRID_OCC_SQL})", "generate_series", "list_transform",
+        lambda arr, init, body: (
+            f"list_reduce(list_prepend({init}, {arr}), (acc, t) -> {body})"
+        ),
+    )
+
+
+def _q_terrain_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen-Thorne curvature on the hash-elevation grid:
+    second differences zxx, zyy, the cross term zxy, and the general
+    curvature -2*(zxx + zyy) per occupied cell — the concavity layer
+    completing slope/aspect/hillshade/TRI. zxx/zyy are exact BIGINTs,
+    zxy a quarter-integer; zero joins."""
+    _grid_occ(spark, sf_dir).createOrReplaceTempView("_tc_occ")
+    return spark.sql(_curvature_select_sql("_tc_occ"))
+
+
+def _curvature_select_sql(src: str) -> str:
+    z = {
+        (dr, dc): _grid_elev_sql(f"(r + {dr})", f"(c + {dc})")
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    zxx = f"({z[(0, 1)]} - 2 * {z[(0, 0)]} + {z[(0, -1)]})"
+    zyy = f"({z[(1, 0)]} - 2 * {z[(0, 0)]} + {z[(-1, 0)]})"
+    zxy = (
+        f"(CAST({z[(1, 1)]} - {z[(1, -1)]} - {z[(-1, 1)]} + {z[(-1, -1)]}"
+        f" AS DOUBLE) / 4.0)"
+    )
+    return f"""
+        SELECT r, c,
+               CAST({zxx} AS BIGINT) AS zxx,
+               CAST({zyy} AS BIGINT) AS zyy,
+               round({zxy}, 9) AS zxy,
+               CAST(-2 * ({zxx} + {zyy}) AS BIGINT) AS curvature
+        FROM {src} ORDER BY r, c
+    """
+
+
+def _curvature_oracle_sql() -> str:
+    return _curvature_select_sql(f"({_GRID_OCC_SQL})")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -20825,6 +20989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smith_waterman": _q_smith_waterman,
         "bayes_ab": _q_bayes_ab,
         "hod_rayleigh": _q_hod_rayleigh,
+        "zonal_overlay": _q_zonal_overlay,
+        "viewshed_grid": _q_viewshed_grid,
+        "terrain_curvature": _q_terrain_curvature,
     }
 
 
@@ -24207,4 +24374,7 @@ def oracle_sql() -> dict[str, str]:
         "smith_waterman": _sw_oracle_sql(),
         "bayes_ab": _bayes_oracle_sql(),
         "hod_rayleigh": _HOD_RAYLEIGH_ORACLE,
+        "zonal_overlay": _ZONAL_OVERLAY_ORACLE,
+        "viewshed_grid": _viewshed_oracle_sql(),
+        "terrain_curvature": _curvature_oracle_sql(),
     }
