@@ -20642,6 +20642,187 @@ def _curvature_oracle_sql() -> str:
     return _curvature_select_sql(f"({_GRID_OCC_SQL})")
 
 
+_MH_AUDIT_CAP = 500  # same doc_id cap as the minhash groups oracle
+
+
+def _mh_audit_frames(spark: SparkSession, sf_dir: str):
+    """Shared frames for the MinHash audit pair: candidate pairs from
+    the production LSH path, plus exact shingle-set Jaccard for every
+    pair sharing at least one 5-shingle (pairs sharing none have J = 0
+    and cannot matter at any threshold). All counts BIGINT."""
+    from gos2_spark.pipeline.dedup import (
+        minhash_lsh_candidates, shingle_hashes,
+    )
+
+    docs = _load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _MH_AUDIT_CAP
+    )
+    cands = minhash_lsh_candidates(docs, key_col="doc_id", text_col="text")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("key"),
+            F.explode(shingle_hashes(F.col("text"), 5)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("key").alias("key_a"), "s")
+    b = sh.select(F.col("key").alias("key_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("na")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("nb")),
+            "key_b",
+        )
+        .select(
+            "key_a", "key_b", "n_inter", "na", "nb",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("exact_j"),
+        )
+    )
+    return cands, exact
+
+
+def _q_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator fidelity audit over the production LSH
+    candidate pairs (doc_id < 500, the groups-oracle cohort): per pair,
+    the 64-perm signature estimate vs the EXACT 5-shingle-set Jaccard,
+    with the absolute error — the calibration table that justifies the
+    dedup threshold. Estimates and exact values are both deterministic;
+    candidates joined to the exact table, zero-shared-shingle candidates
+    get exact_j = 0."""
+    cands, exact = _mh_audit_frames(spark, sf_dir)
+    j = cands.join(
+        exact.select("key_a", "key_b", "exact_j"), ["key_a", "key_b"], "left"
+    )
+    return j.select(
+        "key_a",
+        "key_b",
+        F.round("est_jaccard", 9).alias("est_j"),
+        F.round(F.coalesce(F.col("exact_j"), F.lit(0.0)), 9).alias("exact_j"),
+        F.round(
+            F.abs(
+                F.col("est_jaccard") - F.coalesce(F.col("exact_j"), F.lit(0.0))
+            ),
+            9,
+        ).alias("abs_err"),
+    ).orderBy("key_a", "key_b")
+
+
+def _q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall/precision audit at exact-Jaccard threshold 0.5 over
+    the same cohort: of all truly-similar pairs (exact J >= 0.5,
+    enumerable exactly because zero-overlap pairs cannot qualify), how
+    many did the banded candidate generation surface, and how many
+    candidates were true — the one-row quality certificate for the
+    banding parameters. All counts BIGINT, two pinned divisions."""
+    cands, exact = _mh_audit_frames(spark, sf_dir)
+    truth = exact.where(F.col("exact_j") >= 0.5).select("key_a", "key_b")
+    cpairs = cands.select("key_a", "key_b")
+    hits = truth.join(cpairs, ["key_a", "key_b"]).count()
+    n_truth = truth.count()
+    n_cand = cpairs.count()
+    return spark.createDataFrame(
+        [(int(n_truth), int(n_cand), int(hits))],
+        "n_true_pairs long, n_candidates long, n_hits long",
+    ).select(
+        "*",
+        F.round(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).otherwise(F.lit(1.0)),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double"),
+            ).otherwise(F.lit(1.0)),
+            9,
+        ).alias("precision"),
+    )
+
+
+def _q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per language from
+    exact integer counts: sentences = non-blank [.!?]+ splits, words =
+    whitespace tokens, syllables = [aeiouy]+ vowel groups (the standard
+    heuristic; groups never span whitespace so the corpus-level regexp
+    count equals the per-word sum). One scalar projection + one agg;
+    the two scores are fixed-order doubles over BIGINT totals."""
+    docs = _load(spark, sf_dir, "documents")
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    )
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    agg = docs.select(
+        "lang", sents.alias("s"), words.alias("w"), sylls.alias("y")
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("s").alias("ts"),
+        F.sum("w").alias("tw"),
+        F.sum("y").alias("ty"),
+    )
+    wps = F.col("tw").cast("double") / F.col("ts").cast("double")
+    spw = F.col("ty").cast("double") / F.col("tw").cast("double")
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("ts").cast("long").alias("n_sentences"),
+        F.col("tw").cast("long").alias("n_words"),
+        F.col("ty").cast("long").alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 9).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 9).alias("fk_grade"),
+    ).orderBy("lang")
+
+
+_READABILITY_ORACLE = r"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '[\.!\?]+'),
+                             x -> length(trim(x)) > 0)) AS s,
+             len(regexp_split_to_array(trim(text), '\s+')) AS w,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(s) AS BIGINT) AS ts, CAST(sum(w) AS BIGINT) AS tw,
+             CAST(sum(y) AS BIGINT) AS ty
+      FROM t GROUP BY 1
+    )
+    SELECT lang, n_docs, ts AS n_sentences, tw AS n_words,
+           ty AS n_syllables,
+           round(206.835 - 1.015 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+                 - 84.6 * (CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)), 9)
+             AS flesch_ease,
+           round(0.39 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+                 + 11.8 * (CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE))
+                 - 15.59, 9) AS fk_grade
+    FROM agg ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -20992,6 +21173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_overlay": _q_zonal_overlay,
         "viewshed_grid": _q_viewshed_grid,
         "terrain_curvature": _q_terrain_curvature,
+        "minhash_fidelity": _q_minhash_fidelity,
+        "lsh_recall_audit": _q_lsh_recall_audit,
+        "readability_scores": _q_readability_scores,
     }
 
 
@@ -24377,4 +24561,11 @@ def oracle_sql() -> dict[str, str]:
         "zonal_overlay": _ZONAL_OVERLAY_ORACLE,
         "viewshed_grid": _viewshed_oracle_sql(),
         "terrain_curvature": _curvature_oracle_sql(),
+        "minhash_fidelity": __import__(
+            "gos2_spark.pipeline.duckdb_oracles", fromlist=["x"]
+        ).minhash_audit_oracle_sql("fidelity"),
+        "lsh_recall_audit": __import__(
+            "gos2_spark.pipeline.duckdb_oracles", fromlist=["x"]
+        ).minhash_audit_oracle_sql("recall"),
+        "readability_scores": _READABILITY_ORACLE,
     }

@@ -922,3 +922,122 @@ def dup_span_oracle_sql(k: int = 8) -> str:
                      / CAST(sum(n_tok) AS DOUBLE), 9) AS dup_token_frac
         FROM fl GROUP BY lang ORDER BY lang
     """
+
+
+def minhash_audit_oracle_sql(kind: str, max_doc_id: int = 500,
+                             num_perm: int = 64, bands: int = 16,
+                             shingle_n: int = 5) -> str:
+    """Oracles for the MinHash audit pair: same shingle/signature/band
+    construction as minhash_groups_oracle_sql through ``pairs``, plus
+    exact shingle-set Jaccard via a distinct-shingle self-join.
+    kind='fidelity' -> per-candidate (est_j, exact_j, abs_err);
+    kind='recall' -> one-row recall/precision at exact-J >= 0.5."""
+    import random
+
+    rnd = random.Random(42)
+    perms = []
+    for _ in range(num_perm):
+        a = rnd.randrange(1, MERSENNE)
+        b = rnd.randrange(0, MERSENNE)
+        perms.append((a, b))
+    rows_per_band = num_perm // bands
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    shingle_strs = (
+        f"CASE WHEN len(toks) >= {shingle_n} THEN list_transform("
+        f"generate_series(1, len(toks) - {shingle_n - 1}),"
+        f" i -> array_to_string(list_slice(toks, i, i + {shingle_n - 1}), ' '))"
+        f" ELSE [rawtext] END"
+    )
+    pm = f"(((s % {MERSENNE}) + {MERSENNE}) % {MERSENNE})"
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {pm} + {b}) % {MERSENNE}))"
+        for a, b in perms
+    )
+    band_strs = ", ".join(
+        "concat_ws(':', "
+        + ", ".join(
+            f"CAST(sig[{b * rows_per_band + r + 1}] AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    base = f"""
+        WITH d AS (
+          SELECT doc_id AS key, {toks} AS toks, text AS rawtext
+          FROM documents WHERE doc_id < {max_doc_id}
+        ),
+        sh0 AS (SELECT key, {shingle_strs} AS gs FROM d),
+        shh AS MATERIALIZED (SELECT key, {xxh64_list_sql('gs')} AS sh FROM sh0),
+        sig AS MATERIALIZED (SELECT key, [{sig_elems}] AS sig FROM shh),
+        bandstr AS (SELECT key, sig, [{band_strs}] AS bs FROM sig),
+        bandh AS MATERIALIZED (
+          SELECT key, sig, {xxh64_list_sql('bs')} AS bh FROM bandstr
+        ),
+        banded AS MATERIALIZED (
+          SELECT key, sig, u.b AS band, bh[u.b] AS band_hash
+          FROM bandh, generate_series(1, {bands}) AS u(b)
+        ),
+        pairs AS MATERIALIZED (
+          SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                 a.sig AS sig_a, b.sig AS sig_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.key < b.key
+        ),
+        est AS (
+          SELECT key_a, key_b,
+                 CAST(len(list_filter(list_zip(sig_a, sig_b),
+                      p -> p[1] = p[2])) AS DOUBLE) / {num_perm} AS est_j
+          FROM pairs
+        ),
+        shd AS MATERIALIZED (
+          SELECT DISTINCT key, u.s AS s FROM shh, unnest(sh) AS u(s)
+        ),
+        sizes AS (SELECT key, count(*) AS n_sh FROM shd GROUP BY 1),
+        inter AS MATERIALIZED (
+          SELECT a.key AS key_a, b.key AS key_b, count(*) AS n_inter
+          FROM shd a JOIN shd b ON a.s = b.s AND a.key < b.key
+          GROUP BY 1, 2
+        ),
+        exact AS MATERIALIZED (
+          SELECT i.key_a, i.key_b,
+                 CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS exact_j
+          FROM inter i
+          JOIN sizes sa ON sa.key = i.key_a
+          JOIN sizes sb ON sb.key = i.key_b
+        )
+    """
+    if kind == "fidelity":
+        return base + """
+        SELECT e.key_a, e.key_b,
+               round(e.est_j, 9) AS est_j,
+               round(coalesce(x.exact_j, 0.0), 9) AS exact_j,
+               round(abs(e.est_j - coalesce(x.exact_j, 0.0)), 9) AS abs_err
+        FROM est e LEFT JOIN exact x
+          ON x.key_a = e.key_a AND x.key_b = e.key_b
+        ORDER BY e.key_a, e.key_b
+        """
+    return base + """
+        , truth AS (SELECT key_a, key_b FROM exact WHERE exact_j >= 0.5),
+        hits AS (
+          SELECT count(*) AS n FROM truth t
+          JOIN est e ON e.key_a = t.key_a AND e.key_b = t.key_b
+        ),
+        stats AS (
+          SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+                 CAST((SELECT count(*) FROM est) AS BIGINT) AS n_candidates,
+                 CAST((SELECT n FROM hits) AS BIGINT) AS n_hits
+        )
+        SELECT n_true_pairs, n_candidates, n_hits,
+               round(CASE WHEN n_true_pairs > 0
+                          THEN CAST(n_hits AS DOUBLE)
+                               / CAST(n_true_pairs AS DOUBLE)
+                          ELSE 1.0 END, 9) AS recall,
+               round(CASE WHEN n_candidates > 0
+                          THEN CAST(n_hits AS DOUBLE)
+                               / CAST(n_candidates AS DOUBLE)
+                          ELSE 1.0 END, 9) AS precision
+        FROM stats
+        """
