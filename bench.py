@@ -340,6 +340,12 @@ BENCH_QUERIES = [
     "smith_waterman",
     "bayes_ab",
     "hod_rayleigh",
+    "zonal_overlay",
+    "viewshed_grid",
+    "terrain_curvature",
+    "minhash_fidelity",
+    "lsh_recall_audit",
+    "readability_scores",
 ]
 
 

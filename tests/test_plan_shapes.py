@@ -831,6 +831,12 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "smith_waterman",
         "bayes_ab",
         "hod_rayleigh",
+        "zonal_overlay",
+        "viewshed_grid",
+        "terrain_curvature",
+        "minhash_fidelity",
+        "lsh_recall_audit",
+        "readability_scores",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
