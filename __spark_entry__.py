@@ -20823,6 +20823,347 @@ _READABILITY_ORACLE = r"""
 """
 
 
+def _q_cumulative_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks
+    (spark/survival.py cumulative_incidence): per user-cohort
+    (user_id mod 3), time in whole hours (+1) from the user's first
+    event to their first PURCHASE (cause 1) or SIGNUP (cause 2) —
+    whichever strikes first; users hit by neither are right-censored at
+    the global horizon. The correct 'probability of converting by t
+    while churn competes' curve that 1 - KM overstates."""
+    from pyspark.sql import Window
+
+    from gos2_spark.spark.survival import cumulative_incidence
+
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = ev.select(
+        "user_id", us.alias("us"), "event_id", "event_type"
+    )
+    per = base.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("tp"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+            "ts_"
+        ),
+    )
+    horizon = base.agg(F.max("us").alias("hz"))
+    j = per.crossJoin(F.broadcast(horizon))
+    first_evt = F.least(
+        F.coalesce(F.col("tp"), F.lit(2**62)),
+        F.coalesce(F.col("ts_"), F.lit(2**62)),
+    )
+    cause = F.when(
+        first_evt == F.lit(2**62), F.lit(0)
+    ).when(
+        F.coalesce(F.col("tp"), F.lit(2**62))
+        <= F.coalesce(F.col("ts_"), F.lit(2**62)),
+        F.lit(1),
+    ).otherwise(F.lit(2))
+    dur_end = F.when(first_evt == F.lit(2**62), F.col("hz")).otherwise(
+        first_evt
+    )
+    rows = j.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        (F.floor((dur_end - F.col("t0")) / _HOUR_US) + 1)
+        .cast("long")
+        .alias("t_hr"),
+        cause.alias("cause"),
+    )
+    return cumulative_incidence(rows, "cohort", "t_hr", "cause").orderBy(
+        "cohort", "t"
+    )
+
+
+_CIF_ORACLE = """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+    ),
+    per AS (
+      SELECT user_id, min(us) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN us END) AS tp,
+             min(CASE WHEN event_type = 'signup' THEN us END) AS ts_
+      FROM base GROUP BY 1
+    ),
+    hz AS (SELECT max(us) AS hz FROM base),
+    rows_ AS (
+      SELECT user_id % 3 AS cohort,
+             CAST(floor((CASE WHEN tp IS NULL AND ts_ IS NULL THEN hz
+                        ELSE least(coalesce(tp, 4611686018427387904),
+                                   coalesce(ts_, 4611686018427387904)) END
+                   - t0) / 3600000000.0) + 1 AS BIGINT) AS t_hr,
+             CASE WHEN tp IS NULL AND ts_ IS NULL THEN 0
+                  WHEN coalesce(tp, 4611686018427387904)
+                       <= coalesce(ts_, 4611686018427387904) THEN 1
+                  ELSE 2 END AS cause
+      FROM per CROSS JOIN hz
+    ),
+    byt AS (
+      SELECT cohort, t_hr AS t,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cen
+      FROM rows_ GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT cohort, t, d1, d2, cen,
+             sum(d1 + d2 + cen) OVER (PARTITION BY cohort)
+               - sum(d1 + d2 + cen) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               + (d1 + d2 + cen) AS n
+      FROM byt
+    ),
+    ev_ AS (SELECT * FROM risk WHERE d1 + d2 > 0),
+    curve AS (
+      SELECT cohort,
+             list_sort(list([CAST(t AS DOUBLE), CAST(d1 AS DOUBLE),
+                             CAST(d2 AS DOUBLE), CAST(cen AS DOUBLE),
+                             CAST(n AS DOUBLE)])) AS arr
+      FROM ev_ GROUP BY 1
+    ),
+    rowed AS (
+      SELECT e.cohort, e.t, e.d1, e.d2, e.cen, e.n, c.arr,
+             row_number() OVER (PARTITION BY e.cohort ORDER BY e.t) AS i
+      FROM ev_ e JOIN curve c ON c.cohort = e.cohort
+    ),
+    folded AS (
+      SELECT cohort, t, d1, d2, cen, n,
+             list_reduce(
+               list_prepend([1.0, 0.0, 0.0],
+                            list_slice(arr, 1, CAST(i AS INT))),
+               (acc, x) -> [
+                 acc[1] * ((x[5] - x[2] - x[3]) / x[5]),
+                 acc[2] + acc[1] * x[2] / x[5],
+                 acc[3] + acc[1] * x[3] / x[5]
+               ]) AS st
+      FROM rowed
+    )
+    SELECT cohort, t, n AS n_risk, d1, d2, cen AS n_censored,
+           round(st[1], 9) AS surv, round(st[2], 9) AS cif1,
+           round(st[3], 9) AS cif2
+    FROM folded ORDER BY cohort, t
+"""
+
+
+_FS_CAP = 2000
+_FS_WEIGHTS = {  # (ln(m/u), ln((1-m)/(1-u))) per field, fixed doubles
+    "seg": (0.95, 0.2),
+    "bal": (0.9, 0.01),
+    "name": (0.99, 0.001),
+}
+
+
+def _q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage between the customer
+    table and a deterministic NOISY COPY of itself (hash-perturbed
+    segment / balance), blocked on nationkey (custkey < 2000 cohort):
+    agreement on (segment, balance-within-1, name-suffix) scores
+    sum ln(m/u) or ln((1-m)/(1-u)) with fixed published m/u constants;
+    decisions at score > 5 (link) / < 0 (non-link). Rolled up by
+    (is_true_pair, decision) with exact counts and score extrema — the
+    classical ER quality matrix."""
+    import math as _m
+
+    c = _load(spark, sf_dir, "customer").where(F.col("c_custkey") < _FS_CAP)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    seg_arr = F.array(*[F.lit(s) for s in segs])
+    noisy = c.select(
+        F.col("c_custkey").alias("nk_key"),
+        F.col("c_nationkey").alias("nk_nat"),
+        F.when(
+            F.col("c_custkey") * 48271 % 5 == 0,
+            F.element_at(seg_arr, (F.col("c_custkey") * 7919 % 5 + 1).cast("int")),
+        ).otherwise(F.col("c_mktsegment")).alias("nk_seg"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") * 69069 % 7 == 0, 50.0).otherwise(0.0)
+        ).alias("nk_bal"),
+        F.substring(F.col("c_name"), -3, 3).alias("nk_suffix"),
+    )
+    orig = c.select(
+        F.col("c_custkey").alias("o_key"),
+        F.col("c_nationkey").alias("o_nat"),
+        F.col("c_mktsegment").alias("o_seg"),
+        F.col("c_acctbal").alias("o_bal"),
+        F.substring(F.col("c_name"), -3, 3).alias("o_suffix"),
+    )
+    pairs = orig.join(noisy, orig["o_nat"] == noisy["nk_nat"])
+    agree_seg = (F.col("o_seg") == F.col("nk_seg")).cast("int")
+    agree_bal = (F.abs(F.col("o_bal") - F.col("nk_bal")) <= 1.0).cast("int")
+    agree_nm = (F.col("o_suffix") == F.col("nk_suffix")).cast("int")
+
+    def _w(agree, m, u):
+        return F.when(
+            agree == 1, F.lit(_m.log(m / u))
+        ).otherwise(F.lit(_m.log((1 - m) / (1 - u))))
+
+    score = (
+        _w(agree_seg, *_FS_WEIGHTS["seg"])
+        + _w(agree_bal, *_FS_WEIGHTS["bal"])
+        + _w(agree_nm, *_FS_WEIGHTS["name"])
+    )
+    scored = pairs.select(
+        (F.col("o_key") == F.col("nk_key")).cast("int").alias("is_true"),
+        score.alias("score"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("score") > 5.0, F.lit("link"))
+        .when(F.col("score") < 0.0, F.lit("non_link"))
+        .otherwise(F.lit("possible")),
+    )
+    return (
+        scored.groupBy("is_true", "decision")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("score"), 9).alias("min_score"),
+            F.round(F.max("score"), 9).alias("max_score"),
+        )
+        .orderBy("is_true", "decision")
+    )
+
+
+def _fs_oracle_sql() -> str:
+    import math as _m
+
+    segs = "['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']"
+    w = {
+        k: (_m.log(m / u), _m.log((1 - m) / (1 - u)))
+        for k, (m, u) in _FS_WEIGHTS.items()
+    }
+    return f"""
+        WITH c AS (
+          SELECT * FROM customer WHERE c_custkey < {_FS_CAP}
+        ),
+        noisy AS (
+          SELECT c_custkey AS nk_key, c_nationkey AS nk_nat,
+                 CASE WHEN c_custkey * 48271 % 5 = 0
+                      THEN ({segs})[CAST(c_custkey * 7919 % 5 + 1 AS INT)]
+                      ELSE c_mktsegment END AS nk_seg,
+                 c_acctbal + CASE WHEN c_custkey * 69069 % 7 = 0
+                                  THEN 50.0 ELSE 0.0 END AS nk_bal,
+                 substr(c_name, length(c_name) - 2, 3) AS nk_suffix
+          FROM c
+        ),
+        orig AS (
+          SELECT c_custkey AS o_key, c_nationkey AS o_nat,
+                 c_mktsegment AS o_seg, c_acctbal AS o_bal,
+                 substr(c_name, length(c_name) - 2, 3) AS o_suffix
+          FROM c
+        ),
+        scored AS (
+          SELECT CAST(o_key = nk_key AS INT) AS is_true,
+                 (CASE WHEN o_seg = nk_seg THEN {w['seg'][0]!r}
+                       ELSE {w['seg'][1]!r} END
+                  + CASE WHEN abs(o_bal - nk_bal) <= 1.0 THEN {w['bal'][0]!r}
+                         ELSE {w['bal'][1]!r} END
+                  + CASE WHEN o_suffix = nk_suffix THEN {w['name'][0]!r}
+                         ELSE {w['name'][1]!r} END) AS score
+          FROM orig JOIN noisy ON nk_nat = o_nat
+        )
+        SELECT is_true,
+               CASE WHEN score > 5.0 THEN 'link'
+                    WHEN score < 0.0 THEN 'non_link'
+                    ELSE 'possible' END AS decision,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(min(score), 9) AS min_score,
+               round(max(score), 9) AS max_score
+        FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) + chi-square independence between
+    market segment and nation over customers: MI from exact BIGINT
+    joint/marginal counts with the cross-cell float sum folded in
+    (segment, nation) order; the categorical dependence screen feature
+    selection runs before crossing variables."""
+    c = _load(spark, sf_dir, "customer")
+    joint = c.groupBy(
+        F.col("c_mktsegment").alias("x"), F.col("c_nationkey").alias("y")
+    ).agg(F.count("*").alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    j = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    mi_term = (
+        F.col("nxy").cast("double")
+        / nd
+        * F.log(
+            F.col("nxy").cast("double")
+            * nd
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+    )
+    e = F.col("nx").cast("double") * F.col("ny").cast("double") / nd
+    chi_term = (F.col("nxy").cast("double") - e) * (
+        F.col("nxy").cast("double") - e
+    ) / e
+    agg = j.select(
+        "x", "y", mi_term.alias("mt"), chi_term.alias("ct"), "n"
+    ).groupBy("n").agg(
+        F.count("*").alias("n_cells"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("x", "y", F.col("mt").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("mi"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("x", "y", F.col("ct").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("chi2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.round("mi", 9).alias("mi_nats"),
+        F.round("chi2", 9).alias("chi2"),
+    )
+
+
+_MI_ORACLE = """
+    WITH joint AS (
+      SELECT c_mktsegment AS x, c_nationkey AS y,
+             CAST(count(*) AS BIGINT) AS nxy
+      FROM customer GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+    terms AS (
+      SELECT j.x, j.y, n,
+             CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS mt,
+             (CAST(nxy AS DOUBLE)
+              - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(nxy AS DOUBLE)
+                - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS ct
+      FROM joint j
+      JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y CROSS JOIN tot
+    )
+    SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+           round(list_reduce(list_prepend(0.0, list(mt ORDER BY x, y)),
+                             (a, b) -> a + b), 9) AS mi_nats,
+           round(list_reduce(list_prepend(0.0, list(ct ORDER BY x, y)),
+                             (a, b) -> a + b), 9) AS chi2
+    FROM terms GROUP BY n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -21176,6 +21517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_fidelity": _q_minhash_fidelity,
         "lsh_recall_audit": _q_lsh_recall_audit,
         "readability_scores": _q_readability_scores,
+        "cumulative_incidence": _q_cumulative_incidence,
+        "fellegi_sunter": _q_fellegi_sunter,
+        "mutual_information": _q_mutual_information,
     }
 
 
@@ -24568,4 +24912,7 @@ def oracle_sql() -> dict[str, str]:
             "gos2_spark.pipeline.duckdb_oracles", fromlist=["x"]
         ).minhash_audit_oracle_sql("recall"),
         "readability_scores": _READABILITY_ORACLE,
+        "cumulative_incidence": _CIF_ORACLE,
+        "fellegi_sunter": _fs_oracle_sql(),
+        "mutual_information": _MI_ORACLE,
     }

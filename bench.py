@@ -346,6 +346,9 @@ BENCH_QUERIES = [
     "minhash_fidelity",
     "lsh_recall_audit",
     "readability_scores",
+    "cumulative_incidence",
+    "fellegi_sunter",
+    "mutual_information",
 ]
 
 

@@ -837,6 +837,9 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "minhash_fidelity",
         "lsh_recall_audit",
         "readability_scores",
+        "cumulative_incidence",
+        "fellegi_sunter",
+        "mutual_information",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
