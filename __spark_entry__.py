@@ -21171,13 +21171,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries (everything registered after unigram_logprob in round 3) into
     # positions 1-50.  The 2 that do not fit (label_propagation, kcore_peel)
     # sit at 51-52 and should LEAD the round-5 window together with the
-    # round-4 batches registered after them (cosine_text_join ...
-    # geohash_pyramid — rotate the next 50 of those into positions 1-50 at
-    # the start of round 5).  trajectory_simplify is rows-only by design
-    # (data-dependent Douglas-Peucker recursion has no SQL form) and stays
-    # OUT of the window so every slot carries an EXACT oracle.  All entries
-    # are value-checked locally via tools/oracle_check.py regardless of
-    # position — the round-4 full-registry sweep is green.
+    # never-driver-checked batches after them: cosine_text_join ...
+    # geohash_pyramid (round-4 session 1, 86 queries) and
+    # degree_assortativity ... mutual_information (session 2, 45 queries)
+    # — rotate the next 50 of those into positions 1-50 at the start of
+    # round 5; the remainder queue for subsequent windows in registry
+    # order.  trajectory_simplify is rows-only by design (data-dependent
+    # Douglas-Peucker recursion has no SQL form) and stays OUT of the
+    # window so every slot carries an EXACT oracle.  All entries are
+    # value-checked locally via tools/oracle_check.py regardless of
+    # position — every session closes with a full-registry sweep green
+    # ("ALL OK", 334 exact + 1 rows-only at this session's close).
     return {
         # --- positions 1-50: never driver-checked, all exact oracles ---
         "vincenty_rhumb": _q_vincenty_rhumb,
