@@ -21164,6 +21164,315 @@ _MI_ORACLE = """
 """
 
 
+_EXP_SPLIT_DAY = 19738  # mid-window: days 19723..19737 pre, rest post
+
+
+def _exp_user_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared experimentation frame: per user, integer-cent value sums
+    for the pre/post periods plus the hash-assigned arm (all BIGINT)."""
+    ev = _load(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / (86400 * 1000 * 1000)).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "user_id",
+        (F.col("user_id") * 1103515245 % 97 % 2).alias("arm"),
+        F.when(day < _EXP_SPLIT_DAY, cents).otherwise(F.lit(0)).alias("xc"),
+        F.when(day >= _EXP_SPLIT_DAY, cents).otherwise(F.lit(0)).alias("yc"),
+    ).groupBy("user_id", "arm").agg(
+        F.sum("xc").alias("x"), F.sum("yc").alias("y")
+    )
+
+
+_EXP_PERIODS_SQL = f"""
+    SELECT user_id, (user_id * 1103515245) % 97 % 2 AS arm,
+           CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 < {_EXP_SPLIT_DAY}
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN epoch_us(ts) // 86400000000 >= {_EXP_SPLIT_DAY}
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _q_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: theta =
+    cov(pre, post)/var(pre) fitted on ALL users (the standard pooled
+    fit), then per arm the adjusted mean y - theta*(x - xbar_global) —
+    the pre-period covariate soaks up between-user variance so the
+    treatment contrast needs far fewer samples. Every sufficient
+    statistic (n, Sx, Sy, Sxy, Sxx per scope) is an exact BIGINT in
+    integer cents; theta and the means are fixed-order doubles."""
+    per = _exp_user_periods(spark, sf_dir)
+    glob = per.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    arm = per.groupBy("arm").agg(
+        F.count("*").alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    j = arm.crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    theta = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double")
+        * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double")
+        * F.col("sx").cast("double") / nd
+    )
+    nad = F.col("na").cast("double")
+    mean_y = F.col("sya").cast("double") / nad / 100.0
+    mean_x = F.col("sxa").cast("double") / nad / 100.0
+    adj = mean_y - theta * (mean_x - xbar / 100.0)
+    return j.select(
+        "arm",
+        F.col("na").cast("long").alias("n_users"),
+        F.round(mean_x, 9).alias("mean_pre"),
+        F.round(mean_y, 9).alias("mean_post"),
+        F.round(theta, 9).alias("theta"),
+        F.round(adj, 9).alias("adj_mean"),
+    ).orderBy("arm")
+
+
+_CUPED_ORACLE = f"""
+    WITH per AS ({_EXP_PERIODS_SQL}),
+    g_ AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM per
+    ),
+    arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS na,
+             CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+      FROM per GROUP BY 1
+    )
+    SELECT arm, na AS n_users,
+           round(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 9)
+             AS mean_pre,
+           round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 9)
+             AS mean_post,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS theta,
+           round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 9)
+             AS adj_mean
+    FROM arm CROSS JOIN g_ ORDER BY arm
+"""
+
+
+def _q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the arm x period panel: the four
+    per-user-period cell means of value (cents), DiD = (treat_post -
+    treat_pre) - (ctrl_post - ctrl_pre), with the large-sample SE from
+    exact per-cell second moments — the standard quasi-experimental
+    readout. One row; everything from BIGINT sufficient statistics."""
+    per = _exp_user_periods(spark, sf_dir)
+    long = per.select(
+        "arm", F.lit(0).alias("period"), F.col("x").alias("v")
+    ).union(
+        per.select("arm", F.lit(1).alias("period"), F.col("y").alias("v"))
+    )
+    cells = long.groupBy("arm", "period").agg(
+        F.count("*").alias("nc"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    piv = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == a) & (F.col("period") == p),
+                    F.col(col),
+                )
+            ).alias(f"{col}{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+            for col in ("nc", "sv", "svv")
+        ]
+    )
+
+    def mean(a, p):
+        return (
+            F.col(f"sv{a}{p}").cast("double")
+            / F.col(f"nc{a}{p}").cast("double")
+            / 100.0
+        )
+
+    def var_over_n(a, p):
+        nd = F.col(f"nc{a}{p}").cast("double")
+        m = F.col(f"sv{a}{p}").cast("double") / nd
+        v = (F.col(f"svv{a}{p}").cast("double") - nd * m * m) / (nd - 1.0)
+        return v / nd / 10000.0
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(1, 1) + var_over_n(1, 0) + var_over_n(0, 1)
+        + var_over_n(0, 0)
+    )
+    return piv.select(
+        F.round(mean(0, 0), 9).alias("ctrl_pre"),
+        F.round(mean(0, 1), 9).alias("ctrl_post"),
+        F.round(mean(1, 0), 9).alias("treat_pre"),
+        F.round(mean(1, 1), 9).alias("treat_post"),
+        F.round(did, 9).alias("did"),
+        F.round(se, 9).alias("se"),
+        F.round(did / se, 9).alias("t_stat"),
+    )
+
+
+def _did_oracle_sql() -> str:
+    def mean(a, p):
+        return (
+            f"(CAST(sv{a}{p} AS DOUBLE) / CAST(nc{a}{p} AS DOUBLE) / 100.0)"
+        )
+
+    def von(a, p):
+        nd = f"CAST(nc{a}{p} AS DOUBLE)"
+        m = f"(CAST(sv{a}{p} AS DOUBLE) / {nd})"
+        return (
+            f"(((CAST(svv{a}{p} AS DOUBLE) - {nd} * {m} * {m})"
+            f" / ({nd} - 1.0)) / {nd} / 10000.0)"
+        )
+
+    did = f"(({mean(1,1)} - {mean(1,0)}) - ({mean(0,1)} - {mean(0,0)}))"
+    se = f"sqrt({von(1,1)} + {von(1,0)} + {von(0,1)} + {von(0,0)})"
+    piv = ", ".join(
+        f"CAST(max(CASE WHEN arm = {a} AND period = {p} THEN {col} END)"
+        f" AS BIGINT) AS {col}{a}{p}"
+        for a in (0, 1)
+        for p in (0, 1)
+        for col in ("nc", "sv", "svv")
+    )
+    return f"""
+        WITH per AS ({_EXP_PERIODS_SQL}),
+        long_ AS (
+          SELECT arm, 0 AS period, x AS v FROM per
+          UNION ALL SELECT arm, 1, y FROM per
+        ),
+        cells AS (
+          SELECT arm, period, count(*) AS nc, sum(v) AS sv,
+                 sum(v * v) AS svv
+          FROM long_ GROUP BY 1, 2
+        ),
+        piv AS (SELECT {piv} FROM cells)
+        SELECT round({mean(0,0)}, 9) AS ctrl_pre,
+               round({mean(0,1)}, 9) AS ctrl_post,
+               round({mean(1,0)}, 9) AS treat_pre,
+               round({mean(1,1)}, 9) AS treat_post,
+               round({did}, 9) AS did,
+               round({se}, 9) AS se,
+               round({did} / {se}, 9) AS t_stat
+        FROM piv
+    """
+
+
+def _q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE of 'treatment' (the hash arm) on
+    post-period spend, with a FIXED synthetic propensity model
+    p = sigmoid(-0.2 + 0.08 * (user_id mod 10)) — the Horvitz-Thompson
+    estimator mechanics (weight clipping included) over exact per-user
+    integer outcomes; weighted sums fold in user order. Output: n per
+    arm, weighted means, ate."""
+    per = _exp_user_periods(spark, sf_dir)
+    z = (F.col("user_id") % 10).cast("double")
+    p = 1.0 / (1.0 + F.exp(-(-0.2 + 0.08 * z)))
+    pc = F.least(F.greatest(p, F.lit(0.05)), F.lit(0.95))
+    yd = F.col("y").cast("double") / 100.0
+    rows = per.select(
+        "user_id", "arm", yd.alias("yv"), pc.alias("p")
+    )
+    wt = F.when(F.col("arm") == 1, 1.0 / F.col("p")).otherwise(
+        1.0 / (1.0 - F.col("p"))
+    )
+    agg = rows.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("user_id", (wt * F.col("yv")).alias("wy"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["wy"],
+        ).alias("swy"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("user_id", wt.alias("w")))),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("sw"),
+    )
+    piv = agg.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "swy", "sw")
+        ]
+    )
+    m1 = F.col("swy1") / F.col("sw1")
+    m0 = F.col("swy0") / F.col("sw0")
+    return piv.select(
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.round(m0, 9).alias("ipw_mean_ctrl"),
+        F.round(m1, 9).alias("ipw_mean_treat"),
+        F.round(m1 - m0, 9).alias("ate"),
+    )
+
+
+_IPW_ORACLE = f"""
+    WITH per AS ({_EXP_PERIODS_SQL}),
+    rows_ AS (
+      SELECT user_id, arm, CAST(y AS DOUBLE) / 100.0 AS yv,
+             least(greatest(
+               1.0 / (1.0 + exp(-(-0.2 + 0.08
+                 * CAST(user_id % 10 AS DOUBLE)))), 0.05), 0.95) AS p
+      FROM per
+    ),
+    agg AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(
+               (CASE WHEN arm = 1 THEN 1.0 / p ELSE 1.0 / (1.0 - p) END)
+                 * yv ORDER BY user_id)), (a, b) -> a + b) AS swy,
+             list_reduce(list_prepend(0.0, list(
+               CASE WHEN arm = 1 THEN 1.0 / p ELSE 1.0 / (1.0 - p) END
+               ORDER BY user_id)), (a, b) -> a + b) AS sw
+      FROM rows_ GROUP BY 1
+    ),
+    piv AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 0 THEN swy END) AS swy0,
+             max(CASE WHEN arm = 1 THEN swy END) AS swy1,
+             max(CASE WHEN arm = 0 THEN sw END) AS sw0,
+             max(CASE WHEN arm = 1 THEN sw END) AS sw1
+      FROM agg
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_ctrl, CAST(n1 AS BIGINT) AS n_treat,
+           round(swy0 / sw0, 9) AS ipw_mean_ctrl,
+           round(swy1 / sw1, 9) AS ipw_mean_treat,
+           round(swy1 / sw1 - swy0 / sw0, 9) AS ate
+    FROM piv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate evaluates the
     # FIRST 50 names in dict order.  Rounds 1-3 driver-checked 99 distinct
@@ -21524,6 +21833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_incidence": _q_cumulative_incidence,
         "fellegi_sunter": _q_fellegi_sunter,
         "mutual_information": _q_mutual_information,
+        "cuped_adjusted": _q_cuped_adjusted,
+        "diff_in_diff": _q_diff_in_diff,
+        "ipw_ate": _q_ipw_ate,
     }
 
 
@@ -24919,4 +25231,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_incidence": _CIF_ORACLE,
         "fellegi_sunter": _fs_oracle_sql(),
         "mutual_information": _MI_ORACLE,
+        "cuped_adjusted": _CUPED_ORACLE,
+        "diff_in_diff": _did_oracle_sql(),
+        "ipw_ate": _IPW_ORACLE,
     }

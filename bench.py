@@ -349,6 +349,9 @@ BENCH_QUERIES = [
     "cumulative_incidence",
     "fellegi_sunter",
     "mutual_information",
+    "cuped_adjusted",
+    "diff_in_diff",
+    "ipw_ate",
 ]
 
 

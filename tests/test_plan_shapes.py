@@ -840,6 +840,9 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "cumulative_incidence",
         "fellegi_sunter",
         "mutual_information",
+        "cuped_adjusted",
+        "diff_in_diff",
+        "ipw_ate",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
