@@ -352,6 +352,9 @@ BENCH_QUERIES = [
     "cuped_adjusted",
     "diff_in_diff",
     "ipw_ate",
+    "spatial_median",
+    "mahalanobis_outliers",
+    "line_density",
 ]
 
 

@@ -843,6 +843,9 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "cuped_adjusted",
         "diff_in_diff",
         "ipw_ate",
+        "spatial_median",
+        "mahalanobis_outliers",
+        "line_density",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
