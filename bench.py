@@ -355,6 +355,9 @@ BENCH_QUERIES = [
     "spatial_median",
     "mahalanobis_outliers",
     "line_density",
+    "crawl_budget_lrm",
+    "crawl_budget_dhondt",
+    "atkinson_index",
 ]
 
 

@@ -846,6 +846,9 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "spatial_median",
         "mahalanobis_outliers",
         "line_density",
+        "crawl_budget_lrm",
+        "crawl_budget_dhondt",
+        "atkinson_index",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
