@@ -358,6 +358,9 @@ BENCH_QUERIES = [
     "crawl_budget_lrm",
     "crawl_budget_dhondt",
     "atkinson_index",
+    "two_step_fca",
+    "degree_powerlaw",
+    "theta_forecast",
 ]
 
 

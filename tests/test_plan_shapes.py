@@ -849,6 +849,9 @@ def test_mec_and_central_feature_broadcast_only(spark):
         "crawl_budget_lrm",
         "crawl_budget_dhondt",
         "atkinson_index",
+        "two_step_fca",
+        "degree_powerlaw",
+        "theta_forecast",
     ],
 )
 def test_session3_batches_no_python_stage(spark, name):
