@@ -453,3 +453,34 @@ def lcc_steps() -> list[tuple[str, str]]:
         ("x_lcc", "rho * sin(theta)"),
         ("y_lcc", f"{rho0!r} - rho * cos(theta)"),
     ]
+
+
+def aeqd_steps() -> list[tuple[str, str]]:
+    """(name, sql_expr) chain: lat/lng degrees -> azimuthal equidistant
+    x/y in meters about London (51.5074 N, 0.1278 W) on the mean-radius
+    sphere (Snyder 1987 section 25, spherical form): c = angular
+    distance to the center, az = initial bearing, x = R*c*sin(az),
+    y = R*c*cos(az). Textual-twin discipline as albers_steps/lcc_steps."""
+    import math as _m
+
+    phi0 = _m.radians(51.5074)
+    lam0 = _m.radians(-0.1278)
+    r_mean = 6371008.8
+    return [
+        ("phi", "radians(lat)"),
+        ("dlam", f"radians(lng) - {lam0!r}"),
+        (
+            "cosc",
+            f"{_m.sin(phi0)!r} * sin(phi)"
+            f" + {_m.cos(phi0)!r} * cos(phi) * cos(dlam)",
+        ),
+        ("c", "acos(greatest(-1.0, least(1.0, cosc)))"),
+        (
+            "az",
+            f"atan2(sin(dlam) * cos(phi),"
+            f" {_m.cos(phi0)!r} * sin(phi)"
+            f" - {_m.sin(phi0)!r} * cos(phi) * cos(dlam))",
+        ),
+        ("x_aeqd", f"{r_mean!r} * c * sin(az)"),
+        ("y_aeqd", f"{r_mean!r} * c * cos(az)"),
+    ]
