@@ -54,25 +54,43 @@ def shingle_hashes(text_col, n: int = 5):
 def minhash_signature(shingles_col, num_perm: int = 64, seed: int = 42):
     """num_perm MinHash values via (a*s + b) mod p over the shingle array.
 
-    One array_min(transform(...)) per permutation — native, no UDF. The
-    (a, b) constants are derived deterministically from the seed.
+    Single ``aggregate`` traversal carrying an array<num_perm> of running
+    minima, updated per shingle with ``zip_with`` against the constant
+    (a, b) table — native, no UDF. The (a, b) constants are derived
+    deterministically from the seed; the per-permutation arithmetic
+    (``pmod(a * pmod(s, p) + b, p)``) is bit-identical to evaluating each
+    permutation independently, so signatures match the earlier
+    one-``array_min``-per-permutation formulation exactly.
+
+    Why one pass: ``shingles_col`` is usually an inline expression
+    (tokenize -> n-gram -> xxhash64). Referencing it once per permutation
+    re-evaluates that tokenization num_perm times per row inside
+    interpreted higher-order functions (no CSE there) — at 64 perms that
+    was ~64x redundant string work, the CPU hot spot of every MinHash
+    query. Here the shingle expression appears exactly once.
     """
     import random
 
     rnd = random.Random(seed)
-
-    def perm_fn(a: int, b: int):
-        def apply(s):
-            return F.pmod(F.lit(a) * F.pmod(s, F.lit(_MERSENNE)) + F.lit(b), F.lit(_MERSENNE))
-
-        return apply
-
-    sig = []
-    for i in range(num_perm):
-        a = rnd.randrange(1, _MERSENNE)
-        b = rnd.randrange(0, _MERSENNE)
-        sig.append(F.array_min(F.transform(shingles_col, perm_fn(a, b))).alias(f"mh_{i}"))
-    return F.array(*sig)
+    pairs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_perm)
+    ]
+    p = F.lit(_MERSENNE)
+    consts = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in pairs
+    ])
+    return F.aggregate(
+        shingles_col,
+        F.array_repeat(p.cast("long"), num_perm),
+        lambda acc, s: F.zip_with(
+            acc,
+            consts,
+            lambda m, c: F.least(
+                m, F.pmod(c["a"] * F.pmod(s, p) + c["b"], p)
+            ),
+        ),
+    )
 
 
 def minhash_lsh_candidates(
