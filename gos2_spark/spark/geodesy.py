@@ -297,7 +297,14 @@ def utm_steps() -> list[tuple[str, str]]:
     northing (Snyder 1987 transverse-Mercator series on WGS84, k0 =
     0.9996 — the formulation PROJ's +proj=utm approximates to sub-mm).
     Same textual-twin discipline as the Vincenty chains: one op order,
-    both engines."""
+    both engines.
+
+    Zone rule: the standard 6-degree bands with the antimeridian wrapped
+    — lng = +180.0 maps to zone 1, not the out-of-range zone 61 a bare
+    floor((lng+180)/6)+1 yields (the `% 360` below is a no-op for every
+    other in-range longitude). The Norway (32V) and Svalbard (31X-37X)
+    exception zones are intentionally NOT applied — this is the plain
+    mathematical graticule, as in PROJ's +proj=utm +zone=N."""
     f = _F
     e2 = f * (2.0 - f)
     ep2 = e2 / (1.0 - e2)
@@ -310,7 +317,7 @@ def utm_steps() -> list[tuple[str, str]]:
     e2r = repr(e2)
     ep2r = repr(ep2)
     return [
-        ("zone", "CAST(floor((lng + 180.0) / 6.0) + 1 AS BIGINT)"),
+        ("zone", "CAST(floor(((lng + 180.0) % 360.0) / 6.0) + 1 AS BIGINT)"),
         ("lam0", "radians(CAST(zone AS DOUBLE) * 6.0 - 183.0)"),
         ("phi", "radians(lat)"),
         ("sphi", "sin(phi)"),

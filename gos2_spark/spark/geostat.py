@@ -73,13 +73,18 @@ def eb_rate_smoothing(
     sum (sum c_i^2/p_i for the weighted variance), broadcast back onto
     the per-area rows — two jobs total, no shuffle beyond the input agg,
     scale-independent.
+
+    Zero-population areas are EXCLUDED from the global moment sums (one
+    p = 0 row would otherwise make c^2/p Inf/NaN and poison s2 — and
+    therefore eb_rate — for every area) and surface in the output with
+    NULL raw_rate / shrink_weight / eb_rate.
     """
     a = area_counts.select(
         F.col(area_col).alias("area"),
         F.col(case_col).cast("long").alias("c"),
         F.col(pop_col).cast("long").alias("p"),
     )
-    g = a.agg(
+    g = a.where(F.col("p") > 0).agg(
         F.count("*").alias("n_areas"),
         F.sum("c").alias("sc"),
         F.sum("p").alias("sp"),
@@ -92,8 +97,9 @@ def eb_rate_smoothing(
     # s2 = (sum p_i r_i^2 - m^2 * sum p) / sum p   (weighted variance)
     s2 = (F.col("scc") - m * m * _d(F.col("sp"))) / _d(F.col("sp"))
     big_a = F.greatest(s2 - m / pbar, F.lit(0.0))
-    r = _d(F.col("c")) / _d(F.col("p"))
-    w = big_a / (big_a + m / _d(F.col("p")))
+    ok = F.col("p") > 0
+    r = F.when(ok, _d(F.col("c")) / _d(F.col("p")))
+    w = F.when(ok, big_a / (big_a + m / _d(F.col("p"))))
     eb = w * r + (F.lit(1.0) - w) * m
     return j.select(
         F.col("area"),
@@ -153,6 +159,15 @@ def simple_kriging_3nn(
     The global mean is ``sum(value)/count`` — callers should supply an
     integer-valued ``value_col`` if they need cross-engine bit parity of
     the mean (float sums are order-sensitive).
+
+    PRECONDITIONS: at least 3 observation points with DISTINCT
+    coordinates must exist per target's neighborhood — with fewer than 3
+    ranked neighbors the pivot columns are NULL and weights/prediction
+    propagate NULL for that target (no crash, but no estimate);
+    coincident duplicate observation points drive the Cramer determinant
+    toward singular with only the nugget term as regularization. Filter
+    targets with < 3 distinct-coordinate neighbors (or deduplicate
+    observations) upstream if either case can occur.
     """
     p = points.select(
         F.col(point_key).alias("pk"),

@@ -1088,6 +1088,12 @@ def sax_symbols(
     value is one fixed-order float expression per frame, so symbols are
     bit-identical cross-engine (breakpoint literals shared above).
 
+    INPUT CONTRACT: ``value_col`` must be integer-valued — it is cast to
+    long so the sufficient statistics stay exact BIGINTs (same contract
+    as welch_t). Fractional inputs (e.g. rates) would be silently
+    truncated by the cast; pre-scale them to integers (multiply by a
+    fixed power of 10) before calling.
+
     Plan: one window (row_number + per-key totals) + one (key, frame)
     agg; linear, one shuffle on the key.
 
@@ -1130,8 +1136,6 @@ def sax_symbols(
     sd = F.sqrt(var_num) / n
     paa = F.col("_fs").cast("double") / F.col("n_obs").cast("double")
     z = F.when(sd > 0, (paa - mean) / sd)
-    sym = F.when(z.isNull(), F.lit(None).cast("string"))
-    letter = F.lit("a")
     expr = None
     for i, bp in enumerate(bps):
         cond = z < F.lit(float(bp))

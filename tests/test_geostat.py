@@ -71,6 +71,31 @@ def test_eb_rate_smoothing_formula(spark):
     assert got["b"]["shrink_weight"] < got["a"]["shrink_weight"]
 
 
+def test_eb_rate_smoothing_zero_pop_does_not_poison(spark):
+    # one pop=0 area must not make s2 (and so every eb_rate) NaN; its own
+    # rate columns surface as NULL while the p>0 areas get the same
+    # estimates they would get without it
+    data = [("a", 50, 1000), ("b", 1, 5), ("z", 2, 0)]
+    df = spark.createDataFrame(data, ["cell", "cases", "pop"])
+    got = {r["area"]: r for r in eb_rate_smoothing(df, area_col="cell").collect()}
+    assert got["z"]["raw_rate"] is None
+    assert got["z"]["shrink_weight"] is None
+    assert got["z"]["eb_rate"] is None
+    base = {
+        r["area"]: r
+        for r in eb_rate_smoothing(
+            spark.createDataFrame(data[:2], ["cell", "cases", "pop"]),
+            area_col="cell",
+        ).collect()
+    }
+    for area in ("a", "b"):
+        assert got[area]["eb_rate"] is not None
+        assert not math.isnan(got[area]["eb_rate"])
+        assert math.isclose(
+            got[area]["eb_rate"], base[area]["eb_rate"], abs_tol=1e-12
+        )
+
+
 def _unit(lat, lng):
     la, lo = math.radians(lat), math.radians(lng)
     return np.array(
