@@ -297,7 +297,9 @@ class TileSet:
         )
         return level, df
 
-    def merged_ranges(self, max_ranges: int = 64) -> list[tuple[int, int]]:
+    def merged_ranges(
+        self, max_ranges: int = 64, boundary_only: bool = False
+    ) -> list[tuple[int, int]]:
         """Disjoint (rmin, rmax) biased-id ranges covering ALL tiles.
 
         Drives the pushdown-friendly prefilter: an OR-chain of BETWEENs in
@@ -306,10 +308,26 @@ class TileSet:
         data). The union covering is coarsened (cells lifted to parents)
         until at most ``max_ranges`` spans remain — a superset, so the
         prefilter only ever passes extra rows to the exact join.
+
+        ``boundary_only=True`` restricts the union to the BOUNDARY
+        covering cells (those not fully inside their tile) — the tight
+        prefilter for refine_mode='split''s boundary branch: on a
+        cell-sorted table its row-group pruning skips the (dominant)
+        interior spans entirely, so the branch's lat/lng re-scan reads
+        near-zero bytes instead of re-reading every candidate row group.
+        Still a superset of the rows that can reach the boundary refine
+        (every non-interior grid match lies inside its covering cell's
+        leaf range), so the match set is unchanged.
         """
         all_cells: list[int] = []
         for t in self.tiles.values():
-            all_cells.extend(t["covering"].ids)
+            if boundary_only:
+                interior = set(t["interior"].ids)
+                all_cells.extend(
+                    c for c in t["covering"].ids if c not in interior
+                )
+            else:
+                all_cells.extend(t["covering"].ids)
         cu = CellUnion(all_cells)
         while len(cu.ids) > max_ranges:
             lifted = []
@@ -455,46 +473,52 @@ def point_in_polygon_join(
     all_points = points  # anti-join must see unfiltered rows
     points = points.where(pre)
 
-    if strategy == "ancestor":
-        levels = art["levels"]
-        anc = F.explode(
-            F.array(*[s2_parent_sql(F.col(cell_col), l) for l in levels])
-        ).alias("_anc")
-        pts = points.select("*", anc)
-        joined = pts.join(F.broadcast(cov), pts["_anc"] == cov["cov_cell"], "inner").drop("_anc")
-    elif strategy == "grid":
-        # one ancestor key + one broadcast hash probe per point (vs one
-        # per covering level with "ancestor"): the single-level grid table
-        # carries each covering cell's original leaf range, so the equi
-        # probe + BETWEEN yields the identical match set with ~levels x
-        # fewer candidate rows through the join pipeline — the term the
-        # staged-deployment stage decomposition showed to be DRAM-bound
-        grid = art["grid"]
-        gkey = s2_parent_sql(F.col(cell_col), art["grid_level"])
-        pts = points.withColumn("_gk", gkey)
-        joined = (
-            pts.join(
-                F.broadcast(grid),
-                (pts["_gk"] == grid["grid_key"])
-                & (F.col(cell_col) >= F.col("g_rmin"))
-                & (F.col(cell_col) <= F.col("g_rmax")),
+    def _candidates(src: DataFrame) -> DataFrame:
+        if strategy == "ancestor":
+            levels = art["levels"]
+            anc = F.explode(
+                F.array(*[s2_parent_sql(F.col(cell_col), l) for l in levels])
+            ).alias("_anc")
+            pts = src.select("*", anc)
+            j = pts.join(
+                F.broadcast(cov), pts["_anc"] == cov["cov_cell"], "inner"
+            ).drop("_anc")
+        elif strategy == "grid":
+            # one ancestor key + one broadcast hash probe per point (vs one
+            # per covering level with "ancestor"): the single-level grid
+            # table carries each covering cell's original leaf range, so
+            # the equi probe + BETWEEN yields the identical match set with
+            # ~levels x fewer candidate rows through the join pipeline —
+            # the term the staged-deployment stage decomposition showed to
+            # be DRAM-bound
+            grid = art["grid"]
+            gkey = s2_parent_sql(F.col(cell_col), art["grid_level"])
+            pts = src.withColumn("_gk", gkey)
+            j = (
+                pts.join(
+                    F.broadcast(grid),
+                    (pts["_gk"] == grid["grid_key"])
+                    & (F.col(cell_col) >= F.col("g_rmin"))
+                    & (F.col(cell_col) <= F.col("g_rmax")),
+                    "inner",
+                )
+                .drop("_gk")
+            )
+        elif strategy == "range":
+            j = src.join(
+                F.broadcast(cov),
+                (F.col(cell_col) >= F.col("cov_rmin"))
+                & (F.col(cell_col) <= F.col("cov_rmax")),
                 "inner",
             )
-            .drop("_gk")
-        )
-    elif strategy == "range":
-        joined = points.join(
-            F.broadcast(cov),
-            (F.col(cell_col) >= F.col("cov_rmin")) & (F.col(cell_col) <= F.col("cov_rmax")),
-            "inner",
-        )
-    else:
-        raise ValueError(f"unknown strategy {strategy!r}")
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        # shuffle only what refinement needs: the covering columns are
+        # dead after the join and the repartition below would otherwise
+        # carry them (3 longs/row ≈ 25% of the exchange payload)
+        return j.select(*src.columns, "tile_idx", "is_interior")
 
-    # shuffle only what refinement needs: the covering columns are dead
-    # after the join and the repartition below would otherwise carry them
-    # (3 longs/row ≈ 25% of the exchange payload)
-    joined = joined.select(*points.columns, "tile_idx", "is_interior")
+    joined = _candidates(points)
 
     # REBALANCE matched rows before refinement: with cell-clustered FILES
     # (e.g. one file per coarse cell / per city) all rows matching a tile
@@ -517,8 +541,35 @@ def point_in_polygon_join(
         joined = joined.repartition(n_part)
     if refine_mode == "split":
         interior = joined.where(F.col("is_interior"))
+        # The boundary branch REPLAYS the upstream (that is the split
+        # trade), so give its scan the TIGHT prefilter: only the boundary
+        # covering cells' leaf ranges. Every candidate that can reach the
+        # refine (a non-interior grid match) lies inside its covering
+        # cell's range, so the match set is identical — but on a
+        # cell-sorted table the branch's row-group pruning now skips the
+        # interior spans. Boundary cells are FRAGMENTED in Hilbert order
+        # (they rim each tile), so this prefilter keeps finer ranges than
+        # the main one — row-group-stat accounting on the 16M-row staged
+        # table (max_cells=512): 64 coarsened ranges leave 38/128 row
+        # groups = 66 MB; 128 leave 10/128 = 21 MB vs 87 MB for the
+        # round-4 full-range boundary scan (4x fewer branch bytes, 2.2x
+        # fewer total job bytes). NOT finer: Catalyst's per-run plan
+        # analysis grows superlinearly with disjunct count (242 ranges
+        # added ~1 s of driver time per run, swamping the last 4 MB).
+        pre_b = F.expr(
+            " OR ".join(
+                f"(`{cell_col}` BETWEEN {lo} AND {hi})"
+                for lo, hi in tileset.merged_ranges(
+                    max_ranges=128, boundary_only=True
+                )
+            )
+            or "false"
+        )
+        joined_b = _candidates(all_points.where(pre_b))
+        if rebalance:
+            joined_b = joined_b.repartition(n_part)
         boundary = (
-            joined.where(~F.col("is_interior"))
+            joined_b.where(~F.col("is_interior"))
             .withColumn(
                 "inside",
                 refine(

@@ -803,3 +803,49 @@ class TestNearestFeatureJoin:
             ).collect()
         }
         assert nf == rd
+
+
+def test_split_boundary_branch_uses_tight_prefilter(spark, points, tileset, tmp_path):
+    """refine_mode='split' round-5 bandwidth increment: the boundary
+    branch's re-scan must carry the BOUNDARY-ONLY range prefilter (a
+    strict sub-span of the full covering prefilter, so cell-sorted
+    row-group pruning skips interior spans), and for a count-shaped job
+    Catalyst must late-materialize — the interior branch scanning
+    cell_id only, the boundary branch lat/lng/cell_id."""
+    full = tileset.merged_ranges()
+    bound = tileset.merged_ranges(max_ranges=128, boundary_only=True)
+    span = lambda rs: sum(hi - lo + 1 for lo, hi in rs)
+    assert span(bound) < span(full)
+    # every boundary range lies inside some full range (superset safety)
+    for lo, hi in bound:
+        assert any(flo <= lo and hi <= fhi for flo, fhi in full)
+
+    # staged layout: write the points cell-sorted, run the count job
+    pdir = str(tmp_path / "pts")
+    points.orderBy("cell_id").write.mode("overwrite").parquet(pdir)
+    staged = spark.read.parquet(pdir)
+    job = (
+        point_in_polygon_join(
+            staged, tileset, rebalance=False, refine_mode="split"
+        )
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = job._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = sorted(re.findall(r"ReadSchema: (struct<[^\n]*>)", plan))
+    assert schemas == [
+        "struct<cell_id:bigint>",
+        "struct<lat:double,lng:double,cell_id:bigint>",
+    ], schemas
+    # the tight prefilter's first boundary range literal is in the plan
+    assert str(bound[0][0]) in plan
+    # and the match set equals fused
+    fused = (
+        point_in_polygon_join(staged, tileset, rebalance=False)
+        .groupBy("tile_id").agg(F.count("*").alias("n"))
+    )
+    assert sorted((r["tile_id"], r["n"]) for r in job.collect()) == sorted(
+        (r["tile_id"], r["n"]) for r in fused.collect()
+    )
