@@ -318,7 +318,19 @@ class TileSet:
         Still a superset of the rows that can reach the boundary refine
         (every non-interior grid match lies inside its covering cell's
         leaf range), so the match set is unchanged.
+
+        Memoized per (max_ranges, boundary_only): the CellUnion
+        normalize + coarsening loop is pure driver work that otherwise
+        re-runs on every join build (~0.1 s per call on a 2k-cell
+        covering — per-JOB fixed cost that Amdahl-limits short bench
+        walls; a TileSet is immutable after construction).
         """
+        memo = getattr(self, "_ranges_memo", None)
+        if memo is None:
+            memo = self._ranges_memo = {}
+        mkey = (max_ranges, boundary_only)
+        if mkey in memo:
+            return memo[mkey]
         all_cells: list[int] = []
         for t in self.tiles.values():
             if boundary_only:
@@ -346,7 +358,8 @@ class TileSet:
                 merged[-1][1] = max(merged[-1][1], hi)
             else:
                 merged.append([lo, hi])
-        return [(lo, hi) for lo, hi in merged]
+        memo[mkey] = [(lo, hi) for lo, hi in merged]
+        return memo[mkey]
 
 
 def _make_refine_udf(bc):
