@@ -922,16 +922,28 @@ def knn_join_df(
         n = max(pts.count(), 1)  # also materializes the cache
         r0 = math.radians(min(45.0, max(0.05, 114.0 * math.sqrt(k / n))))
         level_mean = max(0, min(30, MIN_WIDTH.max_level(r0)))
-        # SKEW GUARD: the mean-density level is catastrophically coarse
-        # for clustered data (a web corpus is city-skewed by nature): at
-        # the mean level a hot-city block can hold 100k+ points, and every
-        # query in it drags the whole block through the per-query window
-        # sort — measured as a multi-hour stall at 100k queries x 4M
-        # city-mixture points. Start instead at the coarsest level whose
-        # LARGEST block (estimated from a bounded sample, driver traffic
-        # <= 500k int64s) stays under ~16k candidates; sparse-region
-        # queries just take a few more (cheap, shrinking) rounds. Hot
-        # blocks are exactly the ones a uniform sample estimates well.
+        # SKEW + OCCUPANCY GUARD: the mean-density level is
+        # catastrophically coarse for clustered data (a web corpus is
+        # city-skewed by nature): at the mean level a hot-city block can
+        # hold 100k+ points, and every query in it drags the whole block
+        # through the per-query window sort — measured as a multi-hour
+        # stall at 100k queries x 4M city-mixture points. The candidate
+        # VOLUME a round moves is ~ 9 x the SIZE-BIASED mean block
+        # occupancy (E[|block of a random query|] = sum c_b^2 / n) per
+        # query, so the start level is chosen from a bounded sample
+        # (driver traffic <= 500k int64s) as the FINEST level whose
+        # size-biased occupancy still holds >= max(4, k+1) points — fine
+        # enough that a typical 3x3 neighborhood carries only a few
+        # dozen candidates, coarse enough that dense-bulk queries finish
+        # in round 1. (A max-block-<=cap rule alone picks the COARSEST
+        # admissible level: measured 3x slower on a 5k-point global set
+        # — 4.2M candidate rows through the window vs ~0.3M.) Sparse
+        # stragglers just take a few more (cheap, batched, shrinking)
+        # rounds; the max-block cap stays as a backstop since going
+        # finer only ever shrinks blocks. Hot blocks are exactly the
+        # ones a uniform sample estimates well. Start-level choice is
+        # performance-only — exactness is per (query, level) and does
+        # not depend on where the ladder starts.
         frac = min(1.0, 500_000.0 / n)
         cells = np.array(
             [r[0] for r in (
@@ -941,17 +953,28 @@ def knn_join_df(
             dtype=np.int64,
         ).view(np.uint64) ^ np.uint64(1 << 63)
         cap = max(512, 16 * k)
-        level_skew = level_mean
+        occ_target = float(max(4, k + 1))
+        level_skew = None
         for lv in range(level_mean, 31):
             lsb = np.uint64(1 << (2 * (30 - lv)))
             # Parent(lv) on raw ids: (id & -lsb) | lsb (cellid.go:168-171)
             parents = (cells & ~(lsb - np.uint64(1))) | lsb
             _, counts = np.unique(parents, return_counts=True)
-            est_max = counts.max() / frac if len(counts) else 0.0
-            level_skew = lv
-            if est_max <= cap:
+            if not len(counts):
                 break
-        level = max(level_mean, level_skew)
+            est_max = counts.max() / frac
+            if est_max > cap:
+                continue  # inadmissible: a hot block would flood a round
+            cf = counts.astype(np.float64)
+            # sampled counts scale ~frac x true, so divide the sampled
+            # size-biased mean (sum c'^2 / sum c') by frac to estimate it
+            est_sb = (cf * cf).sum() / cf.sum() / frac
+            if est_sb < occ_target and level_skew is not None:
+                break  # gone lean: keep the finest still-dense level
+            level_skew = lv
+            if est_sb < occ_target:
+                break  # cap forced us straight into lean territory
+        level = max(level_mean, level_skew if level_skew is not None else 30)
     else:
         level = initial_level
 
