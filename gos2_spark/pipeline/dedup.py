@@ -562,6 +562,15 @@ def jaccard_join(
     candidate generation is an equi-join on the prefix token. Verification
     is one (pair, token) join + exact integer |A∩B| / |A∪B|. Every stage
     is a keyed shuffle; nothing is all-pairs.
+
+    The (key, token) frame feeds five plan branches (sizes, document
+    frequencies, the ordered prefix window, and both verification
+    sides); without materialization each branch re-runs the regex
+    tokenize + explode over the raw text. It is checkpointed eagerly
+    once — tokenize once, read five times (the knn_join_df precedent;
+    blocks are freed by the ContextCleaner when the caller drops the
+    result). At deployment scale this is the 'write the token table
+    once' step of any staged dedup pipeline.
     """
     from pyspark.sql import Window
 
@@ -575,7 +584,7 @@ def jaccard_join(
                 )
             )
         ).alias("token"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = toks.groupBy("key").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     ordered = toks.join(dfreq, "token").withColumn(
@@ -654,10 +663,15 @@ def edit_distance_pairs(
     counts bytes — identical on ASCII titles, so normalize non-ASCII out
     before comparing engines.
     """
+    # one eager checkpoint: the narrow (key, title, blk) frame feeds the
+    # over-full-block scan, its anti-join, and both self-join sides —
+    # scan the corpus once, not four times (see jaccard_join's note)
     t = docs.select(
         F.col(key_col).alias("key"),
         F.lower(F.substring(text_col, 1, title_len)).alias("title"),
-    ).withColumn("blk", F.substring("title", 1, prefix_len))
+    ).withColumn("blk", F.substring("title", 1, prefix_len)).localCheckpoint(
+        eager=True
+    )
     if bucket_cap is not None:
         over = (
             t.groupBy("blk")
@@ -717,6 +731,8 @@ def cosine_tf_join(
     COHORTS (calibration, within-cluster verification); the corpus-scale
     near-dup path is the banded embedding/MinHash family above.
     """
+    # one eager checkpoint: the TF table feeds three branches (norms and
+    # both join sides) — tokenize + aggregate once (see jaccard_join)
     tf = docs.select(
         F.col(key_col).alias("key"),
         F.explode(
@@ -725,7 +741,9 @@ def cosine_tf_join(
                 lambda t: F.length(t) > 0,
             )
         ).alias("tok"),
-    ).groupBy("key", "tok").agg(F.count("*").alias("tf"))
+    ).groupBy("key", "tok").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=True
+    )
     norms = tf.groupBy("key").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
     )
@@ -796,10 +814,13 @@ def containment_join(
             F.sequence(F.lit(1), F.size(arr) - F.lit(k - 1)),
             lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
         )
+    # one eager checkpoint: the shingle build (regex split + k-token
+    # concat per position) feeds five plan branches — tokenize once,
+    # read five times (see jaccard_join's note)
     toks = docs.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(arr)).alias("token"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = toks.groupBy("key").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     ordered = toks.join(dfreq, "token").withColumn(

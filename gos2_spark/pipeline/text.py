@@ -486,12 +486,17 @@ def ngram_novelty(
     complements duplicate-span coverage (spans.py measures repeats,
     novelty measures firsts).
 
-    Plan: explode to distinct (key, gram) pairs (map-side combined), one
-    gram-keyed aggregation for the global first-seen key, one broadcast-
-    or shuffle-join back, one key-keyed count aggregation. The shuffle
-    carries one row per distinct gram; at 100 TB the gram string is
-    replaced by its xxhash64 (8 bytes) exactly as in spans.py — the
-    value-level oracle keeps plain strings so every gram is replayable.
+    Plan: explode to distinct (key, gram) pairs (map-side combined);
+    ``n_grams`` is a straight per-key count of that frame, and
+    ``n_novel`` per key is the number of grams whose gram-keyed
+    ``min(key)`` IS that key — i.e. a count over the (one row per
+    distinct gram) first-seen aggregate grouped by its winner. The two
+    per-key aggregates (both <= one row per document) meet in one final
+    left join — the full gram table is never joined back against the
+    first-seen table, which removed the dominant gram-scale shuffle
+    join of the previous plan. At 100 TB the gram string is replaced by
+    its xxhash64 (8 bytes) exactly as in spans.py — the value-level
+    oracle keeps plain strings so every gram is replayable.
 
     Output: (key, n_grams, n_novel, novelty_rate) over documents with at
     least one n-gram (shorter documents drop, same as spans.py).
@@ -509,16 +514,17 @@ def ngram_novelty(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
         ).alias("gram"),
     ).distinct()
-    first = grams.groupBy("gram").agg(F.min("key").alias("first_key"))
-    per_doc = (
-        grams.join(first, "gram")
+    counts = grams.groupBy("key").agg(F.count("*").alias("n_grams"))
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("key").alias("key"))
         .groupBy("key")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_key") == F.col("key"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    per_doc = counts.join(novel, "key", "left").select(
+        "key",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
     )
     return per_doc.select(
         "key",
