@@ -851,6 +851,45 @@ def knn_join(
     return out
 
 
+def _knn_start_level(
+    cells: "np.ndarray", level_mean: int, k: int, frac: float = 1.0
+) -> int:
+    """Start level for the knn_join_df ladder, from a (possibly sampled)
+    array of RAW uint64 leaf cell ids: the FINEST level that is both
+    admissible (estimated max block <= cap, so no hot block floods a
+    round) and still dense (size-biased mean block occupancy
+    >= max(4, k+1), so typical queries finish in round 1 with a small
+    candidate set). The size-biased mean sum(c^2)/sum(c) is E[|block of
+    a random query|] — the candidate volume a round moves per query is
+    ~9x it. Falls back to leaf level 30 when no level is admissible
+    (e.g. massive coincident duplicates — their block is the same cell
+    at every level). Sampled counts scale ~frac x true, so both
+    estimates divide by frac. Performance-only: the ladder's exactness
+    is per (query, level) and independent of where it starts.
+    """
+    cap = max(512, 16 * k)
+    occ_target = float(max(4, k + 1))
+    level_skew = None
+    for lv in range(level_mean, 31):
+        lsb = np.uint64(1 << (2 * (30 - lv)))
+        # Parent(lv) on raw ids: (id & -lsb) | lsb (cellid.go:168-171)
+        parents = (cells & ~(lsb - np.uint64(1))) | lsb
+        _, counts = np.unique(parents, return_counts=True)
+        if not len(counts):
+            break
+        est_max = counts.max() / frac
+        if est_max > cap:
+            continue  # inadmissible: a hot block would flood a round
+        cf = counts.astype(np.float64)
+        est_sb = (cf * cf).sum() / cf.sum() / frac
+        if est_sb < occ_target and level_skew is not None:
+            break  # gone lean: keep the finest still-dense level
+        level_skew = lv
+        if est_sb < occ_target:
+            break  # cap forced us straight into lean territory
+    return level_skew if level_skew is not None else 30
+
+
 def knn_join_df(
     points: DataFrame,
     queries: DataFrame,
@@ -952,29 +991,7 @@ def knn_join_df(
             )],
             dtype=np.int64,
         ).view(np.uint64) ^ np.uint64(1 << 63)
-        cap = max(512, 16 * k)
-        occ_target = float(max(4, k + 1))
-        level_skew = None
-        for lv in range(level_mean, 31):
-            lsb = np.uint64(1 << (2 * (30 - lv)))
-            # Parent(lv) on raw ids: (id & -lsb) | lsb (cellid.go:168-171)
-            parents = (cells & ~(lsb - np.uint64(1))) | lsb
-            _, counts = np.unique(parents, return_counts=True)
-            if not len(counts):
-                break
-            est_max = counts.max() / frac
-            if est_max > cap:
-                continue  # inadmissible: a hot block would flood a round
-            cf = counts.astype(np.float64)
-            # sampled counts scale ~frac x true, so divide the sampled
-            # size-biased mean (sum c'^2 / sum c') by frac to estimate it
-            est_sb = (cf * cf).sum() / cf.sum() / frac
-            if est_sb < occ_target and level_skew is not None:
-                break  # gone lean: keep the finest still-dense level
-            level_skew = lv
-            if est_sb < occ_target:
-                break  # cap forced us straight into lean territory
-        level = max(level_mean, level_skew if level_skew is not None else 30)
+        level = max(level_mean, _knn_start_level(cells, level_mean, k, frac))
     else:
         level = initial_level
 
