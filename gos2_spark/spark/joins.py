@@ -858,17 +858,25 @@ def _knn_start_level(
     array of RAW uint64 leaf cell ids: the FINEST level that is both
     admissible (estimated max block <= cap, so no hot block floods a
     round) and still dense (size-biased mean block occupancy
-    >= max(4, k+1), so typical queries finish in round 1 with a small
-    candidate set). The size-biased mean sum(c^2)/sum(c) is E[|block of
-    a random query|] — the candidate volume a round moves per query is
-    ~9x it. Falls back to leaf level 30 when no level is admissible
+    >= max(6, 2k+2)). The size-biased mean sum(c^2)/sum(c) is E[|block
+    of a random query|] — the candidate volume a round moves per query
+    is ~9x it, so clumpy data (occupancy far above target at the
+    mean-density level) starts several levels finer. The target is
+    2k+2, floored at 6, because the FINISH guarantee needs the k-th
+    neighbor within one block width (MinWidth), i.e. roughly within the
+    query's own block — a typical block must hold comfortably more than
+    k points or the round only moves candidates without settling
+    queries (a target of k+1 measured one level too fine on
+    uniform-density sets: most queries missed the distance guarantee
+    and paid an extra escalation round). Falls back to leaf level 30
+    when no level is admissible
     (e.g. massive coincident duplicates — their block is the same cell
     at every level). Sampled counts scale ~frac x true, so both
     estimates divide by frac. Performance-only: the ladder's exactness
     is per (query, level) and independent of where it starts.
     """
     cap = max(512, 16 * k)
-    occ_target = float(max(4, k + 1))
+    occ_target = float(max(6, 2 * k + 2))
     level_skew = None
     for lv in range(level_mean, 31):
         lsb = np.uint64(1 << (2 * (30 - lv)))

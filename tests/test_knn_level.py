@@ -3,7 +3,7 @@
 The picker is pure numpy (no Spark): it sees a (possibly sampled) array
 of raw uint64 leaf cell ids and returns the ladder's start level — the
 FINEST level that is admissible (max block <= cap, the skew guard) and
-still dense (size-biased mean occupancy >= max(4, k+1), the occupancy
+still dense (size-biased mean occupancy >= max(6, 2k+2), the occupancy
 guard). These tests pin both properties plus the degenerate fallback.
 """
 
@@ -52,9 +52,9 @@ def test_sparse_global_set_starts_fine_not_at_cap_level():
     # chosen level is admissible and still dense
     counts = _blocks(cells, lv)
     assert counts.max() <= cap
-    assert _sb(counts) >= max(4, k + 1)
+    assert _sb(counts) >= max(6, 2 * k + 2)
     # one level finer is lean (the finest-dense property)
-    assert _sb(_blocks(cells, lv + 1)) < max(4, k + 1)
+    assert _sb(_blocks(cells, lv + 1)) < max(6, 2 * k + 2)
 
 
 def test_hot_city_respects_skew_cap():
