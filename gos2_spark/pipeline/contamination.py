@@ -66,7 +66,12 @@ def ngram_contamination(
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    grams = corpus.select(
+    # widen the corpus side first: the n-gram explode + broadcast probe is
+    # all pre-exchange work, and a one-row-group parquet scan would pin it
+    # to a single core
+    from ..spark.functions import widen_to_parallelism
+
+    grams = widen_to_parallelism(corpus).select(
         F.col(key_col).alias("key"),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
     )

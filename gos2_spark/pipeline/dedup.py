@@ -574,7 +574,9 @@ def jaccard_join(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from ..spark.functions import widen_to_parallelism
+
+    toks = widen_to_parallelism(docs).select(
         F.col(key_col).alias("key"),
         F.explode(
             F.array_distinct(
@@ -780,7 +782,9 @@ def cosine_tf_join(
     """
     # one eager checkpoint: the TF table feeds three branches (norms and
     # both join sides) — tokenize + aggregate once (see jaccard_join)
-    tf = docs.select(
+    from ..spark.functions import widen_to_parallelism
+
+    tf = widen_to_parallelism(docs).select(
         F.col(key_col).alias("key"),
         F.explode(
             F.filter(
@@ -851,6 +855,8 @@ def containment_join(
     """
     from pyspark.sql import Window
 
+    from ..spark.functions import widen_to_parallelism
+
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
         lambda t: F.length(t) > 0,
@@ -863,8 +869,11 @@ def containment_join(
         )
     # one eager checkpoint: the shingle build (regex split + k-token
     # concat per position) feeds five plan branches — tokenize once,
-    # read five times (see jaccard_join's note)
-    toks = docs.select(
+    # read five times (see jaccard_join's note). Widened first: a
+    # one-row-group scan would otherwise tokenize AND checkpoint on one
+    # core, and the checkpoint preserves that single partition for every
+    # downstream branch.
+    toks = widen_to_parallelism(docs).select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(arr)).alias("token"),
     ).localCheckpoint(eager=True)

@@ -210,11 +210,58 @@ def connected_components(
     keyed_nodes = nodes.select(F.col(node_col).alias("key"))
     contract_map = None
     if initial_labels is not None:
-        labels = mat(
-            initial_labels.select(
-                F.col(node_col).alias("key"), F.col("label")
+        # QUOTIENT pre-pass: a valid clique seeding lets the whole
+        # machinery run on the quotient graph instead of merely seeding
+        # labels over the full edge set. Relabel every edge endpoint to
+        # its seed label, drop intra-clique edges, dedup to distinct
+        # label pairs, and recurse on the (typically orders-of-magnitude
+        # smaller) quotient: a dense region's clique edges collapse to
+        # one node before any round — or the Python union-find
+        # contraction — ever touches them. Same fixpoint: labels are
+        # group-min node keys, components of the quotient are exactly
+        # the original components' label sets, and min-over-labels =
+        # min-over-nodes because every label is itself a member node.
+        # Unseeded nodes keep their own key as label, so partial
+        # seedings remain valid.
+        lmap = mat(
+            keyed_nodes.join(
+                initial_labels.select(
+                    F.col(node_col).alias("key"), F.col("label")
+                ),
+                "key",
+                "left",
+            ).select(
+                "key", F.coalesce(F.col("label"), F.col("key")).alias("label")
             )
         )
+        # broadcast the label map while provably bounded (the checkpointed
+        # frame's stats are compound estimates Catalyst cannot trust, so
+        # the hint is explicit); past 4M rows fall back to shuffle joins
+        _b = F.broadcast if lmap.count() <= 4_000_000 else (lambda df: df)
+        ma = _b(
+            lmap.select(F.col("key").alias("key_a"), F.col("label").alias("_la"))
+        )
+        mb = _b(
+            lmap.select(F.col("key").alias("key_b"), F.col("label").alias("_lb"))
+        )
+        q_edges = (
+            sym.join(ma, "key_a")
+            .join(mb, "key_b")
+            .where(F.col("_la") < F.col("_lb"))
+            .select(F.col("_la").alias("key_a"), F.col("_lb").alias("key_b"))
+            .distinct()
+        )
+        q_nodes = lmap.select(F.col("label").alias("key")).distinct()
+        comps_q = connected_components(
+            q_nodes,
+            q_edges,
+            max_iterations=max_iterations,
+            materialize=materialize,
+            edges_in_universe=True,
+        )
+        return lmap.join(
+            comps_q.select(F.col("key").alias("label"), "component"), "label"
+        ).select("key", "component")
     elif os.environ.get("GOS2_CC_CONTRACT", "1") == "1":
         # LOCAL CONTRACTION pre-pass: one union-find sweep per partition
         # collapses everything each partition's edges connect, and the

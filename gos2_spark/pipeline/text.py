@@ -501,6 +501,8 @@ def ngram_novelty(
     Output: (key, n_grams, n_novel, novelty_rate) over documents with at
     least one n-gram (shorter documents drop, same as spans.py).
     """
+    from ..spark.functions import widen_to_parallelism
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
         lambda t: F.length(t) > 0,
@@ -508,7 +510,10 @@ def ngram_novelty(
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    # widen first: the tokenize + n-gram explode multiplies each doc into
+    # hundreds of rows BEFORE the first exchange — from a one-row-group
+    # parquet scan that whole stage would run on a single core
+    grams = widen_to_parallelism(docs).select(
         F.col(key_col).alias("key"),
         F.explode(
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

@@ -714,3 +714,27 @@ def along_track_rad(
     return F.acos(
         F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.cos(d13) / F.cos(xt)))
     )
+
+
+def widen_to_parallelism(df, min_fraction: float = 0.5):
+    """Round-robin repartition a DataFrame to the session's default
+    parallelism when it arrives in fewer than ``min_fraction`` x that
+    many partitions.
+
+    A single-row-group parquet file (common for mid-sized tables) is ONE
+    scan partition no matter what ``maxPartitionBytes`` says — parquet
+    cannot split below a row group — so every narrow operation before
+    the first exchange (tokenize + explode, per-row trig, a broadcast
+    join's stream side) runs on one core. The repartition costs one
+    exchange of the slim input rows; callers apply it only where the
+    pre-exchange work dominates (quadratic candidate generation, n-gram
+    explosion), never blanket. Wide inputs pass through untouched, so an
+    already-parallel 100-TB scan pays nothing.
+    """
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= max(2, int(slots * min_fraction)):
+            return df
+    except Exception:
+        return df
+    return df.repartition(slots)

@@ -1186,6 +1186,8 @@ def distance_join(
     b_key: str | None = None,
     cell_col: str = "cell_id",
     broadcast_b: bool = False,
+    time_col: str | None = None,
+    time_window: int | None = None,
 ) -> DataFrame:
     """All (a, b) pairs within great-circle distance ``radius_deg``.
 
@@ -1208,6 +1210,21 @@ def distance_join(
     s2_cellid — the engine-wide convention for point tables): Parent() on a
     cell COARSER than the blocking level returns a descendant, not an
     ancestor, which would silently mis-block pairs.
+
+    ``time_col``/``time_window`` (both or neither) additionally restrict
+    pairs to |t_a - t_b| <= time_window (an INTEGER column, e.g. epoch
+    microseconds, and an integer window in the same unit) and — the point
+    — push the constraint INTO the blocking key: the B side explodes to
+    its three adjacent floor(t/window) buckets, the A side keys by its own
+    bucket, and the equi-join runs on (cell_block, time_bucket). Any pair
+    within the window spans at most adjacent buckets, so recall is exact,
+    and each pair still matches exactly one (block, bucket) combination,
+    preserving the emit-once guarantee. For a spatio-temporal eps-graph
+    (ST-DBSCAN, Knox) this prunes candidates by the time selectivity
+    BEFORE the exchange and the distance math, instead of filtering a
+    fully-built spatial pair set afterwards. Bucketing uses exact integer
+    floor division (sign-safe), so the adjacency guarantee cannot be lost
+    to float rounding.
 
     Output: (key_a, key_b, dist_rad).
     """
@@ -1265,16 +1282,43 @@ def distance_join(
 
     wa = _widen(points_a)
     wb = wa if self_join else (points_b if broadcast_b else _widen(points_b))
+
+    if (time_col is None) != (time_window is None):
+        raise ValueError("time_col and time_window must be set together")
+    t_cols_a: list = []
+    t_cols_b: list = []
+    join_keys = ["_blk"]
+    if time_col is not None:
+        w = int(time_window)
+        # exact floor division for any sign: (t - pmod(t, w)) is a
+        # multiple of w, so the integer DIV below is exact
+        tb = F.expr(
+            f"CAST(({time_col} - pmod({time_col}, {w})) DIV {w} AS BIGINT)"
+        )
+        t_cols_a = [F.col(time_col).alias("_ta"), tb.alias("_tblk")]
+        t_cols_b = [
+            F.col(time_col).alias("_tb2"),
+            F.explode(
+                F.array(tb - F.lit(1), tb, tb + F.lit(1))
+            ).alias("_tblk"),
+        ]
+        join_keys = ["_blk", "_tblk"]
+
     a = wa.select(
-        F.col(point_key).alias("key_a"), *_xyz_cols("a"), blk,
+        F.col(point_key).alias("key_a"), *_xyz_cols("a"), blk, *t_cols_a,
     )
     b = wb.select(
         F.col(b_key).alias("key_b"), *_xyz_cols("b"),
-        s2_parent_sql(F.col(cell_col), level).alias("_blk"),
+        s2_parent_sql(F.col(cell_col), level).alias("_blk"), *t_cols_b,
     )
     if broadcast_b:
         b = F.broadcast(b)
-    pairs = a.join(b, on="_blk", how="inner").drop("_blk")
+    pairs = a.join(b, on=join_keys, how="inner").drop(*join_keys)
+    if time_col is not None:
+        # the cheap integer window test runs before any distance math
+        pairs = pairs.where(
+            F.abs(F.col("_ta") - F.col("_tb2")) <= F.lit(int(time_window))
+        ).drop("_ta", "_tb2")
     if self_join:
         pairs = pairs.where(F.col("key_a") < F.col("key_b"))
 
