@@ -1685,11 +1685,17 @@ def segment_crossing_join(
     Blocking: each segment explodes to every ``tile_deg`` grid tile its
     bounding box overlaps — a segment pair that crosses shares at least
     one tile (the crossing point lies in both boxes), so candidate
-    recall is exact; ``distinct`` collapses multi-tile duplicates before
-    the O(1) crossing test. At 10^12 rows the explode factor is bounded
-    by segment length / tile_deg — short GPS legs cost ~1-4 tiles; the
-    join shuffles on (tile_x, tile_y), the usual spatial-grid
-    co-location.
+    recall is exact. Multi-tile duplicates are collapsed WITHOUT a
+    shuffle by the canonical-tile rule: a pair is evaluated only in the
+    lexicographically smallest tile both bounding boxes overlap
+    (component-wise max of the two boxes' min tiles — always a member
+    of both tile ranges, so exactly one candidate row per pair
+    survives). The previous ``distinct`` shuffled the full 12-double
+    candidate payload — at dense-cohort scale that exchange was ~100x
+    the final result and dominated the join. At 10^12 rows the explode
+    factor is bounded by segment length / tile_deg — short GPS legs
+    cost ~1-4 tiles; the join shuffles on (tile_x, tile_y), the usual
+    spatial-grid co-location.
 
     Crossing test (both engines replay the same doubles):
       ccw(p,q,r) = (qx-px)*(ry-py) - (qy-py)*(rx-px)
@@ -1743,10 +1749,22 @@ def segment_crossing_join(
         )
     else:
         cand = cand.where(F.col(f"{group_col}_l") != F.col(f"{group_col}_r"))
+
+    # canonical-tile dedup (no shuffle): keep the pair only in the
+    # smallest tile of the intersection of both tile ranges
+    def _tmin(axis_a, axis_b):
+        return F.floor(F.least(F.col(axis_a), F.col(axis_b)) / t).cast("long")
+
+    cand = cand.where(
+        (F.col("_tx") == F.greatest(_tmin(f"{ax}_l", f"{bx}_l"),
+                                    _tmin(f"{ax}_r", f"{bx}_r")))
+        & (F.col("_ty") == F.greatest(_tmin(f"{ay}_l", f"{by}_l"),
+                                      _tmin(f"{ay}_r", f"{by}_r")))
+    )
     cand = cand.select(
         f"{group_col}_l", f"{id_col}_l", f"{ax}_l", f"{ay}_l", f"{bx}_l", f"{by}_l",
         f"{group_col}_r", f"{id_col}_r", f"{ax}_r", f"{ay}_r", f"{bx}_r", f"{by}_r",
-    ).distinct()
+    )
 
     def ccw(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px)
