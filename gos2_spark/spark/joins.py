@@ -889,7 +889,15 @@ def _knn_start_level(
         if est_max > cap:
             continue  # inadmissible: a hot block would flood a round
         cf = counts.astype(np.float64)
-        est_sb = (cf * cf).sum() / cf.sum() / frac
+        # UNBIASED size-biased mean under Bernoulli(frac) sampling:
+        # E[sum c(c-1)] = frac^2 * sum C(C-1), so sum(c(c-1))/(frac*sum c)
+        # estimates (sum C^2 / sum C) - 1. The naive sum(c^2)/sum(c)/frac
+        # is biased up by ~(1-frac)/frac: once sampled blocks are mostly
+        # singletons it floors at 1/frac, so for n >> sample_cap it could
+        # NEVER go below the occupancy target and the ladder started at
+        # leaf level 30 — reintroducing the face-blocked stall this guard
+        # exists to prevent, at exactly the advertised scale.
+        est_sb = (cf * (cf - 1.0)).sum() / (frac * cf.sum()) + 1.0
         if est_sb < occ_target and level_skew is not None:
             break  # gone lean: keep the finest still-dense level
         level_skew = lv
@@ -956,9 +964,15 @@ def knn_join_df(
             .withColumn(f"_{prefix}z", F.sin(rl))
         )
 
+    from .functions import widen_to_parallelism
+
     caller_sl = points.storageLevel
     own_cache = not (caller_sl.useMemory or caller_sl.useDisk)
-    pts = _xyz(points, "p").select(
+    # widen a narrow scan BEFORE the persist: the per-round explodes
+    # (xyz trig + one parent key per ladder level) run map-side over the
+    # persisted layout, and a one-row-group parquet scan would pin them
+    # all to a single core
+    pts = _xyz(widen_to_parallelism(points), "p").select(
         F.col(point_key).alias("_pkey"), F.col(cell_col).alias("_pcell"),
         "_px", "_py", "_pz",
     )
@@ -979,7 +993,8 @@ def knn_join_df(
         # occupancy (E[|block of a random query|] = sum c_b^2 / n) per
         # query, so the start level is chosen from a bounded sample
         # (driver traffic <= 500k int64s) as the FINEST level whose
-        # size-biased occupancy still holds >= max(4, k+1) points — fine
+        # size-biased occupancy still holds >= max(6, 2k+2) points (see
+        # _knn_start_level's rationale for the target) — fine
         # enough that a typical 3x3 neighborhood carries only a few
         # dozen candidates, coarse enough that dense-bulk queries finish
         # in round 1. (A max-block-<=cap rule alone picks the COARSEST
@@ -1003,7 +1018,7 @@ def knn_join_df(
     else:
         level = initial_level
 
-    pending = _xyz(queries, "q").select(
+    pending = _xyz(widen_to_parallelism(queries), "q").select(
         F.col(query_key).alias("_qkey"), F.col(cell_col).alias("_qcell"),
         "_qx", "_qy", "_qz",
     )

@@ -101,3 +101,23 @@ def test_all_duplicates_falls_back_to_leaf():
 
 def test_empty_sample_is_safe():
     assert _knn_start_level(np.array([], dtype=np.uint64), 4, 2) == 30
+
+
+def test_sampled_pick_matches_full_pick_at_low_fraction():
+    """Bernoulli sampling at frac <= 0.1 must not bias the start level:
+    the naive size-biased estimator sum(c^2)/sum(c)/frac inflates by
+    ~(1-frac)/frac once sampled blocks are singletons (floor 1/frac), so
+    a 1M-point uniform set picked leaf level 30 through the sampling
+    path while the full array picked a moderate level — the exact stall
+    the occupancy guard exists to prevent. The unbiased estimator
+    sum(c(c-1))/(frac*sum(c)) + 1 must reproduce the full pick."""
+    n = 1_000_000
+    cells = _uniform_cells(n)
+    k = 2
+    full = _knn_start_level(cells, level_mean=4, k=k)
+    rng = np.random.default_rng(13)
+    frac = 500_000.0 / (n * 10)  # 0.05 — well into the biased regime
+    sample = cells[rng.random(n) < frac]
+    sampled = _knn_start_level(sample, level_mean=4, k=k, frac=frac)
+    assert abs(sampled - full) <= 1, (sampled, full)
+    assert sampled < 15, sampled  # never anywhere near the leaf fallback
