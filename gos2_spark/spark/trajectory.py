@@ -193,6 +193,108 @@ def trajectory_profile(
     )
 
 
+def _dp_keep_mask_batched(xyz, starts, ends, tolerance_rad: float):
+    """Level-synchronous Douglas-Peucker over MANY trajectories at once.
+
+    ``xyz``: (m, 3) unit points of all trajectories concatenated in
+    order; ``starts``/``ends``: first/last global index per trajectory.
+    Returns the same keep mask as running ``_dp_keep_mask`` per
+    trajectory — same metric arithmetic (element-wise identical IEEE
+    ops, including the PointCross normalization and ortho fallback),
+    same first-max split tie-break — but every DP round evaluates the
+    segment metric for EVERY active segment of EVERY trajectory in one
+    vectorized pass. The per-call numpy overhead that dominated the
+    per-group form (~15 numpy ops on a handful of points per split,
+    measured ~230us/call = 15ms per 67-point trajectory) is amortized
+    over the whole Arrow batch; rounds are bounded by the deepest
+    split tree, segments never overlap, and each trajectory's segments
+    stay contiguous index intervals, so per-segment reductions are
+    ``ufunc.reduceat`` calls.
+    """
+    import numpy as np
+
+    from ..kernels.predicates import ortho
+
+    m = len(xyz)
+    keep = np.zeros(m, dtype=bool)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    # trajectories with <= 2 points keep every row (per-group contract)
+    tiny = ends - starts < 2
+    for s, e in zip(starts[tiny], ends[tiny]):
+        keep[s : e + 1] = True
+    keep[starts] = True
+    keep[ends] = True
+    lo = starts[~tiny].copy()
+    hi = ends[~tiny].copy()
+    while len(lo):
+        A = xyz[lo]
+        B = xyz[hi]
+        S = A + B
+        D = B - A
+        # PointCross(a, b) = normalize((a+b) x (b-a)) with ortho fallback
+        acb = np.empty_like(A)
+        acb[:, 0] = S[:, 1] * D[:, 2] - S[:, 2] * D[:, 1]
+        acb[:, 1] = S[:, 2] * D[:, 0] - S[:, 0] * D[:, 2]
+        acb[:, 2] = S[:, 0] * D[:, 1] - S[:, 1] * D[:, 0]
+        nrm = np.sqrt((acb * acb).sum(axis=1))
+        # same degeneracy test as the scalar path: nrm < 1e-300 or
+        # allclose(acb, 0, atol=1e-14) == max|acb_i| <= 1e-14
+        degen = (nrm < 1e-300) | (np.abs(acb).max(axis=1) <= 1e-14)
+        ok = ~degen
+        acb[ok] = acb[ok] / nrm[ok, None]
+        for i in np.flatnonzero(degen):
+            acb[i] = np.array(ortho(tuple(A[i])))
+        acb_nrm = np.sqrt((acb * acb).sum(axis=1))
+
+        # concatenated interior points, segment-contiguous by construction
+        lens = hi - lo - 1
+        nseg = len(lo)
+        tot = int(lens.sum())
+        segid = np.repeat(np.arange(nseg), lens)
+        offs = np.zeros(nseg, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        ii = lo[segid] + 1 + (np.arange(tot) - offs[segid])
+        X = xyz[ii]
+        N = acb[segid]
+        # wedge test: CCW(acb, a, x) && CCW(x, b, acb); cross(acb, X) is
+        # the exact negation of cross(X, acb), so the second CCW is the
+        # sign flip of the same dot product
+        C0 = X[:, 1] * N[:, 2] - X[:, 2] * N[:, 1]
+        C1 = X[:, 2] * N[:, 0] - X[:, 0] * N[:, 2]
+        C2 = X[:, 0] * N[:, 1] - X[:, 1] * N[:, 0]
+        Ag = A[segid]
+        Bg = B[segid]
+        w1 = C0 * Ag[:, 0] + C1 * Ag[:, 1] + C2 * Ag[:, 2] > 0
+        w2 = C0 * Bg[:, 0] + C1 * Bg[:, 1] + C2 * Bg[:, 2] < 0
+        in_wedge = w1 & w2
+        sin_dist = np.abs((X * N).sum(axis=1)) / acb_nrm[segid]
+        d_interior = np.arcsin(np.minimum(1.0, sin_dist))
+        xa = ((X - Ag) ** 2).sum(axis=1)
+        xb = ((X - Bg) ** 2).sum(axis=1)
+        d_endpoint = 2.0 * np.arcsin(
+            np.minimum(1.0, 0.5 * np.sqrt(np.minimum(xa, xb)))
+        )
+        d = np.where(in_wedge, d_interior, d_endpoint)
+
+        dmax = np.maximum.reduceat(d, offs)
+        split_seg = np.flatnonzero(dmax > tolerance_rad)
+        if not len(split_seg):
+            break
+        # FIRST position attaining the segment max (np.argmax tie-break)
+        pos = np.arange(tot)
+        first = np.minimum.reduceat(
+            np.where(d == dmax[segid], pos, tot), offs
+        )
+        split = lo[split_seg] + 1 + (first[split_seg] - offs[split_seg])
+        keep[split] = True
+        new_lo = np.concatenate((lo[split_seg], split))
+        new_hi = np.concatenate((split, hi[split_seg]))
+        sel = new_hi - new_lo >= 2
+        lo, hi = new_lo[sel], new_hi[sel]
+    return keep
+
+
 def _dp_keep_mask(xyz, tolerance_rad: float):
     """Iterative Douglas-Peucker over unit xyz points (numpy, stack-based —
     no recursion limits). Reuses the reference-parity segment metric
@@ -239,13 +341,21 @@ def simplify_trajectories(
     chain. Returns the kept rows (key, pt_id, lat, lng) — the standard
     pre-aggregation step before trajectory storage/rendering at scale.
 
-    Execution shape: ONE applyInPandas over the key partitioning — the
-    only shuffle — with the whole divide-and-conquer running vectorized
-    numpy per trajectory (Arrow-batched, never per-row Python). DP is
-    inherently sequential per polyline but trivially parallel across the
-    billions of polylines a fleet corpus has, which is exactly what the
-    per-key grouping gives; pathological single keys are bounded upstream
-    with capped_sample_per_key. Not SQL-expressible (data-dependent
+    Execution shape: ONE hash repartition on the key + an in-partition
+    sort + ONE mapInPandas — the only shuffle — with the whole
+    divide-and-conquer running vectorized numpy per trajectory
+    (Arrow-batched, never per-row Python). mapInPandas instead of
+    groupBy().applyInPandas because the grouped form pays a fixed
+    per-GROUP cost (one Arrow slice + one pandas frame + one Python call
+    per trajectory — measured 10.6s at 15k trajectories where the DP
+    math itself is <1s); here whole 64k-row Arrow batches cross the
+    boundary and group slicing is a numpy boundary scan. Groups are
+    contiguous and pre-ordered after the sort; a group spanning two
+    batches is carried over, so each trajectory is still simplified
+    whole. DP is inherently sequential per polyline but trivially
+    parallel across the billions of polylines a fleet corpus has;
+    pathological single keys are bounded upstream with
+    capped_sample_per_key. Not SQL-expressible (data-dependent
     recursion) — correctness is pinned by property tests
     (tests/test_geo_text_ops.py): endpoints kept, dropped-vertex deviation
     <= tolerance against an independent pure-python DP, monotone in
@@ -254,30 +364,59 @@ def simplify_trajectories(
     import pandas as pd
 
     order_list = list(order_cols)
-    out_schema = points.select(key_col, "pt_id", "lat", "lng").schema
+    cols = [key_col, "pt_id", "lat", "lng"]
+    out_schema = points.select(*cols).schema
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_list, kind="mergesort")
-        if len(pdf) <= 2:
-            return pdf[[key_col, "pt_id", "lat", "lng"]]
+    def _simplify_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One or more WHOLE trajectories, rows already (key, *order)
+        sorted: vectorized xyz once, then the DP mask per key slice."""
+        n = len(pdf)
         rlat = np.radians(pdf["lat"].to_numpy())
         rlng = np.radians(pdf["lng"].to_numpy())
         xyz = np.column_stack(
             (np.cos(rlng) * np.cos(rlat), np.sin(rlng) * np.cos(rlat), np.sin(rlat))
         )
-        keep = _dp_keep_mask(xyz, tolerance_rad)
-        return pdf.loc[keep, [key_col, "pt_id", "lat", "lng"]]
+        keys = pdf[key_col].to_numpy()
+        bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n])) - 1
+        keep = _dp_keep_mask_batched(xyz, starts, ends, tolerance_rad)
+        return pdf.loc[keep, cols]
+
+    def fn(batches):
+        pend = None
+        for pdf in batches:
+            pdf = pdf[cols]
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            # hold back the trailing (possibly batch-spanning) trajectory;
+            # keys are grouped contiguously, so the trailing run is pure
+            # equality scanning (no comparator assumptions)
+            keys = pdf[key_col].to_numpy()
+            nz = np.flatnonzero(keys != keys[-1])
+            cut = int(nz[-1] + 1) if len(nz) else 0
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield _simplify_block(pdf.iloc[:cut])
+        if pend is not None and len(pend):
+            yield _simplify_block(pend)
 
     # Pin the pre-DP exchange with a USER repartition on the group key:
     # AQE coalesces shuffles by BYTE size, and trajectory rows are tiny,
     # so the CPU-heavy Python DP stage otherwise collapses onto 1-2
     # partitions and runs thousands of groups sequentially (measured 2
     # post-AQE partitions / 11.4s at sf0.1; pinned: full-width / ~1s).
-    # Explicit repartitioning is exempt from AQE coalescing, and the
-    # groupBy reuses it (same hash partitioning), adding no exchange.
+    # Explicit repartitioning is exempt from AQE coalescing. The
+    # in-partition sort makes every trajectory contiguous in (ts, pt_id)
+    # order — exactly the order the per-group pandas sort produced.
     slots = points.sparkSession.sparkContext.defaultParallelism
-    pinned = points.repartition(slots, F.col(key_col))
-    return pinned.groupBy(key_col).applyInPandas(fn, schema=out_schema)
+    pinned = points.repartition(slots, F.col(key_col)).sortWithinPartitions(
+        key_col, *order_list
+    )
+    return pinned.select(*cols).mapInPandas(fn, schema=out_schema)
 
 
 def frechet_distance_col(xyz_a: Column, xyz_b: Column) -> Column:

@@ -734,3 +734,46 @@ class TestColocationJoin:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dp_batched_matches_per_group_kernel():
+    """The level-synchronous batched DP must reproduce the per-group
+    kernel's keep mask bit-for-bit (same metric arithmetic, same
+    first-max tie-break) across jagged, smooth, tiny and duplicate-point
+    trajectories."""
+    import numpy as np
+
+    from gos2_spark.spark.trajectory import (
+        _dp_keep_mask,
+        _dp_keep_mask_batched,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(10):
+        sizes = rng.integers(1, 120, 40)
+        xyzs, starts, ends, masks = [], [], [], []
+        off = 0
+        for s in sizes:
+            if trial % 3 == 0:  # globe-jagged: nearly every point kept
+                lat = np.radians(rng.uniform(-60, 60, s))
+                lng = np.radians(rng.uniform(-170, 170, s))
+            else:  # smooth local walk: most points dropped
+                lat = np.radians(40 + np.cumsum(rng.normal(0, 0.01, s)))
+                lng = np.radians(-70 + np.cumsum(rng.normal(0, 0.01, s)))
+            if trial % 5 == 0 and s > 3:  # repeated-point degeneracy
+                lat[1], lng[1] = lat[0], lng[0]
+            xyz = np.column_stack(
+                (np.cos(lng) * np.cos(lat), np.sin(lng) * np.cos(lat),
+                 np.sin(lat))
+            )
+            xyzs.append(xyz)
+            starts.append(off)
+            ends.append(off + s - 1)
+            off += s
+            masks.append(
+                np.ones(s, bool) if s <= 2 else _dp_keep_mask(xyz, 0.02)
+            )
+        got = _dp_keep_mask_batched(
+            np.vstack(xyzs), np.array(starts), np.array(ends), 0.02
+        )
+        assert np.array_equal(got, np.concatenate(masks))

@@ -158,10 +158,13 @@ def test_robots_gate_is_broadcast_nested_loop(spark):
 
 
 def test_simplify_is_single_pandas_stage(spark):
-    """Douglas-Peucker runs as exactly one grouped pandas stage (the
-    per-trajectory kernel); everything around it is native."""
+    """Douglas-Peucker runs as exactly one pandas stage (the batched
+    per-trajectory kernel over sorted partitions); everything around it
+    is native, and the per-group FlatMapGroupsInPandas form (fixed cost
+    per trajectory) must not come back."""
     plan = _plan(spark, "trajectory_simplify")
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_asof_join_bounded_exchanges(spark):
