@@ -250,7 +250,14 @@ def hex_flow_accumulation(
 
     Output: (hq, hr, elev, flow_dir, is_sink, flow_acc).
     """
+    fused0 = materialize is None
     flow = hex_flow_directions(cells, elev_col)
+    # flow feeds three consumers (the next-cell table, the initial token
+    # frame, and the final join) — materialize it once or each one
+    # re-runs the hexbin aggregation + D6 neighbor join upstream
+    flow = (
+        flow.localCheckpoint(eager=True) if fused0 else materialize(flow)
+    )
     dq = F.element_at(
         F.array(*[F.lit(d) for d, _ in _HEX_DIRS]), F.col("flow_dir") + 1
     )
@@ -263,10 +270,16 @@ def hex_flow_accumulation(
         (F.col("hq") + dq).alias("_nq"),
         (F.col("hr") + dr).alias("_nr"),
     )
+    fused = materialize is None
     if materialize is None:
         def materialize(df):
             return df.localCheckpoint(eager=True)
     nxt = materialize(nxt)
+    # the next-cell table is bounded by the OCCUPIED cell count; while
+    # small it rides every round's join as a broadcast, so a round is one
+    # map-side job (join + partial agg) instead of a shuffle join
+    if nxt.count() <= 4_000_000:
+        nxt = F.broadcast(nxt)
     moving = flow.select("hq", "hr", F.lit(1).cast("long").alias("w"))
     arrivals = moving
     for _ in range(max_steps):
@@ -277,8 +290,18 @@ def hex_flow_accumulation(
             )
             .agg(F.sum("w").alias("w"))
         )
-        moving = materialize(moving)
-        if moving.isEmpty():
+        if fused:
+            # ONE job per round: the lazy checkpoint is materialized by
+            # the emptiness probe's full count (a limit(1) scan would
+            # leave partitions unmaterialized and the next round would
+            # recompute from the pre-checkpoint lineage — the CC _apply
+            # precedent)
+            moving = moving.localCheckpoint(eager=False)
+            empty = moving.count() == 0
+        else:
+            moving = materialize(moving)
+            empty = moving.isEmpty()
+        if empty:
             break
         arrivals = arrivals.union(moving)
     acc = arrivals.groupBy("hq", "hr").agg(F.sum("w").alias("flow_acc"))
