@@ -724,15 +724,23 @@ def bfs_hops(
     """
     spark = edges.sparkSession
     mat = materialize if materialize is not None else _default_materialize(spark)
-    e = (
+    # materialize the deduped edge projection ONCE: every level's plan
+    # would otherwise re-run the caller's edge derivation AND the
+    # distinct shuffle (measured: the dominant cost of small-graph BFS)
+    e = mat(
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
         .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .distinct()
     )
+    if e.count() <= 4_000_000:
+        e = F.broadcast(e)
     dist = mat(
         sources.select(F.col(node_col).alias(node_col))
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
+    )
+    fused = materialize is None and (
+        spark.sparkContext.getCheckpointDir() is None
     )
     frontier = dist.select(node_col)
     for h in range(1, max_hops + 1):
@@ -741,14 +749,27 @@ def bfs_hops(
             .select(F.col("_d").alias(node_col))
             .distinct()
         )
-        new = mat(
-            reached.join(dist, node_col, "left_anti").withColumn(
-                "hops", F.lit(h).cast("int")
-            )
+        new_plan = reached.join(dist, node_col, "left_anti").withColumn(
+            "hops", F.lit(h).cast("int")
         )
-        if new.isEmpty():
+        if fused:
+            # ONE job per level: the lazy checkpoint is materialized by
+            # the emptiness probe's full count (CC _apply precedent)
+            ck = new_plan.localCheckpoint(eager=False)
+            empty = ck.count() == 0
+            new = _reset_huge_stats(ck)
+        else:
+            new = mat(new_plan)
+            empty = new.isEmpty()
+        if empty:
             break
-        dist = mat(dist.union(new))
+        if fused:
+            # no driver decision reads dist: truncate lazily, zero jobs
+            dist = _reset_huge_stats(
+                dist.union(new).localCheckpoint(eager=False)
+            )
+        else:
+            dist = mat(dist.union(new))
         frontier = new.select(node_col)
     return dist
 
@@ -784,24 +805,41 @@ def sssp_relax(
     """
     spark = edges.sparkSession
     mat = materialize if materialize is not None else _default_materialize(spark)
-    e = edges.select(
-        F.col(src_col).alias("_s"),
-        F.col(dst_col).alias("_d"),
-        F.col(weight_col).alias("_w"),
-    ).where(F.col("_w") >= 0)
+    # materialize the edge table ONCE: every sweep's plan would otherwise
+    # embed (and re-run) the caller's full edge derivation
+    e = mat(
+        edges.select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_d"),
+            F.col(weight_col).alias("_w"),
+        ).where(F.col("_w") >= 0)
+    )
+    if e.count() <= 4_000_000:
+        e = F.broadcast(e)
     dist = mat(
         sources.select(F.col(node_col).alias(node_col))
         .distinct()
         .withColumn("cost", F.lit(0).cast("long"))
+    )
+    fused = materialize is None and (
+        spark.sparkContext.getCheckpointDir() is None
     )
     for _ in range(rounds):
         cand = dist.join(e, dist[node_col] == e["_s"]).select(
             F.col("_d").alias(node_col),
             (F.col("cost") + F.col("_w")).cast("long").alias("cost"),
         )
-        dist = mat(
-            dist.union(cand).groupBy(node_col).agg(F.min("cost").alias("cost"))
+        new_dist = dist.union(cand).groupBy(node_col).agg(
+            F.min("cost").alias("cost")
         )
+        if fused:
+            # fixed round count, no per-round driver decision: a LAZY
+            # checkpoint truncates the plan immediately (LogicalRDD) with
+            # clamped stats, and the whole sweep chain materializes in
+            # the caller's single action — zero jobs per round
+            dist = _reset_huge_stats(new_dist.localCheckpoint(eager=False))
+        else:
+            dist = mat(new_dist)
     return dist
 
 
@@ -1090,27 +1128,57 @@ def closeness_from_seeds(
       (the classic closeness normalization restricted to the seed set;
       0.0 when only hop-0 self rows reached the node).
 
-    Scale shape: k sequential BFS passes, each O(edges out of the
-    frontier) per round with per-round lineage truncation; the union is
-    k-bounded so the final aggregation carries at most k rows per node.
+    Scale shape: ONE seed-tagged level-synchronous BFS for all k seeds
+    (frontier and visited keyed by (seed, node) — each seed's expansion
+    is independent under the keyed join/anti-join, so the hop labels are
+    identical to k sequential passes), O(edges out of the union
+    frontier) per round with per-round lineage truncation; the hop
+    table is k-bounded per node.
     """
     spark = edges.sparkSession
     mat = materialize if materialize is not None else _default_materialize(spark)
-    per_seed = []
-    for s in seed_ids:
-        src = spark.createDataFrame([(int(s),)], "node long")
-        hops = bfs_hops(
-            edges,
-            src,
-            src_col=src_col,
-            dst_col=dst_col,
-            max_hops=max_hops,
-            materialize=mat,
+    e = mat(
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    if e.count() <= 4_000_000:
+        e = F.broadcast(e)
+    dist = mat(
+        spark.createDataFrame(
+            [(int(s), int(s)) for s in seed_ids], "seed long, node long"
+        ).withColumn("hops", F.lit(0).cast("int"))
+    )
+    fused = materialize is None and (
+        spark.sparkContext.getCheckpointDir() is None
+    )
+    frontier = dist.select("seed", "node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select("seed", F.col("_d").alias("node"))
+            .distinct()
         )
-        per_seed.append(hops.select("node", "hops"))
-    allh = per_seed[0]
-    for h in per_seed[1:]:
-        allh = allh.union(h)
+        new_plan = reached.join(dist, ["seed", "node"], "left_anti").withColumn(
+            "hops", F.lit(h).cast("int")
+        )
+        if fused:
+            ck = new_plan.localCheckpoint(eager=False)
+            empty = ck.count() == 0
+            new = _reset_huge_stats(ck)
+        else:
+            new = mat(new_plan)
+            empty = new.isEmpty()
+        if empty:
+            break
+        if fused:
+            dist = _reset_huge_stats(
+                dist.union(new).localCheckpoint(eager=False)
+            )
+        else:
+            dist = mat(dist.union(new))
+        frontier = new.select("seed", "node")
+    allh = dist.select("node", "hops")
     inv_e9 = F.when(
         F.col("hops") > 0,
         F.round(F.lit(1e9) / F.col("hops").cast("double"), 0).cast("long"),

@@ -169,7 +169,12 @@ def simple_kriging_3nn(
     targets with < 3 distinct-coordinate neighbors (or deduplicate
     observations) upstream if either case can occur.
     """
-    p = points.select(
+    from .functions import widen_to_parallelism
+
+    # widen first: the target broadcast fans every point row out |t|x
+    # with per-row trig BEFORE any exchange — a one-row-group scan would
+    # run that whole stage on one core
+    p = widen_to_parallelism(points).select(
         F.col(point_key).alias("pk"),
         F.col("lat").alias("plat"),
         F.col("lng").alias("plng"),
