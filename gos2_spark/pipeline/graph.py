@@ -489,11 +489,21 @@ def pagerank(
     rank lineage from scratch (quadratic total work) and the plan would
     double per iteration.
     """
+    spark = edges.sparkSession
+    fused = materialize is None and (
+        spark.sparkContext.getCheckpointDir() is None
+    )
     if materialize is None:
-        materialize = _default_materialize(edges.sparkSession)
-    edges = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+        materialize = _default_materialize(spark)
+    # materialize the deduped edge list ONCE: the node-set union, the
+    # out-degree join and every iteration otherwise each re-run the
+    # caller's edge derivation plus the distinct shuffle (for a corpus
+    # co-occurrence graph that is the tokenize + explode of every doc)
+    edges = materialize(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -507,11 +517,15 @@ def pagerank(
         "src", "dst", (1.0 / F.col("out_deg")).alias("w")
     )
     weighted = materialize(weighted)
+    # the rank table is n rows: while bounded it rides the per-iteration
+    # join as a broadcast, so the big weighted-edge table never shuffles
+    bcast_ranks = n <= 4_000_000
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+            weighted.join(r, weighted["src"] == r["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -537,7 +551,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = materialize(ranks)
+        if fused:
+            # fixed iteration count, no per-iteration driver decision: a
+            # lazy checkpoint truncates the plan (clamped stats) and the
+            # whole chain materializes in the caller's single action
+            ranks = _reset_huge_stats(ranks.localCheckpoint(eager=False))
+        else:
+            ranks = materialize(ranks)
     return ranks
 
 
