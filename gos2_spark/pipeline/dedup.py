@@ -575,8 +575,10 @@ def jaccard_join(
     from pyspark.sql import Window
 
     from ..spark.functions import widen_to_parallelism
+    from .graph import _default_materialize
 
-    toks = widen_to_parallelism(docs).select(
+    mat = _default_materialize(docs.sparkSession)
+    toks = mat(widen_to_parallelism(docs).select(
         F.col(key_col).alias("key"),
         F.explode(
             F.array_distinct(
@@ -586,7 +588,7 @@ def jaccard_join(
                 )
             )
         ).alias("token"),
-    ).localCheckpoint(eager=True)
+    ))
     sizes = toks.groupBy("key").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     ordered = toks.join(dfreq, "token").withColumn(
@@ -677,6 +679,8 @@ def edit_distance_pairs(
     titles, or the shared title when equal), and the distance is a
     function of the titles alone.
     """
+    from .graph import _default_materialize
+
     spark = docs.sparkSession
     slots = spark.sparkContext.defaultParallelism
     # one eager checkpoint: the narrow (key, title, blk) frame feeds the
@@ -690,7 +694,7 @@ def edit_distance_pairs(
     ).withColumn("blk", F.substring("title", 1, prefix_len))
     if t.rdd.getNumPartitions() < max(2, slots // 2):
         t = t.repartition(slots)
-    t = t.localCheckpoint(eager=True)
+    t = _default_materialize(spark)(t)
     if bucket_cap is not None:
         over = (
             t.groupBy("blk")
@@ -792,9 +796,10 @@ def cosine_tf_join(
                 lambda t: F.length(t) > 0,
             )
         ).alias("tok"),
-    ).groupBy("key", "tok").agg(F.count("*").alias("tf")).localCheckpoint(
-        eager=True
-    )
+    ).groupBy("key", "tok").agg(F.count("*").alias("tf"))
+    from .graph import _default_materialize
+
+    tf = _default_materialize(docs.sparkSession)(tf)
     norms = tf.groupBy("key").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
     )
@@ -873,10 +878,14 @@ def containment_join(
     # one-row-group scan would otherwise tokenize AND checkpoint on one
     # core, and the checkpoint preserves that single partition for every
     # downstream branch.
-    toks = widen_to_parallelism(docs).select(
-        F.col(key_col).alias("key"),
-        F.explode(F.array_distinct(arr)).alias("token"),
-    ).localCheckpoint(eager=True)
+    from .graph import _default_materialize
+
+    toks = _default_materialize(docs.sparkSession)(
+        widen_to_parallelism(docs).select(
+            F.col(key_col).alias("key"),
+            F.explode(F.array_distinct(arr)).alias("token"),
+        )
+    )
     sizes = toks.groupBy("key").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     ordered = toks.join(dfreq, "token").withColumn(

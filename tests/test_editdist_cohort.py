@@ -80,3 +80,51 @@ def test_holt_fold_matches_python(spark):
         bn = (x * 0.25 + (l + b) * 0.75 - l) * 0.125 + b * 0.875
         l, b = ln, bn
     assert row["l"] == pytest.approx(l, rel=0) and row["b"] == pytest.approx(b, rel=0)
+
+
+def test_dedup_materialization_honors_checkpoint_dir(spark, tmp_path):
+    """The tokenize-once materializations in the dedup family must route
+    through the repo's durability policy (_default_materialize): with a
+    checkpoint dir configured they take a RELIABLE checkpoint (files on
+    disk, survivable on executor loss) instead of the local-only
+    localCheckpoint, and results are unchanged."""
+    import os
+
+    from gos2_spark.pipeline.dedup import (
+        containment_join,
+        edit_distance_pairs,
+        jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    ckdir = str(tmp_path / "ck")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckdir)
+    try:
+        pairs = {
+            (r.key_a, r.key_b)
+            for r in edit_distance_pairs(
+                docs, title_len=12, prefix_len=2, max_dist=3
+            ).collect()
+        }
+        jj = jaccard_join(docs, threshold=0.5).collect()
+        cj = containment_join(docs, threshold=0.5).collect()
+        # the reliable checkpoint actually wrote to the configured dir
+        wrote = any(files for _, _, files in os.walk(ckdir))
+        assert wrote, "no reliable checkpoint files written"
+    finally:
+        # un-set so later tests keep the localCheckpoint default (the
+        # scala setter name needs getattr because of the $ in it)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+    assert (1, 2) in pairs
+    assert {(r.key_a, r.key_b) for r in jj} == {(1, 2)}
+    assert any(r.key_a == 1 and r.key_b == 2 for r in cj)
