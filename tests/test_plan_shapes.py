@@ -717,13 +717,20 @@ def test_session_batches_no_python_stage(spark, name):
     assert "FlatMapGroupsInPandas" not in plan, name
 
 
-def test_path_crossings_distinct_before_refine(spark):
-    """The tile-blocked crossing join must dedup candidates BEFORE the
-    sign tests (HashAggregate for the distinct) and keep the refine as a
-    codegen Filter — no cartesian product anywhere."""
+def test_path_crossings_canonical_tile_dedup(spark):
+    """The tile-blocked crossing join must dedup candidates with the
+    canonical-tile FILTER (pair kept only in the smallest shared tile —
+    no shuffle), never the old full-payload distinct (HashAggregate over
+    12 doubles, an exchange ~100x the result), and no cartesian product
+    anywhere."""
     plan = _plan(spark, "path_crossings")
     assert "CartesianProduct" not in plan
-    assert "HashAggregate" in plan
+    # the canonical-tile rule compares the tile to a greatest() of the
+    # two boxes' min tiles inside a plain Filter
+    assert "greatest" in plan
+    # no distinct over the candidate payload: the crossing query is a
+    # pure join + filter + sort plan with zero aggregates
+    assert plan.count("HashAggregate") == 0
 
 
 def test_segment_crossing_bounded_exchanges(spark):
