@@ -174,7 +174,7 @@ def simple_kriging_3nn(
     # widen first: the target broadcast fans every point row out |t|x
     # with per-row trig BEFORE any exchange — a one-row-group scan would
     # run that whole stage on one core
-    p = widen_to_parallelism(points).select(
+    p = widen_to_parallelism(points, min_bytes=512 << 10).select(
         F.col(point_key).alias("pk"),
         F.col("lat").alias("plat"),
         F.col("lng").alias("plng"),

@@ -972,7 +972,7 @@ def knn_join_df(
     # (xyz trig + one parent key per ladder level) run map-side over the
     # persisted layout, and a one-row-group parquet scan would pin them
     # all to a single core
-    pts = _xyz(widen_to_parallelism(points), "p").select(
+    pts = _xyz(widen_to_parallelism(points, min_bytes=512 << 10), "p").select(
         F.col(point_key).alias("_pkey"), F.col(cell_col).alias("_pcell"),
         "_px", "_py", "_pz",
     )
@@ -1018,7 +1018,7 @@ def knn_join_df(
     else:
         level = initial_level
 
-    pending = _xyz(widen_to_parallelism(queries), "q").select(
+    pending = _xyz(widen_to_parallelism(queries, min_bytes=512 << 10), "q").select(
         F.col(query_key).alias("_qkey"), F.col(cell_col).alias("_qcell"),
         "_qx", "_qy", "_qz",
     )
