@@ -574,11 +574,14 @@ def jaccard_join(
     """
     from pyspark.sql import Window
 
-    from ..spark.functions import widen_to_parallelism
     from .graph import _default_materialize
 
+    # NOT widened: measured at the 50k-doc scale the post-tokenize
+    # aggregations dominate and the extra exchange cost ~0.75s for no
+    # parallel gain (unlike containment_join, whose window + multi-join
+    # consumers inherit the checkpoint layout and need the width)
     mat = _default_materialize(docs.sparkSession)
-    toks = mat(widen_to_parallelism(docs).select(
+    toks = mat(docs.select(
         F.col(key_col).alias("key"),
         F.explode(
             F.array_distinct(
@@ -785,10 +788,9 @@ def cosine_tf_join(
     near-dup path is the banded embedding/MinHash family above.
     """
     # one eager checkpoint: the TF table feeds three branches (norms and
-    # both join sides) — tokenize + aggregate once (see jaccard_join)
-    from ..spark.functions import widen_to_parallelism
-
-    tf = widen_to_parallelism(docs).select(
+    # both join sides) — tokenize + aggregate once (see jaccard_join;
+    # same measured no-widen decision)
+    tf = docs.select(
         F.col(key_col).alias("key"),
         F.explode(
             F.filter(
